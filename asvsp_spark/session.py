@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-sane defaults.
+
+The reference hand-tunes ``spark.sql.shuffle.partitions=8`` for a 2-worker
+laptop cluster (reference src/batch/process.sh:9-15). We instead lean on AQE
+(on by default in Spark 3.2+) to coalesce shuffle partitions at runtime, and
+parameterize everything that is cluster-size dependent so the same code runs
+on local[32] tests and a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    # AQE: runtime re-planning (coalesce partitions, convert to broadcast
+    # joins, split skewed partitions). Critical at 100TB where static
+    # estimates are unreliable.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamp semantics: parquet files carry naive
+    # timestamps; pin the session to UTC so to_date/hour/dayofweek agree
+    # with the DuckDB oracle regardless of host timezone.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for pandas UDF / toPandas interchange (vector ops, multimodal).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Keep partition files readable in one task at test scale; at cluster
+    # scale operators should override via SPARK_GRAFT_* env or builder conf.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Silence the noisy SparkUI in CI-like environments.
+    "spark.ui.enabled": "false",
+}
+
+
+def get_session(app_name: str = "asvsp_spark", master: str | None = None,
+                extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 4) so
+    tests and bench share one knob; on a real cluster pass ``None`` after
+    setting master via spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,73 @@
+"""Shared fixtures: one SparkSession per test session, a DuckDB connection
+with the driver's table views pre-registered, and an oracle-compare helper
+that mirrors the driver's check (row count + column names + order-
+insensitive value comparison)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from asvsp_spark.session import get_session
+from asvsp_spark.tables import TPCH_TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_T2 = os.environ.get("SPARK_GRAFT_T2_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session("asvsp-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    yield con
+
+
+def duck_with_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM parquet_scan('{sf_dir}/{t}.parquet')")
+
+
+def _canon(value):
+    if value is None:
+        return None
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        # driver-style canonicalization: rounds are applied in-query, so
+        # equality should be exact; format compactly to absorb repr noise
+        return f"{value:.9g}"
+    if isinstance(value, bool):
+        return bool(value)
+    return value
+
+
+def compare_frames(spark_df, duck_rel, context: str = "") -> None:
+    """Assert the Spark result and the DuckDB result are set-equal."""
+    sp = spark_df.toPandas()
+    dk = duck_rel.fetchdf()
+    assert sorted(sp.columns) == sorted(dk.columns), (
+        f"{context}: columns differ: spark={sorted(sp.columns)} duck={sorted(dk.columns)}")
+    cols = sorted(sp.columns)
+    sp_rows = sorted(
+        tuple(_canon(v) for v in row)
+        for row in sp[cols].itertuples(index=False, name=None))
+    dk_rows = sorted(
+        tuple(_canon(v if not hasattr(v, "item") else v.item()) for v in row)
+        for row in dk[cols].itertuples(index=False, name=None))
+    assert len(sp_rows) == len(dk_rows), (
+        f"{context}: row counts differ: spark={len(sp_rows)} duck={len(dk_rows)}")
+    mismatches = [
+        (a, b) for a, b in zip(sp_rows, dk_rows) if a != b
+    ]
+    assert not mismatches, (
+        f"{context}: {len(mismatches)} row mismatches; first 5: {mismatches[:5]}")
