@@ -12,9 +12,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from asvsp_spark import tables
+from asvsp_spark.operators import rollups as R
 from asvsp_spark.plans import queries as Q
+from asvsp_spark.plans.base import yearly_nation_revenue
 from asvsp_spark.plans.oracle import ORACLE
+from asvsp_spark.plans.oracle_rollups import ORACLE_ROLLUPS
+
+ORACLE.update(ORACLE_ROLLUPS)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -87,6 +94,36 @@ def _q09(spark, sf):
 def _q10(spark, sf):
     return Q.q10_improvement_streaks(_t(spark, sf, "orders"), _t(spark, sf, "customer"),
                                      _t(spark, sf, "nation"))
+
+
+@register("rollup_daily_events")
+def _rollup_daily(spark, sf):
+    return (
+        R.daily_rollup(_t(spark, sf, "events"))
+        .select("event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "daily_avg", "daily_max", "n_events", "day_of_week",
+                "is_weekend", "yr", "mon")
+    )
+
+
+@register("rollup_monthly_events")
+def _rollup_monthly(spark, sf):
+    return R.monthly_rollup(R.daily_rollup(_t(spark, sf, "events"))).select(
+        "event_type", "yr", "mon", "monthly_avg", "monthly_max",
+        "days_with_data", "exceedance_days", "prev_month_avg",
+        "mom_pct_change", "same_month_prev_year_avg", "yoy_month_change")
+
+
+@register("baselines_events")
+def _baselines(spark, sf):
+    return R.baselines(_t(spark, sf, "events"))
+
+
+@register("rollup_annual_nation")
+def _rollup_annual(spark, sf):
+    yearly = yearly_nation_revenue(_t(spark, sf, "orders"), _t(spark, sf, "customer"),
+                                   _t(spark, sf, "nation"))
+    return R.annual_nation_rollup(yearly)
 
 
 def all_queries() -> dict[str, QueryFn]:

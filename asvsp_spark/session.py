@@ -26,6 +26,10 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for pandas UDF / toPandas interchange (vector ops, multimodal).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver's events.parquet stores TIMESTAMP(NANOS), which the Spark
+    # parquet reader rejects outright; read as raw nanos longs and convert
+    # in tables.load (integer division — nanos exceed double precision).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Keep partition files readable in one task at test scale; at cluster
     # scale operators should override via SPARK_GRAFT_* env or builder conf.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),

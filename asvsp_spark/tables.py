@@ -93,10 +93,21 @@ SCHEMAS: dict[str, T.StructType] = {
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table; parquet carries its own schema (column pruning and
-    predicate pushdown reach the scan because we never materialize first)."""
+    predicate pushdown reach the scan because we never materialize first).
+
+    events.ts is stored as TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long which we
+    convert to a microsecond timestamp via integer division (`div`, not
+    `/`: nanos since epoch ~1.7e18 exceed double's 2^53 exact-integer
+    range, so float division would corrupt timestamps).
+    """
     if name not in TPCH_TABLES:
         raise KeyError(f"unknown table {name!r}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

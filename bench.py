@@ -1,0 +1,61 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed to full materialization (count of a cached-free plan —
+we use a collect-less foreach-noop via count() to include the whole
+pipeline but exclude driver-side row transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from asvsp_spark.plans.registry import all_queries  # noqa: E402
+from asvsp_spark.session import get_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_session("asvsp-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    # JVM + codegen warmup on the smallest query so per-query numbers
+    # measure the plan, not session startup.
+    try:
+        queries[sorted(queries)[0]](spark, sf_dir).count()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        try:
+            queries[name](spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a failing query must not hide the rest
+            timings[name] = -1.0
+            print(f"# bench error in {name}: {exc}", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "asvsp_spark_query_suite",
+        "value": round(sum(t for t in timings.values() if t >= 0), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
