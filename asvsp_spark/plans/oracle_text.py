@@ -1,0 +1,128 @@
+"""DuckDB oracle SQL for the training-data pipeline operators
+(dedup, text analysis, embedding similarity).
+
+Dialect shims: DuckDB regexp_replace needs the 'g' flag to replace all
+matches (Spark always does); list indexing is 1-based; len()/count()
+return BIGINT (cast where Spark yields INT); range(a, b) is
+exclusive-stop and empty when b <= a.
+"""
+
+from __future__ import annotations
+
+ORACLE_TEXT: dict[str, str] = {}
+
+_FP = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+ORACLE_TEXT["dedup_exact"] = f"""
+SELECT {_FP} AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+_SHINGLES = r"""
+    SELECT doc_id AS doc,
+           list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents)
+"""
+
+ORACLE_TEXT["jaccard_pairs"] = f"""
+WITH sh AS ({_SHINGLES}),
+nonempty AS (SELECT doc, shingles FROM sh WHERE len(shingles) > 0),
+sz AS (SELECT doc, len(shingles) AS n_sh FROM nonempty),
+post AS (SELECT doc, unnest(shingles) AS s FROM nonempty),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+    FROM post a JOIN post b ON a.s = b.s AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       CAST(sa.n_sh AS INT) AS n_a, CAST(sb.n_sh AS INT) AS n_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc = doc_a
+JOIN sz sb ON sb.doc = doc_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+"""
+
+_STOPLIST = "('the','a','of','and','is','in','to')"
+
+ORACLE_TEXT["text_quality"] = rf"""
+WITH t AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x IN {_STOPLIST})) AS INT) AS n_stop
+    FROM t
+)
+SELECT doc_id, n_chars, n_tokens, n_stop,
+       round(n_stop / n_tokens, 6) AS stopword_ratio,
+       round((least(n_tokens, 500) / 500.0 + n_stop / n_tokens) / 2, 6)
+           AS quality_score
+FROM m
+"""
+
+_LANG_COUNTS = r"""
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS INT) AS s_en,
+           CAST(len(list_filter(toks, x -> x IN ('la','el','de','y','es'))) AS INT) AS s_es,
+           CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS INT) AS s_de,
+           CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','est'))) AS INT) AS s_fr,
+           CAST(len(list_filter(toks, x -> x IN ('的','是','了','在','和'))) AS INT) AS s_zh
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents)
+"""
+
+ORACLE_TEXT["lang_id"] = f"""
+WITH c AS ({_LANG_COUNTS}),
+b AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS best FROM c)
+SELECT doc_id,
+       CASE WHEN s_en = best AND best > 0 THEN 'en'
+            WHEN s_es = best AND best > 0 THEN 'es'
+            WHEN s_de = best AND best > 0 THEN 'de'
+            WHEN s_fr = best AND best > 0 THEN 'fr'
+            WHEN s_zh = best AND best > 0 THEN 'zh'
+            ELSE 'und' END AS lang_pred
+FROM b
+"""
+
+ORACLE_TEXT["doc_fingerprint"] = f"""
+SELECT doc_id, {_FP} AS fp FROM documents
+"""
+
+ORACLE_TEXT["embedding_stats"] = """
+SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 6) AS norm_l2
+FROM embeddings
+"""
+
+ORACLE_TEXT["cosine_topk"] = """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < 10
+),
+c AS (
+    SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings
+),
+s AS (
+    SELECT query_id, neighbor_id,
+           round(list_dot_product(qv, cv)
+                 / sqrt(list_dot_product(qv, qv))
+                 / sqrt(list_dot_product(cv, cv)), 6) AS cos_sim
+    FROM c CROSS JOIN q
+    WHERE neighbor_id <> query_id
+),
+r AS (
+    SELECT *, CAST(rank() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+    FROM s
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= 5
+"""

@@ -15,13 +15,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from asvsp_spark import tables
+from asvsp_spark.functions import text as TX
+from asvsp_spark.operators import dedup as D
 from asvsp_spark.operators import rollups as R
+from asvsp_spark.operators import similarity as SIM
 from asvsp_spark.plans import queries as Q
 from asvsp_spark.plans.base import yearly_nation_revenue
 from asvsp_spark.plans.oracle import ORACLE
 from asvsp_spark.plans.oracle_rollups import ORACLE_ROLLUPS
+from asvsp_spark.plans.oracle_text import ORACLE_TEXT
 
 ORACLE.update(ORACLE_ROLLUPS)
+ORACLE.update(ORACLE_TEXT)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -124,6 +129,74 @@ def _rollup_annual(spark, sf):
     yearly = yearly_nation_revenue(_t(spark, sf, "orders"), _t(spark, sf, "customer"),
                                    _t(spark, sf, "nation"))
     return R.annual_nation_rollup(yearly)
+
+
+# ---- training-data pipeline operators (SURVEY §7.5 extensions) ----
+
+@register("dedup_exact")
+def _dedup_exact(spark, sf):
+    return D.exact_dedup(_t(spark, sf, "documents"))
+
+
+@register("jaccard_pairs")
+def _jaccard_pairs(spark, sf):
+    return D.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.3)
+
+
+@register("minhash_lsh_pairs")
+def _minhash_lsh_pairs(spark, sf):  # rows-only: LSH recall < 1 by design
+    return D.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.3)
+
+
+@register("simhash_pairs")
+def _simhash_pairs(spark, sf):  # rows-only: xxhash64 has no DuckDB twin
+    return D.simhash_pairs(_t(spark, sf, "documents"))
+
+
+@register("text_quality")
+def _text_quality(spark, sf):
+    docs = _t(spark, sf, "documents")
+    d = (
+        docs
+        .withColumn("toks", TX.tokens(F.col("text")))
+        .withColumn("n_chars", F.length("text"))
+        .withColumn("n_tokens", F.size("toks"))
+        .withColumn("n_stop", TX.stopword_count("toks"))
+    )
+    return d.select(
+        "doc_id", "n_chars", "n_tokens", "n_stop",
+        F.round(F.col("n_stop") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        F.round((F.least(F.col("n_tokens"), F.lit(500)) / 500.0
+                 + F.col("n_stop") / F.col("n_tokens")) / 2, 6).alias("quality_score"),
+    )
+
+
+@register("lang_id")
+def _lang_id(spark, sf):
+    docs = _t(spark, sf, "documents").withColumn("toks", TX.tokens(F.col("text")))
+    scores = TX.lang_scores("toks")
+    return docs.select("doc_id", TX.lang_pick(scores).alias("lang_pred"))
+
+
+@register("doc_fingerprint")
+def _doc_fingerprint(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+@register("embedding_stats")
+def _embedding_stats(spark, sf):
+    return SIM.embedding_stats(_t(spark, sf, "embeddings"))
+
+
+@register("cosine_topk")
+def _cosine_topk(spark, sf):
+    return SIM.cosine_topk(_t(spark, sf, "embeddings"))
+
+
+@register("lsh_topk")
+def _lsh_topk(spark, sf):  # rows-only: approximate by design
+    return SIM.lsh_bucketed_topk(_t(spark, sf, "embeddings"))
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -103,6 +103,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TPCH_TABLES:
         raise KeyError(f"unknown table {name!r}")
+    if name == "events":
+        # The driver may hand us a session built without this legacy conf;
+        # it is runtime-settable, so pin it here instead of relying on the
+        # session factory (events.ts is TIMESTAMP(NANOS), which the Spark
+        # parquet reader otherwise rejects outright).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
