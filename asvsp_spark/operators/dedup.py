@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from asvsp_spark.functions.text import fingerprint
+from asvsp_spark.plans.base import round_fixed
 
 
 def exact_dedup(documents: DataFrame,
@@ -85,7 +86,7 @@ def jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
                     / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "n_a", "n_b",
-                F.round("jaccard", 6).alias("jaccard"))
+                round_fixed(F.col("jaccard"), 6).alias("jaccard"))
     )
 
 
@@ -140,7 +141,7 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
         .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
         .withColumn("jaccard", F.col("n_inter") / F.col("n_union"))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", round_fixed(F.col("jaccard"), 6).alias("jaccard"))
     )
 
 

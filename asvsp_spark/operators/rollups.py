@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from asvsp_spark.plans.base import round_fixed
+
 VALUE_SCALE = 100  # centi-units: value has ~2 significant decimals
 # Threshold for "exceedance" days, the NAAQS analogue
 # (reference monthly_aggregation.py:21-30): events daily averages center
@@ -98,11 +100,11 @@ def monthly_rollup(daily: DataFrame,
         monthly
         .withColumn("prev_month_avg", F.lag("monthly_avg").over(w_mom))
         .withColumn("mom_pct_change",
-                    F.round((F.col("monthly_avg") - F.col("prev_month_avg"))
-                            / F.col("prev_month_avg") * 100.0, 2))
+                    round_fixed((F.col("monthly_avg") - F.col("prev_month_avg"))
+                                / F.col("prev_month_avg") * 100.0, 2))
         .withColumn("same_month_prev_year_avg", F.lag("monthly_avg").over(w_yoy))
         .withColumn("yoy_month_change",
-                    F.round(F.col("monthly_avg") - F.col("same_month_prev_year_avg"), 4))
+                    round_fixed(F.col("monthly_avg") - F.col("same_month_prev_year_avg"), 4))
     )
 
 
@@ -134,8 +136,8 @@ def baselines(events: DataFrame) -> DataFrame:
         .withColumn(
             "baseline_stddev",
             F.when(n > 1,
-                   F.round(F.sqrt(F.greatest(F.lit(0.0), variance_centi))
-                           / VALUE_SCALE, 4))
+                   round_fixed(F.sqrt(F.greatest(F.lit(0.0), variance_centi))
+                               / VALUE_SCALE, 4))
             .otherwise(F.lit(None).cast("double")))
         .select("event_type", "mon", "hr", "is_weekend",
                 "n_obs", "baseline_avg", "baseline_stddev")
@@ -156,8 +158,8 @@ def annual_nation_rollup(yearly_revenue: DataFrame) -> DataFrame:
         yearly_revenue
         .withColumn("prev_year_revenue", F.lag("revenue").over(w_lag))
         .withColumn("yoy_pct_change",
-                    F.round((F.col("revenue") - F.col("prev_year_revenue"))
-                            / F.col("prev_year_revenue") * 100.0, 2))
+                    round_fixed((F.col("revenue") - F.col("prev_year_revenue"))
+                                / F.col("prev_year_revenue") * 100.0, 2))
         .withColumn("cumulative_revenue",
                     F.sum("revenue_cents").over(w_cum) / 100.0)
         .select("nation", "yr", "revenue", "prev_year_revenue",

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from asvsp_spark.functions.vectors import as_double, cosine, l2_norm
+from asvsp_spark.plans.base import round_fixed
 
 
 def embedding_stats(embeddings: DataFrame,
@@ -26,7 +27,7 @@ def embedding_stats(embeddings: DataFrame,
     return embeddings.select(
         F.col(id_col),
         F.size(vec_col).alias("dim"),
-        F.round(l2_norm(v), 6).alias("norm_l2"),
+        round_fixed(l2_norm(v), 6).alias("norm_l2"),
     )
 
 
@@ -46,8 +47,8 @@ def cosine_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim",
-                    F.round(cosine(as_double(F.col("q_vec")),
-                                   as_double(F.col("c_vec"))), 6))
+                    round_fixed(cosine(as_double(F.col("q_vec")),
+                                       as_double(F.col("c_vec"))), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -101,8 +102,8 @@ def lsh_bucketed_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos_sim",
-                    F.round(cosine(as_double(F.col("q_vec")),
-                                   as_double(F.col("c_vec"))), 6))
+                    round_fixed(cosine(as_double(F.col("q_vec")),
+                                       as_double(F.col("c_vec"))), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -30,6 +30,24 @@ MONEY_SCALE = 2
 RATE_SCALE = 4
 
 
+def round_fixed(col: Column, d: int) -> Column:
+    """Cross-engine-stable round to d decimals: scale to integer space,
+    round at 0 decimals, scale back. ``round(x, d)`` for d > 0 diverges
+    between engines (Spark rounds the double's exact decimal expansion via
+    BigDecimal HALF_UP; DuckDB rounds a scaled multiply), flipping the last
+    digit near ties. Rounding the SAME product double at integer scale is
+    identical everywhere; the oracle mirrors it as round(x * 10^d) / 10^d.
+    """
+    scale = 10 ** d
+    return F.round(col * scale, 0) / float(scale)
+
+
+def sql_round_fixed(expr: str, d: int) -> str:
+    """DuckDB twin of round_fixed for oracle SQL strings."""
+    scale = 10 ** d
+    return f"(round(({expr}) * {scale}) / {scale}.0)"
+
+
 def money_cents(col: Column) -> Column:
     """Quantize a dollar double to exact integer cents (deterministic:
     one multiply + one round on identical inputs)."""

@@ -89,7 +89,8 @@ WITH monthly AS ({SQL_MONTHLY_REVENUE})
 SELECT nation, yr, mon, revenue,
        lag(revenue) OVER (PARTITION BY nation ORDER BY yr, mon) AS prev_month_revenue,
        round((revenue - lag(revenue) OVER (PARTITION BY nation ORDER BY yr, mon))
-             / lag(revenue) OVER (PARTITION BY nation ORDER BY yr, mon) * 100.0, 2)
+             / lag(revenue) OVER (PARTITION BY nation ORDER BY yr, mon) * 100.0
+             * 100) / 100.0
            AS mom_pct_change
 FROM monthly
 """
@@ -177,7 +178,8 @@ comp AS (
 ),
 joined AS (
     SELECT b.nation, base_revenue, comp_revenue,
-           round((comp_revenue - base_revenue) / base_revenue * 100.0, 2) AS pct_change
+           round((comp_revenue - base_revenue) / base_revenue * 100.0 * 100) / 100.0
+               AS pct_change
     FROM base b JOIN comp c ON b.nation = c.nation
 ),
 ranked AS (
@@ -204,7 +206,7 @@ agg AS (
     FROM flagged GROUP BY prio
 ),
 ratio AS (
-    SELECT *, round(weekend_avg / weekday_avg, 4) AS weekend_ratio FROM agg
+    SELECT *, round(weekend_avg / weekday_avg * 10000) / 10000.0 AS weekend_ratio FROM agg
 )
 SELECT prio, weekend_avg, weekday_avg, weekend_ratio,
        CAST(rank() OVER (ORDER BY weekend_ratio ASC, prio) AS INT) AS rank_lowest,

@@ -62,11 +62,13 @@ SELECT event_type, yr, mon, monthly_avg, monthly_max, days_with_data,
        lag(monthly_avg) OVER (PARTITION BY event_type ORDER BY yr, mon)
            AS prev_month_avg,
        round((monthly_avg - lag(monthly_avg) OVER (PARTITION BY event_type ORDER BY yr, mon))
-             / lag(monthly_avg) OVER (PARTITION BY event_type ORDER BY yr, mon) * 100.0, 2)
+             / lag(monthly_avg) OVER (PARTITION BY event_type ORDER BY yr, mon) * 100.0
+             * 100) / 100.0
            AS mom_pct_change,
        lag(monthly_avg) OVER (PARTITION BY event_type, mon ORDER BY yr)
            AS same_month_prev_year_avg,
-       round(monthly_avg - lag(monthly_avg) OVER (PARTITION BY event_type, mon ORDER BY yr), 4)
+       round((monthly_avg - lag(monthly_avg) OVER (PARTITION BY event_type, mon ORDER BY yr))
+             * 10000) / 10000.0
            AS yoy_month_change
 FROM avgd
 """
@@ -88,7 +90,8 @@ a AS (
 SELECT event_type, mon, hr, is_weekend, n_obs,
        CAST(round(s1 / n_obs) AS BIGINT) / 100.0 AS baseline_avg,
        CASE WHEN n_obs > 1
-            THEN round(sqrt(greatest(0.0, (s2 - s1 * s1 / n_obs) / (n_obs - 1))) / 100, 4)
+            THEN round(sqrt(greatest(0.0, (s2 - s1 * s1 / n_obs) / (n_obs - 1))) / 100
+                       * 10000) / 10000.0
             ELSE NULL END AS baseline_stddev
 FROM a
 """
@@ -113,7 +116,7 @@ d AS (
     FROM yearly
 )
 SELECT nation, yr, revenue, prev_year_revenue,
-       round((revenue - prev_year_revenue) / prev_year_revenue * 100.0, 2)
+       round((revenue - prev_year_revenue) / prev_year_revenue * 100.0 * 100) / 100.0
            AS yoy_pct_change,
        cumulative_revenue
 FROM d

@@ -1,0 +1,200 @@
+"""DuckDB oracle SQL for the streaming queries (streaming/queries.py).
+
+Window equivalence under single-batch drain semantics:
+- tumbling 1h window  -> date_trunc('hour', ts)
+- sliding 3h/1h window-> membership in the 3 starts
+  {trunc(ts) - 2h, trunc(ts) - 1h, trunc(ts)} (epoch-aligned, same as
+  Spark's F.window("ts", "3 hours", "1 hour"))
+- the 2h watermark drops nothing when the whole history is one batch
+  (watermark advances only between batches), so the oracle is the plain
+  full-history aggregation.
+
+Dialect shims as in oracle_rollups.py (dayofweek 0..6, BIGINT casts),
+plus: `/` on BIGINT is float division in DuckDB (matches Spark long/long),
+json_extract for the props decode, and x * INTERVAL 1 HOUR for window
+offsets.
+"""
+
+from __future__ import annotations
+
+ORACLE_STREAM: dict[str, str] = {}
+
+_BASE = """
+    SELECT event_type, CAST(month(ts) AS INT) AS mon, CAST(hour(ts) AS INT) AS hr,
+           dayofweek(CAST(ts AS DATE)) IN (0, 6) AS is_weekend,
+           CAST(round(sum(CAST(round(value * 100) AS BIGINT))
+                / count(*)) AS BIGINT) / 100.0 AS baseline_avg
+    FROM events GROUP BY 1, 2, 3, 4
+"""
+
+_HOURLY_TYPE = """
+    SELECT event_type, date_trunc('hour', ts) AS ws,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_sum,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+"""
+
+ORACLE_STREAM["sq1_vs_baseline"] = f"""
+WITH agg AS ({_HOURLY_TYPE}),
+base AS ({_BASE})
+SELECT strftime(a.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       a.event_type, a.n_events,
+       CAST(round(a.v_sum / a.n_events) AS BIGINT) / 100.0 AS avg_value,
+       b.baseline_avg,
+       round(CAST(round(a.v_sum / a.n_events) AS BIGINT) / 100.0
+             / b.baseline_avg * 100.0 * 100) / 100.0 AS pct_of_baseline
+FROM agg a
+LEFT JOIN base b
+  ON b.event_type = a.event_type
+ AND b.mon = month(a.ws) AND b.hr = hour(a.ws)
+ AND b.is_weekend = (dayofweek(CAST(a.ws AS DATE)) IN (0, 6))
+"""
+
+_SLIDING = """
+    SELECT date_trunc('hour', ts) - off * INTERVAL 1 HOUR AS ws,
+           event_type,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS off)
+"""
+
+
+def _sq2_type_cols() -> str:
+    cols = []
+    for t in ("click", "error", "purchase", "signup", "view"):
+        cols.append(
+            f"CASE WHEN count(CASE WHEN event_type = '{t}' THEN 1 END) > 0 "
+            f"THEN CAST(round(sum(CASE WHEN event_type = '{t}' THEN v END) "
+            f"/ count(CASE WHEN event_type = '{t}' THEN 1 END)) AS BIGINT) / 100.0 "
+            f"END AS avg_{t}")
+    return ",\n           ".join(cols)
+
+
+ORACLE_STREAM["sq2_dominant_trend"] = f"""
+WITH sw AS ({_SLIDING}),
+agg AS (
+    SELECT ws, count(*) AS n_all,
+           CAST(round(sum(v) / count(*)) AS BIGINT) / 100.0 AS overall_avg,
+           {_sq2_type_cols()}
+    FROM sw GROUP BY ws
+),
+dom AS (
+    SELECT *,
+           greatest(coalesce(avg_click, -1.0), coalesce(avg_error, -1.0),
+                    coalesce(avg_purchase, -1.0), coalesce(avg_signup, -1.0),
+                    coalesce(avg_view, -1.0)) AS best
+    FROM agg
+),
+t AS (
+    SELECT *,
+           CASE WHEN coalesce(avg_click, -1.0) = best THEN 'click'
+                WHEN coalesce(avg_error, -1.0) = best THEN 'error'
+                WHEN coalesce(avg_purchase, -1.0) = best THEN 'purchase'
+                WHEN coalesce(avg_signup, -1.0) = best THEN 'signup'
+                ELSE 'view' END AS dominant_type,
+           lag(overall_avg) OVER (ORDER BY ws) AS prev_avg
+    FROM dom
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       n_all, overall_avg, avg_click, avg_error, avg_purchase, avg_signup,
+       avg_view, dominant_type, best AS dominant_avg,
+       CASE WHEN prev_avg IS NULL THEN 'unknown'
+            WHEN overall_avg > prev_avg * 1.1 THEN 'rising'
+            WHEN overall_avg < prev_avg * 0.9 THEN 'falling'
+            ELSE 'stable' END AS trend
+FROM t
+"""
+
+ORACLE_STREAM["sq3_top_users"] = """
+WITH agg AS (
+    SELECT date_trunc('hour', ts) AS ws, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_sum,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+    FROM events GROUP BY 1, 2
+),
+r AS (
+    SELECT *,
+           CAST(dense_rank() OVER (
+               PARTITION BY ws
+               ORDER BY CAST(round(v_sum / n_events) AS BIGINT) DESC) AS INT)
+               AS rnk
+    FROM agg
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, user_id, n_events,
+       CAST(round(v_sum / n_events) AS BIGINT) / 100.0 AS avg_value,
+       round(k_sum / n_events * 10000) / 10000.0 AS avg_k, rnk
+FROM r WHERE rnk <= 5
+"""
+
+ORACLE_STREAM["sq4_engagement_conversion"] = f"""
+WITH eng AS (
+    SELECT date_trunc('hour', ts) AS ws,
+           CAST(round(sum(CAST(round(value * 100) AS BIGINT)) / count(*))
+                AS BIGINT) / 100.0 AS eng_avg,
+           count(*) AS n_eng
+    FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+),
+conv AS (
+    SELECT date_trunc('hour', ts) AS ws,
+           CAST(round(sum(CAST(round(value * 100) AS BIGINT)) / count(*))
+                AS BIGINT) / 100.0 AS conv_avg,
+           count(*) AS n_conv
+    FROM events WHERE event_type IN ('purchase', 'signup') GROUP BY 1
+),
+base AS ({_BASE}),
+j AS (
+    SELECT e.ws, e.eng_avg, e.n_eng, c.conv_avg, c.n_conv, b.baseline_avg,
+           round(e.eng_avg * c.conv_avg / 100.0 * 10000) / 10000.0
+               AS interaction_score,
+           round(c.conv_avg / b.baseline_avg * 10000) / 10000.0
+               AS conv_vs_baseline
+    FROM eng e
+    JOIN conv c ON c.ws = e.ws
+    LEFT JOIN base b
+      ON b.event_type = 'purchase'
+     AND b.mon = month(e.ws) AND b.hr = hour(e.ws)
+     AND b.is_weekend = (dayofweek(CAST(e.ws AS DATE)) IN (0, 6))
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       eng_avg, n_eng, conv_avg, n_conv, baseline_avg, interaction_score,
+       conv_vs_baseline,
+       CASE WHEN baseline_avg IS NULL THEN 'no_baseline'
+            WHEN conv_vs_baseline > 1.5 THEN 'surge'
+            WHEN conv_vs_baseline > 1.1 THEN 'elevated'
+            WHEN conv_vs_baseline >= 0.9 THEN 'normal'
+            ELSE 'quiet' END AS status
+FROM j
+"""
+
+ORACLE_STREAM["sq5_rank_anomaly"] = f"""
+WITH agg AS ({_HOURLY_TYPE}),
+cur AS (
+    SELECT ws, event_type,
+           CAST(round(v_sum / n_events) AS BIGINT) / 100.0 AS avg_value
+    FROM agg
+),
+ranked AS (
+    SELECT *,
+           CAST(dense_rank() OVER (PARTITION BY ws ORDER BY avg_value DESC)
+                AS INT) AS current_rank
+    FROM cur
+),
+base AS ({_BASE}),
+hist AS (
+    SELECT event_type, mon, hr, is_weekend,
+           CAST(dense_rank() OVER (PARTITION BY mon, hr, is_weekend
+                                   ORDER BY baseline_avg DESC) AS INT)
+               AS historical_rank
+    FROM base
+)
+SELECT strftime(r.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       r.event_type, r.avg_value, r.current_rank, h.historical_rank,
+       CAST(abs(r.current_rank - h.historical_rank) AS INT)
+           AS rank_displacement,
+       abs(r.current_rank - h.historical_rank) >= 2 AS is_unusual
+FROM ranked r
+LEFT JOIN hist h
+  ON h.event_type = r.event_type
+ AND h.mon = month(r.ws) AND h.hr = hour(r.ws)
+ AND h.is_weekend = (dayofweek(CAST(r.ws AS DATE)) IN (0, 6))
+"""

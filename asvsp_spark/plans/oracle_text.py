@@ -38,7 +38,7 @@ inter AS (
 )
 SELECT doc_a, doc_b, n_inter,
        CAST(sa.n_sh AS INT) AS n_a, CAST(sb.n_sh AS INT) AS n_b,
-       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1000000) / 1000000.0 AS jaccard
 FROM inter
 JOIN sz sa ON sa.doc = doc_a
 JOIN sz sb ON sb.doc = doc_b
@@ -61,8 +61,8 @@ m AS (
     FROM t
 )
 SELECT doc_id, n_chars, n_tokens, n_stop,
-       round(n_stop / n_tokens, 6) AS stopword_ratio,
-       round((least(n_tokens, 500) / 500.0 + n_stop / n_tokens) / 2, 6)
+       round(n_stop / n_tokens * 1000000) / 1000000.0 AS stopword_ratio,
+       round((least(n_tokens, 500) / 500.0 + n_stop / n_tokens) / 2 * 1000000) / 1000000.0
            AS quality_score
 FROM m
 """
@@ -98,7 +98,8 @@ SELECT doc_id, {_FP} AS fp FROM documents
 ORACLE_TEXT["embedding_stats"] = """
 SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
        round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                   CAST(embedding AS DOUBLE[]))), 6) AS norm_l2
+                                   CAST(embedding AS DOUBLE[]))) * 1000000) / 1000000.0
+           AS norm_l2
 FROM embeddings
 """
 
@@ -115,7 +116,7 @@ s AS (
     SELECT query_id, neighbor_id,
            round(list_dot_product(qv, cv)
                  / sqrt(list_dot_product(qv, qv))
-                 / sqrt(list_dot_product(cv, cv)), 6) AS cos_sim
+                 / sqrt(list_dot_product(cv, cv)) * 1000000) / 1000000.0 AS cos_sim
     FROM c CROSS JOIN q
     WHERE neighbor_id <> query_id
 ),

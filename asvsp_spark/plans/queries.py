@@ -31,6 +31,7 @@ from asvsp_spark.plans.base import (
     daily_priority_revenue,
     money_cents,
     monthly_nation_revenue,
+    round_fixed,
     yearly_nation_revenue,
 )
 
@@ -133,8 +134,8 @@ def q04_mom_pct_change(orders: DataFrame, customer: DataFrame, nation: DataFrame
         .withColumn("prev_month_revenue", F.lag("revenue").over(w))
         .withColumn(
             "mom_pct_change",
-            F.round((F.col("revenue") - F.col("prev_month_revenue"))
-                    / F.col("prev_month_revenue") * 100.0, MONEY_SCALE))
+            round_fixed((F.col("revenue") - F.col("prev_month_revenue"))
+                        / F.col("prev_month_revenue") * 100.0, MONEY_SCALE))
         .select("nation", "yr", "mon", "revenue", "prev_month_revenue", "mom_pct_change")
     )
 
@@ -249,8 +250,8 @@ def q08_period_compare(orders: DataFrame, customer: DataFrame, nation: DataFrame
     return (
         base.join(comp, "nation", "inner")
         .withColumn("pct_change",
-                    F.round((F.col("comp_revenue") - F.col("base_revenue"))
-                            / F.col("base_revenue") * 100.0, MONEY_SCALE))
+                    round_fixed((F.col("comp_revenue") - F.col("base_revenue"))
+                                / F.col("base_revenue") * 100.0, MONEY_SCALE))
         .withColumn("drop_rank", F.rank().over(w))
         .filter(F.col("drop_rank") <= 15)
         .select("nation", "base_revenue", "comp_revenue", "pct_change", "drop_rank")
@@ -275,7 +276,7 @@ def q09_weekend_effect(orders: DataFrame) -> DataFrame:
                     F.count(F.when(~F.col("is_weekend"), F.col("revenue_cents"))))
         .alias("weekday_avg"),
     ).withColumn("weekend_ratio",
-                 F.round(F.col("weekend_avg") / F.col("weekday_avg"), RATE_SCALE))
+                 round_fixed(F.col("weekend_avg") / F.col("weekday_avg"), RATE_SCALE))
     w_low = Window.orderBy(F.asc("weekend_ratio"), F.asc("prio"))
     w_high = Window.orderBy(F.desc("weekend_ratio"), F.asc("prio"))
     return (

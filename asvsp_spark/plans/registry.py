@@ -20,13 +20,16 @@ from asvsp_spark.operators import dedup as D
 from asvsp_spark.operators import rollups as R
 from asvsp_spark.operators import similarity as SIM
 from asvsp_spark.plans import queries as Q
-from asvsp_spark.plans.base import yearly_nation_revenue
+from asvsp_spark.plans.base import round_fixed, yearly_nation_revenue
 from asvsp_spark.plans.oracle import ORACLE
 from asvsp_spark.plans.oracle_rollups import ORACLE_ROLLUPS
+from asvsp_spark.plans.oracle_stream import ORACLE_STREAM
 from asvsp_spark.plans.oracle_text import ORACLE_TEXT
+from asvsp_spark.streaming import queries as SQ
 
 ORACLE.update(ORACLE_ROLLUPS)
 ORACLE.update(ORACLE_TEXT)
+ORACLE.update(ORACLE_STREAM)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -165,9 +168,9 @@ def _text_quality(spark, sf):
     )
     return d.select(
         "doc_id", "n_chars", "n_tokens", "n_stop",
-        F.round(F.col("n_stop") / F.col("n_tokens"), 6).alias("stopword_ratio"),
-        F.round((F.least(F.col("n_tokens"), F.lit(500)) / 500.0
-                 + F.col("n_stop") / F.col("n_tokens")) / 2, 6).alias("quality_score"),
+        round_fixed(F.col("n_stop") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        round_fixed((F.least(F.col("n_tokens"), F.lit(500)) / 500.0
+                     + F.col("n_stop") / F.col("n_tokens")) / 2, 6).alias("quality_score"),
     )
 
 
@@ -197,6 +200,18 @@ def _cosine_topk(spark, sf):
 @register("lsh_topk")
 def _lsh_topk(spark, sf):  # rows-only: approximate by design
     return SIM.lsh_bucketed_topk(_t(spark, sf, "embeddings"))
+
+
+# ---- streaming queries SQ1-SQ5 (SURVEY §2.11) ----
+# Each drains the events file stream with trigger(availableNow) — one
+# micro-batch, the reference's trigger(once) semantics — and returns the
+# accumulated batch result.
+
+_REGISTRY["sq1_vs_baseline"] = SQ.sq1_vs_baseline
+_REGISTRY["sq2_dominant_trend"] = SQ.sq2_dominant_trend
+_REGISTRY["sq3_top_users"] = SQ.sq3_top_users
+_REGISTRY["sq4_engagement_conversion"] = SQ.sq4_engagement_conversion
+_REGISTRY["sq5_rank_anomaly"] = SQ.sq5_rank_anomaly
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,295 @@
+"""SQ1-SQ5: the engine's five streaming analytics, mirroring the
+reference's five Kafka consumers (SURVEY §2.11) over the driver's events
+stream. Entity mapping: state/city -> event_type/user_id, pollutant
+concentration -> value, PM25 baselines -> event-type baselines.
+
+| Engine | Reference | Shape |
+|---|---|---|
+| sq1 | consumer1.py:64-90  | 1h tumbling avg + stream-static baseline join, pct-of-baseline |
+| sq2 | consumer2.py:50-125 | 3h/1h sliding pivot, dominant type (greatest), lag trend |
+| sq3 | consumer3.py:53-80  | 1h tumbling per user + JSON props decode, dense_rank top-5 |
+| sq4 | consumer4.py:76-173 | dual-stream split, window join, score + baseline 5-way status |
+| sq5 | consumer5.py:51-105 | current rank vs historical baseline rank, anomaly flag |
+
+Every aggregate runs in exact integer centi-units (see operators/rollups.py)
+so results are bit-identical across engines and shuffle orders; each query
+has a DuckDB oracle (plans/oracle_stream.py) built on hour-bucket window
+equivalence: a tumbling 1h window is date_trunc('hour', ts); a 3h/1h
+sliding window membership is the 3 starts {trunc(ts)-2h, trunc(ts)-1h,
+trunc(ts)}.
+
+Single-batch semantics: with trigger(availableNow) over one input file the
+whole history is one micro-batch, so foreachBatch lag/rank see full
+history — exactly the reference's trigger(once) behavior (SURVEY W13/W15,
+§3.3). In continuous mode the ranks/lags become per-batch (documented
+divergence, same as the reference would have).
+
+Scale notes: streaming state is bounded — (window x 5 types) for sq1/2/5,
+(window x users-active-per-hour) for sq3 — and the 2h watermark expires
+old windows. The static baseline side is tiny (types x month x hour x 2)
+and explicitly broadcast, so the stream side never shuffles for the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from asvsp_spark import tables
+from asvsp_spark.operators.rollups import baselines, centi_avg, value_centi
+from asvsp_spark.plans.base import round_fixed
+from asvsp_spark.streaming.source import drain, events_stream
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+ENGAGEMENT_TYPES = ("click", "view")
+CONVERSION_TYPES = ("purchase", "signup")
+
+
+def _fmt_window_start(col_name: str = "window.start") -> F.Column:
+    # string projection: avoids timestamp repr drift between engines
+    return F.date_format(col_name, "yyyy-MM-dd HH:mm:ss").alias("window_start")
+
+
+def _static_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static join side, snapshot semantics like the reference's cached
+    baselines (consumer1.py:50-62). Broadcast: bounded cardinality."""
+    return F.broadcast(baselines(tables.load(spark, sf_dir, "events")))
+
+
+# ---------------------------------------------------------------- SQ1
+
+def sq1_vs_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current hourly avg per event_type vs historical baseline
+    (reference consumer1.py:64-90): tumbling 1h windowed agg (A9/T2),
+    stream-static LEFT join on the 4-part key (J4/T7), pct-of-baseline.
+    """
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream
+        .groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+        .agg(F.sum(value_centi(F.col("value"))).alias("v_sum"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    base = _static_baselines(spark, sf_dir)
+    joined = (
+        agg
+        .withColumn("hr", F.hour("window.start"))
+        .withColumn("mon", F.month("window.start"))
+        .withColumn("is_weekend",
+                    F.dayofweek(F.to_date("window.start")).isin(1, 7))
+        .join(base, ["event_type", "mon", "hr", "is_weekend"], "left")
+        .withColumn("avg_value", centi_avg(F.col("v_sum"), F.col("n_events")))
+        .withColumn("pct_of_baseline",
+                    round_fixed(F.col("avg_value") / F.col("baseline_avg") * 100.0, 2))
+    )
+    result = joined.select(
+        _fmt_window_start(), "event_type", "n_events", "avg_value",
+        "baseline_avg", "pct_of_baseline",
+    )
+    return drain(result, spark)
+
+
+# ---------------------------------------------------------------- SQ2
+
+def sq2_dominant_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant event type + rising/falling trend per 3h sliding window
+    (reference consumer2.py:50-125): sliding 3h/1h window (A10/T3),
+    per-type pivot averages, `greatest` dominance (P11), lag-based trend
+    (W15) inside foreachBatch.
+    """
+    stream = events_stream(spark, sf_dir)
+    per_type_sums = [
+        F.sum(F.when(F.col("event_type") == t, value_centi(F.col("value"))))
+        .alias(f"s_{t}")
+        for t in EVENT_TYPES
+    ]
+    per_type_counts = [
+        F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    agg = (
+        stream
+        .groupBy(F.window("ts", "3 hours", "1 hour").alias("window"))
+        .agg(F.sum(value_centi(F.col("value"))).alias("s_all"),
+             F.count(F.lit(1)).alias("n_all"),
+             *per_type_sums, *per_type_counts)
+    )
+
+    def finish(batch: DataFrame) -> DataFrame:
+        d = batch
+        for t in EVENT_TYPES:
+            d = d.withColumn(
+                f"avg_{t}",
+                F.when(F.col(f"n_{t}") > 0,
+                       centi_avg(F.col(f"s_{t}"), F.col(f"n_{t}"))))
+        # dominance compares exact 2-decimal doubles; coalesce(-1) keeps
+        # greatest/tie logic identical when a type is absent in the window
+        best = F.greatest(*[F.coalesce(F.col(f"avg_{t}"), F.lit(-1.0))
+                            for t in EVENT_TYPES])
+        dominant = F.lit(None).cast("string")
+        for t in reversed(EVENT_TYPES):  # earlier types win ties
+            dominant = F.when(
+                F.coalesce(F.col(f"avg_{t}"), F.lit(-1.0)) == best,
+                F.lit(t)).otherwise(dominant)
+        d = (
+            d
+            .withColumn("overall_avg", centi_avg(F.col("s_all"), F.col("n_all")))
+            .withColumn("dominant_type", dominant)
+            .withColumn("dominant_avg", best)
+        )
+        w = Window.orderBy("window")
+        prev = F.lag("overall_avg").over(w)
+        trend = (
+            F.when(prev.isNull(), "unknown")
+            .when(F.col("overall_avg") > prev * 1.1, "rising")
+            .when(F.col("overall_avg") < prev * 0.9, "falling")
+            .otherwise("stable")
+        )
+        return d.select(
+            _fmt_window_start(), "n_all", "overall_avg",
+            *[F.col(f"avg_{t}") for t in EVENT_TYPES],
+            "dominant_type", "dominant_avg", trend.alias("trend"),
+        )
+
+    return drain(agg, spark, batch_transform=finish)
+
+
+# ---------------------------------------------------------------- SQ3
+
+def sq3_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users by avg value per hour (reference consumer3.py:53-80):
+    1h tumbling per-user agg, JSON props decode (S9 analogue — from_json
+    with a fixed schema), dense_rank <= 5 per window in foreachBatch (W13).
+    """
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream
+        .withColumn("k", F.from_json("props", "k INT").getField("k"))
+        .groupBy(F.window("ts", "1 hour").alias("window"), "user_id")
+        .agg(F.sum(value_centi(F.col("value"))).alias("v_sum"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.sum("k").alias("k_sum"))
+    )
+
+    def finish(batch: DataFrame) -> DataFrame:
+        d = (
+            batch
+            .withColumn("avg_value", centi_avg(F.col("v_sum"), F.col("n_events")))
+            .withColumn("avg_k", round_fixed(F.col("k_sum") / F.col("n_events"), 4))
+        )
+        # rank on the exact centi ordering key (v_sum/n ties resolve
+        # identically in both engines on exact longs)
+        w = Window.partitionBy("window").orderBy(
+            F.desc(F.round(F.col("v_sum") / F.col("n_events"), 0)))
+        return (
+            d.withColumn("rnk", F.dense_rank().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select(_fmt_window_start(), "user_id", "n_events",
+                    "avg_value", "avg_k", "rnk")
+        )
+
+    return drain(agg, spark, batch_transform=finish)
+
+
+# ---------------------------------------------------------------- SQ4
+
+def sq4_engagement_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement x conversion interplay vs baseline (reference
+    consumer4.py:76-173): the raw stream passes through append-mode (T4)
+    and ALL analytics happen per micro-batch — dual-stream split on a
+    type column (S8 analogue), two windowed aggs, inner window join (J6),
+    LEFT baseline join (J7), interaction score + 5-way status (P6).
+    """
+    stream = events_stream(spark, sf_dir)
+    base = _static_baselines(spark, sf_dir).filter(
+        F.col("event_type") == "purchase")
+
+    def finish(batch: DataFrame) -> DataFrame:
+        def windowed_avg(df: DataFrame, label: str) -> DataFrame:
+            return (
+                df.groupBy(F.window("ts", "1 hour").alias("window"))
+                .agg(F.sum(value_centi(F.col("value"))).alias("v_sum"),
+                     F.count(F.lit(1)).alias("n"))
+                .select("window",
+                        centi_avg(F.col("v_sum"), F.col("n")).alias(f"{label}_avg"),
+                        F.col("n").alias(f"n_{label}"))
+            )
+
+        eng = windowed_avg(
+            batch.filter(F.col("event_type").isin(*ENGAGEMENT_TYPES)), "eng")
+        conv = windowed_avg(
+            batch.filter(F.col("event_type").isin(*CONVERSION_TYPES)), "conv")
+        joined = (
+            eng.join(conv, "window")
+            .withColumn("hr", F.hour("window.start"))
+            .withColumn("mon", F.month("window.start"))
+            .withColumn("is_weekend",
+                        F.dayofweek(F.to_date("window.start")).isin(1, 7))
+            .join(base.drop("event_type"),
+                  ["mon", "hr", "is_weekend"], "left")
+            .withColumn("interaction_score",
+                        round_fixed(F.col("eng_avg") * F.col("conv_avg") / 100.0, 4))
+            .withColumn("conv_vs_baseline",
+                        round_fixed(F.col("conv_avg") / F.col("baseline_avg"), 4))
+        )
+        status = (
+            F.when(F.col("baseline_avg").isNull(), "no_baseline")
+            .when(F.col("conv_vs_baseline") > 1.5, "surge")
+            .when(F.col("conv_vs_baseline") > 1.1, "elevated")
+            .when(F.col("conv_vs_baseline") >= 0.9, "normal")
+            .otherwise("quiet")
+        )
+        return joined.select(
+            _fmt_window_start(), "eng_avg", "n_eng", "conv_avg", "n_conv",
+            "baseline_avg", "interaction_score", "conv_vs_baseline",
+            status.alias("status"),
+        )
+
+    return drain(stream, spark, batch_transform=finish, output_mode="append")
+
+
+# ---------------------------------------------------------------- SQ5
+
+def sq5_rank_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type rank anomaly vs historical rank (reference
+    consumer5.py:51-105): 1h tumbling avg per type, current dense_rank
+    per window (W13) vs dense_rank over static baselines per
+    (hr, mon, is_weekend) (W14), |displacement| flag (P12).
+    """
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream
+        .groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+        .agg(F.sum(value_centi(F.col("value"))).alias("v_sum"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    base = _static_baselines(spark, sf_dir)
+    w_hist = Window.partitionBy("mon", "hr", "is_weekend").orderBy(
+        F.desc("baseline_avg"))
+    hist = base.select(
+        "event_type", "mon", "hr", "is_weekend",
+        F.dense_rank().over(w_hist).alias("historical_rank"))
+
+    def finish(batch: DataFrame) -> DataFrame:
+        d = (
+            batch
+            .withColumn("avg_value", centi_avg(F.col("v_sum"), F.col("n_events")))
+            .withColumn("hr", F.hour("window.start"))
+            .withColumn("mon", F.month("window.start"))
+            .withColumn("is_weekend",
+                        F.dayofweek(F.to_date("window.start")).isin(1, 7))
+        )
+        w_cur = Window.partitionBy("window").orderBy(F.desc("avg_value"))
+        return (
+            d.withColumn("current_rank", F.dense_rank().over(w_cur))
+            .join(F.broadcast(hist),
+                  ["event_type", "mon", "hr", "is_weekend"], "left")
+            .withColumn("rank_displacement",
+                        F.abs(F.col("current_rank") - F.col("historical_rank")))
+            .withColumn("is_unusual", F.col("rank_displacement") >= 2)
+            .select(_fmt_window_start(), "event_type", "avg_value",
+                    "current_rank", "historical_rank", "rank_displacement",
+                    "is_unusual")
+        )
+
+    return drain(agg, spark, batch_transform=finish)

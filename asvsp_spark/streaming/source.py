@@ -1,0 +1,135 @@
+"""Structured Streaming source + drain adapters.
+
+The reference's streaming jobs read Kafka with ``trigger(once=True)`` so
+each run drains the whole topic as ONE micro-batch (reference
+src/stream/consumer/consumer1.py:39-43,109). The engine reproduces those
+semantics with a file stream over the driver's ``events.parquet`` and the
+modern ``trigger(availableNow=True)``: a single input file arrives as a
+single micro-batch, so per-batch window functions inside ``foreachBatch``
+(reference consumer2.py:98-114, consumer3.py:64, consumer5.py:80) see full
+history exactly like the reference's trigger-once runs (SURVEY §3.3, W13/W15).
+
+On a real cluster the same transforms attach to a Kafka source unchanged —
+``kafka_stream`` below builds that reader (gated: no broker in the test
+environment); the JSON payload decode mirrors reference consumer1.py:44-45.
+
+Scale notes: all SQ transforms aggregate BEFORE any foreachBatch collect —
+state is (window x low-cardinality key), bounded by the 2h watermark
+(reference consumer1.py:47), so executor state stays small no matter the
+input rate. The drain helper collects only final aggregated rows.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet stores ts as TIMESTAMP(NANOS); with the nanosAsLong legacy
+# conf the streaming parquet reader surfaces it as a long (see tables.load).
+EVENTS_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+# Kafka payload schema for the cluster path (reference consumer1.py:14-27
+# declares the analogous hand-written StructType for its JSON values).
+EVENT_PAYLOAD_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.StringType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+WATERMARK = "2 hours"  # reference consumer1.py:47
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  watermark: str = WATERMARK) -> DataFrame:
+    """File-source stream over ``{sf_dir}/events.parquet`` with event-time
+    watermark — the engine's analogue of the reference's Kafka readers
+    (consumer1.py:39-47): source -> typed columns -> to_timestamp ->
+    withWatermark.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream
+        .schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return (
+        raw
+        # nanos -> micros must use integer division: nanos-since-epoch
+        # (~1.7e18) exceeds double's 2^53 exact range.
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", watermark)
+    )
+
+
+def kafka_stream(spark: SparkSession, brokers: str, topic: str,
+                 watermark: str = WATERMARK,
+                 starting_offsets: str = "earliest") -> DataFrame:
+    """Kafka source for cluster deployments (reference consumer1.py:39-45:
+    subscribe -> cast value to string -> from_json -> event time). Not
+    exercised in tests (no broker in the environment); the SQ transforms
+    are source-agnostic so this plugs into the same pipelines.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return (
+        raw
+        .select(F.from_json(F.col("value").cast("string"),
+                            EVENT_PAYLOAD_SCHEMA).alias("d"))
+        .select("d.*")
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", watermark)
+    )
+
+
+def drain(stream_df: DataFrame, spark: SparkSession,
+          batch_transform: Callable[[DataFrame], DataFrame] | None = None,
+          output_mode: str = "update") -> DataFrame:
+    """Run a streaming query to completion with ``availableNow`` and return
+    the accumulated result as a batch DataFrame.
+
+    ``batch_transform`` runs INSIDE foreachBatch on each micro-batch — the
+    reference's escape hatch for batch-only ops (dense_rank/lag/joins)
+    against streaming data (consumer1.py:93-103, SURVEY S10/T8). Only the
+    transformed (aggregated, small) rows are collected to the driver.
+    """
+    collected: list = []
+    schema_holder: list = []
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        out = batch_transform(batch_df) if batch_transform else batch_df
+        schema_holder.append(out.schema)
+        collected.extend(out.collect())
+
+    ckpt = tempfile.mkdtemp(prefix="asvsp-ckpt-")
+    query = (
+        stream_df.writeStream
+        .outputMode(output_mode)
+        .foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    if not schema_holder:
+        raise RuntimeError("stream produced no micro-batches")
+    return spark.createDataFrame(collected, schema_holder[0])
