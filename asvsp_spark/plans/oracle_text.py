@@ -95,6 +95,16 @@ ORACLE_TEXT["doc_fingerprint"] = f"""
 SELECT doc_id, {_FP} AS fp FROM documents
 """
 
+ORACLE_TEXT["media_features"] = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       substring(hex(encode(text)), 1, 16) AS head_hex,
+       md5(text) AS digest
+FROM documents
+"""
+
 ORACLE_TEXT["embedding_stats"] = """
 SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
        round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -187,6 +187,12 @@ def _doc_fingerprint(spark, sf):
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
+@register("media_features")
+def _media_features(spark, sf):
+    from asvsp_spark.operators import multimodal as MM
+    return MM.media_features(MM.attach_fake_media(_t(spark, sf, "documents")))
+
+
 @register("embedding_stats")
 def _embedding_stats(spark, sf):
     return SIM.embedding_stats(_t(spark, sf, "embeddings"))

@@ -1,0 +1,94 @@
+"""Batch I/O edges: explicit-schema CSV scan, partitioned parquet write,
+SQL-file execution, and JDBC sinks. The pure-transform core never touches
+I/O; these adapters live at the edges (SURVEY §7.0).
+
+Reference parity map:
+- S1  CSV scan            load_hourly.py:28 (header, no inference)
+- S3  partitioned write   load_hourly.py:82-84, daily_aggregation.py:32
+- S5  SQL-file execution  export_to_postgres.py:23-27
+- S6  JDBC batch sink     export_to_postgres.py:28-36
+- S10 JDBC stream sink    consumer1.py:93-103 (foreachBatch + empty guard)
+
+Scale notes: the CSV reader takes an explicit StructType so Spark skips
+the inference pass (one full extra scan at 100TB); partitioned writes use
+the table's partition spec so downstream partition-key filters prune at
+the source; JDBC writes batch rows and parallelize across partitions.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType,
+             header: bool = True) -> DataFrame:
+    """Explicit-schema CSV scan (S1). The reference reads all-string and
+    casts after (load_hourly.py:28,67-80); declaring the schema up front
+    gives the same types without the string detour and keeps column
+    pruning effective.
+    """
+    return (
+        spark.read
+        .schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_csv_raw(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    """All-string CSV scan — the reference's exact shape
+    (inferSchema=false, load_hourly.py:28) for sources whose headers need
+    normalization before typing (see ingest.normalize_column_names).
+    """
+    return (
+        spark.read
+        .option("header", str(header).lower())
+        .option("inferSchema", "false")
+        .csv(path)
+    )
+
+
+def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
+                      mode: str = "overwrite") -> None:
+    """Partitioned parquet write (S3): layout mirrors the reference's
+    warehouse tables (hourly by pollutant; daily by pollutant/year/month
+    — load_hourly.py:84, daily_aggregation.py:32) so partition-key
+    filters prune at the scan. At 100TB also consider bucketing the join
+    key via ``writeTo(...).partitionedBy(...)`` on a catalog table.
+    """
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def run_sql_file(spark: SparkSession, sql_path: str | Path) -> DataFrame:
+    """Execute a .sql file's text (S5, export_to_postgres.py:23-27)."""
+    return spark.sql(Path(sql_path).read_text())
+
+
+def jdbc_write(df: DataFrame, url: str, table: str,
+               properties: dict[str, str] | None = None,
+               mode: str = "overwrite") -> None:
+    """Batch JDBC sink (S6, export_to_postgres.py:28-36). Requires the
+    JDBC driver jar on the cluster classpath; not exercised in the test
+    environment (no database), kept API-compatible for deployments.
+    """
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
+def foreach_batch_jdbc(url: str, table: str,
+                       properties: dict[str, str] | None = None):
+    """foreachBatch JDBC appender for streaming sinks (S10,
+    consumer1.py:93-103). Uses df.isEmpty() instead of the reference's
+    rdd.isEmpty() — no RDD materialization of the batch.
+    """
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        jdbc_write(batch_df, url, table, properties, mode="append")
+    return _sink

@@ -1,0 +1,96 @@
+"""Unit tests for the ingest cleaning transforms (SURVEY §1.4 semantics)
+and batch I/O edges, using tiny in-memory/tmp fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from asvsp_spark.sources import batch as B
+from asvsp_spark.sources import ingest as I
+
+
+def test_normalize_column_names(spark):
+    df = spark.createDataFrame([(1, 2)], ["State Code", "Site Num"])
+    assert I.normalize_column_names(df).columns == ["State_Code", "Site_Num"]
+
+
+def test_repair_values_when_chain(spark):
+    df = spark.createDataFrame(
+        [("Californi",), ("District",), ("Texas",)], ["state"])
+    repaired = df.select(
+        I.repair_values(F.col("state"), {
+            "Californi": "California",
+            "District": "District Of Columbia",
+        }).alias("state"))
+    assert sorted(r.state for r in repaired.collect()) == [
+        "California", "District Of Columbia", "Texas"]
+
+
+def test_normalize_units_ppb_to_ppm(spark):
+    df = spark.createDataFrame(
+        [(1000.0, "Parts per billion"), (2.0, "Parts per million")],
+        ["value", "units"])
+    v, u = I.normalize_units(
+        F.col("value"), F.col("units"),
+        {"Parts per billion": (1000.0, "Parts per million")})
+    out = {r.units: r.value for r in
+           df.select(v.alias("value"), u.alias("units")).collect()}
+    assert out == {"Parts per million": 2.0} or out["Parts per million"] in (1.0, 2.0)
+    rows = df.select(v.alias("value"), u.alias("units")).collect()
+    assert all(r.units == "Parts per million" for r in rows)
+    assert sorted(r.value for r in rows) == [1.0, 2.0]
+
+
+def test_hour_from_time_string(spark):
+    df = spark.createDataFrame([("07:00",), ("23:59",)], ["Time_Local"])
+    hrs = sorted(r.h for r in df.select(
+        I.hour_from_time_string(F.col("Time_Local")).alias("h")).collect())
+    assert hrs == [7, 23]
+
+
+def test_typed_projection(spark):
+    df = spark.createDataFrame([("3", "1.5", "x")], ["a", "b", "c"])
+    out = I.typed_projection(df, {
+        "a": ("int", "a_int"),
+        "b": ("double", "b_dbl"),
+        "c": ("string", "c_str"),
+    })
+    assert dict(out.dtypes) == {"a_int": "int", "b_dbl": "double", "c_str": "string"}
+    row = out.collect()[0]
+    assert (row.a_int, row.b_dbl, row.c_str) == (3, 1.5, "x")
+
+
+def test_csv_roundtrip_and_partitioned_write(spark, tmp_path):
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    (csv_dir / "data.csv").write_text(
+        "State Name,Sample Measurement,Time Local\n"
+        "Texas,1.25,07:00\nCaliforni,2.5,13:30\n")
+    schema = T.StructType([
+        T.StructField("State Name", T.StringType()),
+        T.StructField("Sample Measurement", T.DoubleType()),
+        T.StructField("Time Local", T.StringType()),
+    ])
+    df = I.normalize_column_names(B.read_csv(spark, str(csv_dir), schema))
+    assert df.columns == ["State_Name", "Sample_Measurement", "Time_Local"]
+    cleaned = df.select(
+        I.repair_values(F.col("State_Name"),
+                        {"Californi": "California"}).alias("state"),
+        F.col("Sample_Measurement").alias("value"),
+        I.hour_from_time_string(F.col("Time_Local")).alias("hour"),
+    )
+    out_dir = tmp_path / "parquet"
+    B.write_partitioned(cleaned, str(out_dir), ["state"])
+    back = spark.read.parquet(str(out_dir))
+    rows = {r.state: (r.value, r.hour) for r in back.collect()}
+    assert rows == {"Texas": (1.25, 7), "California": (2.5, 13)}
+    # partition layout on disk -> partition pruning is possible
+    assert any(p.name.startswith("state=") for p in out_dir.iterdir())
+
+
+def test_read_csv_raw_all_strings(spark, tmp_path):
+    p = tmp_path / "raw.csv"
+    p.write_text("a,b\n1,2.5\n")
+    df = B.read_csv_raw(spark, str(p))
+    assert all(t == "string" for _, t in df.dtypes)
