@@ -11,8 +11,8 @@ Scale design:
   for natural corpora.
 - MinHash-LSH is the sub-linear path: k hash functions -> b bands of r
   rows; candidate pairs only within equal band buckets, then verified
-  with exact Jaccard. All hashing is expression-level (md5/conv), no
-  Python in the loop.
+  with exact Jaccard. All hashing is expression-level (seeded xxhash64),
+  no Python in the loop.
 - SimHash gives a 64-bit sketch per document via xxhash64 bit-voting —
   joinable on (near-)equal sketches; Hamming-close pairs via band keys.
 
@@ -22,7 +22,7 @@ oracle can check (where SQL-expressible).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from asvsp_spark.functions.text import fingerprint
 from asvsp_spark.plans.base import round_fixed
@@ -41,24 +41,45 @@ def exact_dedup(documents: DataFrame,
     )
 
 
+def shingle_posting(documents: DataFrame, n: int = 3,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Inverted-index posting list: one (doc, sh) row per DISTINCT word
+    n-gram shingle per document.
+
+    Shape: posexplode tokens, window-lead to assemble each n-gram, then
+    dropDuplicates — all whole-stage-codegen'd. (A transform-over-sequence
+    higher-order function computes the same arrays but is interpreted
+    per-element by Catalyst: ~6x slower at sf0.1 and recomputed per plan
+    branch.) Documents shorter than n words contribute no rows.
+
+    Scale: the window shuffles by doc (uniform key), dedup shuffles by
+    (doc, sh); both linear. Downstream joins shuffle by sh.
+    """
+    toks = documents.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
+         .alias("pos", "tok"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+    return (
+        toks
+        .select("doc", F.concat_ws(" ", *leads).alias("sh"),
+                leads[-1].alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+        .dropDuplicates(["doc", "sh"])
+    )
+
+
 def shingled(documents: DataFrame, n: int = 3,
              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingles array<string>) with distinct word n-gram shingles.
-
-    Expression-level shingling: transform over an index sequence — stays
-    in codegen. Documents shorter than n words get zero shingles.
-    """
-    idx = ", ".join(f"toks[i+{k}]" for k in range(n))
+    """(doc, shingles array<string>) — collected form of shingle_posting
+    for operators that need whole-set ops (array_intersect verification).
+    Shingle order within the array is nondeterministic (set semantics)."""
     return (
-        documents
-        .withColumn("toks", F.split(F.trim(F.col(text_col)), r"\s+"))
-        .withColumn(
-            "shingles",
-            F.expr(
-                f"array_distinct(transform(sequence(0, greatest(size(toks) - {n}, -1)),"
-                f" i -> concat_ws(' ', {idx})))"))
-        .select(F.col(id_col).alias("doc"), "shingles")
-        .filter(F.size("shingles") > 0)
+        shingle_posting(documents, n, id_col, text_col)
+        .groupBy("doc")
+        .agg(F.collect_list("sh").alias("shingles"))
     )
 
 
@@ -67,9 +88,8 @@ def jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
     """Exact n-gram Jaccard near-duplicate pairs via inverted shingle
     index (no crossJoin): pairs sharing >= 1 shingle are candidates;
     jaccard = |intersection| / |union| from exact integer counts."""
-    sh = shingled(documents, n, id_col, text_col)
-    sizes = sh.select("doc", F.size("shingles").alias("n_sh"))
-    posting = sh.select("doc", F.explode("shingles").alias("sh"))
+    posting = shingle_posting(documents, n, id_col, text_col)
+    sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
@@ -90,17 +110,28 @@ def jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
     )
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """k minhash values per doc, via deterministic md5-based hash family
-    h_i(s) = int(md5(i || ':' || s)[:12], 16). Pure expressions."""
-    sig_cols = [
-        F.expr(
-            "array_min(transform(shingles,"
-            f" s -> conv(substring(md5(concat('{i}:', s)), 1, 12), 16, 10)))"
-        ).cast("long").alias(f"mh_{i}")
+def minhash_signatures(posting: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """k minhash values per doc via the deterministic seeded-xxhash64
+    family h_i(s) = xxhash64(i, s).
+
+    Shape: explode shingles once, compute the k hashes as PLAIN columns
+    (whole-stage codegen), then groupBy(doc).agg(min...). Higher-order
+    lambda variants (array_min over transform) are interpreted per-element
+    by Catalyst and run orders of magnitude slower on wide corpora.
+    The k mins partial-aggregate map-side, so the shuffle carries one
+    k-wide row per doc. Input is a (doc, sh) posting list.
+    """
+    # hash family h_i(s) = xxhash64(i, s): native JVM hash, uniform across
+    # the seed index, ~10x cheaper than an md5-hex-conv chain per shingle
+    hash_cols = [
+        F.xxhash64(F.lit(i), F.col("sh")).alias(f"h_{i}")
         for i in range(num_hashes)
     ]
-    return sh.select("doc", "shingles", *sig_cols)
+    return (
+        posting.select("doc", *hash_cols)
+        .groupBy("doc")
+        .agg(*[F.min(f"h_{i}").alias(f"mh_{i}") for i in range(num_hashes)])
+    )
 
 
 def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -115,8 +146,8 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
     jaccard is exact, so no false positives.
     """
     rows = num_hashes // bands
-    sh = shingled(documents, n, id_col, text_col)
-    sig = minhash_signatures(sh, num_hashes)
+    posting = shingle_posting(documents, n, id_col, text_col)
+    sig = minhash_signatures(posting, num_hashes)
     band_cols = [
         F.concat_ws("_", F.lit(bi),
                     *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])
@@ -132,9 +163,23 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    # exact verification on candidates only
-    sh_a = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # exact verification on candidates only: collect shingle sets just for
+    # docs that appear in a candidate pair (semi-join keeps this tiny even
+    # when the corpus is huge), then exact set intersection
+    cand_docs = (
+        candidates
+        .select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .distinct()
+    )
+    cand_shingles = (
+        posting.join(F.broadcast(cand_docs), "doc")
+        .groupBy("doc")
+        .agg(F.collect_list("sh").alias("shingles"))
+    )
+    sh_a = cand_shingles.select(F.col("doc").alias("doc_a"),
+                                F.col("shingles").alias("sh_a"))
+    sh_b = cand_shingles.select(F.col("doc").alias("doc_b"),
+                                F.col("shingles").alias("sh_b"))
     return (
         candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -156,20 +201,35 @@ def simhash64(documents: DataFrame,
     band => candidate), the standard <=3-bit-error trick scaled to 64
     bits.
     """
-    votes = F.expr(
-        "aggregate(toks, array_repeat(0, 64), (acc, t) ->"
-        " zip_with(acc, transform(sequence(0, 63),"
-        "   b -> CASE WHEN (shiftright(xxhash64(t), b) & 1L) = 1L THEN 1 ELSE -1 END),"
-        " (x, y) -> x + y))")
-    pack = F.expr(
-        "aggregate(transform(sequence(0, 63),"
-        " b -> IF(votes[b] > 0, shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc | x)")
-    return (
+    # Shape: explode tokens, hash each ONCE, aggregate 64 conditional-sum
+    # vote columns (plain codegen'd expressions, map-side partial agg),
+    # then pack the sign vector. The lambda/HOF formulation (aggregate +
+    # zip_with over a 64-element array per token) is interpreted by
+    # Catalyst and ~100x slower.
+    tokens = (
         documents
-        .withColumn("toks", F.split(F.trim(F.col(text_col)), r"\s+"))
-        .withColumn("votes", votes)
-        .withColumn("simhash", pack)
-        .select(F.col(id_col), "simhash")
+        .select(F.col(id_col).alias("doc"),
+                F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"))
+        .select("doc", F.xxhash64("t").alias("h"))
+    )
+    vote_cols = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(64)
+    ]
+    pack = None
+    for b in range(64):
+        # shiftleft on a JVM long: bit 63 wraps to the sign bit, which a
+        # Python 1 << 63 literal (> Long.MAX_VALUE) cannot express
+        bit = F.when(F.col(f"v_{b}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), b)) \
+               .otherwise(F.lit(0).cast("long"))
+        pack = bit if pack is None else pack.bitwiseOR(bit)
+    return (
+        tokens.groupBy("doc").agg(*vote_cols)
+        .select(F.col("doc").alias(id_col), pack.alias("simhash"))
     )
 
 
