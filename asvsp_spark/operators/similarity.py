@@ -15,6 +15,7 @@ Scale design (100TB / billions of vectors):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 from asvsp_spark.functions.vectors import as_double, cosine, l2_norm
 from asvsp_spark.plans.base import round_fixed
@@ -58,6 +59,55 @@ def cosine_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.45,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector leg of the dedup
+    family): all (a, b) with a < b and cosine >= threshold.
+
+    Execution: the exact brute-force baseline as a BLOCK-NESTED-LOOP in
+    numpy — the full normalized index is broadcast to every executor, and
+    ``mapInPandas`` scans the corpus once, multiplying each Arrow batch
+    against the index (vectorized BLAS matmul, not per-row Python). One
+    pass over the corpus, no shuffle; valid while n_vectors x dim fits in
+    executor memory (same contract as any broadcast side). Past that, the
+    LSH-bucketed variant (lsh_bucketed_topk's sketch scheme) is the
+    sub-linear scale path.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    pdf = embeddings.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    index_bc = spark.sparkContext.broadcast((ids, mat))
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+
+    def scan(batches):
+        import pandas as pd
+        idx_ids, idx_mat = index_bc.value
+        for pdf_batch in batches:
+            b_ids = pdf_batch[id_col].to_numpy()
+            b_mat = np.array([np.asarray(v, dtype=np.float64)
+                              for v in pdf_batch[vec_col]])
+            b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+            sims = b_mat @ idx_mat.T
+            rows_i, cols_j = np.nonzero(
+                (sims >= threshold) & (b_ids[:, None] < idx_ids[None, :]))
+            yield pd.DataFrame({
+                "id_a": b_ids[rows_i].astype("int64"),
+                "id_b": idx_ids[cols_j].astype("int64"),
+                "cos_sim": np.round(sims[rows_i, cols_j], 6),
+            })
+
+    return embeddings.select(id_col, vec_col).mapInPandas(scan, out_schema)
 
 
 def lsh_bucketed_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,

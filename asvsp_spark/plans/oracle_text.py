@@ -113,6 +113,21 @@ SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
 FROM embeddings
 """
 
+ORACLE_TEXT["cosine_dup_pairs"] = """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e)
+             / sqrt(list_dot_product(a.e, a.e))
+             / sqrt(list_dot_product(b.e, b.e)) * 1000000) / 1000000.0
+           AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+      / sqrt(list_dot_product(a.e, a.e))
+      / sqrt(list_dot_product(b.e, b.e)) >= 0.45
+"""
+
 ORACLE_TEXT["cosine_topk"] = """
 WITH q AS (
     SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

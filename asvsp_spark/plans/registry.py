@@ -203,6 +203,11 @@ def _cosine_topk(spark, sf):
     return SIM.cosine_topk(_t(spark, sf, "embeddings"))
 
 
+@register("cosine_dup_pairs")
+def _cosine_dup_pairs(spark, sf):
+    return SIM.cosine_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.45)
+
+
 @register("lsh_topk")
 def _lsh_topk(spark, sf):  # rows-only: approximate by design
     return SIM.lsh_bucketed_topk(_t(spark, sf, "embeddings"))

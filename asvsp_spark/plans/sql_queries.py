@@ -1,0 +1,62 @@
+"""Spark-SQL text variants of q01-q10 — entry point B of the reference
+(SQL files executed via spark.sql, export_to_postgres.py:23-27;
+SURVEY §3.2). The engine promises BOTH a DataFrame builder and a SQL text
+per analytic query (SURVEY §7.0); tests assert the two variants return
+identical row sets.
+
+The SQL is derived from the DuckDB oracle strings (plans/oracle.py) with
+two dialect shims, so the three formulations (DataFrame, Spark SQL,
+DuckDB) can never drift apart silently:
+- strftime(d, '%Y-%m-%d')     -> date_format(d, 'yyyy-MM-dd')
+- dayofweek() weekend set     -> DuckDB 0=Sun..6=Sat vs Spark 1=Sun..7=Sat
+
+Everything else (rank/ntile/lag frames, integer-cents math, the
+round(x * 10^d)/10^d stabilized rounding) is already in the dialect
+intersection — the reference deliberately kept its queries
+HiveQL-and-SparkSQL clean the same way (SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from asvsp_spark import tables
+from asvsp_spark.plans.oracle import ORACLE
+
+Q_NAMES = (
+    "q01_yearly_rank_yoy", "q02_peak_month", "q03_cumulative_top10",
+    "q04_mom_pct_change", "q05_same_month_yoy", "q06_moving_average",
+    "q07_ntile_quartiles", "q08_period_compare", "q09_weekend_effect",
+    "q10_improvement_streaks",
+)
+
+_DIALECT_SHIMS = (
+    ("strftime(day, '%Y-%m-%d')", "date_format(day, 'yyyy-MM-dd')"),
+    ("dayofweek(day) IN (0, 6)", "dayofweek(day) IN (1, 7)"),
+    # Spark SQL parses bare decimal literals as DECIMAL, so BIGINT/100.0
+    # would produce DECIMAL columns where the DataFrame API (Python float
+    # -> double) produces DOUBLE; the D suffix forces a double literal
+    ("/ 100.0", "/ 100.0D"),
+    ("/ 10000.0", "/ 10000.0D"),
+)
+
+
+def to_spark_sql(duckdb_sql: str) -> str:
+    out = duckdb_sql
+    for src, dst in _DIALECT_SHIMS:
+        out = out.replace(src, dst)
+    return out
+
+
+SPARK_SQL: dict[str, str] = {name: to_spark_sql(ORACLE[name]) for name in Q_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Temp views for the tables the SQL variants read."""
+    for t in ("orders", "customer", "nation"):
+        tables.load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def run_sql_variant(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SPARK_SQL[name])

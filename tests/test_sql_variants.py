@@ -1,0 +1,24 @@
+"""Every q01-q10 SQL text variant must return the exact row set of its
+DataFrame builder (SURVEY §7.0: both formulations provided; §3.2:
+single-engine spark.sql path)."""
+
+from __future__ import annotations
+
+import pytest
+
+from asvsp_spark.plans.registry import all_queries
+from asvsp_spark.plans.sql_queries import Q_NAMES, run_sql_variant
+from tests.conftest import SF_DIR
+
+
+def _rowset(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(row[c]) for c in cols) for row in df.collect()), cols
+
+
+@pytest.mark.parametrize("name", Q_NAMES)
+def test_sql_variant_matches_dataframe(name, spark):
+    df_rows, df_cols = _rowset(all_queries()[name](spark, SF_DIR))
+    sql_rows, sql_cols = _rowset(run_sql_variant(spark, SF_DIR, name))
+    assert df_cols == sql_cols
+    assert df_rows == sql_rows
