@@ -1,0 +1,64 @@
+"""Skew-resilient aggregation utilities.
+
+At 100TB a handful of hot keys (one dominant event_type, one mega-nation)
+can make a single reducer the straggler of an otherwise uniform shuffle.
+AQE's skew-join splitting (enabled by default in session.py) handles
+JOIN-side skew; GROUP-BY skew on algebraic aggregates is handled here by
+classic two-phase salting:
+
+  phase 1: group by (key, salt) where salt = pmod(hash-ish, buckets) —
+           spreads each hot key over `buckets` reducers, emitting partial
+           (sum, count, max, ...) tuples;
+  phase 2: group by key, combining the partials.
+
+Because sums/counts/maxes are associative-commutative, the result is
+EXACTLY the direct groupBy — tested against it — while the largest
+reducer shrinks by ~buckets x. The engine's integer-quantized values
+(rollups.value_centi) make this safe even for averages: the partial sums
+are exact longs, so the two-phase result is bit-identical, not merely
+approximately equal.
+
+Spark-first note: plain map-side partial aggregation already collapses
+per-partition duplicates, which is enough whenever key cardinality per
+partition is low. Salting matters when per-key DATA VOLUME (not
+cardinality) is the problem — many partitions each contributing millions
+of rows for the same key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted(df: DataFrame, salt_col: str = "_salt", buckets: int = 16,
+           by: str | None = None) -> DataFrame:
+    """Attach a salt in [0, buckets): deterministic from `by` (so reruns
+    partition identically) or sprayed round-robin when `by` is None."""
+    src = F.xxhash64(F.col(by)) if by else F.monotonically_increasing_id()
+    return df.withColumn(salt_col, F.pmod(src, F.lit(buckets)).cast("int"))
+
+
+def two_phase_agg(df: DataFrame, keys: list[str],
+                  aggs: dict[str, tuple[Column, Column]],
+                  buckets: int = 16, salt_by: str | None = None) -> DataFrame:
+    """Salted two-phase aggregation for algebraic aggregates.
+
+    ``aggs`` maps output column -> (phase1 aggregate over input rows,
+    phase2 aggregate over phase-1 partials); the phase-2 expression must
+    reference the phase-1 alias. Example (exact average via integer sums):
+
+        two_phase_agg(events, ["event_type"], {
+            "v_sum": (F.sum("v"), F.sum("v_sum")),
+            "n":     (F.count(F.lit(1)), F.sum("n")),
+            "v_max": (F.max("v"), F.max("v_max")),
+        })
+    """
+    p1 = [c.alias(name) for name, (c, _) in aggs.items()]
+    p2 = [c.alias(name) for name, (_, c) in aggs.items()]
+    return (
+        salted(df, buckets=buckets, by=salt_by)
+        .groupBy(*keys, "_salt")
+        .agg(*p1)
+        .groupBy(*keys)
+        .agg(*p2)
+    )

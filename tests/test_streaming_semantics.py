@@ -1,0 +1,151 @@
+"""Streaming semantics beyond the single-batch drain: incremental
+multi-micro-batch aggregation converges to the batch answer, and the 2h
+watermark drops data that arrives later than the watermark allows
+(SURVEY T1; reference consumer1.py:47).
+
+These tests split the events fixture into multiple files and force
+maxFilesPerTrigger=1, so the same pipeline runs as a true incremental
+stream — the situation the registered sq* queries meet on a cluster
+(continuous Kafka input) rather than in the one-batch drain.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from asvsp_spark import tables
+from asvsp_spark.operators.rollups import value_centi
+from asvsp_spark.streaming.source import EVENTS_STREAM_SCHEMA
+from tests.conftest import SF_DIR
+
+
+def _write_split(spark, tmpdir: str, n_files: int = 2):
+    """Copy the events fixture into n separate parquet files (split by
+    event_id mod n) so the file stream sees n micro-batches."""
+    events = tables.load(spark, SF_DIR, "events")
+    for i in range(n_files):
+        (events.filter(F.col("event_id") % n_files == i)
+         .withColumn("ts_long",
+                     (F.unix_micros("ts") * 1000).cast("long"))
+         .drop("ts").withColumnRenamed("ts_long", "ts")
+         .select("event_id", "ts", "user_id", "event_type", "value", "props")
+         .coalesce(1).write.mode("append").parquet(f"{tmpdir}/split"))
+    return f"{tmpdir}/split"
+
+
+def _stream(spark, path: str, watermark: str = "2 hours"):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+           .option("maxFilesPerTrigger", "1").parquet(path))
+    return (raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .withWatermark("ts", watermark))
+
+
+def test_incremental_updates_converge_to_batch_answer(spark):
+    """1h tumbling agg over 2 micro-batches: the LAST update emitted per
+    window key must equal the one-shot batch aggregation."""
+    with tempfile.TemporaryDirectory() as tmpdir:
+        path = _write_split(spark, tmpdir, n_files=2)
+
+        emissions: list[tuple[int, tuple, int]] = []
+
+        def handle(batch_df, batch_id):
+            for r in batch_df.collect():
+                emissions.append(
+                    (batch_id, (str(r.window_start), r.event_type), r.v_sum))
+
+        stream = _stream(spark, path)
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+            .agg(F.sum(value_centi(F.col("value"))).alias("v_sum"))
+            .select(F.col("window.start").alias("window_start"),
+                    "event_type", "v_sum")
+        )
+        ckpt = tempfile.mkdtemp(prefix="asvsp-sem-")
+        q = (agg.writeStream.outputMode("update").foreachBatch(handle)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        batch_ids = {b for b, _, _ in emissions}
+        assert len(batch_ids) >= 2, "expected multiple micro-batches"
+        # last emission per key wins (update mode re-emits changed windows)
+        final: dict[tuple, int] = {}
+        for _, key, v in sorted(emissions, key=lambda e: e[0]):
+            final[key] = v
+
+        expected = {
+            ((str(r.window_start), r.event_type)): r.v_sum
+            for r in (
+                tables.load(spark, SF_DIR, "events")
+                .groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+                .agg(F.sum(value_centi(F.col("value"))).alias("v_sum"))
+                .select(F.col("window.start").alias("window_start"),
+                        "event_type", "v_sum")
+            ).collect()
+        }
+        assert final == expected
+
+
+def test_watermark_drops_late_rows(spark):
+    """A row older than the committed watermark must be dropped from the
+    windowed aggregate. Spark commits the watermark advanced by batch N's
+    data at the START of batch N+1, so it takes effect from batch N+1's
+    processing onward — the late file here arrives as batch 2, after the
+    advance from batch 0 (max event time Jan 2 12:00 - 2h) is in force.
+    """
+    import os
+    import time
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as tmpdir:
+        schema = pa.schema([
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("ns")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ])
+
+        def mk(ids, tss):
+            return pa.Table.from_pandas(pd.DataFrame({
+                "event_id": ids, "ts": pd.to_datetime(tss),
+                "user_id": [1] * len(ids), "event_type": ["click"] * len(ids),
+                "value": [1.0] * len(ids), "props": ["{}"] * len(ids),
+            }), schema=schema)
+
+        path = f"{tmpdir}/late"
+        os.makedirs(path)
+        batches = [
+            mk([1, 2], ["2024-01-01 00:30:00", "2024-01-02 12:00:00"]),
+            mk([4], ["2024-01-02 13:00:00"]),  # batch boundary
+            mk([3], ["2024-01-01 00:45:00"]),  # ~1.5 days late -> dropped
+        ]
+        for i, tbl in enumerate(batches):
+            pq.write_table(tbl, f"{path}/f{i}.parquet")
+            time.sleep(1.1)  # distinct mtimes => deterministic file order
+
+        collected = []
+
+        def handle(batch_df, batch_id):
+            collected.extend(
+                (batch_id, str(r["window"]["start"]), r["n"])
+                for r in batch_df.collect())
+
+        stream = _stream(spark, path)
+        agg = stream.groupBy(F.window("ts", "1 hour").alias("window")).agg(
+            F.count(F.lit(1)).alias("n"))
+        ckpt = tempfile.mkdtemp(prefix="asvsp-late-")
+        q = (agg.writeStream.outputMode("update").foreachBatch(handle)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        # the late row's window (00:00) must NOT be re-emitted with n=2:
+        # every emission for that window stays at the batch-1 count of 1
+        zero_win = [n for _, ws, n in collected if "00:00:00" in ws]
+        assert zero_win and all(n == 1 for n in zero_win)
