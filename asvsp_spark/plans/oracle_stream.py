@@ -198,3 +198,28 @@ LEFT JOIN hist h
  AND h.mon = month(r.ws) AND h.hr = hour(r.ws)
  AND h.is_weekend = (dayofweek(CAST(r.ws AS DATE)) IN (0, 6))
 """
+
+# Continuous-mode stateful trend (streaming/stateful.py): hourly averages
+# per type with a lag label; only windows whose END has passed the final
+# 2h watermark (window_end <= max(ts) - 2h) are emitted — the lag runs
+# over exactly that per-key prefix, so lag-then-filter is equivalent.
+ORACLE_STREAM["sq2c_stateful_trend"] = f"""
+WITH b AS ({_HOURLY_TYPE}),
+m AS (SELECT max(ts) AS mx FROM events),
+t AS (
+    SELECT event_type, ws, n_events,
+           CAST(round(v_sum / n_events) AS BIGINT) / 100.0 AS avg_value,
+           lag(CAST(round(v_sum / n_events) AS BIGINT) / 100.0)
+             OVER (PARTITION BY event_type ORDER BY ws) AS prev_avg
+    FROM b
+)
+SELECT t.event_type,
+       strftime(t.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       t.n_events, t.avg_value, t.prev_avg,
+       CASE WHEN t.prev_avg IS NULL THEN 'unknown'
+            WHEN t.avg_value > t.prev_avg * 1.1 THEN 'rising'
+            WHEN t.avg_value < t.prev_avg * 0.9 THEN 'falling'
+            ELSE 'stable' END AS trend
+FROM t, m
+WHERE t.ws + INTERVAL 1 HOUR <= m.mx - INTERVAL 2 HOUR
+"""

@@ -81,7 +81,9 @@ def q02_peak_month(orders: DataFrame, customer: DataFrame, nation: DataFrame) ->
         .select("nation", F.col("peak_month").alias("most_frequent_peak_month"),
                 F.col("n_years").alias("peak_month_frequency"))
     )
-    return peaks.join(freq, "nation", "inner").select(
+    # freq is <= a few rows per nation (rank-1 ties) at ANY data scale —
+    # broadcast keeps the peaks side shuffle-free
+    return peaks.join(F.broadcast(freq), "nation", "inner").select(
         "nation", "yr", "peak_month", "peak_revenue",
         "most_frequent_peak_month", "peak_month_frequency",
     )
@@ -248,7 +250,9 @@ def q08_period_compare(orders: DataFrame, customer: DataFrame, nation: DataFrame
     comp = period(comp_year, "comp_revenue")
     w = Window.orderBy(F.asc("pct_change"), F.asc("nation"))
     return (
-        base.join(comp, "nation", "inner")
+        # both sides aggregate to |nations| rows — broadcast dodges the
+        # sort-merge shuffle Catalyst's static size estimate would pick
+        base.join(F.broadcast(comp), "nation", "inner")
         .withColumn("pct_change",
                     round_fixed((F.col("comp_revenue") - F.col("base_revenue"))
                                 / F.col("base_revenue") * 100.0, MONEY_SCALE))
@@ -330,9 +334,11 @@ def q10_improvement_streaks(orders: DataFrame, customer: DataFrame, nation: Data
         best.withColumn("rnk", F.rank().over(w_top))
         .filter(F.col("rnk") <= 15)
     )
-    # join back the earliest streak achieving the max, deterministically
+    # join back the earliest streak achieving the max, deterministically;
+    # top is <= 15 rows by construction — broadcast at any scale
     detail = (
-        streaks.join(top.select("nation", "longest_streak", "rnk"), "nation")
+        streaks.join(F.broadcast(top.select("nation", "longest_streak", "rnk")),
+                     "nation")
         .filter(F.col("streak_len") == F.col("longest_streak"))
         .groupBy("nation", "longest_streak", "rnk")
         .agg(F.min("streak_start").alias("streak_start"))

@@ -220,6 +220,7 @@ def _lsh_topk(spark, sf):  # rows-only: approximate by design
 
 _REGISTRY["sq1_vs_baseline"] = SQ.sq1_vs_baseline
 _REGISTRY["sq2_dominant_trend"] = SQ.sq2_dominant_trend
+_REGISTRY["sq2c_stateful_trend"] = SQ.sq2c_stateful_trend
 _REGISTRY["sq3_top_users"] = SQ.sq3_top_users
 _REGISTRY["sq4_engagement_conversion"] = SQ.sq4_engagement_conversion
 _REGISTRY["sq5_rank_anomaly"] = SQ.sq5_rank_anomaly

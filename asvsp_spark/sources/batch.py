@@ -92,3 +92,32 @@ def foreach_batch_jdbc(url: str, table: str,
             return
         jdbc_write(batch_df, url, table, properties, mode="append")
     return _sink
+
+
+def overwrite_window_partitions(df: DataFrame, path: str,
+                                partition_by: list[str]) -> None:
+    """Idempotent materialization: dynamic partition overwrite replaces
+    ONLY the partitions present in ``df``, leaving the rest of the table
+    untouched. Re-running a micro-batch or a backfill for one day/window
+    converges to the same bytes instead of appending duplicates — the
+    engine's replacement for the reference's truncate-and-append
+    idempotency ritual (streaming_pipeline_dag.py:33-46; SURVEY §7.3).
+    """
+    (df.sparkSession.conf
+     .set("spark.sql.sources.partitionOverwriteMode", "dynamic"))
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def foreach_batch_overwrite_partitions(path: str, partition_by: list[str]):
+    """Exactly-once-per-window streaming sink: each micro-batch overwrites
+    the (e.g. window_start-derived) partitions it carries. Combined with
+    update output mode, a window re-emitted by a later batch — or by a
+    whole re-run after checkpoint loss — simply replaces its partition:
+    the sink is idempotent without any truncate step (SURVEY §7.3
+    'batch-id-keyed upserts or overwrite-by-window partitions').
+    """
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        overwrite_window_partitions(batch_df, path, partition_by)
+    return _sink

@@ -32,13 +32,21 @@ and explicitly broadcast, so the stream side never shuffles for the join.
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+import tempfile
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from asvsp_spark import tables
 from asvsp_spark.operators.rollups import baselines, centi_avg, value_centi
 from asvsp_spark.plans.base import round_fixed
-from asvsp_spark.streaming.source import drain, events_stream
+from asvsp_spark.streaming.source import (EVENTS_STREAM_SCHEMA, drain,
+                                          events_stream)
+from asvsp_spark.streaming.stateful import hourly_trend_stateful
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 ENGAGEMENT_TYPES = ("click", "view")
@@ -152,6 +160,55 @@ def sq2_dominant_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return drain(agg, spark, batch_transform=finish)
+
+
+# ---------------------------------------------------------------- SQ2c
+
+def sq2c_stateful_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-mode variant of sq2's trend (SURVEY §7.3 'trigger-once
+    equivalence' option): the lag state crosses micro-batch boundaries via
+    applyInPandasWithState (streaming/stateful.py), so the labels stay
+    correct when the stream runs incrementally instead of as one drain.
+
+    Harness: replay the events table as TWO micro-batches — the full
+    history, then a watermark-advancing sentinel row per key 30 days in
+    the future — so every real hourly window closes and flushes in batch 2
+    while its state provably crossed a batch boundary. Windows inside the
+    final 2h watermark horizon stay open (exactly Spark's built-in window
+    retention), and the sentinel windows never close, so neither appears
+    in the output. On a cluster the same operator attaches to the Kafka
+    source unchanged and emits each hour as the watermark passes it.
+    """
+    events = tables.load(spark, sf_dir, "events")
+    mx_us = events.agg(F.max(F.unix_micros("ts")).alias("mx")).first()["mx"]
+    tmp = tempfile.mkdtemp(prefix="asvsp-sq2c-")
+    (events.select("event_id", (F.unix_micros("ts") * 1000).alias("ts"),
+                   "user_id", "event_type", "value", "props")
+     .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/real"))
+    sent_ts_ns = (mx_us + 30 * 24 * 3600 * 1_000_000) * 1000
+    sent = spark.createDataFrame(
+        [(10**12 + i, sent_ts_ns, 0, t, 0.0, "{}")
+         for i, t in enumerate(EVENT_TYPES)],
+        schema=("event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"))
+    sent.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/sent")
+
+    # flat 2-file stream dir; mtimes force file order (the file source
+    # processes oldest-first), no wall-clock sleeps needed
+    stream_dir = f"{tmp}/stream"
+    os.makedirs(stream_dir)
+    now = time.time()
+    for i, sub in enumerate(("real", "sent")):
+        part = glob.glob(f"{tmp}/{sub}/part-*.parquet")[0]
+        dst = f"{stream_dir}/f{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now - 100 + i * 50, now - 100 + i * 50))
+
+    raw = (spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+           .option("maxFilesPerTrigger", "1").parquet(stream_dir))
+    stream = (raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+              .withWatermark("ts", "2 hours"))
+    return drain(hourly_trend_stateful(stream), spark)
 
 
 # ---------------------------------------------------------------- SQ3

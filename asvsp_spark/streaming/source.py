@@ -21,6 +21,7 @@ input rate. The drain helper collects only final aggregated rows.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections.abc import Callable
 
@@ -111,6 +112,16 @@ def drain(stream_df: DataFrame, spark: SparkSession,
     reference's escape hatch for batch-only ops (dense_rank/lag/joins)
     against streaming data (consumer1.py:93-103, SURVEY S10/T8). Only the
     transformed (aggregated, small) rows are collected to the driver.
+
+    Shuffle sizing: a stateful streaming agg pins its state-store partition
+    count to ``spark.sql.shuffle.partitions`` at FIRST query start and AQE
+    never coalesces it, so a session left at the 200 default pays 200 tasks
+    per micro-batch for state bounded by (window x key). Each drain uses a
+    fresh checkpoint, so we clamp the conf for the query's lifetime and
+    restore it afterwards. The default cap of 8 fits this engine's bounded
+    state keys (window x handful of types) — measured 1.8x faster than 32
+    at sf0.1 local[32]; raise SPARK_GRAFT_STREAM_SHUFFLE on a cluster or
+    for high-cardinality keys (e.g. sq3's per-user state at full scale).
     """
     collected: list = []
     schema_holder: list = []
@@ -120,16 +131,23 @@ def drain(stream_df: DataFrame, spark: SparkSession,
         schema_holder.append(out.schema)
         collected.extend(out.collect())
 
+    cap = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
     ckpt = tempfile.mkdtemp(prefix="asvsp-ckpt-")
-    query = (
-        stream_df.writeStream
-        .outputMode(output_mode)
-        .foreachBatch(handle)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    try:
+        if int(prev) > cap:
+            spark.conf.set("spark.sql.shuffle.partitions", str(cap))
+        query = (
+            stream_df.writeStream
+            .outputMode(output_mode)
+            .foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     if not schema_holder:
         raise RuntimeError("stream produced no micro-batches")
     return spark.createDataFrame(collected, schema_holder[0])

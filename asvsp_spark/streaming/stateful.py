@@ -1,0 +1,144 @@
+"""Continuous-mode stateful streaming: trend detection whose state
+SURVIVES micro-batch boundaries via ``applyInPandasWithState``.
+
+The reference's trend query (consumer2.py:98-114) computes lag-based
+rising/falling labels per micro-batch inside foreachBatch; with its
+trigger(once) runs the whole topic is one batch, so "per batch" happens to
+mean "full history" (SURVEY W15, §7.3). Under a real continuous deployment
+that trick breaks: each micro-batch only sees its own windows, and the lag
+against the previous window is lost at every batch boundary. SURVEY §7.3
+promises a continuous-mode variant as an explicit option — this module is
+that variant.
+
+``hourly_trend_stateful`` keeps, per group key, the open hourly windows'
+exact integer partial sums plus the last closed window's average. On every
+micro-batch it folds the new rows into the partials and closes (emits) any
+window whose end has passed the event-time watermark, labeling it
+rising/falling/stable vs the previously closed window — regardless of how
+many micro-batches apart they arrived.
+
+Scale notes:
+- State per key is bounded by the watermark: at most (delay / 1h) + 1 open
+  windows of 2 longs each, ~O(10) values per key, whatever the input rate.
+- The pandas function receives one key's rows per call after a hash
+  shuffle on the group key; partial sums are exact int64 (order-immune),
+  so results are identical across partition layouts and batch slicings —
+  the incremental run converges to the batch answer exactly.
+- This is the (b)-tier custom-operator path from the build brief: the
+  semantics (cross-batch lag) genuinely cannot be expressed with built-in
+  window aggs, so an Arrow-batched stateful pandas function is the
+  idiomatic escape hatch.
+
+Rounding parity: averages are rounded half-up in integer centi space
+(values are non-negative in this engine), mirroring rollups.centi_avg /
+DuckDB round() so the oracle hash-compares exactly.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from asvsp_spark.operators.rollups import value_centi
+
+TREND_OUT_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("window_start", T.StringType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("avg_value", T.DoubleType()),
+    T.StructField("prev_avg", T.DoubleType()),
+    T.StructField("trend", T.StringType()),
+])
+
+# open windows as parallel arrays (start-sec, centi-sum, count) + last
+# closed window's average for the cross-batch lag
+TREND_STATE_SCHEMA = (
+    "wins array<long>, sums array<long>, counts array<long>, "
+    "last_avg double, has_last boolean"
+)
+
+HOUR = 3600
+
+
+def hourly_trend_stateful(stream: DataFrame, rise: float = 1.1,
+                          fall: float = 0.9) -> DataFrame:
+    """Per event_type: hourly average value + trend label vs the previous
+    CLOSED hourly window, with lag state persisted across micro-batches.
+
+    ``stream`` must carry (event_type, ts, value) with a watermark on ts;
+    windows close when ``window_end <= watermark`` — exactly the window
+    retention rule Spark's built-in streaming aggregation applies, so this
+    operator composes with the same lateness contract (T1).
+    """
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import math
+
+        import pandas as pd
+
+        (etype,) = key
+        if state.exists:
+            wins, sums, counts, last_avg, has_last = state.get
+            open_w: dict[int, list[int]] = {
+                w: [s, c] for w, s, c in zip(wins, sums, counts)
+            }
+        else:
+            open_w, last_avg, has_last = {}, 0.0, False
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            g = (
+                pd.DataFrame({
+                    "b": (pdf["secs"].astype("int64") // HOUR) * HOUR,
+                    "v": pdf["v"].astype("int64"),
+                })
+                .groupby("b")["v"].agg(["sum", "count"])
+            )
+            for b, row in g.iterrows():
+                ent = open_w.setdefault(int(b), [0, 0])
+                ent[0] += int(row["sum"])
+                ent[1] += int(row["count"])
+
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        out = []
+        for b in sorted(open_w):
+            if b + HOUR > wm_s:
+                break
+            s, c = open_w.pop(b)
+            # half-up in centi space on non-negative values == Spark
+            # F.round(s/c, 0) == DuckDB round(s/c): exact parity
+            avg = math.floor(s / c + 0.5) / 100.0
+            if not has_last:
+                trend = "unknown"
+            elif avg > last_avg * rise:
+                trend = "rising"
+            elif avg < last_avg * fall:
+                trend = "falling"
+            else:
+                trend = "stable"
+            start = datetime.fromtimestamp(b, tz=timezone.utc)
+            out.append((etype, start.strftime("%Y-%m-%d %H:%M:%S"), c, avg,
+                        last_avg if has_last else None, trend))
+            last_avg, has_last = avg, True
+
+        keys = sorted(open_w)
+        state.update((keys, [open_w[k][0] for k in keys],
+                      [open_w[k][1] for k in keys], last_avg, has_last))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in TREND_OUT_SCHEMA])
+
+    # keep `ts` so the upstream watermark column survives the projection;
+    # pandas consumes the exact integer (secs, v) columns only
+    src = stream.select(
+        "event_type", "ts",
+        F.expr("unix_micros(ts) div 1000000").alias("secs"),
+        value_centi(F.col("value")).alias("v"),
+    )
+    return src.groupBy("event_type").applyInPandasWithState(
+        fn, TREND_OUT_SCHEMA, TREND_STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -94,3 +94,27 @@ def test_read_csv_raw_all_strings(spark, tmp_path):
     p.write_text("a,b\n1,2.5\n")
     df = B.read_csv_raw(spark, str(p))
     assert all(t == "string" for _, t in df.dtypes)
+
+
+def test_overwrite_window_partitions_idempotent(spark, tmp_path):
+    """Dynamic partition overwrite replaces only the partitions present in
+    the incoming frame; re-running the same write converges (no dupes)."""
+    path = str(tmp_path / "idem")
+    full = spark.createDataFrame(
+        [("click", "d1", 1), ("click", "d2", 2), ("view", "d1", 3)],
+        ["event_type", "day", "v"])
+    B.overwrite_window_partitions(full, path, ["event_type", "day"])
+
+    # revise ONE partition; other partitions must survive untouched
+    revised = spark.createDataFrame([("click", "d1", 99)],
+                                    ["event_type", "day", "v"])
+    sink = B.foreach_batch_overwrite_partitions(path, ["event_type", "day"])
+    sink(revised, 0)
+    sink(revised, 1)  # replayed micro-batch: same bytes, not duplicates
+
+    got = {(r.event_type, r.day): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {("click", "d1"): 99, ("click", "d2"): 2, ("view", "d1"): 3}
+
+    # empty batch is a no-op, not an empty overwrite
+    sink(full.limit(0), 2)
+    assert spark.read.parquet(path).count() == 3

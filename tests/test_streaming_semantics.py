@@ -149,3 +149,83 @@ def test_watermark_drops_late_rows(spark):
         # every emission for that window stays at the batch-1 count of 1
         zero_win = [n for _, ws, n in collected if "00:00:00" in ws]
         assert zero_win and all(n == 1 for n in zero_win)
+
+
+def test_stateful_trend_merges_state_across_batches(spark):
+    """hourly_trend_stateful: rows of the SAME hourly window arriving in
+    DIFFERENT micro-batches must merge in state, and trend lags must chain
+    across batches — the continuous-mode guarantee the per-batch lag trick
+    (SURVEY W15) does not give. Expected = batch-mode lag over all hourly
+    averages, truncated to windows closed by the final watermark."""
+    import os
+    import shutil
+    import glob as globmod
+    import time as timemod
+
+    from asvsp_spark.operators.rollups import centi_avg
+    from asvsp_spark.streaming.source import drain
+    from asvsp_spark.streaming.stateful import hourly_trend_stateful
+
+    events = tables.load(spark, SF_DIR, "events")
+    mx_us = events.agg(F.max(F.unix_micros("ts")).alias("m")).first()["m"]
+    with tempfile.TemporaryDirectory() as tmpdir:
+        raw = events.select(
+            "event_id", (F.unix_micros("ts") * 1000).alias("ts"),
+            "user_id", "event_type", "value", "props")
+        # two real files split by id (same hours land in both batches)
+        for i in range(2):
+            (raw.filter(F.col("event_id") % 2 == i)
+             .coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/r{i}"))
+        sent = spark.createDataFrame(
+            [(10**12, (mx_us + 30 * 86400 * 10**6) * 1000, 0, t, 0.0, "{}")
+             for t in ["click", "error", "purchase", "signup", "view"]],
+            schema=("event_id long, ts long, user_id long, "
+                    "event_type string, value double, props string"))
+        sent.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/sent")
+        sdir = f"{tmpdir}/stream"
+        os.makedirs(sdir)
+        now = timemod.time()
+        for i, sub in enumerate(("r0", "r1", "sent")):
+            part = globmod.glob(f"{tmpdir}/{sub}/part-*.parquet")[0]
+            dst = f"{sdir}/f{i}.parquet"
+            shutil.copy(part, dst)
+            os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
+
+        stream = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1").parquet(sdir)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .withWatermark("ts", "2 hours"))
+        got = drain(hourly_trend_stateful(stream), spark)
+
+        from pyspark.sql import Window
+        hourly = (
+            events.groupBy("event_type",
+                           F.window("ts", "1 hour")["start"].alias("ws"))
+            .agg(F.sum(value_centi(F.col("value"))).alias("s"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .withColumn("avg_value", centi_avg(F.col("s"), F.col("n_events")))
+        )
+        w = Window.partitionBy("event_type").orderBy("ws")
+        prev = F.lag("avg_value").over(w)
+        wm_cutoff = F.expr(
+            f"timestamp_micros({mx_us}) - INTERVAL 2 HOURS - INTERVAL 1 HOUR")
+        expected = (
+            hourly
+            .withColumn("prev_avg", prev)
+            .withColumn("trend",
+                        F.when(prev.isNull(), "unknown")
+                        .when(F.col("avg_value") > prev * 1.1, "rising")
+                        .when(F.col("avg_value") < prev * 0.9, "falling")
+                        .otherwise("stable"))
+            .filter(F.col("ws") <= wm_cutoff)
+            .select("event_type",
+                    F.date_format("ws", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "n_events", "avg_value", "prev_avg", "trend"))
+
+        def rs(df):
+            cols = sorted(df.columns)
+            return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+        assert rs(got) == rs(expected)
