@@ -254,3 +254,61 @@ JOIN streaks s ON s.nation = t.nation AND s.streak_len = t.longest_streak
 WHERE t.rnk <= 15
 GROUP BY t.nation, t.longest_streak, t.rnk
 """
+
+# ---- time-series operators (operators/asof.py, operators/sessions.py) ----
+
+# as-of join: DuckDB has a NATIVE ASOF JOIN — the ideal oracle for the
+# engine's union+window implementation. Right side pre-aggregated to one
+# row per (customer, day) so "the most recent" is unambiguous in both
+# engines. Timestamp comparison: events.ts microsecond floor vs whole-day
+# boundaries — floor cannot cross a midnight, so nanos vs micros agree.
+ORACLE["asof_last_order"] = """
+WITH od AS (
+    SELECT o_custkey AS user_id, o_orderdate AS od,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents,
+           max(o_orderkey) AS last_orderkey
+    FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       e.event_type,
+       strftime(o.od, '%Y-%m-%d') AS last_order_day,
+       o.last_orderkey,
+       o.day_cents / 100.0 AS last_order_day_revenue,
+       date_diff('day', o.od, CAST(e.ts AS DATE)) AS days_since_order
+FROM events e
+ASOF LEFT JOIN od o
+  ON e.user_id = o.user_id AND e.ts >= CAST(o.od AS TIMESTAMP)
+"""
+
+# sessionization: gaps-and-islands twin of F.session_window. New session
+# iff the µs gap is STRICTLY GREATER than 30min — Spark merges an event
+# arriving at exactly last_ts + gap (verified in
+# tests/test_timeseries_ops.py::test_session_window_gap_boundary).
+# epoch_us on the µs-cast ts matches Spark's truncated-to-micros event
+# time exactly.
+ORACLE["sessionize_users"] = """
+WITH e AS (
+    SELECT user_id, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+),
+flagged AS (
+    SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_s
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+sess AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       CAST(round(sum(v) / count(*)) AS BIGINT) / 100.0 AS avg_value,
+       max(us) - min(us) AS dwell_us
+FROM sess GROUP BY user_id, sid
+"""

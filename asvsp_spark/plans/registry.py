@@ -234,3 +234,43 @@ def all_oracle_sql() -> dict[str, str]:
     # only expose oracles for registered queries (extra entries would fail
     # the driver's pairing)
     return {k: v for k, v in ORACLE.items() if k in _REGISTRY}
+
+
+# ---- time-series operators: as-of join + sessionization ----
+
+from asvsp_spark.operators.asof import asof_join  # noqa: E402
+from asvsp_spark.operators.sessions import user_sessions  # noqa: E402
+from asvsp_spark.plans.base import money_cents  # noqa: E402
+
+
+@register("asof_last_order")
+def _asof_last_order(spark, sf):
+    """Each event matched to the user's most recent prior order day
+    (backward inclusive as-of join, operators/asof.py)."""
+    events = _t(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "event_type")
+    od = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"),
+                 F.col("o_orderdate").alias("od"))
+        .agg(F.sum(money_cents(F.col("o_totalprice"))).alias("day_cents"),
+             F.max("o_orderkey").alias("last_orderkey"))
+    )
+    j = asof_join(events, od, on="user_id", left_ts="ts", right_ts="od")
+    return j.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "event_type",
+        F.date_format("asof_od", "yyyy-MM-dd").alias("last_order_day"),
+        "last_orderkey",
+        (F.col("day_cents") / 100.0).alias("last_order_day_revenue"),
+        F.datediff(F.to_date("ts"), F.to_date("asof_od"))
+        .alias("days_since_order"),
+    )
+
+
+@register("sessionize_users")
+def _sessionize_users(spark, sf):
+    """Per-user session windows, 30-minute inactivity gap
+    (operators/sessions.py)."""
+    return user_sessions(_t(spark, sf, "events"))

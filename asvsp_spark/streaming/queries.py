@@ -179,12 +179,10 @@ def sq2c_stateful_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the output. On a cluster the same operator attaches to the Kafka
     source unchanged and emits each hour as the watermark passes it.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = tables.load(spark, sf_dir, "events")
     mx_us = events.agg(F.max(F.unix_micros("ts")).alias("mx")).first()["mx"]
     tmp = tempfile.mkdtemp(prefix="asvsp-sq2c-")
-    (events.select("event_id", (F.unix_micros("ts") * 1000).alias("ts"),
-                   "user_id", "event_type", "value", "props")
-     .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/real"))
     sent_ts_ns = (mx_us + 30 * 24 * 3600 * 1_000_000) * 1000
     sent = spark.createDataFrame(
         [(10**12 + i, sent_ts_ns, 0, t, 0.0, "{}")
@@ -194,15 +192,17 @@ def sq2c_stateful_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     sent.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/sent")
 
     # flat 2-file stream dir; mtimes force file order (the file source
-    # processes oldest-first), no wall-clock sleeps needed
+    # processes oldest-first), no wall-clock sleeps needed. The real file
+    # is the driver's parquet byte-for-byte (TIMESTAMP_NANOS reads as long
+    # under the nanosAsLong shim, same as events_stream) — no rewrite.
     stream_dir = f"{tmp}/stream"
     os.makedirs(stream_dir)
     now = time.time()
-    for i, sub in enumerate(("real", "sent")):
-        part = glob.glob(f"{tmp}/{sub}/part-*.parquet")[0]
-        dst = f"{stream_dir}/f{i}.parquet"
-        shutil.copy(part, dst)
-        os.utime(dst, (now - 100 + i * 50, now - 100 + i * 50))
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/f0.parquet")
+    os.utime(f"{stream_dir}/f0.parquet", (now - 100, now - 100))
+    part = glob.glob(f"{tmp}/sent/part-*.parquet")[0]
+    shutil.copy(part, f"{stream_dir}/f1.parquet")
+    os.utime(f"{stream_dir}/f1.parquet", (now - 50, now - 50))
 
     raw = (spark.readStream.schema(EVENTS_STREAM_SCHEMA)
            .option("maxFilesPerTrigger", "1").parquet(stream_dir))

@@ -1,0 +1,66 @@
+"""Unit tests for the time-series operators: as-of join boundary/tolerance
+semantics and session-window gap semantics, on tiny explicit fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from asvsp_spark.operators.asof import asof_join
+from asvsp_spark.operators.sessions import user_sessions
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "a"),
+         (1, _ts("2024-01-01 12:00:00"), "b"),
+         (2, _ts("2024-01-01 09:00:00"), "c"),   # before any right row
+         (3, _ts("2024-01-01 10:00:00"), "d")],  # key with no right rows
+        ["k", "t", "tag"])
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 100),   # equal ts -> inclusive
+         (1, _ts("2024-01-01 11:30:00"), 200),
+         (2, _ts("2024-01-01 09:30:00"), 300)],
+        ["k", "t", "v"])
+    got = {r.tag: r.v for r in
+           asof_join(left, right, on="k", left_ts="t", right_ts="t").collect()}
+    assert got == {"a": 100, "b": 200, "c": None, "d": None}
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00"), "x")], ["k", "t", "tag"])
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), 1)], ["k", "t", "v"])
+    within = asof_join(left, right, on="k", left_ts="t", right_ts="t",
+                       tolerance=F.expr("INTERVAL 4 HOURS")).collect()[0]
+    beyond = asof_join(left, right, on="k", left_ts="t", right_ts="t",
+                       tolerance=F.expr("INTERVAL 2 HOURS")).collect()[0]
+    assert within.v == 1 and beyond.v is None
+
+
+def test_session_window_gap_boundary(spark):
+    # Spark merges an event at EXACTLY last_ts + gap; only a strictly
+    # larger gap starts a new session (oracle uses the same rule)
+    rows = [
+        (1, _ts("2024-01-01 10:00:00"), 1.0),
+        (1, _ts("2024-01-01 10:29:59"), 1.0),   # same session
+        (1, _ts("2024-01-01 10:59:59"), 1.0),   # exactly +30:00 -> merges
+        (1, _ts("2024-01-01 11:30:00"), 1.0),   # +30:00.000001 -> NEW
+        (2, _ts("2024-01-01 10:00:00"), 2.0),
+    ]
+    rows[3] = (1, _ts("2024-01-01 10:59:59") +
+               dt.timedelta(minutes=30, microseconds=1), 1.0)
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = sorted((r.user_id, r.session_start, r.n_events)
+                 for r in user_sessions(df).collect())
+    assert got == [
+        (1, "2024-01-01 10:00:00", 3),
+        (1, "2024-01-01 11:29:59", 1),
+        (2, "2024-01-01 10:00:00", 1),
+    ]
