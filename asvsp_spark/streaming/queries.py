@@ -32,7 +32,6 @@ and explicitly broadcast, so the stream side never shuffles for the join.
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 import tempfile
@@ -179,29 +178,35 @@ def sq2c_stateful_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the output. On a cluster the same operator attaches to the Kafka
     source unchanged and emits each hour as the watermark passes it.
     """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = tables.load(spark, sf_dir, "events")
     mx_us = events.agg(F.max(F.unix_micros("ts")).alias("mx")).first()["mx"]
     tmp = tempfile.mkdtemp(prefix="asvsp-sq2c-")
     sent_ts_ns = (mx_us + 30 * 24 * 3600 * 1_000_000) * 1000
-    sent = spark.createDataFrame(
-        [(10**12 + i, sent_ts_ns, 0, t, 0.0, "{}")
-         for i, t in enumerate(EVENT_TYPES)],
-        schema=("event_id long, ts long, user_id long, event_type string, "
-                "value double, props string"))
-    sent.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/sent")
 
     # flat 2-file stream dir; mtimes force file order (the file source
     # processes oldest-first), no wall-clock sleeps needed. The real file
     # is the driver's parquet byte-for-byte (TIMESTAMP_NANOS reads as long
-    # under the nanosAsLong shim, same as events_stream) — no rewrite.
+    # under the nanosAsLong shim, same as events_stream); the 5-row
+    # sentinel is written driver-side with pyarrow — a Spark write job for
+    # it would cost more than the whole stateful drain.
     stream_dir = f"{tmp}/stream"
     os.makedirs(stream_dir)
     now = time.time()
     shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/f0.parquet")
     os.utime(f"{stream_dir}/f0.parquet", (now - 100, now - 100))
-    part = glob.glob(f"{tmp}/sent/part-*.parquet")[0]
-    shutil.copy(part, f"{stream_dir}/f1.parquet")
+    n = len(EVENT_TYPES)
+    pq.write_table(pa.table({
+        "event_id": pa.array([10**12 + i for i in range(n)], pa.int64()),
+        "ts": pa.array([sent_ts_ns] * n, pa.int64()),
+        "user_id": pa.array([0] * n, pa.int64()),
+        "event_type": pa.array(list(EVENT_TYPES), pa.string()),
+        "value": pa.array([0.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), f"{stream_dir}/f1.parquet")
     os.utime(f"{stream_dir}/f1.parquet", (now - 50, now - 50))
 
     raw = (spark.readStream.schema(EVENTS_STREAM_SCHEMA)
