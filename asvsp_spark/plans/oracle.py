@@ -312,3 +312,12 @@ SELECT user_id,
        max(us) - min(us) AS dwell_us
 FROM sess GROUP BY user_id, sid
 """
+
+# exact distinct-count family (the approx_count_distinct twin is
+# deliberately oracle-less: HLL estimates differ across engines)
+ORACLE["distinct_users_daily"] = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""

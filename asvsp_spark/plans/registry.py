@@ -274,3 +274,36 @@ def _sessionize_users(spark, sf):
     """Per-user session windows, 30-minute inactivity gap
     (operators/sessions.py)."""
     return user_sessions(_t(spark, sf, "events"))
+
+
+# ---- distinct-count family (absent in reference, SURVEY §2.4 'Absent') ----
+
+@register("distinct_users_daily")
+def _distinct_users_daily(spark, sf):
+    """Exact per-day distinct users + event count. Exact distinct is the
+    expensive path at scale (shuffle carries every (day, user) pair once —
+    partial dedup map-side); the HLL twin below is the fixed-memory path.
+    """
+    return (
+        _t(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n_users"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "n_users", "n_events")
+    )
+
+
+@register("approx_users_daily")
+def _approx_users_daily(spark, sf):  # rows-only: HLL estimates have no
+    """HyperLogLog++ distinct users per day: O(1) state per group however
+    many users exist — the 100TB path (exact distinct shuffles every pair;
+    the sketch partial-aggregates to a few KB map-side). rsd=0.02 ≈
+    +-2% typical error; accuracy vs exact is unit-tested."""
+    return (                          # cross-engine-identical value
+        _t(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "n_users_approx")
+    )

@@ -64,3 +64,18 @@ def test_session_window_gap_boundary(spark):
         (1, "2024-01-01 11:29:59", 1),
         (2, "2024-01-01 10:00:00", 1),
     ]
+
+
+def test_hll_within_rsd_of_exact(spark):
+    """approx_count_distinct(rsd=0.02) stays within 3x the configured
+    relative error of the exact distinct count on the fixture."""
+    from asvsp_spark.plans.registry import all_queries
+    from tests.conftest import SF_DIR
+    qs = all_queries()
+    exact = {r.day: r.n_users
+             for r in qs["distinct_users_daily"](spark, SF_DIR).collect()}
+    approx = {r.day: r.n_users_approx
+              for r in qs["approx_users_daily"](spark, SF_DIR).collect()}
+    assert exact.keys() == approx.keys()
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(3, 0.06 * n), (day, n, approx[day])
