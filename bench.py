@@ -21,6 +21,26 @@ from asvsp_spark.plans.registry import all_queries  # noqa: E402
 from asvsp_spark.session import get_session  # noqa: E402
 
 
+def _warm_streaming(spark) -> None:
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from asvsp_spark.streaming.source import drain
+
+    d = tempfile.mkdtemp(prefix="bench-warm-")
+    pq.write_table(pa.table({"ts": pa.array([0], pa.int64()),
+                             "k": pa.array(["x"], pa.string())}),
+                   f"{d}/w.parquet")
+    s = (spark.readStream.schema("ts long, k string").parquet(d)
+         .withColumn("ts", F.expr("timestamp_micros(ts)"))
+         .withWatermark("ts", "1 hour")
+         .groupBy("k").count())
+    drain(s, spark).count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -29,9 +49,12 @@ def main() -> None:
 
     queries = all_queries()
     # JVM + codegen warmup on the smallest query so per-query numbers
-    # measure the plan, not session startup.
+    # measure the plan, not session startup; plus one tiny streaming drain
+    # so the first sq* query doesn't absorb Structured Streaming's
+    # one-time engine init (~2-3s of listener/checkpoint machinery).
     try:
         queries[sorted(queries)[0]](spark, sf_dir).count()
+        _warm_streaming(spark)
     except Exception:
         pass
 
