@@ -128,6 +128,17 @@ def decode_image(media: DataFrame, max_side: int = 256) -> DataFrame:
     return media.mapInPandas(decode, schema=out_schema)
 
 
+def decode_audio(media: DataFrame, target_rate: int = 16_000) -> DataFrame:
+    """Decode + resample audio to a fixed rate, returning (doc_id,
+    duration_s, n_channels, rate). STUB: no audio codecs in this
+    environment; follows the media_features mapInPandas contract —
+    payload in, narrow typed features out, nothing decoded JVM-side.
+    """
+    raise NotImplementedError(
+        "decode_audio requires audio codecs; environment has none. "
+        "Use media_features for the tested byte-level path.")
+
+
 def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling plan. STUB: no video codecs in this
     environment. The real implementation follows media_features'

@@ -47,3 +47,5 @@ def test_decode_stubs_gated(spark):
             MM.decode_image(media)
     with pytest.raises(NotImplementedError):
         MM.frame_sample(media)
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio(media)
