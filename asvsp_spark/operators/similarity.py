@@ -162,3 +162,79 @@ def lsh_bucketed_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
+             n_centroids: int | None = None, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
+    exact cosine only inside the n_probe nearest centroid cells.
+
+    The second scale path beside LSH (lsh_bucketed_topk): a TRAINED
+    partition of the vector space instead of random hyperplanes — cells
+    adapt to the data distribution, so the same probe budget buys higher
+    recall on clustered corpora.
+
+    Scale shape (billions of vectors): k-means training runs on a sample
+    in practice (here: the corpus — it is the fixture); cell assignment is
+    one distributed model.transform pass; the probe list per query is
+    (query x centroid) — tiny, centroids live on the driver — and the
+    candidate scan shuffles only the probed cells' members via a broadcast
+    join on the cell id. n_centroids defaults to sqrt(N) (the standard
+    IVF heuristic: cell size ~ sqrt(N) keeps scan cost ~ n_probe*sqrt(N)).
+
+    With n_probe >= n_centroids every cell is probed and the result is
+    EXACTLY cosine_topk (tested); with fewer probes recall < 1 by design,
+    so the registered query is a rows-only check.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = embeddings.sparkSession
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(as_double(F.col(vec_col))).alias("_fv"))
+    n = emb.count()
+    kc = n_centroids or max(2, int(n ** 0.5))
+    model = KMeans(k=kc, seed=seed, featuresCol="_fv").fit(emb)
+    assigned = (model.transform(emb)
+                .select(F.col(id_col), F.col(vec_col),
+                        F.col("prediction").alias("cell")))
+
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="cell int, c_vec array<double>")
+
+    # probe list: each query's n_probe nearest cells by the quantizer's
+    # own metric (euclidean — what k-means assigned by)
+    q = assigned.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    sq_dist = F.aggregate(
+        F.zip_with(as_double(F.col("q_vec")), F.col("c_vec"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w_probe = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centers))
+        .withColumn("d2", sq_dist)
+        .withColumn("pr", F.rank().over(w_probe))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos_sim",
+                    round_fixed(cosine(as_double(F.col("q_vec")),
+                                       as_double(F.col(vec_col))), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"),
+                "cos_sim", "rnk")
+    )

@@ -307,3 +307,8 @@ def _approx_users_daily(spark, sf):  # rows-only: HLL estimates have no
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
                 "n_users_approx")
     )
+
+
+@register("ivf_topk")
+def _ivf_topk(spark, sf):  # rows-only: partial-probe recall < 1 by design
+    return SIM.ivf_topk(_t(spark, sf, "embeddings"))
