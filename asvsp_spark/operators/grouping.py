@@ -1,0 +1,92 @@
+"""Multi-level aggregation (CUBE / ROLLUP / GROUPING SETS) and exact group
+percentiles — aggregation shapes the reference never uses (SURVEY §2.4
+'Absent': grouping sets / cube / rollup, percentile aggregates) but that any
+warehouse replacing it needs.
+
+Scale notes (100TB): a CUBE over n keys plans Expand (one copy of each
+row per grouping set) feeding the PARTIAL hash aggregate — the 2^n-fold
+blow-up happens map-side and is immediately collapsed by the partial
+aggregate within the same stage, so only (groups x 2^n) rows ever
+shuffle, never (rows x 2^n). Verified in the physical plan: Expand ->
+partial HashAggregate -> Exchange -> final HashAggregate. Exact
+percentiles are the expensive path (per-group sort of all values); the
+approx twin (approx_percentiles) uses a fixed-size t-digest-style sketch
+that partial-aggregates map-side, the same exact/approx pairing as
+distinct_users_daily vs approx_users_daily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from asvsp_spark.plans.base import (cents_to_dollars, money_cents,
+                                    round_fixed)
+
+
+def cube_revenue(orders: DataFrame, customer: DataFrame,
+                 nation: DataFrame) -> DataFrame:
+    """Revenue + order count over CUBE(nation, year): every combination of
+    (nation, yr), (nation,), (yr,), and the grand total in one pass.
+
+    grouping_id disambiguates "aggregated over" from a genuinely-NULL key
+    (bit set = column aggregated away), mirroring SQL GROUPING().
+    """
+    from asvsp_spark.plans.base import nation_orders
+    base = nation_orders(orders, customer, nation)
+    return (
+        base
+        .withColumn("yr", F.year("o_orderdate"))
+        .cube("nation", "yr")
+        .agg(F.sum("o_cents").alias("revenue_cents"),
+             F.count(F.lit(1)).alias("n_orders"),
+             F.grouping_id().alias("gid"))
+        .select("nation", "yr", "gid",
+                cents_to_dollars(F.col("revenue_cents")).alias("revenue"),
+                "n_orders")
+    )
+
+
+def priority_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles (p25/median/p90) of order value per
+    priority. F.percentile is SQL percentile_cont semantics: sort the
+    group, linear-interpolate between the two straddling values — the
+    exact-but-sortful path; see approx_percentiles for the sketch path.
+
+    Cross-engine parity: percentiles interpolate over exact integer cents
+    (identical input -> identical double), then one fixed-point round.
+    """
+    cents = money_cents(F.col("o_totalprice"))
+    d = orders.select("o_orderpriority", cents.alias("cents"))
+    agg = d.groupBy("o_orderpriority").agg(
+        F.percentile("cents", 0.25).alias("p25_c"),
+        F.percentile("cents", 0.5).alias("p50_c"),
+        F.percentile("cents", 0.9).alias("p90_c"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return agg.select(
+        "o_orderpriority", "n_orders",
+        round_fixed(F.col("p25_c") / 100.0, 4).alias("p25"),
+        round_fixed(F.col("p50_c") / 100.0, 4).alias("median"),
+        round_fixed(F.col("p90_c") / 100.0, 4).alias("p90"),
+    )
+
+
+def approx_percentiles(orders: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """Sketch-based percentiles: approx_percentile partial-aggregates a
+    bounded-size quantile summary map-side, so per-group memory is O(
+    accuracy) regardless of group size — the 100TB path where the exact
+    variant's per-group sort would dominate the job. Estimates are
+    engine-specific (rows-only check); the error bound vs the exact
+    operator is unit-tested.
+    """
+    cents = money_cents(F.col("o_totalprice"))
+    d = orders.select("o_orderpriority", cents.alias("cents"))
+    agg = d.groupBy("o_orderpriority").agg(
+        F.percentile_approx("cents", [0.25, 0.5, 0.9], accuracy).alias("pc"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        (F.col("pc")[0] / 100.0).alias("p25_approx"),
+        (F.col("pc")[1] / 100.0).alias("median_approx"),
+        (F.col("pc")[2] / 100.0).alias("p90_approx"),
+    )

@@ -1,0 +1,51 @@
+"""Stratified sampling for training-data mixture construction.
+
+A 100TB corpus is never trained on whole: pipelines draw a per-stratum
+mixture (by language, source, quality bucket) with fixed fractions. This
+is `sampleBy` — per-row Bernoulli keyed by the stratum column — plus a
+deterministic hash-based variant whose membership is a pure function of
+the row, not of the partitioning.
+
+Scale notes: both variants are narrow (no shuffle — each row decides
+locally); sample fraction reaches the scan as a filter, so downstream
+stages see only the sample. The hash variant is reproducible across
+engines, runs, cluster layouts, AND retries (xxhash64 of the row id —
+Bernoulli `sampleBy` is only stable for a fixed partitioning), which is
+what makes training mixtures auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_FRACTIONS = {"en": 0.5, "de": 0.3, "fr": 0.3, "es": 0.3, "it": 0.3}
+
+
+def stratified_sample(documents: DataFrame,
+                      fractions: dict[str, float] | None = None,
+                      strat_col: str = "lang", seed: int = 42) -> DataFrame:
+    """Bernoulli stratified sample: keep each row of stratum s with
+    probability fractions[s] (unlisted strata are dropped). Same seed +
+    same partitioning -> same sample; engine-specific RNG (rows-only).
+    """
+    return documents.sampleBy(strat_col, fractions or DEFAULT_FRACTIONS, seed)
+
+
+def hash_stratified_sample(documents: DataFrame,
+                           fractions: dict[str, float] | None = None,
+                           strat_col: str = "lang", id_col: str = "doc_id",
+                           salt: int = 42) -> DataFrame:
+    """Deterministic stratified sample: row kept iff
+    ``xxhash64(id, salt) mod 10^6 < fraction * 10^6`` for its stratum —
+    membership depends only on the row id, so the sample is identical
+    across runs, retries, repartitions, and engines that share the hash.
+    The price is hash-uniformity instead of true randomness (fine for
+    mixture construction, not for statistical bootstrap).
+    """
+    fr = fractions or DEFAULT_FRACTIONS
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(1_000_000))
+    keep = F.lit(False)
+    for stratum, frac in fr.items():
+        keep = keep | ((F.col(strat_col) == stratum)
+                       & (bucket < int(frac * 1_000_000)))
+    return documents.filter(keep)

@@ -192,12 +192,16 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
     from pyspark.ml.functions import array_to_vector
 
     spark = embeddings.sparkSession
+    # cache: k-means makes maxIter+1 passes over the vectors, and the
+    # count/fit/transform trio below would otherwise re-vectorize each pass
     emb = embeddings.select(
         F.col(id_col), F.col(vec_col),
-        array_to_vector(as_double(F.col(vec_col))).alias("_fv"))
+        array_to_vector(as_double(F.col(vec_col))).alias("_fv")).cache()
     n = emb.count()
     kc = n_centroids or max(2, int(n ** 0.5))
-    model = KMeans(k=kc, seed=seed, featuresCol="_fv").fit(emb)
+    # a coarse quantizer needs rough cells, not converged ones — a few
+    # Lloyd iterations buy the same recall at a fraction of the passes
+    model = KMeans(k=kc, seed=seed, featuresCol="_fv", maxIter=5).fit(emb)
     assigned = (model.transform(emb)
                 .select(F.col(id_col), F.col(vec_col),
                         F.col("prediction").alias("cell")))

@@ -1,0 +1,99 @@
+"""DuckDB oracle SQL for the extended operators (operators/grouping.py,
+operators/ranges.py, streaming sq6/sq7).
+
+Dialect notes, same stance as the other oracle modules: integer-cents
+aggregates (`CAST(round(x*100) AS BIGINT)`), fixed-point rounding
+(`round(x * 10^d) / 10^d.0`), INT casts where Spark's function returns
+int, and `epoch_us(CAST(ts AS TIMESTAMP))` for any sub-second time
+arithmetic (DuckDB reads the parquet TIMESTAMP_NANOS at nanosecond
+precision; the cast truncates to the same microseconds Spark sees under
+the nanosAsLong shim, so both engines compare identical integers).
+"""
+
+from __future__ import annotations
+
+ORACLE_EXT: dict[str, str] = {}
+
+ORACLE_EXT["cube_revenue_nation_year"] = """
+WITH base AS (
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS yr,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+SELECT nation, yr,
+       CAST(GROUPING(nation, yr) AS BIGINT) AS gid,
+       CAST(sum(cents) AS BIGINT) / 100.0 AS revenue,
+       count(*) AS n_orders
+FROM base
+GROUP BY CUBE (nation, yr)
+"""
+
+ORACLE_EXT["priority_percentiles"] = """
+WITH d AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(quantile_cont(cents, 0.25) / 100.0 * 10000) / 10000.0 AS p25,
+       round(quantile_cont(cents, 0.5) / 100.0 * 10000) / 10000.0 AS median,
+       round(quantile_cont(cents, 0.9) / 100.0 * 10000) / 10000.0 AS p90
+FROM d GROUP BY 1
+"""
+
+ORACLE_EXT["events_after_order"] = """
+WITH ev AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+)
+SELECT o.o_orderkey, o.o_custkey AS user_id,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+       count(e.ts) AS n_events,
+       round(coalesce(sum(e.v), 0) / 100.0 * 100) / 100.0
+           AS event_value_sum
+FROM orders o
+LEFT JOIN ev e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY 1, 2, 3
+"""
+
+# Stream-stream attribution join under single-batch drain: the watermark
+# drops nothing (it only advances between batches), so the oracle is the
+# plain time-range self-join. epoch_us() comparisons mirror Spark's
+# microsecond timestamps exactly.
+ORACLE_EXT["sq6_attribution_join"] = """
+SELECT c.event_id AS conv_event_id,
+       e.event_id AS eng_event_id,
+       c.user_id AS user_id,
+       c.event_type AS conv_type,
+       e.event_type AS eng_type,
+       strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS conv_time,
+       epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(e.ts AS TIMESTAMP))
+           AS lag_micros,
+       CAST(round(c.value * 100) AS BIGINT) / 100.0 AS conv_value
+FROM events e
+JOIN events c
+  ON c.user_id = e.user_id
+ AND e.event_type IN ('click', 'view')
+ AND c.event_type IN ('purchase', 'signup')
+ AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(e.ts AS TIMESTAMP))
+ AND epoch_us(CAST(c.ts AS TIMESTAMP))
+     <= epoch_us(CAST(e.ts AS TIMESTAMP)) + 3600000000
+"""
+
+# Streaming dedup of a doubled feed == plain aggregation of the original
+# events (the engine side proves the cross-batch dedup state removed the
+# 100%-duplicate second micro-batch).
+ORACLE_EXT["sq7_dedup_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(round(value * 100) AS BIGINT)) / count(*))
+            AS BIGINT) / 100.0 AS avg_value
+FROM events GROUP BY 1
+"""

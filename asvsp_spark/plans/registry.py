@@ -22,6 +22,7 @@ from asvsp_spark.operators import similarity as SIM
 from asvsp_spark.plans import queries as Q
 from asvsp_spark.plans.base import round_fixed, yearly_nation_revenue
 from asvsp_spark.plans.oracle import ORACLE
+from asvsp_spark.plans.oracle_ext import ORACLE_EXT
 from asvsp_spark.plans.oracle_rollups import ORACLE_ROLLUPS
 from asvsp_spark.plans.oracle_stream import ORACLE_STREAM
 from asvsp_spark.plans.oracle_text import ORACLE_TEXT
@@ -30,6 +31,7 @@ from asvsp_spark.streaming import queries as SQ
 ORACLE.update(ORACLE_ROLLUPS)
 ORACLE.update(ORACLE_TEXT)
 ORACLE.update(ORACLE_STREAM)
+ORACLE.update(ORACLE_EXT)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -224,6 +226,8 @@ _REGISTRY["sq2c_stateful_trend"] = SQ.sq2c_stateful_trend
 _REGISTRY["sq3_top_users"] = SQ.sq3_top_users
 _REGISTRY["sq4_engagement_conversion"] = SQ.sq4_engagement_conversion
 _REGISTRY["sq5_rank_anomaly"] = SQ.sq5_rank_anomaly
+_REGISTRY["sq6_attribution_join"] = SQ.sq6_attribution_join
+_REGISTRY["sq7_dedup_hourly"] = SQ.sq7_dedup_hourly
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -312,3 +316,50 @@ def _approx_users_daily(spark, sf):  # rows-only: HLL estimates have no
 @register("ivf_topk")
 def _ivf_topk(spark, sf):  # rows-only: partial-probe recall < 1 by design
     return SIM.ivf_topk(_t(spark, sf, "embeddings"))
+
+
+# ---- multi-level aggregation + percentile family ----
+
+@register("cube_revenue_nation_year")
+def _cube_revenue(spark, sf):
+    """CUBE(nation, yr) revenue: all four grouping sets in one pass
+    (operators/grouping.py)."""
+    from asvsp_spark.operators.grouping import cube_revenue
+    return cube_revenue(_t(spark, sf, "orders"), _t(spark, sf, "customer"),
+                        _t(spark, sf, "nation"))
+
+
+@register("priority_percentiles")
+def _priority_percentiles(spark, sf):
+    """Exact interpolated p25/median/p90 of order value per priority."""
+    from asvsp_spark.operators.grouping import priority_percentiles
+    return priority_percentiles(_t(spark, sf, "orders"))
+
+
+@register("approx_priority_percentiles")
+def _approx_priority_percentiles(spark, sf):  # rows-only: sketch estimates
+    """Bounded-memory percentile sketch twin (engine-specific values;
+    error bound vs exact is unit-tested)."""
+    from asvsp_spark.operators.grouping import approx_percentiles
+    return approx_percentiles(_t(spark, sf, "orders"))
+
+
+# ---- range join ----
+
+@register("events_after_order")
+def _events_after_order(spark, sf):
+    """Interval join: per order, the customer's events within 7 days
+    after the order (operators/ranges.py)."""
+    from asvsp_spark.operators.ranges import events_after_order
+    return events_after_order(_t(spark, sf, "orders"), _t(spark, sf, "events"))
+
+
+# ---- stratified sampling ----
+
+@register("stratified_sample_docs")
+def _stratified_sample_docs(spark, sf):  # rows-only: sample membership has
+    """Deterministic hash-stratified document sample (reproducible across
+    runs/partitionings; per-stratum fractions unit-tested)."""
+    from asvsp_spark.operators.sampling import hash_stratified_sample
+    return hash_stratified_sample(_t(spark, sf, "documents")).select(
+        "doc_id", "lang", "source")

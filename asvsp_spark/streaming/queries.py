@@ -43,8 +43,8 @@ from pyspark.sql import functions as F
 from asvsp_spark import tables
 from asvsp_spark.operators.rollups import baselines, centi_avg, value_centi
 from asvsp_spark.plans.base import round_fixed
-from asvsp_spark.streaming.source import (EVENTS_STREAM_SCHEMA, drain,
-                                          events_stream)
+from asvsp_spark.streaming.source import (EVENTS_STREAM_SCHEMA, WATERMARK,
+                                          drain, events_stream)
 from asvsp_spark.streaming.stateful import hourly_trend_stateful
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -308,6 +308,108 @@ def sq4_engagement_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return drain(stream, spark, batch_transform=finish, output_mode="append")
+
+
+# ---------------------------------------------------------------- SQ6
+
+def sq6_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join — the operator the reference
+    FAKES with a per-batch join inside foreachBatch (consumer4.py:118-124;
+    SURVEY §2.8 'Absent': stream-stream joins). Here it is the real thing:
+    each conversion (purchase/signup) is attributed to every engagement
+    event (click/view) by the same user within the preceding hour, joined
+    ON THE LIVE STREAMS with a time-range condition.
+
+    Scale notes: the equality key (user_id) partitions both join-state
+    stores; the range condition plus both sides' 2h watermarks bound
+    retained state to ~3h of events per side (Spark derives the state
+    eviction from the `conv_ts BETWEEN eng_ts AND eng_ts + 1h` constraint),
+    so state is O(hourly rate), not O(history). Inner stream-stream joins
+    emit in append mode only.
+    """
+    eng = (
+        events_stream(spark, sf_dir, watermark=None)
+        .filter(F.col("event_type").isin(*ENGAGEMENT_TYPES))
+        .select(F.col("event_id").alias("eng_event_id"),
+                F.col("user_id").alias("eng_user"),
+                F.col("ts").alias("eng_ts"),
+                F.col("event_type").alias("eng_type"))
+        .withWatermark("eng_ts", WATERMARK)
+    )
+    conv = (
+        events_stream(spark, sf_dir, watermark=None)
+        .filter(F.col("event_type").isin(*CONVERSION_TYPES))
+        .select(F.col("event_id").alias("conv_event_id"),
+                F.col("user_id").alias("conv_user"),
+                F.col("ts").alias("conv_ts"),
+                F.col("event_type").alias("conv_type"),
+                value_centi(F.col("value")).alias("conv_centi"))
+        .withWatermark("conv_ts", WATERMARK)
+    )
+    joined = conv.join(
+        eng,
+        (F.col("eng_user") == F.col("conv_user"))
+        & (F.col("conv_ts") >= F.col("eng_ts"))
+        & (F.col("conv_ts") <= F.col("eng_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    result = joined.select(
+        F.col("conv_event_id"), F.col("eng_event_id"),
+        F.col("conv_user").alias("user_id"),
+        F.col("conv_type"), F.col("eng_type"),
+        F.date_format("conv_ts", "yyyy-MM-dd HH:mm:ss").alias("conv_time"),
+        (F.unix_micros(F.col("conv_ts"))
+         - F.unix_micros(F.col("eng_ts"))).alias("lag_micros"),
+        (F.col("conv_centi") / 100.0).alias("conv_value"),
+    )
+    return drain(result, spark, output_mode="append")
+
+
+# ---------------------------------------------------------------- SQ7
+
+def sq7_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication — `dropDuplicates` keyed by event_id
+    with dedup state crossing micro-batch boundaries (SURVEY §2.8
+    'Absent': dropDuplicates/dedup). The at-least-once ingestion problem:
+    a replayed/duplicated feed must not double-count.
+
+    Harness: the events file is fed TWICE as two micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered like sq2c) — batch 2 is 100%
+    duplicates and must change nothing. That only holds if the dedup
+    state store carries batch 1's keys into batch 2; without it every
+    hourly count would double and each changed group would re-emit. The
+    output is the per-hour event count + average AFTER dedup (distinct
+    aggregates are unsupported on live streams — SURVEY §2.4 'Absent'
+    holds for streaming; batch distinct lives in distinct_users_daily).
+
+    Scale notes: dedup state is one entry per key seen — the exact path
+    (state grows with distinct keys; keyed by event_id it is the Bloom-
+    free at-least-once -> exactly-once repair). For bounded state at
+    100TB use dropDuplicatesWithinWatermark (keys older than the
+    watermark horizon are evicted, trading unbounded history dedup for
+    O(watermark-window) state); the aggregation below is identical.
+    """
+    tmp = tempfile.mkdtemp(prefix="asvsp-sq7-")
+    now = time.time()
+    for i in (0, 1):
+        shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/f{i}.parquet")
+        os.utime(f"{tmp}/f{i}.parquet", (now - 100 + i, now - 100 + i))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+           .option("maxFilesPerTrigger", "1").parquet(tmp))
+    stream = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    deduped = stream.dropDuplicates(["event_id"])
+    agg = (
+        deduped
+        .groupBy(F.window("ts", "1 hour").alias("window"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(value_centi(F.col("value"))).alias("v_sum"))
+    )
+    result = agg.select(
+        _fmt_window_start(), "n_events",
+        centi_avg(F.col("v_sum"), F.col("n_events")).alias("avg_value"))
+    return drain(result, spark)
 
 
 # ---------------------------------------------------------------- SQ5

@@ -55,11 +55,15 @@ WATERMARK = "2 hours"  # reference consumer1.py:47
 
 
 def events_stream(spark: SparkSession, sf_dir: str,
-                  watermark: str = WATERMARK) -> DataFrame:
+                  watermark: str | None = WATERMARK) -> DataFrame:
     """File-source stream over ``{sf_dir}/events.parquet`` with event-time
     watermark — the engine's analogue of the reference's Kafka readers
     (consumer1.py:39-47): source -> typed columns -> to_timestamp ->
     withWatermark.
+
+    ``watermark=None`` returns the stream un-watermarked for callers that
+    rename the event-time column first (a branch may carry only ONE
+    EventTimeWatermark node — e.g. sq6's per-side aliased watermarks).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
@@ -68,13 +72,10 @@ def events_stream(spark: SparkSession, sf_dir: str,
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return (
-        raw
-        # nanos -> micros must use integer division: nanos-since-epoch
-        # (~1.7e18) exceeds double's 2^53 exact range.
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .withWatermark("ts", watermark)
-    )
+    # nanos -> micros must use integer division: nanos-since-epoch
+    # (~1.7e18) exceeds double's 2^53 exact range.
+    typed = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return typed.withWatermark("ts", watermark) if watermark else typed
 
 
 def kafka_stream(spark: SparkSession, brokers: str, topic: str,

@@ -1,0 +1,153 @@
+"""Unit tests for the extended operator family: CUBE aggregation,
+percentiles (exact vs sketch), the range join's boundary semantics, and
+stratified sampling. Oracle parity for the same operators runs in
+test_oracle_parity.py via the registry; these tests pin the semantic
+edges an oracle diff would not localize."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from asvsp_spark import tables
+from tests.conftest import SF_DIR
+
+
+def test_cube_grouping_ids(spark):
+    """CUBE emits all four grouping sets; gid distinguishes 'aggregated
+    away' from a genuine key, and every slice totals to the grand total."""
+    from asvsp_spark.operators.grouping import cube_revenue
+    cube = cube_revenue(tables.load(spark, SF_DIR, "orders"),
+                        tables.load(spark, SF_DIR, "customer"),
+                        tables.load(spark, SF_DIR, "nation")).collect()
+    by_gid = {}
+    for r in cube:
+        by_gid.setdefault(r.gid, []).append(r)
+    # gid bits: nation=MSB, yr=LSB; 0=detail, 1=yr rolled up, 2=nation
+    # rolled up, 3=grand total
+    assert set(by_gid) == {0, 1, 2, 3}
+    assert len(by_gid[3]) == 1
+    grand = by_gid[3][0]
+    assert grand.nation is None and grand.yr is None
+    for gid in (0, 1, 2):
+        assert sum(r.n_orders for r in by_gid[gid]) == grand.n_orders
+        assert round(sum(r.revenue for r in by_gid[gid]), 2) == grand.revenue
+    # rolled-up columns are NULL exactly per the gid bits
+    assert all(r.yr is None and r.nation is not None for r in by_gid[1])
+    assert all(r.nation is None and r.yr is not None for r in by_gid[2])
+
+
+def test_approx_percentiles_within_bound(spark):
+    """The sketch's estimate must land near the exact interpolated
+    percentile. percentile_approx returns an actual element (no
+    interpolation), so on small groups the gap to the interpolated value
+    can be a full inter-element step — 3% covers that at sf0.001 and
+    tightens as groups grow."""
+    from asvsp_spark.operators.grouping import (approx_percentiles,
+                                                priority_percentiles)
+    orders = tables.load(spark, SF_DIR, "orders")
+    exact = {r.o_orderpriority: r for r in priority_percentiles(orders).collect()}
+    approx = {r.o_orderpriority: r for r in approx_percentiles(orders).collect()}
+    assert exact.keys() == approx.keys()
+    for prio, e in exact.items():
+        a = approx[prio]
+        for ex, ap in ((e.median, a.median_approx), (e.p90, a.p90_approx)):
+            assert abs(ap - ex) <= max(1.0, 0.03 * ex), (prio, ex, ap)
+
+
+def test_range_join_boundaries(spark):
+    """Inclusive start, exclusive end: an event at the order's midnight is
+    in; one at exactly +7 days is out."""
+    from asvsp_spark.operators.ranges import events_after_order
+    day0 = datetime.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 10, "O", 0.0, day0, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    events = spark.createDataFrame(
+        [(100, day0, 10, "click", 1.0, "{}"),                       # t=0: in
+         (101, day0 + datetime.timedelta(days=7, seconds=-1), 10,
+          "click", 2.0, "{}"),                                      # in
+         (102, day0 + datetime.timedelta(days=7), 10,
+          "click", 4.0, "{}"),                                      # out
+         (103, day0, 99, "click", 8.0, "{}")],                      # other user
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    out = events_after_order(orders, events, days=7).collect()
+    assert len(out) == 1
+    assert out[0].n_events == 2
+    assert out[0].event_value_sum == 3.0
+
+
+def test_range_join_keeps_orders_without_events(spark):
+    """LEFT semantics: an order with no in-range events keeps a zero row."""
+    from asvsp_spark.operators.ranges import events_after_order
+    orders = tables.load(spark, SF_DIR, "orders")
+    out = events_after_order(orders, tables.load(spark, SF_DIR, "events"))
+    assert out.count() == orders.count()
+
+
+def test_hash_stratified_sample_deterministic(spark):
+    """Hash membership is a pure row function: identical output across
+    runs AND across repartitionings (Bernoulli sampleBy is not)."""
+    from asvsp_spark.operators.sampling import hash_stratified_sample
+    docs = tables.load(spark, SF_DIR, "documents")
+    a = {r.doc_id for r in hash_stratified_sample(docs).collect()}
+    b = {r.doc_id for r in hash_stratified_sample(docs.repartition(7)).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stratified_fractions(spark):
+    """Both variants keep only listed strata, at roughly the asked rate."""
+    from asvsp_spark.operators.sampling import (hash_stratified_sample,
+                                                stratified_sample)
+    docs = tables.load(spark, SF_DIR, "documents")
+    totals = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    fr = {"en": 0.6, "de": 0.2}
+    for sample in (stratified_sample(docs, fr), hash_stratified_sample(docs, fr)):
+        got = {r.lang: r.n for r in
+               sample.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert set(got) <= set(fr)
+        for lang, frac in fr.items():
+            n, tot = got.get(lang, 0), totals.get(lang, 0)
+            if tot >= 20:  # tolerance only meaningful with some mass
+                assert abs(n / tot - frac) < 0.25, (lang, n, tot)
+
+
+def test_stream_stream_join_is_watermarked_state_join(spark):
+    """sq6 joins two live streams (no foreachBatch fake): tiny two-user
+    fixture where only the within-1h pair matches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+
+    from asvsp_spark.streaming import queries as SQ
+
+    d = tempfile.mkdtemp(prefix="sq6-unit-")
+    base_us = 1_700_000_000_000_000
+    rows = [
+        # user 1: click then purchase 30 min later -> match
+        (1, (base_us + 0) * 1000, 1, "click", 1.0, "{}"),
+        (2, (base_us + 1800 * 10**6) * 1000, 1, "purchase", 5.0, "{}"),
+        # user 2: click then purchase 2h later -> no match
+        (3, (base_us + 0) * 1000, 2, "click", 1.0, "{}"),
+        (4, (base_us + 7200 * 10**6) * 1000, 2, "purchase", 5.0, "{}"),
+        # user 1: purchase BEFORE the click -> no match
+        (5, (base_us - 600 * 10**6) * 1000, 1, "purchase", 5.0, "{}"),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    }), f"{d}/events.parquet")
+    out = SQ.sq6_attribution_join(spark, d).collect()
+    assert len(out) == 1
+    assert out[0].conv_event_id == 2 and out[0].eng_event_id == 1
+    assert out[0].lag_micros == 1800 * 10**6
