@@ -1,0 +1,111 @@
+"""Command-line entry points (SURVEY §7.1 step 7): the reference is
+driven by spark-submit scripts + Airflow DAGs (reference
+src/batch/process.sh:3-23, airflow/dags/batch_pipeline_dag.py:54-91);
+this engine exposes the same operations as subcommands of one module:
+
+    python -m asvsp_spark list
+    python -m asvsp_spark run-query q01_yearly_rank_yoy --sf-dir /root/testdata/sf0.01 --limit 20
+    python -m asvsp_spark oracle q01_yearly_rank_yoy
+    python -m asvsp_spark run-batch --sf-dir ... --out-dir /tmp/warehouse
+    python -m asvsp_spark explain cube_revenue_nation_year
+
+Every subcommand builds the session itself — no external launcher or
+metastore needed (cluster users pass --master spark://...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _session(args):
+    from asvsp_spark.session import get_session
+    s = get_session("asvsp-cli", master=args.master)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="asvsp_spark")
+    p.add_argument("--master", default="local[*]")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries (+oracle status)")
+
+    rq = sub.add_parser("run-query", help="run one registered query")
+    rq.add_argument("name")
+    rq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    rq.add_argument("--limit", type=int, default=20)
+
+    ex = sub.add_parser("explain", help="print a query's physical plan")
+    ex.add_argument("name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    orc = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
+    orc.add_argument("name")
+
+    rb = sub.add_parser("run-batch", help="materialize the rollup chain")
+    rb.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    rb.add_argument("--out-dir", required=True)
+
+    xp = sub.add_parser("export", help="write a query result to disk")
+    xp.add_argument("name")
+    xp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    xp.add_argument("--out", required=True)
+    xp.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+
+    args = p.parse_args(argv)
+
+    from asvsp_spark.plans.registry import all_oracle_sql, all_queries
+    queries, oracles = all_queries(), all_oracle_sql()
+
+    if args.cmd == "list":
+        for name in sorted(queries):
+            print(f"{name:32s} {'oracle' if name in oracles else 'rows-only'}")
+        return 0
+
+    if args.cmd == "oracle":
+        if args.name not in oracles:
+            print(f"{args.name}: no oracle (rows-only query)", file=sys.stderr)
+            return 1
+        print(oracles[args.name].strip())
+        return 0
+
+    if args.cmd in ("run-query", "explain"):
+        if args.name not in queries:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 1
+        df = queries[args.name](_session(args), args.sf_dir)
+        if args.cmd == "explain":
+            df.explain("formatted")
+        else:
+            df.show(args.limit, truncate=False)
+            print(f"({df.count()} rows total)")
+        return 0
+
+    if args.cmd == "export":
+        if args.name not in queries:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 1
+        df = queries[args.name](_session(args), args.sf_dir)
+        w = df.write.mode("overwrite")
+        if args.format == "csv":
+            w.option("header", True).csv(args.out)
+        else:
+            w.parquet(args.out)
+        print(f"{args.name}: {df.count()} rows -> {args.out} ({args.format})")
+        return 0
+
+    if args.cmd == "run-batch":
+        from asvsp_spark.pipeline import run_batch_chain
+        layers = run_batch_chain(_session(args), args.sf_dir, args.out_dir)
+        for name, df in layers.items():
+            print(f"{name}: {df.count()} rows -> {args.out_dir}/{name}")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

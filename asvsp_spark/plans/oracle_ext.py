@@ -87,6 +87,38 @@ JOIN events c
      <= epoch_us(CAST(e.ts AS TIMESTAMP)) + 3600000000
 """
 
+# Streaming sessionization (append mode): the batch gaps-and-islands
+# sessionize, emitting only sessions FINALIZED by the watermark — session
+# end (last event + 30min gap) at or before max(ts) - 2h. Session merge
+# uses a STRICT > on the gap (an event at exactly last_ts+gap merges).
+ORACLE_EXT["sq8_session_windows"] = """
+WITH e AS (
+    SELECT user_id, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+),
+flagged AS (
+    SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_s
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+sess AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+),
+m AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx FROM events)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       CAST(round(sum(v) / count(*)) AS BIGINT) / 100.0 AS avg_value,
+       max(us) - min(us) AS dwell_us
+FROM sess, m
+GROUP BY user_id, sid, m.mx
+HAVING max(us) + 1800000000 <= m.mx - 7200000000
+"""
+
 # Streaming dedup of a doubled feed == plain aggregation of the original
 # events (the engine side proves the cross-batch dedup state removed the
 # 100%-duplicate second micro-batch).

@@ -228,6 +228,7 @@ _REGISTRY["sq4_engagement_conversion"] = SQ.sq4_engagement_conversion
 _REGISTRY["sq5_rank_anomaly"] = SQ.sq5_rank_anomaly
 _REGISTRY["sq6_attribution_join"] = SQ.sq6_attribution_join
 _REGISTRY["sq7_dedup_hourly"] = SQ.sq7_dedup_hourly
+_REGISTRY["sq8_session_windows"] = SQ.sq8_session_windows
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -412,6 +412,28 @@ def sq7_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain(result, spark)
 
 
+# ---------------------------------------------------------------- SQ8
+
+def sq8_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization — the same `user_sessions` transform
+    (operators/sessions.py) attached to the live watermarked stream:
+    `F.session_window` merges events into per-user sessions incrementally,
+    with session state evicted once the watermark passes a session's end
+    (SURVEY §2.8 'Absent': session windows — the reference has none).
+
+    One transform, two execution modes: the batch registry entry
+    (sessionize_users) and this drain run the IDENTICAL function — the
+    batch/streaming unification Structured Streaming promises. Streaming
+    session aggs emit in APPEND mode only (a session is final once the
+    watermark passes its end), so the output is the batch result minus
+    sessions ending inside the final 2h watermark horizon — the oracle
+    applies exactly that HAVING filter (same emission rule as sq2c).
+    """
+    from asvsp_spark.operators.sessions import user_sessions
+    return drain(user_sessions(events_stream(spark, sf_dir)), spark,
+                 output_mode="append")
+
+
 # ---------------------------------------------------------------- SQ5
 
 def sq5_rank_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -151,3 +151,14 @@ def test_stream_stream_join_is_watermarked_state_join(spark):
     assert len(out) == 1
     assert out[0].conv_event_id == 2 and out[0].eng_event_id == 1
     assert out[0].lag_micros == 1800 * 10**6
+
+
+def test_cli_list_oracle_paths(capsys):
+    """CLI surfaces: list + oracle subcommands (sessionless paths)."""
+    from asvsp_spark.cli import main
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_yearly_rank_yoy" in out and "rows-only" in out
+    assert main(["oracle", "q09_weekend_effect"]) == 0
+    assert "SELECT" in capsys.readouterr().out
+    assert main(["oracle", "lsh_topk"]) == 1
