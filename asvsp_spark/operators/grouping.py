@@ -71,6 +71,31 @@ def priority_percentiles(orders: DataFrame) -> DataFrame:
     )
 
 
+def pivot_daily_type(events: DataFrame,
+                     types: tuple[str, ...] = ("click", "error", "purchase",
+                                               "signup", "view")) -> DataFrame:
+    """Native pivot: per-day average value with one column per event type
+    — the batch form of sq2's manual conditional-aggregation pivot, using
+    Spark's `groupBy().pivot()` with an EXPLICIT value list (omitting it
+    costs an extra distinct-scan job to discover the values and makes the
+    output schema data-dependent — never do that at 100TB).
+
+    Exact integer-cents averages per cell, same discipline as the rollups.
+    """
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    d = events.select(F.to_date("ts").alias("day"), "event_type",
+                      cents.alias("v"))
+    agg = (
+        d.groupBy("day")
+        .pivot("event_type", list(types))
+        .agg(F.round(F.sum("v") / F.count(F.lit(1)), 0).cast("long"))
+    )
+    out = agg.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        *[(F.col(t) / 100.0).alias(f"avg_{t}") for t in types])
+    return out
+
+
 def approx_percentiles(orders: DataFrame, accuracy: int = 10000) -> DataFrame:
     """Sketch-based percentiles: approx_percentile partial-aggregates a
     bounded-size quantile summary map-side, so per-group memory is O(

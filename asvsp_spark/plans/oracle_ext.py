@@ -63,6 +63,74 @@ LEFT JOIN ev e
 GROUP BY 1, 2, 3
 """
 
+ORACLE_EXT["pivot_daily_type"] = """
+WITH d AS (
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(round(sum(CASE WHEN event_type = 'click' THEN v END)
+            / count(CASE WHEN event_type = 'click' THEN 1 END)) AS BIGINT) / 100.0 AS avg_click,
+       CAST(round(sum(CASE WHEN event_type = 'error' THEN v END)
+            / count(CASE WHEN event_type = 'error' THEN 1 END)) AS BIGINT) / 100.0 AS avg_error,
+       CAST(round(sum(CASE WHEN event_type = 'purchase' THEN v END)
+            / count(CASE WHEN event_type = 'purchase' THEN 1 END)) AS BIGINT) / 100.0 AS avg_purchase,
+       CAST(round(sum(CASE WHEN event_type = 'signup' THEN v END)
+            / count(CASE WHEN event_type = 'signup' THEN 1 END)) AS BIGINT) / 100.0 AS avg_signup,
+       CAST(round(sum(CASE WHEN event_type = 'view' THEN v END)
+            / count(CASE WHEN event_type = 'view' THEN 1 END)) AS BIGINT) / 100.0 AS avg_view
+FROM d GROUP BY day
+"""
+
+# Dedup clustering: min-reachable-id connected components over the exact
+# jaccard near-dup edges, via recursive-CTE reachability (tractable at
+# oracle scale; the engine's iterative min-label propagation computes the
+# identical fixpoint).
+_JACCARD_EDGES = """
+    WITH sh AS (
+        SELECT doc_id AS doc,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents)
+    ),
+    nonempty AS (SELECT doc, shingles FROM sh WHERE len(shingles) > 0),
+    sz AS (SELECT doc, len(shingles) AS n_sh FROM nonempty),
+    post AS (SELECT doc, unnest(shingles) AS s FROM nonempty),
+    inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+        FROM post a JOIN post b ON a.s = b.s AND a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b FROM inter
+    JOIN sz sa ON sa.doc = doc_a
+    JOIN sz sb ON sb.doc = doc_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+"""
+
+ORACLE_EXT["dedup_components"] = f"""
+WITH RECURSIVE
+edges AS ({_JACCARD_EDGES}),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+r AS (
+    SELECT u AS doc, u AS reach FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT r.doc, s.v FROM r JOIN sym s ON s.u = r.reach
+),
+cc AS (SELECT doc, min(reach) AS component FROM r GROUP BY doc),
+assigned AS (
+    SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cc ON cc.doc = d.doc_id
+),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM assigned GROUP BY 1)
+SELECT a.doc_id, a.cluster_id, s.cluster_size,
+       a.doc_id = a.cluster_id AS is_keeper
+FROM assigned a JOIN sizes s USING (cluster_id)
+"""
+
 # Stream-stream attribution join under single-batch drain: the watermark
 # drops nothing (it only advances between batches), so the oracle is the
 # plain time-range self-join. epoch_us() comparisons mirror Spark's

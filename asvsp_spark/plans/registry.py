@@ -345,6 +345,26 @@ def _approx_priority_percentiles(spark, sf):  # rows-only: sketch estimates
     return approx_percentiles(_t(spark, sf, "orders"))
 
 
+@register("pivot_daily_type")
+def _pivot_daily_type(spark, sf):
+    """Native groupBy().pivot() with explicit value list
+    (operators/grouping.py)."""
+    from asvsp_spark.operators.grouping import pivot_daily_type
+    return pivot_daily_type(_t(spark, sf, "events"))
+
+
+# ---- dedup clustering (connected components) ----
+
+@register("dedup_components")
+def _dedup_components(spark, sf):
+    """Near-dup pairs -> dedup clusters via iterative min-label connected
+    components (operators/components.py); canonical keeper = min doc id."""
+    from asvsp_spark.operators.components import dedup_clusters
+    docs = _t(spark, sf, "documents")
+    edges = D.jaccard_pairs(docs, threshold=0.3).select("doc_a", "doc_b")
+    return dedup_clusters(docs, edges)
+
+
 # ---- range join ----
 
 @register("events_after_order")

@@ -162,3 +162,23 @@ def test_cli_list_oracle_paths(capsys):
     assert main(["oracle", "q09_weekend_effect"]) == 0
     assert "SELECT" in capsys.readouterr().out
     assert main(["oracle", "lsh_topk"]) == 1
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 5-vertex chain (needs multiple propagation rounds to converge),
+    a separate pair, and a doc with no edges (singleton cluster)."""
+    from asvsp_spark.operators.components import (connected_components,
+                                                  dedup_clusters)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "doc_a long, doc_b long")
+    cc = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 10, 11, 99)],
+                                 "doc_id long")
+    out = {r.doc_id: r for r in dedup_clusters(docs, edges).collect()}
+    assert out[99].cluster_id == 99 and out[99].cluster_size == 1
+    assert out[99].is_keeper
+    assert out[5].cluster_id == 1 and out[5].cluster_size == 5
+    assert not out[5].is_keeper and out[1].is_keeper
