@@ -44,13 +44,15 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             .groupBy(F.col("u").alias("vertex"))
             .agg(F.min("label").alias("n_min"))
         )
+        # lazy localCheckpoint: the count() below materializes it, so each
+        # round costs ONE job (eager=True + count was two)
         updated = (
             labels.join(neigh, "vertex", "left")
             .select("vertex",
                     F.least("label", F.coalesce("n_min", "label"))
                     .alias("label"),
                     (F.col("n_min") < F.col("label")).alias("_changed"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if changed == 0:

@@ -430,8 +430,11 @@ def sq8_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies exactly that HAVING filter (same emission rule as sq2c).
     """
     from asvsp_spark.operators.sessions import user_sessions
+    # per-user session state is high-cardinality (unlike the window x
+    # type state of sq1-5), so more state-store partitions win: measured
+    # 16 > 8 > 32 at sf0.1 local[32]
     return drain(user_sessions(events_stream(spark, sf_dir)), spark,
-                 output_mode="append")
+                 output_mode="append", shuffle_partitions=16)
 
 
 # ---------------------------------------------------------------- SQ5

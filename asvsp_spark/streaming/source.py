@@ -105,7 +105,8 @@ def kafka_stream(spark: SparkSession, brokers: str, topic: str,
 
 def drain(stream_df: DataFrame, spark: SparkSession,
           batch_transform: Callable[[DataFrame], DataFrame] | None = None,
-          output_mode: str = "update") -> DataFrame:
+          output_mode: str = "update",
+          shuffle_partitions: int | None = None) -> DataFrame:
     """Run a streaming query to completion with ``availableNow`` and return
     the accumulated result as a batch DataFrame.
 
@@ -121,8 +122,9 @@ def drain(stream_df: DataFrame, spark: SparkSession,
     fresh checkpoint, so we clamp the conf for the query's lifetime and
     restore it afterwards. The default cap of 8 fits this engine's bounded
     state keys (window x handful of types) — measured 1.8x faster than 32
-    at sf0.1 local[32]; raise SPARK_GRAFT_STREAM_SHUFFLE on a cluster or
-    for high-cardinality keys (e.g. sq3's per-user state at full scale).
+    at sf0.1 local[32]; raise SPARK_GRAFT_STREAM_SHUFFLE on a cluster, or
+    pass ``shuffle_partitions`` per-query for high-cardinality state
+    (e.g. per-user sessions), where more state-store partitions win.
     """
     collected: list = []
     schema_holder: list = []
@@ -132,7 +134,8 @@ def drain(stream_df: DataFrame, spark: SparkSession,
         schema_holder.append(out.schema)
         collected.extend(out.collect())
 
-    cap = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    cap = shuffle_partitions if shuffle_partitions is not None else int(
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
     prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
     ckpt = tempfile.mkdtemp(prefix="asvsp-ckpt-")
     try:
