@@ -106,9 +106,20 @@ def kafka_stream(spark: SparkSession, brokers: str, topic: str,
 def drain(stream_df: DataFrame, spark: SparkSession,
           batch_transform: Callable[[DataFrame], DataFrame] | None = None,
           output_mode: str = "update",
-          shuffle_partitions: int | None = None) -> DataFrame:
+          shuffle_partitions: int | None = None,
+          checkpoint_dir: str | None = None) -> DataFrame:
     """Run a streaming query to completion with ``availableNow`` and return
     the accumulated result as a batch DataFrame.
+
+    ``checkpoint_dir=None`` (default) uses a fresh temp checkpoint — the
+    one-shot full-drain the registered queries want. Passing a persistent
+    directory makes the drain RESUMABLE: a later call with the same
+    checkpoint processes only source data that arrived since the previous
+    run (offsets + state are recovered), which is the production cadence —
+    an hourly/cron incremental drain instead of a 24/7 process — and the
+    engine's replacement for the reference's wipe-checkpoints-and-replay
+    ritual (streaming_pipeline_dag.py:33-46). Tested in
+    tests/test_streaming_semantics.py::test_drain_resumes_from_checkpoint.
 
     ``batch_transform`` runs INSIDE foreachBatch on each micro-batch — the
     reference's escape hatch for batch-only ops (dense_rank/lag/joins)
@@ -137,7 +148,7 @@ def drain(stream_df: DataFrame, spark: SparkSession,
     cap = shuffle_partitions if shuffle_partitions is not None else int(
         os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
     prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    ckpt = tempfile.mkdtemp(prefix="asvsp-ckpt-")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="asvsp-ckpt-")
     try:
         if int(prev) > cap:
             spark.conf.set("spark.sql.shuffle.partitions", str(cap))
@@ -153,5 +164,10 @@ def drain(stream_df: DataFrame, spark: SparkSession,
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     if not schema_holder:
+        if checkpoint_dir is not None and batch_transform is None:
+            # resumable drain with nothing new since the last run: empty
+            # result with the stream's own schema (a transform's output
+            # schema is unknowable without a batch, so that case errors)
+            return spark.createDataFrame([], stream_df.schema)
         raise RuntimeError("stream produced no micro-batches")
     return spark.createDataFrame(collected, schema_holder[0])

@@ -1,0 +1,97 @@
+"""Physical-plan regression tests: the scale posture (broadcast the
+dimensions, push filters to the scan, aggregate partially before any
+shuffle) is asserted on the actual executed plans, so a refactor that
+silently degrades a plan — a broadcast that becomes a sort-merge + full
+shuffle, a filter that stops reaching parquet — fails CI, not the
+100TB run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from asvsp_spark import tables
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dimension_joins_broadcast(spark):
+    """q01's orders->customer->nation enrichment must broadcast both
+    dimension sides — no shuffle of the fact table for a join."""
+    from asvsp_spark.plans.base import nation_orders
+    plan = _plan(nation_orders(tables.load(spark, SF_DIR, "orders"),
+                               tables.load(spark, SF_DIR, "customer"),
+                               tables.load(spark, SF_DIR, "nation")))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    """A column filter must reach the parquet reader as PushedFilters and
+    the scan must prune to the projected columns (ReadSchema)."""
+    orders = tables.load(spark, SF_DIR, "orders")
+    q = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_orderkey", "o_totalprice"))
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)" in plan
+    # schema pruning: scan reads only the filter + projection columns
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderdate" not in read and "o_custkey" not in read
+
+
+def test_rollup_aggregates_partially_before_shuffle(spark):
+    """daily_rollup must plan partial_* aggregate functions below the
+    exchange (map-side combine) — the property that makes low-cardinality
+    group-bys shuffle groups, not rows."""
+    from asvsp_spark.operators.rollups import daily_rollup
+    plan = _plan(daily_rollup(tables.load(spark, SF_DIR, "events")))
+    partial, final = plan.find("partial_"), plan.find("Exchange")
+    assert partial != -1 and final != -1
+    # the string prints top-down: final agg, exchange, partial agg —
+    # so 'partial_' must appear AFTER 'Exchange' in text order
+    assert partial > final
+
+
+def test_range_join_has_equality_key_not_nested_loop(spark):
+    """events_after_order must use the user equality key for the join
+    (hash or sort-merge), never BroadcastNestedLoopJoin/cartesian."""
+    from asvsp_spark.operators.ranges import events_after_order
+    plan = _plan(events_after_order(tables.load(spark, SF_DIR, "orders"),
+                                    tables.load(spark, SF_DIR, "events")))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_whole_stage_codegen_covers_rollup(spark):
+    """The rollup pipeline must run inside WholeStageCodegen spans (no
+    interpreted expression islands in the hot path). Codegen spans only
+    appear in the FINAL adaptive plan, so execute first."""
+    from asvsp_spark.operators.rollups import daily_rollup
+    df = daily_rollup(tables.load(spark, SF_DIR, "events"))
+    df.collect()  # count() would spawn a separate query execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark operators fused into WholeStageCodegen stage n
+    assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_stream_static_join_broadcasts_static_side(spark):
+    """sq1's baseline join must broadcast the (tiny) static side so the
+    stream never shuffles for the join. Asserted on the batch twin of the
+    joined plan (the streaming plan chooses the same strategy)."""
+    from asvsp_spark.operators.rollups import baselines, centi_avg, value_centi
+    events = tables.load(spark, SF_DIR, "events")
+    agg = (events.groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+           .agg(F.sum(value_centi(F.col("value"))).alias("v_sum"),
+                F.count(F.lit(1)).alias("n_events")))
+    base = F.broadcast(baselines(events))
+    joined = (agg.withColumn("hr", F.hour("window.start"))
+              .withColumn("mon", F.month("window.start"))
+              .withColumn("is_weekend",
+                          F.dayofweek(F.to_date("window.start")).isin(1, 7))
+              .join(base, ["event_type", "mon", "hr", "is_weekend"], "left"))
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

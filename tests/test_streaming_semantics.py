@@ -229,3 +229,78 @@ def test_stateful_trend_merges_state_across_batches(spark):
             return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
 
         assert rs(got) == rs(expected)
+
+
+def test_drain_resumes_from_checkpoint(spark):
+    """A persistent checkpoint makes drain incremental: the second run
+    processes ONLY files that arrived after the first, recovering window
+    state (counts continue, not restart); a third run with no new data
+    returns an empty frame instead of reprocessing."""
+    import os
+    import tempfile
+
+    from asvsp_spark.streaming.source import drain
+
+    tmpdir = tempfile.mkdtemp(prefix="ckpt-resume-")
+    path, ckpt = f"{tmpdir}/in", f"{tmpdir}/ckpt"
+    os.makedirs(path)
+
+    # split by TIME, not id: in a resumed stream the recovered watermark
+    # (max ts of run 1 minus 2h) drops older late arrivals — which is
+    # correct streaming semantics, so run 2's file must be NEWER data
+    events = tables.load(spark, SF_DIR, "events")
+    mid = events.agg(F.expr("timestamp_micros(CAST(avg(unix_micros(ts)) "
+                            "AS LONG))").alias("m")).first()["m"]
+    halves = []
+    for i, cond in enumerate([F.col("ts") < F.lit(mid),
+                              F.col("ts") >= F.lit(mid)]):
+        out = f"{tmpdir}/half{i}"
+        (events.filter(cond)
+         .withColumn("ts_long", (F.unix_micros("ts") * 1000).cast("long"))
+         .drop("ts").withColumnRenamed("ts_long", "ts")
+         .select("event_id", "ts", "user_id", "event_type", "value", "props")
+         .coalesce(1).write.mode("overwrite").parquet(out))
+        halves.append(out)
+    parts = []
+    for i, half in enumerate(halves):
+        name = [f for f in sorted(os.listdir(half))
+                if f.endswith(".parquet")][0]
+        parts.append((half, name, f"t{i}.parquet"))
+
+    def agg():
+        return (_stream(spark, path)
+                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                        .alias("ws"), "event_type", "n"))
+
+    import shutil
+    src0, name0, dst0 = parts[0]
+    shutil.copy(f"{src0}/{name0}", f"{path}/{dst0}")
+    first = drain(agg(), spark, checkpoint_dir=ckpt).collect()
+    assert first
+
+    src1, name1, dst1 = parts[1]
+    shutil.copy(f"{src1}/{name1}", f"{path}/{dst1}")
+    second = drain(agg(), spark, checkpoint_dir=ckpt).collect()
+    assert second
+
+    # state recovered: the final (last-emitted) count per key across both
+    # incremental runs equals the one-shot batch aggregation
+    events = tables.load(spark, SF_DIR, "events")
+    batch = {(r.ws, r.event_type): r.n for r in (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                "event_type", "n")).collect()}
+    last_update: dict = {}
+    for r in first + second:
+        last_update[(r.ws, r.event_type)] = r.n
+    assert last_update == batch
+
+    # second run must NOT have re-emitted batch-1-only windows: every row
+    # it produced reflects a key updated by file 2
+    assert len(second) < len(batch)
+
+    third = drain(agg(), spark, checkpoint_dir=ckpt).collect()
+    assert third == []
