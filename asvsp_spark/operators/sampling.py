@@ -16,7 +16,7 @@ what makes training mixtures auditable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 DEFAULT_FRACTIONS = {"en": 0.5, "de": 0.3, "fr": 0.3, "es": 0.3, "it": 0.3}
 
@@ -49,3 +49,28 @@ def hash_stratified_sample(documents: DataFrame,
         keep = keep | ((F.col(strat_col) == stratum)
                        & (bucket < int(frac * 1_000_000)))
     return documents.filter(keep)
+
+
+def sample_k_per_group(documents: DataFrame, k: int = 10,
+                       strat_col: str = "lang", id_col: str = "doc_id",
+                       salt: str = "s42") -> DataFrame:
+    """Exactly-k-per-stratum sample (fewer if the stratum is smaller):
+    rank rows within each stratum by md5(id || salt) and keep rank <= k —
+    the deterministic, engine-portable stand-in for per-group reservoir
+    sampling (md5 exists in every engine, so the EXACT sample membership
+    is oracle-checkable; a true reservoir is RNG- and order-dependent).
+
+    Scale: one shuffle on the stratum key; rank over a hash needs no
+    pre-sorted data. For strata too hot for one reducer, pre-aggregate a
+    per-partition top-k first (same hash order) — the merge of partition
+    top-ks is the global top-k, the classic distributed-reservoir trick.
+    """
+    w = Window.partitionBy(strat_col).orderBy("h", id_col)
+    return (
+        documents
+        .withColumn("h", F.md5(F.concat(F.col(id_col).cast("string"),
+                                        F.lit(salt))))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col(id_col), F.col(strat_col), F.col("rk"))
+    )

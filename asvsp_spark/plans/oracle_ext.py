@@ -63,6 +63,30 @@ LEFT JOIN ev e
 GROUP BY 1, 2, 3
 """
 
+ORACLE_EXT["doc_length_histogram"] = """
+SELECT CAST(floor(length(text) / 500) * 500 AS BIGINT) AS bucket_lo,
+       count(*) AS n_docs,
+       CAST(min(length(text)) AS INT) AS min_chars,
+       CAST(max(length(text)) AS INT) AS max_chars
+FROM documents GROUP BY 1
+"""
+
+# Deterministic k-per-group sample: md5 exists in both engines, so the
+# exact membership (not just the size) hash-matches.
+ORACLE_EXT["sample_k_per_group"] = """
+WITH h AS (
+    SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR) || 's42') AS h
+    FROM documents
+),
+r AS (
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                AS INT) AS rk
+    FROM h
+)
+SELECT doc_id, lang, rk FROM r WHERE rk <= 10
+"""
+
 ORACLE_EXT["pivot_daily_type"] = """
 WITH d AS (
     SELECT CAST(ts AS DATE) AS day, event_type,

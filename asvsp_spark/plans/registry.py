@@ -375,6 +375,34 @@ def _events_after_order(spark, sf):
     return events_after_order(_t(spark, sf, "orders"), _t(spark, sf, "events"))
 
 
+@register("doc_length_histogram")
+def _doc_length_histogram(spark, sf):
+    """Corpus length distribution: fixed-width histogram of document
+    char lengths (the first thing anyone plots over a training corpus).
+    One partial-aggregating groupBy on a derived bucket key — histogram
+    cost is one scan regardless of corpus size."""
+    width = 500
+    docs = _t(spark, sf, "documents")
+    return (
+        docs
+        .withColumn("bucket", F.floor(F.length("text") / width).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(F.length("text")).cast("int").alias("min_chars"),
+             F.max(F.length("text")).cast("int").alias("max_chars"))
+        .select((F.col("bucket") * width).alias("bucket_lo"),
+                "n_docs", "min_chars", "max_chars")
+    )
+
+
+@register("sample_k_per_group")
+def _sample_k_per_group(spark, sf):
+    """Deterministic exactly-k-per-language sample, md5-ordered so the
+    EXACT membership is oracle-checkable (operators/sampling.py)."""
+    from asvsp_spark.operators.sampling import sample_k_per_group
+    return sample_k_per_group(_t(spark, sf, "documents"), k=10)
+
+
 # ---- stratified sampling ----
 
 @register("stratified_sample_docs")
