@@ -63,6 +63,34 @@ LEFT JOIN ev e
 GROUP BY 1, 2, 3
 """
 
+# Pearson r from exact integer moments over centi-quantized hourly
+# averages — the same six sums, the same one-shot formula.
+ORACLE_EXT["type_correlation"] = """
+WITH s AS (
+    SELECT date_trunc('hour', ts) AS hr, event_type,
+           CAST(round(sum(CAST(round(value * 100) AS BIGINT))
+                / count(*)) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2
+),
+p AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.v AS x, b.v AS y
+    FROM s a JOIN s b ON a.hr = b.hr AND a.event_type < b.event_type
+),
+m AS (
+    SELECT type_a, type_b, count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           sum(x * x) AS sx2, sum(y * y) AS sy2
+    FROM p GROUP BY 1, 2
+)
+SELECT type_a, type_b, n AS n_hours,
+       round((n * sxy - sx * sy)
+             / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) * 1000000)
+           / 1000000.0 AS pearson_r
+FROM m
+"""
+
 ORACLE_EXT["doc_length_histogram"] = """
 SELECT CAST(floor(length(text) / 500) * 500 AS BIGINT) AS bucket_lo,
        count(*) AS n_docs,

@@ -375,6 +375,14 @@ def _events_after_order(spark, sf):
     return events_after_order(_t(spark, sf, "orders"), _t(spark, sf, "events"))
 
 
+@register("type_correlation")
+def _type_correlation(spark, sf):
+    """Pairwise Pearson r between event-type hourly series from exact
+    integer moments (operators/correlate.py)."""
+    from asvsp_spark.operators.correlate import type_correlation
+    return type_correlation(_t(spark, sf, "events"))
+
+
 @register("doc_length_histogram")
 def _doc_length_histogram(spark, sf):
     """Corpus length distribution: fixed-width histogram of document

@@ -182,3 +182,25 @@ def test_connected_components_chain_and_singletons(spark):
     assert out[99].is_keeper
     assert out[5].cluster_id == 1 and out[5].cluster_size == 5
     assert not out[5].is_keeper and out[1].is_keeper
+
+
+def test_type_correlation_extremes(spark):
+    """A perfectly linear pair gives r=1; a perfectly inverse pair r=-1."""
+    import datetime
+    from asvsp_spark.operators.correlate import type_correlation
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h, base in enumerate([10.0, 20.0, 30.0, 40.0]):
+        ts = t0 + datetime.timedelta(hours=h)
+        for typ, v in (("a", base), ("b", 2 * base), ("c", 50.0 - base)):
+            eid += 1
+            rows.append((eid, ts, 1, typ, v, "{}"))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {(r.type_a, r.type_b): r.pearson_r
+           for r in type_correlation(events).collect()}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+    assert out[("b", "c")] == -1.0
