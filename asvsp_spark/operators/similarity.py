@@ -200,8 +200,17 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
     n = emb.count()
     kc = n_centroids or max(2, int(n ** 0.5))
     # a coarse quantizer needs rough cells, not converged ones — a few
-    # Lloyd iterations buy the same recall at a fraction of the passes
-    model = KMeans(k=kc, seed=seed, featuresCol="_fv", maxIter=5).fit(emb)
+    # Lloyd iterations buy the same recall at a fraction of the passes.
+    # Train on a deterministic hash-sample when the corpus is large (the
+    # standard IVF practice: centroids from a sample, assignment over
+    # everything); ~40 points per centroid is plenty for coarse cells.
+    train = emb
+    target = 40 * kc
+    if n > 2 * target:
+        denom = max(2, n // target)
+        train = emb.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0)
+    model = KMeans(k=kc, seed=seed, featuresCol="_fv", maxIter=5).fit(train)
     assigned = (model.transform(emb)
                 .select(F.col(id_col), F.col(vec_col),
                         F.col("prediction").alias("cell")))
