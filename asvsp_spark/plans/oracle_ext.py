@@ -63,6 +63,23 @@ LEFT JOIN ev e
 GROUP BY 1, 2, 3
 """
 
+ORACLE_EXT["inactive_customers"] = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND year(o.o_orderdate) = 2001)
+"""
+
+ORACLE_EXT["repeat_buyer_segments"] = """
+SELECT c.c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 200000.0)
+GROUP BY 1
+"""
+
 # Pearson r from exact integer moments over centi-quantized hourly
 # averages — the same six sums, the same one-shot formula.
 ORACLE_EXT["type_correlation"] = """

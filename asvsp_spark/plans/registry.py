@@ -375,6 +375,39 @@ def _events_after_order(spark, sf):
     return events_after_order(_t(spark, sf, "orders"), _t(spark, sf, "events"))
 
 
+@register("inactive_customers")
+def _inactive_customers(spark, sf):
+    """LEFT ANTI join (SURVEY §2.3 'Absent': semi/anti): customers with
+    no orders in 2001 (churn candidates). Anti/semi joins never
+    materialize the right side's columns, so the build side carries keys
+    only — at scale this is the cheapest possible existence check (and
+    Catalyst rewrites NOT EXISTS subqueries to exactly this plan)."""
+    cust = _t(spark, sf, "customer")
+    orders_2001 = (_t(spark, sf, "orders")
+                   .filter(F.year("o_orderdate") == 2001)
+                   .select(F.col("o_custkey").alias("c_custkey")))
+    return (
+        cust.join(orders_2001, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register("repeat_buyer_segments")
+def _repeat_buyer_segments(spark, sf):
+    """LEFT SEMI join: per-segment count of customers having at least
+    one high-value order (existence, not multiplicity — a plain inner
+    join would duplicate customers per matching order)."""
+    cust = _t(spark, sf, "customer")
+    big = (_t(spark, sf, "orders")
+           .filter(F.col("o_totalprice") > 200000.0)
+           .select(F.col("o_custkey").alias("c_custkey")))
+    return (
+        cust.join(big, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 @register("type_correlation")
 def _type_correlation(spark, sf):
     """Pairwise Pearson r between event-type hourly series from exact
