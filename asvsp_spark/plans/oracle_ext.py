@@ -63,6 +63,42 @@ LEFT JOIN ev e
 GROUP BY 1, 2, 3
 """
 
+# Snapshot diff: the synthetic 'new' snapshot's membership/changes are
+# pure key arithmetic, so the oracle states the expected classification
+# directly (the engine computes it via fingerprint full-outer join).
+ORACLE_EXT["snapshot_diff_orders"] = """
+WITH o AS (
+    SELECT o_orderkey % 13 = 0 AS removed_,
+           o_orderkey % 5 = 0 AS changed_,
+           o_orderkey % 17 = 0 AS added_src
+    FROM orders
+)
+SELECT status, n_keys FROM (
+    SELECT 'removed' AS status, count(*) AS n_keys FROM o WHERE removed_
+    UNION ALL
+    SELECT 'changed', count(*) FROM o WHERE NOT removed_ AND changed_
+    UNION ALL
+    SELECT 'unchanged', count(*) FROM o WHERE NOT removed_ AND NOT changed_
+    UNION ALL
+    SELECT 'added', count(*) FROM o WHERE added_src
+) WHERE n_keys > 0
+"""
+
+ORACLE_EXT["top_terms_per_lang"] = r"""
+WITH t AS (
+    SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+    FROM documents
+),
+c AS (SELECT lang, term, count(*) AS tf FROM t GROUP BY 1, 2),
+r AS (
+    SELECT lang, term, tf,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY tf DESC, term) AS INT) AS rk
+    FROM c
+)
+SELECT lang, term, tf, rk FROM r WHERE rk <= 10
+"""
+
 ORACLE_EXT["inactive_customers"] = """
 SELECT c.c_custkey, c.c_name, c.c_mktsegment
 FROM customer c

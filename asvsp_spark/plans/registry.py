@@ -375,6 +375,45 @@ def _events_after_order(spark, sf):
     return events_after_order(_t(spark, sf, "orders"), _t(spark, sf, "events"))
 
 
+@register("snapshot_diff_orders")
+def _snapshot_diff_orders(spark, sf):
+    """Snapshot diff audit (operators/diff.py): synthesize a 'new'
+    snapshot from orders — drop keys %13==0, bump price on %5==0, add
+    shifted copies of %17==0 — and classify every key."""
+    from asvsp_spark.operators.diff import diff_summary
+    orders = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    base = orders.filter(k % 13 != 0)
+    modified = base.withColumn(
+        "o_totalprice",
+        F.when(k % 5 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")))
+    added = (orders.filter(k % 17 == 0)
+             .withColumn("o_orderkey", k + F.lit(10**9)))
+    new = modified.unionByName(added)
+    return diff_summary(orders, new, "o_orderkey")
+
+
+@register("top_terms_per_lang")
+def _top_terms_per_lang(spark, sf):
+    """Corpus vocabulary: top-10 terms per language by total frequency
+    (tie-break on term) — one explode + partial-aggregating count, then
+    a per-lang rank over the tiny aggregated frame."""
+    from pyspark.sql import Window
+    docs = _t(spark, sf, "documents")
+    counts = (
+        docs.select("lang", F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "term", "tf", "rk")
+    )
+
+
 @register("inactive_customers")
 def _inactive_customers(spark, sf):
     """LEFT ANTI join (SURVEY §2.3 'Absent': semi/anti): customers with

@@ -204,3 +204,18 @@ def test_type_correlation_extremes(spark):
     assert out[("a", "b")] == 1.0
     assert out[("a", "c")] == -1.0
     assert out[("b", "c")] == -1.0
+
+
+def test_snapshot_diff_statuses_and_nulls(spark):
+    """All four statuses; a NULL value must differ from the string 'null'
+    and from empty (sentinel-encoded fingerprint)."""
+    from asvsp_spark.operators.diff import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "gone")],
+        "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, ""), (5, "new")],
+        "k long, v string")
+    out = {r.k: r.status for r in snapshot_diff(old, new, "k").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "changed",
+                   4: "removed", 5: "added"}
