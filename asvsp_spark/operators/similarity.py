@@ -164,6 +164,35 @@ def lsh_bucketed_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
     )
 
 
+def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|x| / 127,
+    q_i = round(x_i / scale) clamped to [-127, 127]. The 4x storage/
+    bandwidth reduction every billion-vector store takes before anything
+    else; dot products on int8 with a per-vector scale reconstruct
+    cosine to ~1e-2, which the IVF/LSH candidate stages don't notice
+    (exact rescoring happens on the shortlist anyway).
+
+    Pure column expressions (transform over the array) — quantization is
+    a scan-speed map, no shuffle. Zero vectors get scale=0 and an all-
+    zero code (guarded division).
+    """
+    x = as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        amax > 0,
+        F.transform(x, lambda v:
+                    F.greatest(F.lit(-127),
+                               F.least(F.lit(127),
+                                       F.round(v / scale, 0).cast("int"))))
+    ).otherwise(F.transform(x, lambda v: F.lit(0)))
+    return embeddings.select(
+        F.col(id_col),
+        q.alias("q8"),
+        round_fixed(scale, 9).alias("scale"))
+
+
 def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
              n_centroids: int | None = None, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -99,6 +99,24 @@ r AS (
 SELECT lang, term, tf, rk FROM r WHERE rk <= 10
 """
 
+ORACLE_EXT["embedding_quantize_int8"] = """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+m AS (
+    SELECT vec_id, e,
+           list_max(list_transform(e, x -> abs(x))) AS amax
+    FROM v
+)
+SELECT vec_id,
+       CASE WHEN amax > 0
+            THEN list_transform(e, x -> CAST(greatest(-127.0,
+                     least(127.0, round(x / (amax / 127.0)))) AS INT))
+            ELSE list_transform(e, x -> 0) END AS q8,
+       round(amax / 127.0 * 1000000000) / 1000000000.0 AS scale
+FROM m
+"""
+
 ORACLE_EXT["inactive_customers"] = """
 SELECT c.c_custkey, c.c_name, c.c_mktsegment
 FROM customer c

@@ -319,6 +319,14 @@ def _ivf_topk(spark, sf):  # rows-only: partial-probe recall < 1 by design
     return SIM.ivf_topk(_t(spark, sf, "embeddings"))
 
 
+@register("embedding_quantize_int8")
+def _embedding_quantize_int8(spark, sf):
+    """Symmetric int8 vector quantization with per-vector scale
+    (operators/similarity.py quantize_int8) — the 4x storage path for
+    billion-vector stores."""
+    return SIM.quantize_int8(_t(spark, sf, "embeddings"))
+
+
 # ---- multi-level aggregation + percentile family ----
 
 @register("cube_revenue_nation_year")

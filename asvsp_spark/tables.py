@@ -113,6 +113,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    expected = {f.name for f in SCHEMAS[name].fields}
+    actual = set(df.columns)
+    if not expected <= actual:
+        raise ValueError(
+            f"table {name!r} at {sf_dir} is missing declared columns "
+            f"{sorted(expected - actual)} (found {sorted(actual)}) — "
+            "schema drift fails loudly instead of changing types silently")
     return df
 
 

@@ -40,6 +40,10 @@ def duck_with_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
 def _canon(value):
     if value is None:
         return None
+    if hasattr(value, "tolist"):  # numpy scalar or array
+        value = value.tolist()
+    if isinstance(value, (list, tuple)):
+        return tuple(_canon(v) for v in value)
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
@@ -62,7 +66,7 @@ def compare_frames(spark_df, duck_rel, context: str = "") -> None:
         tuple(_canon(v) for v in row)
         for row in sp[cols].itertuples(index=False, name=None))
     dk_rows = sorted(
-        tuple(_canon(v if not hasattr(v, "item") else v.item()) for v in row)
+        tuple(_canon(v) for v in row)
         for row in dk[cols].itertuples(index=False, name=None))
     assert len(sp_rows) == len(dk_rows), (
         f"{context}: row counts differ: spark={len(sp_rows)} duck={len(dk_rows)}")

@@ -219,3 +219,31 @@ def test_snapshot_diff_statuses_and_nulls(spark):
     out = {r.k: r.status for r in snapshot_diff(old, new, "k").collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "changed",
                    4: "removed", 5: "added"}
+
+
+def test_quantize_int8_reconstruction_and_zero(spark):
+    """Dequantized vectors land within scale/2 per component; max
+    component hits exactly +-127; zero vectors get an all-zero code."""
+    from asvsp_spark.operators.similarity import quantize_int8
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    q1, s1 = out[1].q8, out[1].scale
+    assert min(q1) == -127  # the max-magnitude component saturates
+    orig = [0.5, -1.0, 0.25]
+    for o, q in zip(orig, q1):
+        # s1 is the 9-decimal-rounded scale; a component landing exactly
+        # on a .5 rounding boundary can exceed scale/2 by that rounding
+        assert abs(o - q * s1) <= s1 / 2 + 1e-7
+    assert out[2].q8 == [0, 0, 0] and out[2].scale == 0.0
+
+
+def test_tables_load_rejects_schema_drift(spark, tmp_path):
+    """A parquet file missing declared columns fails loudly."""
+    import pytest as _pytest
+    from asvsp_spark import tables
+    bad = str(tmp_path / "bad")
+    spark.range(3).selectExpr("id AS o_orderkey").write.parquet(bad + "/orders.parquet")
+    with _pytest.raises(ValueError, match="missing declared columns"):
+        tables.load(spark, bad, "orders")
