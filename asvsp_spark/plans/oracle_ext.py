@@ -109,10 +109,11 @@ m AS (
     FROM v
 )
 SELECT vec_id,
-       CASE WHEN amax > 0
-            THEN list_transform(e, x -> CAST(greatest(-127.0,
-                     least(127.0, round(x / (amax / 127.0)))) AS INT))
-            ELSE list_transform(e, x -> 0) END AS q8,
+       array_to_string(
+           CASE WHEN amax > 0
+                THEN list_transform(e, x -> CAST(greatest(-127.0,
+                         least(127.0, round(x / (amax / 127.0)))) AS INT))
+                ELSE list_transform(e, x -> 0) END, ',') AS q8,
        round(amax / 127.0 * 1000000000) / 1000000000.0 AS scale
 FROM m
 """
