@@ -62,27 +62,53 @@ def cosine_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
 
 
 def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.45,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_blocks: int | None = None,
+                     target_block: int = 2048,
+                     max_exact: int = 2_000_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector leg of the dedup
     family): all (a, b) with a < b and cosine >= threshold.
 
-    Execution: the exact brute-force baseline as a BLOCK-NESTED-LOOP in
-    numpy — the full normalized index is broadcast to every executor, and
-    ``mapInPandas`` scans the corpus once, multiplying each Arrow batch
-    against the index (vectorized BLAS matmul, not per-row Python). One
-    pass over the corpus, no shuffle; valid while n_vectors x dim fits in
-    executor memory (same contract as any broadcast side). Past that, the
-    LSH-bucketed variant (lsh_bucketed_topk's sketch scheme) is the
-    sub-linear scale path.
+    Execution — fully executor-side, nothing is materialized on the
+    driver (r1 review flagged a driver ``toPandas`` collect here):
+
+    - The corpus is hash-assigned to B id-blocks; every unordered block
+      pair (bi <= bj) becomes one cogroup task, and ``applyInPandas``
+      multiplies the two blocks' matrices (vectorized BLAS matmul, not
+      per-row Python). Each side is replicated ~(B+1)/2 times, so total
+      shuffle is ~(B+1)x the corpus and task memory is bounded by
+      2 x target_block x dim doubles regardless of corpus size — the
+      standard blocked all-pairs shape. B defaults to ceil(n /
+      target_block), so block size (hence executor memory per task)
+      stays constant as n grows while task count grows as B^2/2.
+    - Zero-norm vectors are kept with a guarded norm (sim contribution
+      0), not NaN — they can never cross a positive threshold.
+    - Past ``max_exact`` vectors the quadratic task count stops being
+      the right trade, and the operator automatically reroutes to the
+      sub-linear LSH candidate path (random-hyperplane buckets + exact
+      cosine verification, recall < 1): at that scale exact all-pairs is
+      a deliberate choice a caller must opt into by raising max_exact.
     """
     import numpy as np
+    import pandas as pd
 
-    spark = embeddings.sparkSession
-    pdf = embeddings.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    index_bc = spark.sparkContext.broadcast((ids, mat))
+    n = embeddings.count()
+    if n > max_exact:
+        return _cosine_pairs_lsh(embeddings, threshold, id_col, vec_col)
+
+    B = n_blocks or max(1, -(-n // target_block))
+    blocked = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"))
+    # side A owns block pairs (blk, bj >= blk); side B owns (bi <= blk, blk)
+    a_rep = blocked.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("bj"),
+        "vid", "vec")
+    b_rep = blocked.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        "vid", "vec")
 
     out_schema = T.StructType([
         T.StructField("id_a", T.LongType()),
@@ -90,24 +116,83 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.45,
         T.StructField("cos_sim", T.DoubleType()),
     ])
 
-    def scan(batches):
-        import pandas as pd
-        idx_ids, idx_mat = index_bc.value
-        for pdf_batch in batches:
-            b_ids = pdf_batch[id_col].to_numpy()
-            b_mat = np.array([np.asarray(v, dtype=np.float64)
-                              for v in pdf_batch[vec_col]])
-            b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
-            sims = b_mat @ idx_mat.T
-            rows_i, cols_j = np.nonzero(
-                (sims >= threshold) & (b_ids[:, None] < idx_ids[None, :]))
-            yield pd.DataFrame({
-                "id_a": b_ids[rows_i].astype("int64"),
-                "id_b": idx_ids[cols_j].astype("int64"),
-                "cos_sim": np.round(sims[rows_i, cols_j], 6),
-            })
+    def _mat(pdf: "pd.DataFrame") -> "np.ndarray":
+        m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(norms > 0, norms, 1.0)
 
-    return embeddings.select(id_col, vec_col).mapInPandas(scan, out_schema)
+    def score_block_pair(key, left: "pd.DataFrame",
+                         right: "pd.DataFrame") -> "pd.DataFrame":
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cos_sim": pd.Series(dtype="float64")})
+        a_ids = left["vid"].to_numpy()
+        b_ids = right["vid"].to_numpy()
+        sims = _mat(left) @ _mat(right).T
+        if key[0] == key[1]:
+            # diagonal group: both sides are the same block — order by id
+            # so each unordered pair is emitted exactly once
+            rows_i, cols_j = np.nonzero(
+                (sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            id_a, id_b = a_ids[rows_i], b_ids[cols_j]
+        else:
+            # off-diagonal: sides are disjoint blocks (every pair appears
+            # in exactly one group) but hash blocking doesn't respect id
+            # order — canonicalize to (min, max)
+            rows_i, cols_j = np.nonzero(sims >= threshold)
+            id_a = np.minimum(a_ids[rows_i], b_ids[cols_j])
+            id_b = np.maximum(a_ids[rows_i], b_ids[cols_j])
+        return pd.DataFrame({
+            "id_a": id_a.astype("int64"),
+            "id_b": id_b.astype("int64"),
+            "cos_sim": np.round(sims[rows_i, cols_j], 6),
+        })
+
+    return (
+        a_rep.groupby("bi", "bj")
+        .cogroup(b_rep.groupby("bi", "bj"))
+        .applyInPandas(score_block_pair, out_schema)
+    )
+
+
+def _cosine_pairs_lsh(embeddings: DataFrame, threshold: float,
+                      id_col: str, vec_col: str,
+                      n_planes: int = 8) -> DataFrame:
+    """Sub-linear near-dup pair path for corpora past the exact-all-pairs
+    budget: random-hyperplane sign buckets (same deterministic
+    xxhash64-derived planes as lsh_bucketed_topk) generate candidates —
+    only same-bucket pairs are scored — then exact cosine verifies each
+    candidate, so there are no false positives (recall < 1 by design)."""
+    sketched = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        _hyperplane_sketch(vec_col, n_planes).alias("bucket"))
+    a, b = sketched.alias("a"), sketched.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vid") < F.col("b.vid")))
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),
+                round_fixed(cosine(as_double(F.col("a.vec")),
+                                   as_double(F.col("b.vec"))), 6)
+                .alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplane_sketch(vec_col_name: str, n_planes: int = 8) -> F.Column:
+    """Random-hyperplane sign sketch as one LONG: hyperplane j's weight
+    for dimension i is a deterministic pseudo-random +-1 from
+    xxhash64(j, i) — expression-level, reproducible, no stored model."""
+    dim_idx = f"sequence(0, size({vec_col_name}) - 1)"
+    planes = []
+    for j in range(n_planes):
+        proj = (
+            f"aggregate(zip_with({vec_col_name}, "
+            f" transform({dim_idx},"
+            f"  i -> IF((xxhash64({j}L, CAST(i AS LONG)) & 1L) = 1L, 1.0D, -1.0D)),"
+            f" (x, w) -> CAST(x AS DOUBLE) * w), 0.0D, (acc, x) -> acc + x)")
+        planes.append(f"IF({proj} > 0.0D, shiftleft(1L, {j}), 0L)")
+    return F.expr(" | ".join(planes))
 
 
 def lsh_bucketed_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
@@ -115,26 +200,11 @@ def lsh_bucketed_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: random-hyperplane sign LSH buckets, cosine only
     within the query's bucket (plus Hamming-1 probes via per-bit flips).
-
-    Hyperplane j weight for dimension i is a deterministic pseudo-random
-    +-1 from xxhash64(j, i) — expression-level, reproducible, no stored
-    model. Sub-linear: each query scores only its bucket's members.
+    Sub-linear: each query scores only its bucket's members.
     """
-    dim_idx = "sequence(0, size({v}) - 1)"
-
-    def sketch(vec_col_name: str) -> F.Column:
-        planes = []
-        for j in range(n_planes):
-            proj = (
-                f"aggregate(zip_with({vec_col_name}, "
-                f" transform({dim_idx.format(v=vec_col_name)},"
-                f"  i -> IF((xxhash64({j}L, CAST(i AS LONG)) & 1L) = 1L, 1.0D, -1.0D)),"
-                f" (x, w) -> CAST(x AS DOUBLE) * w), 0.0D, (acc, x) -> acc + x)")
-            planes.append(f"IF({proj} > 0.0D, shiftleft(1L, {j}), 0L)")
-        return F.expr(" | ".join(planes))
-
     sketched = embeddings.select(
-        F.col(id_col), F.col(vec_col), sketch(vec_col).alias("bucket"))
+        F.col(id_col), F.col(vec_col),
+        _hyperplane_sketch(vec_col, n_planes).alias("bucket"))
     q = sketched.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
         F.col("bucket").alias("q_bucket"))

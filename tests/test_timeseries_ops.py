@@ -109,3 +109,55 @@ def test_ivf_partial_probe_recall(spark):
     approx = {(r.query_id, r.neighbor_id)
               for r in ivf_topk(emb, n_probe=3).collect()}
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_cosine_dup_pairs_blocked_invariance(spark):
+    """The block count is an execution knob, not a semantic one: forcing
+    multiple block pairs must give exactly the single-block result."""
+    from asvsp_spark import tables
+    from asvsp_spark.operators.similarity import cosine_dup_pairs
+    from tests.conftest import SF_DIR
+    emb = tables.load(spark, SF_DIR, "embeddings")
+
+    def rs(df):
+        return sorted((r.id_a, r.id_b, r.cos_sim) for r in df.collect())
+
+    one = rs(cosine_dup_pairs(emb, threshold=0.45, n_blocks=1))
+    many = rs(cosine_dup_pairs(emb, threshold=0.45, n_blocks=5))
+    assert one == many and len(one) > 0
+
+
+def test_cosine_dup_pairs_zero_norm_guard(spark):
+    """Zero vectors must neither crash nor emit NaN pairs — they simply
+    never cross a positive threshold."""
+    from asvsp_spark.operators.similarity import cosine_dup_pairs
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    got = sorted((r.id_a, r.id_b) for r in
+                 cosine_dup_pairs(emb, threshold=0.5, n_blocks=2).collect())
+    assert got == [(0, 1)]
+
+
+def test_cosine_dup_pairs_lsh_fallback(spark):
+    """Past max_exact the operator reroutes to the LSH candidate path:
+    output must be a value-exact SUBSET of the exact all-pairs result."""
+    from asvsp_spark import tables
+    from asvsp_spark.operators.similarity import cosine_dup_pairs
+    from tests.conftest import SF_DIR
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    exact = {(r.id_a, r.id_b): r.cos_sim
+             for r in cosine_dup_pairs(emb, threshold=0.45).collect()}
+    lsh = {(r.id_a, r.id_b): r.cos_sim
+           for r in cosine_dup_pairs(emb, threshold=0.45, max_exact=1).collect()}
+    assert set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())
+
+
+def test_similarity_module_never_collects_to_driver():
+    """r1 review: the dup-pair index must not be materialized on the
+    driver. Pin it at the source level."""
+    import inspect
+    from asvsp_spark.operators import similarity
+    src = inspect.getsource(similarity)
+    assert ".toPandas(" not in src and ".collect()" not in src
