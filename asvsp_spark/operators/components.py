@@ -60,14 +60,117 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     return labels.select("vertex", F.col("label").alias("component"))
 
 
+def connected_components_star(edges: DataFrame, src: str = "doc_a",
+                              dst: str = "doc_b",
+                              max_iter: int = 20) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the adversarial-diameter path promised by the
+    min-label docstring above: O(log n) rounds on ANY graph shape,
+    where plain label propagation needs diameter rounds (a 10k-vertex
+    chain = 10k rounds).
+
+    Round shape: each star step is one groupBy(u).min + one
+    co-partitioned join back on u — two shuffles per step, four per
+    round, independent of diameter. Same fixpoint as
+    ``connected_components``: every vertex labeled with the min vertex
+    id reachable from it (both steps only ever connect vertices to
+    smaller reachable ids, and at fixpoint every non-root points
+    directly at its component min). Deterministic, oracle-checkable.
+
+    Raises after ``max_iter`` rounds without convergence — with
+    alternating stars that means a bug, not a deep graph.
+    """
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_vertices = (cur.select(F.col("u").alias("vertex"))
+                    .unionByName(cur.select(F.col("v").alias("vertex")))
+                    .distinct()
+                    .localCheckpoint(eager=True))
+    if cur.isEmpty():
+        return all_vertices.withColumn("component", F.col("vertex"))
+
+    def checksum(df: DataFrame):
+        # mod keeps each term < 2^30 so the ANSI-mode sum cannot overflow
+        # a long before ~2^33 edges
+        h = F.pmod(F.xxhash64("u", "v"), F.lit(1 << 30))
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(h).alias("h")).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_sig = checksum(cur)
+    for _ in range(max_iter):
+        # LARGE-STAR: at each vertex u, connect all strictly larger
+        # neighbors to m = min(neighbors(u) + {u})
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m")))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("u"),
+                    F.greatest("v", "m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR: key each edge by its LARGER endpoint u (neighbors
+        # all smaller); connect u and its non-min neighbors to the min
+        ss_in = ls  # already canonical (u < v) -> key by v
+        mins2 = ss_in.groupBy("v").agg(F.min("u").alias("m"))
+        joined = ss_in.join(mins2, "v")
+        ss = (
+            joined.filter(F.col("u") != F.col("m"))
+            .select(F.col("u"), F.col("m").alias("vv"))
+            .unionByName(joined.select(F.col("v").alias("u"),
+                                       F.col("m").alias("vv")))
+            .select(F.least("u", "vv").alias("u"),
+                    F.greatest("u", "vv").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        sig = checksum(ss)
+        cur = ss
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds")
+    # fixpoint edges are stars (min, x): direct component lookup
+    labels = cur.select(F.col("v").alias("vertex"),
+                        F.col("u").alias("component"))
+    return (
+        all_vertices.join(labels, "vertex", "left")
+        .select("vertex", F.coalesce("component", "vertex").alias("component"))
+    )
+
+
 def dedup_clusters(documents: DataFrame, edges: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   algorithm: str = "label") -> DataFrame:
     """Cluster assignment for every document: near-dup cluster id (= min
     doc id in the component), cluster size, and whether this doc is the
     canonical keeper. Documents with no near-dup edge form singleton
     clusters of themselves.
+
+    ``algorithm``: "label" = min-label propagation (rounds = diameter;
+    right for shallow near-dup cliques), "star" = large-star/small-star
+    contraction (O(log n) rounds; right for adversarial shapes). Both
+    compute the identical fixpoint.
     """
-    cc = connected_components(edges)
+    if algorithm == "label":
+        cc = connected_components(edges)
+    elif algorithm == "star":
+        cc = connected_components_star(edges)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     assigned = (
         documents.select(F.col(id_col).alias("doc_id"))
         .join(cc, F.col("doc_id") == cc.vertex, "left")

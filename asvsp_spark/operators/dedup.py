@@ -83,29 +83,69 @@ def shingled(documents: DataFrame, n: int = 3,
     )
 
 
-def jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs via inverted shingle
-    index (no crossJoin): pairs sharing >= 1 shingle are candidates;
-    jaccard = |intersection| / |union| from exact integer counts.
+def df_capped_posting(posting: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
 
-    The posting list feeds two branches (pair intersection + per-doc
-    sizes); localCheckpoint materializes it once instead of recomputing
-    the window+dedup pipeline per branch (~20% at sf0.1)."""
+    The scale guard for every posting-list self-join: a boilerplate
+    shingle shared by k documents contributes k^2 candidate rows, so one
+    hot shingle (license header, template banner) turns a near-linear
+    join quadratic. High-df shingles carry no discriminative signal —
+    dropping them from CANDIDATE GENERATION (never from verification)
+    keeps candidate counts linear without changing verified scores.
+    """
+    if max_df is None:
+        return posting
+    rare = (posting.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh"))
+    return posting.join(rare, "sh", "left_semi")
+
+
+def jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  max_df: int | None = 1000) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via inverted shingle
+    index (no crossJoin). Candidates = pairs sharing >= 1 shingle with
+    document frequency <= max_df (df_capped_posting keeps the self-join
+    linear under boilerplate-heavy corpora); each candidate is then
+    verified with EXACT jaccard over the FULL shingle sets, so the cap
+    only bounds discovery, never distorts scores. A pair whose every
+    shared shingle is hotter than max_df is missed by construction —
+    such pairs share only boilerplate.
+
+    The posting list feeds three branches (cap, candidates,
+    verification); localCheckpoint materializes it once instead of
+    recomputing the window+dedup pipeline per branch (~20% at sf0.1)."""
     posting = shingle_posting(documents, n, id_col, text_col) \
         .localCheckpoint(eager=False)
-    sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = posting.alias("a"), posting.alias("b")
-    inter = (
+    pruned = df_capped_posting(posting, max_df)
+    a, b = pruned.alias("a"), pruned.alias("b")
+    candidates = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # exact verification on full sets, candidates only (semi-join keeps
+    # the collected sets tiny however large the corpus)
+    cand_docs = (candidates
+                 .select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+                 .distinct())
+    cand_sets = (
+        posting.join(F.broadcast(cand_docs), "doc")
+        .groupBy("doc")
+        .agg(F.collect_list("sh").alias("shingles"))
+    )
+    sh_a = cand_sets.select(F.col("doc").alias("doc_a"),
+                            F.col("shingles").alias("sh_a"))
+    sh_b = cand_sets.select(F.col("doc").alias("doc_b"),
+                            F.col("shingles").alias("sh_b"))
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
+        candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
+        .withColumn("n_a", F.size("sh_a"))
+        .withColumn("n_b", F.size("sh_b"))
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("jaccard",
                     F.col("n_inter")
                     / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
@@ -141,7 +181,8 @@ def minhash_signatures(posting: DataFrame, num_hashes: int = 16) -> DataFrame:
 
 def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
                       num_hashes: int = 16, bands: int = 8,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_bucket: int | None = 500) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
     bands x rows = num_hashes; a pair collides if any band's row-slice of
@@ -149,7 +190,18 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
     hashes / 8 bands (r=2), j=0.5 pairs are caught w.p. ~0.9. Verified
     pairs are a (high-recall) subset of jaccard_pairs' output; the final
     jaccard is exact, so no false positives.
+
+    Hot-key guard (the band-join twin of df_capped_posting): a band
+    bucket holding k docs yields k^2 candidates, so buckets larger than
+    ``max_bucket`` are dropped before the self-join — standard LSH
+    practice; only recall on giant (> max_bucket) duplicate cliques is
+    affected, and those surface through any of their other bands.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}): a remainder would silently drop hashes and "
+            "change the advertised collision probability")
     rows = num_hashes // bands
     # materialized once: both the signature path and the verification
     # path read the posting list (see jaccard_pairs)
@@ -164,6 +216,12 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
     ]
     buckets = sig.select(
         "doc", F.explode(F.array(*band_cols)).alias("band_key"))
+    if max_bucket is not None:
+        cold = (buckets.groupBy("band_key")
+                .agg(F.count(F.lit(1)).alias("bsz"))
+                .filter(F.col("bsz") <= max_bucket)
+                .select("band_key"))
+        buckets = buckets.join(cold, "band_key", "left_semi")
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))

@@ -233,7 +233,7 @@ _JACCARD_EDGES = """
     WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
 """
 
-ORACLE_EXT["dedup_components"] = f"""
+_DEDUP_COMPONENTS_SQL = f"""
 WITH RECURSIVE
 edges AS ({_JACCARD_EDGES}),
 sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
@@ -254,6 +254,10 @@ SELECT a.doc_id, a.cluster_id, s.cluster_size,
        a.doc_id = a.cluster_id AS is_keeper
 FROM assigned a JOIN sizes s USING (cluster_id)
 """
+
+ORACLE_EXT["dedup_components"] = _DEDUP_COMPONENTS_SQL
+# star contraction computes the identical fixpoint -> identical oracle
+ORACLE_EXT["dedup_components_star"] = _DEDUP_COMPONENTS_SQL
 
 # Stream-stream attribution join under single-batch drain: the watermark
 # drops nothing (it only advances between batches), so the oracle is the
@@ -309,6 +313,29 @@ SELECT user_id,
 FROM sess, m
 GROUP BY user_id, sid, m.mx
 HAVING max(us) + 1800000000 <= m.mx - 7200000000
+"""
+
+# Bounded-state streaming dedup (sq7b): the engine's 3-batch harness
+# (events -> future sentinel -> full replay at mx+7h) makes the
+# watermark-eviction boundary deterministic — replays of events older
+# than mx-4h re-emit (state evicted at the sentinel batch's commit),
+# newer ones stay suppressed. The oracle states that expected output
+# directly: events + the sentinel + one replay per pre-(mx-4h) event.
+ORACLE_EXT["sq7b_dedup_within_watermark"] = """
+WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+base AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+allr AS (
+    SELECT event_id, ts FROM base
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), mx + INTERVAL 8 HOUR FROM m
+    UNION ALL
+    SELECT b.event_id, m.mx + INTERVAL 7 HOUR
+    FROM base b, m WHERE b.ts < m.mx - INTERVAL 4 HOUR
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM allr GROUP BY 1
 """
 
 # Streaming dedup of a doubled feed == plain aggregation of the original

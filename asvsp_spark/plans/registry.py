@@ -228,6 +228,7 @@ _REGISTRY["sq4_engagement_conversion"] = SQ.sq4_engagement_conversion
 _REGISTRY["sq5_rank_anomaly"] = SQ.sq5_rank_anomaly
 _REGISTRY["sq6_attribution_join"] = SQ.sq6_attribution_join
 _REGISTRY["sq7_dedup_hourly"] = SQ.sq7_dedup_hourly
+_REGISTRY["sq7b_dedup_within_watermark"] = SQ.sq7b_dedup_within_watermark
 _REGISTRY["sq8_session_windows"] = SQ.sq8_session_windows
 
 
@@ -392,6 +393,18 @@ def _dedup_components(spark, sf):
     docs = _t(spark, sf, "documents")
     edges = D.jaccard_pairs(docs, threshold=0.3).select("doc_a", "doc_b")
     return dedup_clusters(docs, edges)
+
+
+@register("dedup_components_star")
+def _dedup_components_star(spark, sf):
+    """Same clusters as dedup_components but via large-star/small-star
+    contraction (operators/components.py connected_components_star) —
+    the O(log n)-round path for adversarial graph diameters; must equal
+    min-label propagation exactly (same oracle)."""
+    from asvsp_spark.operators.components import dedup_clusters
+    docs = _t(spark, sf, "documents")
+    edges = D.jaccard_pairs(docs, threshold=0.3).select("doc_a", "doc_b")
+    return dedup_clusters(docs, edges, algorithm="star")
 
 
 # ---- range join ----

@@ -103,9 +103,12 @@ def overwrite_window_partitions(df: DataFrame, path: str,
     engine's replacement for the reference's truncate-and-append
     idempotency ritual (streaming_pipeline_dag.py:33-46; SURVEY §7.3).
     """
-    (df.sparkSession.conf
-     .set("spark.sql.sources.partitionOverwriteMode", "dynamic"))
-    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    # write-scoped option, NOT the session conf: setting the session-wide
+    # partitionOverwriteMode would silently turn every later plain
+    # overwrite in the same session dynamic (r1 advice)
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(*partition_by).parquet(path))
 
 
 def foreach_batch_overwrite_partitions(path: str, partition_by: list[str]):
@@ -134,10 +137,19 @@ def compact_parquet(spark: SparkSession, path: str,
     driver's file listing long before bytes matter (the classic small-
     files problem). Compaction sizes the rewrite from the dataset's
     ACTUAL on-disk bytes (via the file index, no data scan), coalescing
-    to ceil(bytes / target). Writes to a temp sibling then swaps, so a
-    concurrent reader sees old or new, never half.
+    to ceil(bytes / target).
+
+    Swap protocol: write to a temp sibling, rename the live dir aside,
+    move the temp into place, then delete the old dir — the old data
+    survives (under ``__old``) until the new dir is live, so a crash at
+    any step never loses the only copy. This is NOT an atomic swap: a
+    reader listing between the two renames sees a missing dir, and one
+    that listed before them can fail mid-scan. True atomicity needs
+    renameat2(RENAME_EXCHANGE) or a catalog-level commit (Iceberg/Delta);
+    for single-writer maintenance windows this protocol is standard.
     """
     import math
+    import os as _os
     import shutil as _shutil
     import uuid as _uuid
 
@@ -146,12 +158,24 @@ def compact_parquet(spark: SparkSession, path: str,
     # only — parquet footers are not read for sizeInBytes)
     total = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     n_files = max(1, math.ceil(total / target_file_bytes))
-    tmp = f"{path}__compact_{_uuid.uuid4().hex[:8]}"
-    w = df.repartition(n_files).write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(tmp)
-    _shutil.rmtree(path)
-    _shutil.move(tmp, path)
+    token = _uuid.uuid4().hex[:8]
+    tmp = f"{path}__compact_{token}"
+    try:
+        w = df.repartition(n_files).write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+    except BaseException:
+        _shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    old = f"{path}__old_{token}"
+    _os.rename(path, old)          # same-dir rename: no cross-fs copy
+    try:
+        _os.rename(tmp, path)
+    except BaseException:
+        _os.rename(old, path)      # roll back: old data becomes live again
+        _shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    _shutil.rmtree(old)
     import glob as _glob
     return len(_glob.glob(f"{path}/**/*.parquet", recursive=True))

@@ -32,6 +32,7 @@ and explicitly broadcast, so the stream side never shuffles for the join.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import tempfile
@@ -44,7 +45,8 @@ from asvsp_spark import tables
 from asvsp_spark.operators.rollups import baselines, centi_avg, value_centi
 from asvsp_spark.plans.base import round_fixed
 from asvsp_spark.streaming.source import (EVENTS_STREAM_SCHEMA, WATERMARK,
-                                          drain, events_stream)
+                                          drain, drain_to_parquet,
+                                          events_stream)
 from asvsp_spark.streaming.stateful import hourly_trend_stateful
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -362,7 +364,16 @@ def sq6_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          - F.unix_micros(F.col("eng_ts"))).alias("lag_micros"),
         (F.col("conv_centi") / 100.0).alias("conv_value"),
     )
-    return drain(result, spark, output_mode="append")
+    # row-level output -> production parquet sink (partitioned by
+    # conversion day, overwrite-by-partition idempotency), NOT the
+    # driver-collecting drain: this join emits O(events) rows, and the
+    # read-back below is the only batch materialization.
+    sunk = drain_to_parquet(
+        result.withColumn("conv_day", F.substring("conv_time", 1, 10)),
+        spark, partition_by=["conv_day"], output_mode="append")
+    return sunk.select(
+        "conv_event_id", "eng_event_id", "user_id", "conv_type",
+        "eng_type", "conv_time", "lag_micros", "conv_value")
 
 
 # ---------------------------------------------------------------- SQ7
@@ -410,6 +421,90 @@ def sq7_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fmt_window_start(), "n_events",
         centi_avg(F.col("v_sum"), F.col("n_events")).alias("avg_value"))
     return drain(result, spark)
+
+
+def sq7b_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup — ``dropDuplicatesWithinWatermark``,
+    the 100TB companion to sq7's unbounded ``dropDuplicates``: dedup
+    state is EVICTED once the watermark passes a key's event time + the
+    2h delay, so state is O(watermark window), not O(all keys ever).
+
+    Harness proves the eviction semantics across three micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered):
+      1. the full events table (max event time = mx);
+      2. one future sentinel row (id -1, ts = mx+8h) — advances the
+         watermark and, at its commit, evicts state for keys whose
+         (event time + 2h) fell behind the batch-2 watermark mx-2h,
+         i.e. every event older than mx-4h;
+      3. EVERY event replayed once at ts = mx+7h — replays of evicted
+         keys (ts < mx-4h) sail through and RE-EMIT; replays of keys
+         whose state survived (ts >= mx-4h) are still suppressed.
+    Eviction is lazy — applied at each batch COMMIT with that batch's
+    watermark, never at lookup — so batch 3 sees exactly batch 2's
+    eviction horizon. That lag is deterministic, which is what makes
+    this oracle-checkable: output = events + sentinel + one replay of
+    each pre-(mx-4h) event at mx+7h, aggregated per hour with an id-sum
+    checksum.
+
+    Scale notes: state per key is (key, expiry) and the eviction bound
+    makes total state O(input rate x watermark window) — the at-least-
+    once repair that survives unbounded key cardinality. The per-batch
+    aggregation keeps the drain driver-light (hourly rows only).
+    """
+    tmp = tempfile.mkdtemp(prefix="asvsp-sq7b-")
+    now = time.time()
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/f0.parquet")
+    os.utime(f"{tmp}/f0.parquet", (now - 100, now - 100))
+
+    ev = tables.load(spark, sf_dir, "events")
+    # harness bound: one scalar to position the sentinel/replay batches
+    mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
+
+    def _write_single(df: DataFrame, dest: str, mtime: float) -> None:
+        d = tempfile.mkdtemp(prefix="asvsp-sq7b-w-")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = glob.glob(f"{d}/part-*.parquet")[0]
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    def _nanos_at(hours_after_mx: int) -> F.Column:
+        return (F.unix_micros(
+            F.lit(mx) + F.expr(f"INTERVAL {hours_after_mx} HOURS"))
+            * F.lit(1000)).alias("ts")
+
+    sentinel = spark.createDataFrame(
+        [(-1, 0, "view", 0.0, "{}")],
+        "event_id long, user_id long, event_type string, value double, "
+        "props string",
+    ).select("event_id", _nanos_at(8), "user_id", "event_type", "value",
+             "props")
+    _write_single(sentinel, f"{tmp}/f1.parquet", now - 99)
+
+    replay = ev.select("event_id", _nanos_at(7), "user_id", "event_type",
+                       "value", "props")
+    _write_single(replay, f"{tmp}/f2.parquet", now - 98)
+
+    raw = (spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+           .option("maxFilesPerTrigger", "1").parquet(tmp))
+    deduped = (
+        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+    def per_batch(df: DataFrame) -> DataFrame:
+        return (df.groupBy(F.date_trunc("hour", "ts").alias("hr"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("event_id").alias("ids")))
+
+    out = drain(deduped, spark, batch_transform=per_batch,
+                output_mode="append")
+    return (
+        out.groupBy("hr")
+        .agg(F.sum("n").alias("n_events"), F.sum("ids").alias("id_sum"))
+        .select(F.date_format("hr", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"), "n_events", "id_sum")
+    )
 
 
 # ---------------------------------------------------------------- SQ8

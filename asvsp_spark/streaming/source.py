@@ -171,3 +171,42 @@ def drain(stream_df: DataFrame, spark: SparkSession,
             return spark.createDataFrame([], stream_df.schema)
         raise RuntimeError("stream produced no micro-batches")
     return spark.createDataFrame(collected, schema_holder[0])
+
+
+def drain_to_parquet(stream_df: DataFrame, spark: SparkSession,
+                     partition_by: list[str],
+                     path: str | None = None,
+                     output_mode: str = "append",
+                     shuffle_partitions: int | None = None,
+                     checkpoint_dir: str | None = None) -> DataFrame:
+    """Production-shaped drain for ROW-LEVEL streaming output: micro-
+    batches land in a partitioned parquet sink (overwrite-by-partition,
+    idempotent under re-emits and re-runs — sources/batch.py
+    foreach_batch_overwrite_partitions) and the returned DataFrame READS
+    THE SINK. Nothing row-level ever moves through the driver — ``drain``
+    collects its batches, which is fine for the aggregated SQ outputs but
+    O(events) for row-level joins like sq6.
+    """
+    from asvsp_spark.sources.batch import foreach_batch_overwrite_partitions
+
+    sink_path = path or tempfile.mkdtemp(prefix="asvsp-sink-")
+    cap = shuffle_partitions if shuffle_partitions is not None else int(
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="asvsp-ckpt-")
+    try:
+        if int(prev) > cap:
+            spark.conf.set("spark.sql.shuffle.partitions", str(cap))
+        query = (
+            stream_df.writeStream
+            .outputMode(output_mode)
+            .foreachBatch(foreach_batch_overwrite_partitions(
+                sink_path, partition_by))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(sink_path)

@@ -120,6 +120,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             f"table {name!r} at {sf_dir} is missing declared columns "
             f"{sorted(expected - actual)} (found {sorted(actual)}) — "
             "schema drift fails loudly instead of changing types silently")
+    # type drift fails loudly too: a column silently arriving as a
+    # different type (o_totalprice as string, l_quantity as int) would
+    # change money_cents rounding / join semantics downstream. events.ts
+    # is exempt: declared TimestampType, read as nanos-long and converted
+    # above.
+    actual_types = dict(df.dtypes)
+    # the fixtures store dates as TIMESTAMP_NTZ; wall-clock semantics are
+    # identical under the session's pinned UTC zone, so either flavor
+    # satisfies a declared timestamp
+    _norm = {"timestamp_ntz": "timestamp"}
+    for f in SCHEMAS[name].fields:
+        if name == "events" and f.name == "ts":
+            continue
+        want = _norm.get(f.dataType.simpleString(), f.dataType.simpleString())
+        got = _norm.get(actual_types[f.name], actual_types[f.name])
+        if got != want:
+            raise ValueError(
+                f"table {name!r} at {sf_dir}: column {f.name!r} is "
+                f"{got}, declared {want} — type drift fails loudly "
+                "instead of changing semantics silently")
     return df
 
 

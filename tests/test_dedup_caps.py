@@ -1,0 +1,114 @@
+"""Scale-guard tests for the dedup candidate-generation caps: the shingle
+document-frequency cap (df_capped_posting) and the MinHash-LSH band-bucket
+cap. Both exist so one piece of boilerplate shared by k documents cannot
+turn candidate generation into k^2 rows; verification stays exact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from asvsp_spark.operators.dedup import (
+    df_capped_posting, jaccard_pairs, minhash_lsh_pairs, shingle_posting)
+
+
+def _boilerplate_corpus(spark, k: int = 40):
+    """k docs sharing exactly ONE hot shingle ('common boiler plate');
+    every other shingle is unique to its doc."""
+    rows = [(i, f"common boiler plate u{i}a u{i}b u{i}c") for i in range(k)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _candidates(posting):
+    a, b = posting.alias("a"), posting.alias("b")
+    return (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+            .select(F.col("a.doc"), F.col("b.doc")).distinct().count())
+
+
+def test_df_cap_keeps_candidates_linear(spark):
+    """One shingle with df=40 makes 780 uncapped candidate pairs; the cap
+    drops it and the candidate count collapses to zero."""
+    docs = _boilerplate_corpus(spark, 40)
+    posting = shingle_posting(docs)
+    assert _candidates(posting) == 40 * 39 // 2
+    assert _candidates(df_capped_posting(posting, max_df=10)) == 0
+
+
+def test_df_cap_preserves_scores_via_rare_shingles(spark):
+    """A true near-dup pair is still found through its rare shared
+    shingles, and its jaccard is computed over the FULL sets — the hot
+    shingle counts toward the score even though it never generated the
+    candidate."""
+    docs = _boilerplate_corpus(spark, 40).unionByName(
+        spark.createDataFrame(
+            [(100, "common boiler plate x1 x2 x3 x4 x5 x6"),
+             (101, "common boiler plate x1 x2 x3 x4 x5 zz")],
+            "doc_id long, text string"))
+    got = {(r.doc_a, r.doc_b): (r.n_inter, r.n_a, r.n_b, r.jaccard)
+           for r in jaccard_pairs(docs, threshold=0.5, max_df=10).collect()}
+    # 7 shingles each, 6 shared (incl. the hot one), union 8 -> 0.75
+    assert got == {(100, 101): (6, 7, 7, 0.75)}
+
+
+def test_jaccard_default_cap_matches_uncapped_on_fixture(spark):
+    """At fixture scale the default cap must be a no-op: same pairs,
+    same scores as the uncapped run (this is what keeps the driver's
+    oracle row green)."""
+    from asvsp_spark import tables
+    from tests.conftest import SF_DIR
+    docs = tables.load(spark, SF_DIR, "documents")
+
+    def rs(df):
+        return sorted((r.doc_a, r.doc_b, r.jaccard) for r in df.collect())
+
+    assert rs(jaccard_pairs(docs, threshold=0.3)) == \
+        rs(jaccard_pairs(docs, threshold=0.3, max_df=None))
+
+
+def test_minhash_bucket_cap_drops_giant_cliques_only(spark):
+    """30 identical docs collide in every band: with the cap they are
+    dropped (candidates stay linear); without it they produce 435
+    pairs. A small clique below the cap is unaffected."""
+    rows = [(i, "same exact duplicated text body here okay") for i in range(30)]
+    rows += [(100 + i, "tiny clique of rare duplicated words") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_pairs(docs, threshold=0.9, max_bucket=10).collect()
+    assert sorted((r.doc_a, r.doc_b) for r in capped) == \
+        [(100, 101), (100, 102), (101, 102)]
+    uncapped = minhash_lsh_pairs(docs, threshold=0.9, max_bucket=None).collect()
+    assert len(uncapped) == 30 * 29 // 2 + 3
+
+
+def test_minhash_rejects_indivisible_bands():
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(None, num_hashes=16, bands=5)
+
+
+def test_star_cc_long_chain_few_rounds(spark):
+    """A 10,000-vertex path graph: min-label propagation would need
+    10k rounds; star contraction must collapse it to one component
+    within 15 alternating rounds."""
+    from asvsp_spark.operators.components import connected_components_star
+    edges = spark.range(9999).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    got = connected_components_star(edges, max_iter=15)
+    comps = got.select("component").distinct().collect()
+    assert [r.component for r in comps] == [0]
+    assert got.count() == 10000
+
+
+def test_star_cc_equals_label_propagation(spark):
+    """On a mixed graph (cliques + chains + singleton-free ids) the two
+    algorithms compute the identical (vertex, component) labeling."""
+    from asvsp_spark.operators.components import (
+        connected_components, connected_components_star)
+    rows = [(i, i + 1) for i in range(0, 40)]            # chain 0..40
+    rows += [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    rows += [(200, 201), (203, 202), (201, 203)]         # mixed order
+    edges = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    a = sorted((r.vertex, r.component)
+               for r in connected_components(edges, max_iter=50).collect())
+    b = sorted((r.vertex, r.component)
+               for r in connected_components_star(edges).collect())
+    assert a == b
