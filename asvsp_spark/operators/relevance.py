@@ -1,0 +1,144 @@
+"""Corpus relevance / vocabulary statistics: bigram counts, TF-IDF and
+BM25 — the scoring layer of a training-data pipeline (quality-weighted
+sampling, query-based filtering, vocabulary auditing). Beyond-parity
+extension in the SURVEY §7.5 family (the reference has no text
+relevance surface).
+
+All pure column expressions + aggregations (no Python UDFs): one
+explode over the token array, partial-aggregating counts, and a join
+against per-term document frequencies. At 100 TB the explode is the
+dominant cost and is embarrassingly parallel; every aggregation is a
+map-side-combining groupBy on bounded keys (vocabulary, not corpus,
+cardinality), and the scalar corpus stats (N, avgdl) are attached via
+a broadcast cross-join of a 1-row frame — no driver collect.
+
+Determinism: counts are exact integers; scores round to 4 decimals
+AFTER all float math, and every rank orders by the ROUNDED score with
+a lexical tie-break, so Spark and the DuckDB oracle rank identical
+values (`ln` on both engines is the only sub-ulp risk and sits far
+from the rounding boundary for these magnitudes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from asvsp_spark.functions import text as TX
+
+
+def _round4(col: F.Column) -> F.Column:
+    return F.round(col * 10000) / F.lit(10000.0)
+
+
+def bigrams(text: F.Column) -> F.Column:
+    """Adjacent-token bigram array; empty array for 0/1-token docs
+    (the greatest() guard keeps slice() from negative lengths)."""
+    toks = TX.tokens(text)
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def top_bigrams(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """Corpus-wide top-k adjacent-token bigrams by total frequency.
+
+    Plan shape: explode -> partial-aggregating count -> TakeOrdered
+    top-k (orderBy+limit is distributed; no global sort of the full
+    vocabulary), then a rank column over the k survivors.
+    """
+    counts = (
+        docs.select(F.explode(bigrams(F.col("text"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("bigram"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("bigram"))
+    return counts.withColumn("rk", F.row_number().over(w))
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, term) one row per token occurrence."""
+    return docs.select(
+        "doc_id", "lang",
+        F.explode(TX.tokens(F.col("text"))).alias("term"))
+
+
+def tfidf_top_terms(docs: DataFrame, top_k: int = 10) -> DataFrame:
+    """Top-k terms per language by TF-IDF: tf = term occurrences within
+    the language, idf = ln(N / df) with df = corpus-wide count of
+    documents containing the term.
+
+    Two bounded-key aggregations (lang×term, term) joined on term; N
+    rides in via a broadcast 1-row cross-join. The final rank runs on
+    the tiny lang×term aggregate, partitioned by lang.
+    """
+    toks = _doc_tokens(docs)
+    tf = (toks.groupBy("lang", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = (toks.groupBy("term")
+           .agg(F.countDistinct("doc_id").alias("df")))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf",
+                    _round4(F.col("tf") *
+                            F.log(F.col("n_docs") / F.col("df"))))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= top_k)
+            .select("lang", "term", F.col("tf").alias("tf"),
+                    F.col("df").alias("df"), "tfidf", "rk"))
+
+
+def bm25_topk(docs: DataFrame, query_terms: tuple[str, ...],
+              k1: float = 1.2, b: float = 0.75,
+              top_k: int = 20) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25 (Robertson/
+    Sparck Jones; the +1 inside the ln keeps idf positive for common
+    terms — the 'BM25+'-style floor Lucene uses).
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1-b+b·dl/avgdl))
+
+    The token explode is filtered to the query terms BEFORE the
+    shuffle (a handful of terms -> the aggregated state is tiny), dl
+    and avgdl are exact integer counts, and the per-term df join is a
+    broadcast (|query| rows). One corpus scan total.
+    """
+    terms = list(dict.fromkeys(query_terms))
+    dl = docs.select(
+        "doc_id", TX.token_count(F.col("text")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"))
+    hits = (_doc_tokens(docs)
+            .filter(F.col("term").isin(terms))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = hits.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    idf = (df_.crossJoin(F.broadcast(stats))
+           .withColumn("idf",
+                       F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                             / (F.col("df") + 0.5))))
+    per_term = (
+        hits.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf") * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf")
+               + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))))
+    )
+    scored = (per_term.groupBy("doc_id")
+              .agg(_round4(F.sum("contrib")).alias("bm25"),
+                   F.count(F.lit(1)).alias("n_terms_matched"))
+              .orderBy(F.desc("bm25"), F.asc("doc_id"))
+              .limit(top_k))
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return scored.withColumn("rk", F.row_number().over(w))

@@ -348,3 +348,96 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
             AS BIGINT) / 100.0 AS avg_value
 FROM events GROUP BY 1
 """
+
+# ---- relevance / vocabulary scoring (operators/relevance.py) ----
+# Tokenization mirror: regexp_split_to_array(trim(text), '\s+') ==
+# Spark F.split(F.trim(text), '\s+'). Scores round to 4 decimals after
+# all float math; every rank orders by the ROUNDED score + lexical
+# tie-break so both engines rank identical values.
+
+ORACLE_EXT["top_bigrams"] = r"""
+WITH toks AS (
+    SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+bg AS (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i+1])) AS bigram
+    FROM toks
+),
+counts AS (SELECT bigram, count(*) AS tf FROM bg GROUP BY 1),
+r AS (
+    SELECT bigram, tf,
+           CAST(row_number() OVER (ORDER BY tf DESC, bigram) AS INT) AS rk
+    FROM counts
+)
+SELECT bigram, tf, rk FROM r WHERE rk <= 20
+"""
+
+ORACLE_EXT["tfidf_top_terms"] = r"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+    FROM documents
+),
+tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT lang, term, tf, df,
+           round(tf * ln(n_docs * 1.0 / df) * 10000) / 10000.0 AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+    SELECT lang, term, tf, df, tfidf,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY tfidf DESC, term) AS INT) AS rk
+    FROM scored
+)
+SELECT lang, term, tf, df, tfidf, rk FROM r WHERE rk <= 10
+"""
+
+# k1=1.2, b=0.75, query terms = ('spark','join','vector','stream');
+# idf floored positive via ln(1 + ...) exactly as the engine side.
+ORACLE_EXT["bm25_search"] = r"""
+WITH dl AS (
+    SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
+    FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks
+    WHERE term IN ('spark', 'join', 'vector', 'stream')
+    GROUP BY 1, 2
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+idf AS (
+    SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+    FROM df CROSS JOIN stats
+),
+per AS (
+    SELECT h.doc_id,
+           i.idf * h.tf * (1.2 + 1.0)
+           / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) AS contrib
+    FROM hits h
+    JOIN idf i USING (term)
+    JOIN dl d USING (doc_id)
+    CROSS JOIN stats s
+),
+scored AS (
+    SELECT doc_id,
+           round(sum(contrib) * 10000) / 10000.0 AS bm25,
+           count(*) AS n_terms_matched
+    FROM per GROUP BY 1
+),
+r AS (
+    SELECT doc_id, bm25, n_terms_matched,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rk
+    FROM scored
+)
+SELECT doc_id, bm25, n_terms_matched, rk FROM r WHERE rk <= 20
+"""

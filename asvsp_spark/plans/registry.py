@@ -534,3 +534,35 @@ def _stratified_sample_docs(spark, sf):  # rows-only: sample membership has
     from asvsp_spark.operators.sampling import hash_stratified_sample
     return hash_stratified_sample(_t(spark, sf, "documents")).select(
         "doc_id", "lang", "source")
+
+
+# ---- relevance / vocabulary scoring (operators/relevance.py) ----
+
+BM25_QUERY_TERMS = ("spark", "join", "vector", "stream")
+
+
+@register("top_bigrams")
+def _top_bigrams(spark, sf):
+    """Corpus-wide top-20 adjacent-token bigrams: explode -> partial-agg
+    count -> distributed TakeOrdered top-k (operators/relevance.py)."""
+    from asvsp_spark.operators.relevance import top_bigrams
+    return top_bigrams(_t(spark, sf, "documents"), top_k=20)
+
+
+@register("tfidf_top_terms")
+def _tfidf_top_terms(spark, sf):
+    """Top-10 TF-IDF terms per language; idf from corpus-wide document
+    frequency, N attached by broadcast cross-join — no driver collect
+    (operators/relevance.py)."""
+    from asvsp_spark.operators.relevance import tfidf_top_terms
+    return tfidf_top_terms(_t(spark, sf, "documents"), top_k=10)
+
+
+@register("bm25_search")
+def _bm25_search(spark, sf):
+    """BM25 top-20 documents for a fixed bag-of-words query; hits are
+    filtered to query terms BEFORE the shuffle, df/idf joins broadcast
+    (operators/relevance.py)."""
+    from asvsp_spark.operators.relevance import bm25_topk
+    return bm25_topk(_t(spark, sf, "documents"), BM25_QUERY_TERMS,
+                     top_k=20)
