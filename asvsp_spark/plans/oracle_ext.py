@@ -441,3 +441,115 @@ r AS (
 )
 SELECT doc_id, bm25, n_terms_matched, rk FROM r WHERE rk <= 20
 """
+
+
+# ---- dedup representative: same CC fixpoint, then elect the longest doc
+# (token count desc, doc_id asc) per cluster ----
+ORACLE_EXT["dedup_representative"] = f"""
+WITH RECURSIVE
+edges AS ({_JACCARD_EDGES}),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+r AS (
+    SELECT u AS doc, u AS reach FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT r.doc, s.v FROM r JOIN sym s ON s.u = r.reach
+),
+cc AS (SELECT doc, min(reach) AS component FROM r GROUP BY doc),
+assigned AS (
+    SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cc ON cc.doc = d.doc_id
+),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM assigned GROUP BY 1),
+tok AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+           AS n_tokens
+    FROM documents
+),
+j AS (
+    SELECT a.doc_id, a.cluster_id, s.cluster_size, t.n_tokens
+    FROM assigned a
+    JOIN sizes s USING (cluster_id)
+    JOIN tok t USING (doc_id)
+),
+rk AS (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_tokens DESC, doc_id) AS rn
+    FROM j
+)
+SELECT cluster_id, doc_id AS rep_doc_id, cluster_size,
+       n_tokens AS rep_tokens
+FROM rk WHERE rn = 1
+"""
+
+ORACLE_EXT["customer_retention_setops"] = """
+WITH y0 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE year(o_orderdate) = 2000),
+y1 AS (SELECT DISTINCT o_custkey FROM orders
+       WHERE year(o_orderdate) = 2001)
+SELECT 'retained' AS cohort, count(*) AS n_customers
+FROM (SELECT * FROM y0 INTERSECT SELECT * FROM y1)
+UNION ALL
+SELECT 'churned', count(*)
+FROM (SELECT * FROM y0 EXCEPT SELECT * FROM y1)
+UNION ALL
+SELECT 'new', count(*)
+FROM (SELECT * FROM y1 EXCEPT SELECT * FROM y0)
+"""
+
+# GROUPING(region, nation) bit order matches Spark grouping_id()
+# (leftmost grouping column = most significant bit).
+ORACLE_EXT["rollup_revenue_region_nation"] = """
+WITH base AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+)
+SELECT region, nation,
+       CAST(GROUPING(region, nation) AS BIGINT) AS gid,
+       CAST(sum(cents) AS BIGINT) / 100.0 AS revenue,
+       count(*) AS n_orders
+FROM base
+GROUP BY ROLLUP (region, nation)
+"""
+
+ORACLE_EXT["nation_revenue_distribution"] = """
+WITH rev AS (
+    SELECT n.n_name AS nation,
+           sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+           AS revenue_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1
+)
+SELECT nation,
+       CAST(revenue_cents AS BIGINT) / 100.0 AS revenue,
+       percent_rank() OVER (ORDER BY revenue_cents, nation) AS pct_rank,
+       cume_dist() OVER (ORDER BY revenue_cents, nation) AS cume_dist
+FROM rev
+"""
+
+# Ordering key = zero-padded (epoch_us, event_id) string -> tie-free;
+# epoch_us(CAST(ts AS TIMESTAMP)) truncates nanos to the same micros
+# Spark sees (dialect note at module top).
+ORACLE_EXT["user_day_bookends"] = """
+WITH ev AS (
+    SELECT user_id, event_id, event_type,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+    FROM events
+)
+SELECT user_id, day,
+       arg_min(event_id, ord) AS first_event_id,
+       arg_max(event_id, ord) AS last_event_id,
+       arg_min(event_type, ord) AS first_type,
+       count(*) AS n_events
+FROM ev GROUP BY 1, 2
+"""

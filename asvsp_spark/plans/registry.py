@@ -566,3 +566,134 @@ def _bm25_search(spark, sf):
     from asvsp_spark.operators.relevance import bm25_topk
     return bm25_topk(_t(spark, sf, "documents"), BM25_QUERY_TERMS,
                      top_k=20)
+
+
+# ---- dedup capstone: cluster -> canonical representative ----
+
+@register("dedup_representative")
+def _dedup_representative(spark, sf):
+    """Per near-dup cluster, elect the canonical document to KEEP — the
+    longest (token count), doc_id-tiebroken. This is the step that turns
+    dedup clusters into an actual training corpus: one row per cluster,
+    losers dropped. Window row_number over the (tiny) cluster frame;
+    the heavy lifting is the same edges+CC pipeline as dedup_components.
+    """
+    from pyspark.sql import Window
+    from asvsp_spark.operators.components import dedup_clusters
+    docs = _t(spark, sf, "documents")
+    edges = D.jaccard_pairs(docs, threshold=0.3).select("doc_a", "doc_b")
+    clusters = dedup_clusters(docs, edges)
+    scored = clusters.join(
+        docs.select("doc_id",
+                    TX.token_count(F.col("text")).alias("n_tokens")),
+        "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cluster_id", F.col("doc_id").alias("rep_doc_id"),
+                    "cluster_size", F.col("n_tokens").alias("rep_tokens")))
+
+
+# ---- set operations (INTERSECT / EXCEPT) ----
+
+@register("customer_retention_setops")
+def _customer_retention_setops(spark, sf):
+    """Year-over-year customer retention via native set operations:
+    retained = 2000 ∩ 2001, churned = 2000 ∖ 2001, new = 2001 ∖ 2000.
+    intersect/subtract plan as hash aggregates + joins on the key only
+    (no payload shuffle); at 100 TB each leg is one shuffle on the
+    already-distinct key sets."""
+    orders = _t(spark, sf, "orders")
+    def keys(year):
+        return (orders.filter(F.year("o_orderdate") == year)
+                .select("o_custkey").distinct())
+    y0, y1 = keys(2000), keys(2001)
+    def count_as(df, label):
+        return df.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(label).alias("cohort"), "n_customers")
+    return (count_as(y0.intersect(y1), "retained")
+            .unionByName(count_as(y0.subtract(y1), "churned"))
+            .unionByName(count_as(y1.subtract(y0), "new")))
+
+
+# ---- hierarchical ROLLUP (region -> nation) ----
+
+@register("rollup_revenue_region_nation")
+def _rollup_revenue_region_nation(spark, sf):
+    """Revenue over ROLLUP(region, nation): per-nation, per-region
+    subtotal, grand total — the hierarchy cube's cheaper sibling (n+1
+    grouping sets, not 2^n). Same Expand -> partial-agg shape as CUBE:
+    only (groups x levels) rows shuffle. Dimension joins broadcast."""
+    from asvsp_spark.plans.base import cents_to_dollars, money_cents
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    base = (orders
+            .join(F.broadcast(cust),
+                  orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region),
+                  nation.n_regionkey == region.r_regionkey)
+            .select(F.col("r_name").alias("region"),
+                    F.col("n_name").alias("nation"),
+                    money_cents(F.col("o_totalprice")).alias("cents")))
+    return (base.rollup("region", "nation")
+            .agg(F.sum("cents").alias("revenue_cents"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 F.grouping_id().alias("gid"))
+            .select("region", "nation", "gid",
+                    cents_to_dollars(F.col("revenue_cents")).alias("revenue"),
+                    "n_orders"))
+
+
+# ---- distribution windows (percent_rank / cume_dist) ----
+
+@register("nation_revenue_distribution")
+def _nation_revenue_distribution(spark, sf):
+    """percent_rank + cume_dist of each nation within the total-revenue
+    distribution. The ORDER BY key includes the nation name, so every
+    row ranks on a distinct key — both engines then emit identical
+    exact ratios (k/n in IEEE double) with no rounding needed."""
+    from pyspark.sql import Window
+    from asvsp_spark.plans.base import cents_to_dollars, money_cents
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    rev = (orders
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+           .groupBy(F.col("n_name").alias("nation"))
+           .agg(F.sum(money_cents(F.col("o_totalprice")))
+                .alias("revenue_cents")))
+    w = Window.orderBy(F.asc("revenue_cents"), F.asc("nation"))
+    return rev.select(
+        "nation",
+        cents_to_dollars(F.col("revenue_cents")).alias("revenue"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"))
+
+
+# ---- argmin/argmax aggregates (min_by / max_by) ----
+
+@register("user_day_bookends")
+def _user_day_bookends(spark, sf):
+    """First and last event per (user, day) via min_by/max_by — ONE
+    aggregation, no window over the raw events (the classic sessionized
+    'bookends' query; a row_number approach would sort every partition).
+    The ordering key is a zero-padded (ts, event_id) string, so ties are
+    impossible by construction and both engines pick the same row."""
+    ev = _t(spark, sf, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    return (ev
+            .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .withColumn("ord", key)
+            .groupBy("user_id", "day")
+            .agg(F.min_by("event_id", F.col("ord")).alias("first_event_id"),
+                 F.max_by("event_id", F.col("ord")).alias("last_event_id"),
+                 F.min_by("event_type", F.col("ord")).alias("first_type"),
+                 F.count(F.lit(1)).alias("n_events")))
