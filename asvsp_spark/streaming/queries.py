@@ -577,3 +577,113 @@ def sq5_rank_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return drain(agg, spark, batch_transform=finish)
+
+
+# ---------------------------------------------------------------- SQ6b
+
+def sq6b_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every engagement
+    (click/view) attributed to the conversions by the same user within
+    the following hour; engagements with NO conversion in that window
+    emit exactly once with nulls after the watermark passes their join
+    horizon (eng_ts + 1h). The reference's foreachBatch fake (SURVEY
+    §2.8) cannot express this at all — a per-batch left join would
+    re-emit unmatched rows every batch and never see cross-batch
+    matches.
+
+    Determinism under availableNow: matches emit in-batch; the final
+    no-data batch advances the watermark to (max event time - 2h) and
+    flushes null rows for every unmatched engagement whose horizon fell
+    behind it. Unmatched engagements in the last ~3h stay in state when
+    the drain terminates — exactly the tail a resumable checkpoint
+    would emit on the next incremental drain. The oracle states that
+    output directly (matched ∪ watermark-expired unmatched).
+
+    Scale notes: same state bounds as sq6 — user_id partitions both
+    state stores, the range condition + 2h watermarks evict state past
+    ~3h of events per side; row-level output lands in the partitioned
+    parquet sink, never the driver.
+    """
+    eng = (
+        events_stream(spark, sf_dir, watermark=None)
+        .filter(F.col("event_type").isin(*ENGAGEMENT_TYPES))
+        .select(F.col("event_id").alias("eng_event_id"),
+                F.col("user_id").alias("eng_user"),
+                F.col("ts").alias("eng_ts"),
+                F.col("event_type").alias("eng_type"))
+        .withWatermark("eng_ts", WATERMARK)
+    )
+    conv = (
+        events_stream(spark, sf_dir, watermark=None)
+        .filter(F.col("event_type").isin(*CONVERSION_TYPES))
+        .select(F.col("event_id").alias("conv_event_id"),
+                F.col("user_id").alias("conv_user"),
+                F.col("ts").alias("conv_ts"),
+                F.col("event_type").alias("conv_type"))
+        .withWatermark("conv_ts", WATERMARK)
+    )
+    joined = eng.join(
+        conv,
+        (F.col("eng_user") == F.col("conv_user"))
+        & (F.col("conv_ts") >= F.col("eng_ts"))
+        & (F.col("conv_ts") <= F.col("eng_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    result = joined.select(
+        F.col("eng_event_id"),
+        F.col("eng_user").alias("user_id"),
+        F.col("eng_type"),
+        F.date_format("eng_ts", "yyyy-MM-dd HH:mm:ss").alias("eng_time"),
+        F.col("conv_event_id"), F.col("conv_type"),
+        (F.unix_micros(F.col("conv_ts"))
+         - F.unix_micros(F.col("eng_ts"))).alias("lag_micros"),
+    )
+    # append_manifest, NOT overwrite_partitions: a day's matches emit in
+    # batch 1 but its null-flush arrives in the final watermark batch —
+    # partition overwrite would clobber the matches.
+    sunk = drain_to_parquet(
+        result.withColumn("eng_day", F.substring("eng_time", 1, 10)),
+        spark, partition_by=["eng_day"], output_mode="append",
+        sink="append_manifest")
+    return sunk.select(
+        "eng_event_id", "user_id", "eng_type", "eng_time",
+        "conv_event_id", "conv_type", "lag_micros")
+
+
+# ---------------------------------------------------------------- SQ9
+
+def sq9_hourly_daily_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful aggregation: an hourly tumbling window feeding a
+    daily re-aggregation of the FINALIZED hourly windows, both on the
+    live stream in one query (multiple stateful operators, Spark 3.4+;
+    window_time() exposes the hourly window's event time to the second
+    groupBy). Append mode end-to-end, so only watermark-complete
+    windows flow downstream: the drained output is exactly the days
+    whose end fell at or before the final watermark (max ts - 2h).
+
+    This is the streaming analogue of the batch hour->day rollup
+    cascade (A8/A1) without landing an intermediate table — the shape a
+    100 TB pipeline wants, because the daily agg's input is already
+    5 types x 24 pre-aggregated rows per day, not raw events; the
+    second state store is negligible and the first is (hour x type).
+    """
+    s = events_stream(spark, sf_dir)
+    hourly = (
+        s.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(value_centi(F.col("value"))).alias("centi"))
+    )
+    daily = (
+        hourly
+        .groupBy(F.window(F.window_time("window"), "1 day"),
+                 "event_type")
+        .agg(F.sum("n").alias("n_events"),
+             F.count(F.lit(1)).alias("n_hours"),
+             F.max("n").alias("max_hourly_events"),
+             F.sum("centi").alias("sum_centi"))
+    )
+    out = daily.select(
+        F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+        "event_type", "n_events", "n_hours", "max_hourly_events",
+        (F.col("sum_centi") / 100.0).alias("sum_value"))
+    return drain(out, spark, output_mode="append")

@@ -178,17 +178,30 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession,
                      path: str | None = None,
                      output_mode: str = "append",
                      shuffle_partitions: int | None = None,
-                     checkpoint_dir: str | None = None) -> DataFrame:
+                     checkpoint_dir: str | None = None,
+                     sink: str = "overwrite_partitions") -> DataFrame:
     """Production-shaped drain for ROW-LEVEL streaming output: micro-
-    batches land in a partitioned parquet sink (overwrite-by-partition,
-    idempotent under re-emits and re-runs — sources/batch.py
-    foreach_batch_overwrite_partitions) and the returned DataFrame READS
-    THE SINK. Nothing row-level ever moves through the driver — ``drain``
-    collects its batches, which is fine for the aggregated SQ outputs but
-    O(events) for row-level joins like sq6.
-    """
-    from asvsp_spark.sources.batch import foreach_batch_overwrite_partitions
+    batches land in a partitioned parquet sink and the returned DataFrame
+    READS THE SINK. Nothing row-level ever moves through the driver —
+    ``drain`` collects its batches, which is fine for the aggregated SQ
+    outputs but O(events) for row-level joins like sq6.
 
+    Two sink contracts, picked by what owns a partition:
+
+    - ``sink="overwrite_partitions"`` (default): foreachBatch +
+      sources/batch.py foreach_batch_overwrite_partitions. Idempotent
+      under re-emits and re-runs, but each batch must FULLY OWN every
+      partition it touches — correct for time-partitioned output where
+      one micro-batch carries a partition's complete rows (sq6's inner
+      join under single-batch drain).
+    - ``sink="append_manifest"``: Spark's native streaming file sink
+      (exactly-once via the _spark_metadata manifest; readers only see
+      committed files). REQUIRED when one logical partition's rows span
+      micro-batches — e.g. an outer join whose null-flush for day X
+      arrives in the final watermark batch, after day X's matches: the
+      overwrite sink would clobber the earlier batch. Only supports
+      append mode (a file sink can't retract).
+    """
     sink_path = path or tempfile.mkdtemp(prefix="asvsp-sink-")
     cap = shuffle_partitions if shuffle_partitions is not None else int(
         os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
@@ -197,15 +210,26 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession,
     try:
         if int(prev) > cap:
             spark.conf.set("spark.sql.shuffle.partitions", str(cap))
-        query = (
-            stream_df.writeStream
-            .outputMode(output_mode)
-            .foreachBatch(foreach_batch_overwrite_partitions(
+        writer = stream_df.writeStream.outputMode(output_mode)
+        if sink == "append_manifest":
+            if output_mode != "append":
+                raise ValueError(
+                    "append_manifest (native file sink) supports append "
+                    f"mode only, got {output_mode!r}")
+            writer = (writer.format("parquet")
+                      .option("path", sink_path)
+                      .partitionBy(*partition_by))
+        elif sink == "overwrite_partitions":
+            from asvsp_spark.sources.batch import (
+                foreach_batch_overwrite_partitions)
+            writer = writer.foreachBatch(foreach_batch_overwrite_partitions(
                 sink_path, partition_by))
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
+        else:
+            raise ValueError(f"unknown sink contract {sink!r}")
+        query = (writer
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True)
+                 .start())
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)

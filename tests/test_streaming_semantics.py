@@ -304,3 +304,97 @@ def test_drain_resumes_from_checkpoint(spark):
 
     third = drain(agg(), spark, checkpoint_dir=ckpt).collect()
     assert third == []
+
+
+def _write_events_nanos(rows, path):
+    """rows: (event_id, ts_nanos, user_id, event_type) -> one events
+    parquet file named events.parquet (what events_stream globs for)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, f"{path}/events.parquet")
+
+
+def test_outer_join_null_flush_uses_min_side_watermark(spark):
+    """sq6b's null-row flush horizon: the global watermark is the MIN of
+    the two sides' watermark nodes, and each side filters to its event
+    types BEFORE withWatermark — so the horizon derives from
+    min(max eng ts, max conv ts) - 2h, not the global max ts. An
+    unmatched engagement emits iff eng_ts + 1h < that watermark.
+
+    Regression for the oracle bug where the horizon was computed from
+    the global max ts: an engagement between the two horizons was
+    wrongly expected to emit.
+    """
+    from asvsp_spark.streaming.queries import sq6b_attribution_left
+    H = 3600 * 10**9
+    base = 1700000000 * 10**9
+    # max conv ts = base+10h, max eng ts = base+9h -> wm = base+7h.
+    # horizon: eng_ts < base+6h.
+    rows = [
+        (1, int(base + 5.9 * H), 201, "click"),    # < 6h -> null row
+        (2, int(base + 6.1 * H), 202, "click"),    # > 6h -> held
+        (3, int(base + 9 * H), 203, "view"),       # eng wm driver; held
+        (98, int(base + 10 * H), 998, "purchase"), # conv wm driver
+    ]
+    tmp = tempfile.mkdtemp(prefix="sq6b-wm-")
+    _write_events_nanos(rows, tmp)
+    out = sq6b_attribution_left(spark, tmp)
+    got = {r.eng_event_id for r in out.collect()}
+    assert got == {1}, got
+
+
+def test_append_manifest_sink_keeps_rows_across_batches(spark):
+    """The overwrite-partitions sink contract requires each batch to
+    fully own the partitions it writes; an outer join's null-flush for
+    day X lands in a LATER batch than day X's matches. sq6b therefore
+    uses the native file sink (append_manifest). Regression: with the
+    overwrite sink, the final watermark batch clobbered every matched
+    row (sq6b returned 0 matches).
+    """
+    from asvsp_spark.streaming.queries import sq6b_attribution_left
+    H = 3600 * 10**9
+    base = 1700000000 * 10**9
+    rows = [
+        (1, int(base + 1 * H), 300, "click"),       # matched in batch 1
+        (2, int(base + 1.2 * H), 300, "purchase"),  # its conversion
+        (3, int(base + 1 * H), 301, "click"),       # null-flushed later
+        (4, int(base + 10 * H), 302, "view"),
+        (5, int(base + 10 * H), 303, "purchase"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="sq6b-sink-")
+    _write_events_nanos(rows, tmp)
+    out = sq6b_attribution_left(spark, tmp).collect()
+    by_id = {r.eng_event_id: r for r in out}
+    # the matched row must SURVIVE the later null-flush batch
+    assert by_id[1].conv_event_id == 2
+    assert by_id[3].conv_event_id is None
+    assert 4 not in by_id  # above horizon, held in state
+
+
+def test_sq9_emits_complete_days_only(spark):
+    """Chained hourly->daily append aggregation: only days whose end
+    fell at or before the final watermark (max ts - 2h) emit."""
+    from asvsp_spark.streaming.queries import sq9_hourly_daily_chain
+    H = 3600 * 10**9
+    D0 = 1704067200 * 10**9  # 2024-01-01 00:00 UTC
+    rows = [
+        (1, int(D0 + 1 * H), 1, "click"),
+        (2, int(D0 + 2 * H), 1, "click"),
+        (3, int(D0 + 25 * H), 1, "click"),   # day 2, incomplete
+        (4, int(D0 + 27 * H), 1, "view"),    # max ts -> wm = day2 01:00
+    ]
+    tmp = tempfile.mkdtemp(prefix="sq9-")
+    _write_events_nanos(rows, tmp)
+    out = sq9_hourly_daily_chain(spark, tmp).collect()
+    days = {(r.day, r.event_type): r for r in out}
+    assert set(days) == {("2024-01-01", "click")}
+    assert days[("2024-01-01", "click")].n_events == 2
+    assert days[("2024-01-01", "click")].n_hours == 2
