@@ -553,3 +553,160 @@ SELECT user_id, day,
        count(*) AS n_events
 FROM ev GROUP BY 1, 2
 """
+
+
+# Left-outer stream-stream attribution under single-batch drain: matched
+# rows emit in-batch; null rows emit at the final no-data batch for every
+# unmatched engagement whose join horizon (eng_ts + 1h) fell behind the
+# final watermark. The watermark is the MIN across the two watermark
+# nodes (multipleWatermarkPolicy=min), and each side filters BEFORE
+# withWatermark — so it derives from min(max eng ts, max conv ts) - 2h,
+# NOT the global max ts. Unmatched engagements above the horizon stay in
+# state when the drain terminates and do not emit.
+ORACLE_EXT["sq6b_attribution_left"] = """
+WITH m AS (
+    SELECT least(
+        (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+         WHERE event_type IN ('click', 'view')),
+        (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+         WHERE event_type IN ('purchase', 'signup'))) AS mx
+),
+eng AS (
+    SELECT event_id AS eng_event_id, user_id,
+           CAST(ts AS TIMESTAMP) AS eng_ts, event_type AS eng_type
+    FROM events WHERE event_type IN ('click', 'view')
+),
+conv AS (
+    SELECT event_id AS conv_event_id, user_id,
+           CAST(ts AS TIMESTAMP) AS conv_ts, event_type AS conv_type
+    FROM events WHERE event_type IN ('purchase', 'signup')
+),
+matched AS (
+    SELECT e.eng_event_id, e.user_id, e.eng_type,
+           strftime(e.eng_ts, '%Y-%m-%d %H:%M:%S') AS eng_time,
+           c.conv_event_id, c.conv_type,
+           epoch_us(c.conv_ts) - epoch_us(e.eng_ts) AS lag_micros
+    FROM eng e
+    JOIN conv c ON c.user_id = e.user_id
+     AND c.conv_ts >= e.eng_ts
+     AND c.conv_ts <= e.eng_ts + INTERVAL 1 HOUR
+),
+unmatched AS (
+    SELECT e.eng_event_id, e.user_id, e.eng_type,
+           strftime(e.eng_ts, '%Y-%m-%d %H:%M:%S') AS eng_time,
+           CAST(NULL AS BIGINT) AS conv_event_id,
+           CAST(NULL AS VARCHAR) AS conv_type,
+           CAST(NULL AS BIGINT) AS lag_micros
+    FROM eng e, m
+    WHERE NOT EXISTS (
+        SELECT 1 FROM conv c
+        WHERE c.user_id = e.user_id
+          AND c.conv_ts >= e.eng_ts
+          AND c.conv_ts <= e.eng_ts + INTERVAL 1 HOUR)
+      AND e.eng_ts + INTERVAL 1 HOUR < m.mx - INTERVAL 2 HOUR
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+# Chained hourly -> daily streaming aggregation, append mode end-to-end:
+# the drained output is exactly the COMPLETE days (day end <= final
+# watermark mx - 2h); every hour of such a day is necessarily complete
+# too, so the batch equivalent aggregates all events of those days.
+ORACLE_EXT["sq9_hourly_daily_chain"] = """
+WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+           CAST(round(value * 100) AS BIGINT) AS centi
+    FROM events
+),
+h AS (
+    SELECT date_trunc('hour', ts) AS hr, event_type,
+           count(*) AS n, sum(centi) AS centi
+    FROM e GROUP BY 1, 2
+),
+d AS (
+    SELECT date_trunc('day', hr) AS day, event_type,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           count(*) AS n_hours,
+           CAST(max(n) AS BIGINT) AS max_hourly_events,
+           CAST(sum(centi) AS BIGINT) AS sum_centi
+    FROM h GROUP BY 1, 2
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+       n_events, n_hours, max_hourly_events,
+       sum_centi / 100.0 AS sum_value
+FROM d, m
+WHERE day + INTERVAL 1 DAY <= mx - INTERVAL 2 HOUR
+"""
+
+# ---- lineitem fact analytics (plans/lineitem_queries.py). Integer-unit
+# mirror: cents (1e-2), pct (1e-2); products exact in 1e-4 / 1e-6 units.
+
+ORACLE_EXT["q11_pricing_summary"] = """
+WITH li AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(l_quantity AS BIGINT) AS qty,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+           CAST(round(l_discount * 100) AS BIGINT) AS disc,
+           CAST(round(l_tax * 100) AS BIGINT) AS tax
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+),
+agg AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(qty) AS BIGINT) AS sum_qty,
+           CAST(sum(cents) AS BIGINT) AS base_cents,
+           CAST(sum(cents * (100 - disc)) AS BIGINT) AS disc_e4,
+           CAST(sum(cents * (100 - disc) * (100 + tax)) AS BIGINT)
+               AS charge_e6,
+           CAST(sum(disc) AS BIGINT) AS disc_pct_sum,
+           count(*) AS count_order
+    FROM li GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, sum_qty,
+       base_cents / 100.0 AS sum_base_price,
+       disc_e4 / 10000.0 AS sum_disc_price,
+       charge_e6 / 1000000.0 AS sum_charge,
+       round(sum_qty * 1.0 / count_order * 10000) / 10000.0 AS avg_qty,
+       round(base_cents * 1.0 / count_order / 100.0 * 10000) / 10000.0
+           AS avg_price,
+       round(disc_pct_sum * 1.0 / count_order / 100.0 * 1000000) / 1000000.0
+           AS avg_disc,
+       count_order
+FROM agg
+"""
+
+ORACLE_EXT["q12_late_shipments"] = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_yr,
+       o_orderpriority,
+       count(*) AS n_late_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           / 100.0 AS late_revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+      > 90
+GROUP BY 1, 2
+"""
+
+ORACLE_EXT["q13_supplier_margin_topk"] = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS rev_e4,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY 1
+),
+topk AS (
+    SELECT *, CAST(row_number() OVER (ORDER BY rev_e4 DESC, l_suppkey)
+                   AS INT) AS rk
+    FROM rev
+)
+SELECT rk, l_suppkey AS suppkey, s_name AS supplier, n_name AS nation,
+       rev_e4 / 10000.0 AS revenue, n_lines
+FROM topk
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE rk <= 10
+"""

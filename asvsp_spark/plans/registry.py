@@ -227,9 +227,11 @@ _REGISTRY["sq3_top_users"] = SQ.sq3_top_users
 _REGISTRY["sq4_engagement_conversion"] = SQ.sq4_engagement_conversion
 _REGISTRY["sq5_rank_anomaly"] = SQ.sq5_rank_anomaly
 _REGISTRY["sq6_attribution_join"] = SQ.sq6_attribution_join
+_REGISTRY["sq6b_attribution_left"] = SQ.sq6b_attribution_left
 _REGISTRY["sq7_dedup_hourly"] = SQ.sq7_dedup_hourly
 _REGISTRY["sq7b_dedup_within_watermark"] = SQ.sq7b_dedup_within_watermark
 _REGISTRY["sq8_session_windows"] = SQ.sq8_session_windows
+_REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -697,3 +699,32 @@ def _user_day_bookends(spark, sf):
                  F.max_by("event_id", F.col("ord")).alias("last_event_id"),
                  F.min_by("event_type", F.col("ord")).alias("first_type"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+# ---- lineitem fact-table analytics (plans/lineitem_queries.py) ----
+
+@register("q11_pricing_summary")
+def _q11(spark, sf):
+    """TPC-H Q1 shape over the biggest fact table: one-scan partial
+    aggregation onto ~6 groups, exact-integer money math."""
+    from asvsp_spark.plans.lineitem_queries import q11_pricing_summary
+    return q11_pricing_summary(_t(spark, sf, "lineitem"))
+
+
+@register("q12_late_shipments")
+def _q12(spark, sf):
+    """BIG-to-BIG join (lineitem x orders) with pruned projections; the
+    shape bucketing removes the shuffle from at scale."""
+    from asvsp_spark.plans.lineitem_queries import q12_late_shipments
+    return q12_late_shipments(_t(spark, sf, "lineitem"),
+                              _t(spark, sf, "orders"))
+
+
+@register("q13_supplier_margin_topk")
+def _q13(spark, sf):
+    """Aggregate-then-join top-k: fact aggregates to suppliers BEFORE
+    the broadcast name joins touch only the k survivors."""
+    from asvsp_spark.plans.lineitem_queries import q13_supplier_margin_topk
+    return q13_supplier_margin_topk(_t(spark, sf, "lineitem"),
+                                    _t(spark, sf, "supplier"),
+                                    _t(spark, sf, "nation"))

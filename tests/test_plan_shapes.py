@@ -95,3 +95,43 @@ def test_stream_static_join_broadcasts_static_side(spark):
     plan = _plan(joined)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q11_shipdate_filter_reaches_lineitem_scan(spark):
+    """The TPC-H-Q1-shaped scan must push the shipdate predicate to
+    parquet and partially aggregate before the exchange — one scan,
+    groups-not-rows shuffle."""
+    from asvsp_spark.plans.lineitem_queries import q11_pricing_summary
+    plan = _plan(q11_pricing_summary(tables.load(spark, SF_DIR, "lineitem")))
+    assert "LessThanOrEqual(l_shipdate" in plan
+    partial, exch = plan.find("partial_"), plan.find("Exchange")
+    assert partial != -1 and exch != -1 and partial > exch
+
+
+def test_q12_join_prunes_projections(spark):
+    """The big-to-big join must shuffle pruned projections (keys +
+    dates), never full rows: lineitem's scan reads 3 columns."""
+    from asvsp_spark.plans.lineitem_queries import q12_late_shipments
+    plan = _plan(q12_late_shipments(tables.load(spark, SF_DIR, "lineitem"),
+                                    tables.load(spark, SF_DIR, "orders")))
+    li_read = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]
+               if "l_orderkey" in seg.splitlines()[0]][0]
+    for dropped in ("l_partkey", "l_suppkey", "l_quantity", "l_returnflag"):
+        assert dropped not in li_read, f"{dropped} not pruned: {li_read}"
+
+
+def test_q13_aggregates_fact_before_dimension_join(spark):
+    """Top-k supplier margin must aggregate the fact table BEFORE the
+    broadcast name joins — the text plan shows the supplier join above
+    the TakeOrdered(limit), which is above the lineitem aggregate."""
+    from asvsp_spark.plans.lineitem_queries import q13_supplier_margin_topk
+    plan = _plan(q13_supplier_margin_topk(
+        tables.load(spark, SF_DIR, "lineitem"),
+        tables.load(spark, SF_DIR, "supplier"),
+        tables.load(spark, SF_DIR, "nation")))
+    join_pos = plan.find("BroadcastHashJoin")
+    topk_pos = plan.find("TakeOrderedAndProject")
+    agg_pos = plan.rfind("HashAggregate")
+    assert join_pos != -1 and topk_pos != -1
+    # top-down print: joins first, then TakeOrdered, then the aggregate
+    assert join_pos < topk_pos < agg_pos
