@@ -95,6 +95,43 @@ ORACLE_TEXT["doc_fingerprint"] = f"""
 SELECT doc_id, {_FP} AS fp FROM documents
 """
 
+# Single-scan merge of text_quality + lang_id + doc_fingerprint — one
+# pass over the corpus computes the full per-document profile (the three
+# originals remain registered individually; this is the driver-checked
+# superset entry).
+ORACLE_TEXT["text_profile"] = rf"""
+WITH t AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id, text,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x IN {_STOPLIST})) AS INT) AS n_stop,
+           CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS INT) AS s_en,
+           CAST(len(list_filter(toks, x -> x IN ('la','el','de','y','es'))) AS INT) AS s_es,
+           CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS INT) AS s_de,
+           CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','est'))) AS INT) AS s_fr,
+           CAST(len(list_filter(toks, x -> x IN ('的','是','了','在','和'))) AS INT) AS s_zh
+    FROM t
+),
+b AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS best FROM m)
+SELECT doc_id, n_chars, n_tokens, n_stop,
+       round(n_stop / n_tokens * 1000000) / 1000000.0 AS stopword_ratio,
+       round((least(n_tokens, 500) / 500.0 + n_stop / n_tokens) / 2 * 1000000) / 1000000.0
+           AS quality_score,
+       CASE WHEN s_en = best AND best > 0 THEN 'en'
+            WHEN s_es = best AND best > 0 THEN 'es'
+            WHEN s_de = best AND best > 0 THEN 'de'
+            WHEN s_fr = best AND best > 0 THEN 'fr'
+            WHEN s_zh = best AND best > 0 THEN 'zh'
+            ELSE 'und' END AS lang_pred,
+       {_FP} AS fp
+FROM b
+"""
+
 ORACLE_TEXT["media_features"] = """
 SELECT doc_id,
        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -32,9 +32,7 @@ and explicitly broadcast, so the stream side never shuffles for the join.
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
 import tempfile
 import time
 
@@ -44,9 +42,11 @@ from pyspark.sql import functions as F
 from asvsp_spark import tables
 from asvsp_spark.operators.rollups import baselines, centi_avg, value_centi
 from asvsp_spark.plans.base import round_fixed
-from asvsp_spark.streaming.source import (EVENTS_STREAM_SCHEMA, WATERMARK,
-                                          drain, drain_to_parquet,
-                                          events_stream)
+from asvsp_spark.streaming.source import (WATERMARK, copy_events_at,
+                                          copy_events_normalized, drain,
+                                          drain_to_parquet, events_stream,
+                                          events_stream_reader,
+                                          write_event_rows)
 from asvsp_spark.streaming.stateful import hourly_trend_stateful
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -180,41 +180,28 @@ def sq2c_stateful_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the output. On a cluster the same operator attaches to the Kafka
     source unchanged and emits each hour as the watermark passes it.
     """
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = tables.load(spark, sf_dir, "events")
     mx_us = events.agg(F.max(F.unix_micros("ts")).alias("mx")).first()["mx"]
     tmp = tempfile.mkdtemp(prefix="asvsp-sq2c-")
-    sent_ts_ns = (mx_us + 30 * 24 * 3600 * 1_000_000) * 1000
+    sent_us = mx_us + 30 * 24 * 3600 * 1_000_000
 
     # flat 2-file stream dir; mtimes force file order (the file source
-    # processes oldest-first), no wall-clock sleeps needed. The real file
-    # is the driver's parquet byte-for-byte (TIMESTAMP_NANOS reads as long
-    # under the nanosAsLong shim, same as events_stream); the 5-row
-    # sentinel is written driver-side with pyarrow — a Spark write job for
-    # it would cost more than the whole stateful drain.
+    # processes oldest-first), no wall-clock sleeps needed. Both files are
+    # staged driver-side with pyarrow in the normalized us-utc flavor
+    # (a Spark write job would cost more than the whole stateful drain).
     stream_dir = f"{tmp}/stream"
     os.makedirs(stream_dir)
     now = time.time()
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/f0.parquet")
-    os.utime(f"{stream_dir}/f0.parquet", (now - 100, now - 100))
-    n = len(EVENT_TYPES)
-    pq.write_table(pa.table({
-        "event_id": pa.array([10**12 + i for i in range(n)], pa.int64()),
-        "ts": pa.array([sent_ts_ns] * n, pa.int64()),
-        "user_id": pa.array([0] * n, pa.int64()),
-        "event_type": pa.array(list(EVENT_TYPES), pa.string()),
-        "value": pa.array([0.0] * n, pa.float64()),
-        "props": pa.array(["{}"] * n, pa.string()),
-    }), f"{stream_dir}/f1.parquet")
-    os.utime(f"{stream_dir}/f1.parquet", (now - 50, now - 50))
+    copy_events_normalized(f"{sf_dir}/events.parquet",
+                           f"{stream_dir}/f0.parquet", mtime=now - 100)
+    write_event_rows(
+        f"{stream_dir}/f1.parquet",
+        [(10**12 + i, sent_us, 0, t, 0.0, "{}")
+         for i, t in enumerate(EVENT_TYPES)],
+        mtime=now - 50)
 
-    raw = (spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-           .option("maxFilesPerTrigger", "1").parquet(stream_dir))
-    stream = (raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-              .withWatermark("ts", "2 hours"))
+    raw = events_stream_reader(spark, stream_dir, max_files_per_trigger=1)
+    stream = raw.withWatermark("ts", "2 hours")
     return drain(hourly_trend_stateful(stream), spark)
 
 
@@ -403,13 +390,11 @@ def sq7_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="asvsp-sq7-")
     now = time.time()
     for i in (0, 1):
-        shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/f{i}.parquet")
-        os.utime(f"{tmp}/f{i}.parquet", (now - 100 + i, now - 100 + i))
+        copy_events_normalized(f"{sf_dir}/events.parquet",
+                               f"{tmp}/f{i}.parquet",
+                               mtime=now - 100 + i)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-           .option("maxFilesPerTrigger", "1").parquet(tmp))
-    stream = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = events_stream_reader(spark, tmp, max_files_per_trigger=1)
     deduped = stream.dropDuplicates(["event_id"])
     agg = (
         deduped
@@ -453,42 +438,23 @@ def sq7b_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tmp = tempfile.mkdtemp(prefix="asvsp-sq7b-")
     now = time.time()
-    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/f0.parquet")
-    os.utime(f"{tmp}/f0.parquet", (now - 100, now - 100))
+    src = f"{sf_dir}/events.parquet"
+    copy_events_normalized(src, f"{tmp}/f0.parquet", mtime=now - 100)
 
     ev = tables.load(spark, sf_dir, "events")
     # harness bound: one scalar to position the sentinel/replay batches
-    mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
+    mx_us = ev.agg(F.max(F.unix_micros("ts")).alias("mx")).first()["mx"]
+    hour_us = 3600 * 1_000_000
 
-    def _write_single(df: DataFrame, dest: str, mtime: float) -> None:
-        d = tempfile.mkdtemp(prefix="asvsp-sq7b-w-")
-        df.coalesce(1).write.mode("overwrite").parquet(d)
-        part = glob.glob(f"{d}/part-*.parquet")[0]
-        shutil.move(part, dest)
-        os.utime(dest, (mtime, mtime))
+    write_event_rows(f"{tmp}/f1.parquet",
+                     [(-1, mx_us + 8 * hour_us, 0, "view", 0.0, "{}")],
+                     mtime=now - 99)
+    copy_events_at(src, f"{tmp}/f2.parquet", mx_us + 7 * hour_us,
+                   mtime=now - 98)
 
-    def _nanos_at(hours_after_mx: int) -> F.Column:
-        return (F.unix_micros(
-            F.lit(mx) + F.expr(f"INTERVAL {hours_after_mx} HOURS"))
-            * F.lit(1000)).alias("ts")
-
-    sentinel = spark.createDataFrame(
-        [(-1, 0, "view", 0.0, "{}")],
-        "event_id long, user_id long, event_type string, value double, "
-        "props string",
-    ).select("event_id", _nanos_at(8), "user_id", "event_type", "value",
-             "props")
-    _write_single(sentinel, f"{tmp}/f1.parquet", now - 99)
-
-    replay = ev.select("event_id", _nanos_at(7), "user_id", "event_type",
-                       "value", "props")
-    _write_single(replay, f"{tmp}/f2.parquet", now - 98)
-
-    raw = (spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-           .option("maxFilesPerTrigger", "1").parquet(tmp))
+    raw = events_stream_reader(spark, tmp, max_files_per_trigger=1)
     deduped = (
-        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .withWatermark("ts", WATERMARK)
+        raw.withWatermark("ts", WATERMARK)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
 

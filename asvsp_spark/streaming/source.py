@@ -21,6 +21,7 @@ input rate. The drain helper collects only final aggregated rows.
 
 from __future__ import annotations
 
+import glob as _glob
 import os
 import tempfile
 from collections.abc import Callable
@@ -29,16 +30,134 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet stores ts as TIMESTAMP(NANOS); with the nanosAsLong legacy
-# conf the streaming parquet reader surfaces it as a long (see tables.load).
-EVENTS_STREAM_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+
+
+# Kept for call sites that stage their own nanos-long fixtures.
+EVENTS_STREAM_SCHEMA = _events_schema(T.LongType())
+
+
+def _ts_flavor(parquet_file: str) -> str:
+    """On-disk flavor of the ``ts`` column. The driver's fixtures have
+    shipped two encodings across rounds — TIMESTAMP(NANOS) (round 1,
+    readable only as a long under the nanosAsLong legacy conf) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (read natively as
+    TIMESTAMP_NTZ) — so every stream reader probes the footer instead of
+    assuming one. Returns 'nanos' | 'ntz' | 'utc'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pq.read_schema(parquet_file).field("ts").type
+    if not pa.types.is_timestamp(t):
+        return "nanos"  # plain int64: pre-normalized nanos fixture
+    if t.tz is not None:
+        return "utc"
+    return "nanos" if t.unit == "ns" else "ntz"
+
+
+def events_stream_reader(spark: SparkSession, path: str, *,
+                         glob_filter: str | None = None,
+                         max_files_per_trigger: int | None = None) -> DataFrame:
+    """Un-watermarked file-source stream over parquet event files with
+    ``ts`` normalized to TIMESTAMP (session-tz UTC) whatever the on-disk
+    flavor. All files under ``path`` must share one flavor — the staging
+    helpers below guarantee that for composed stream directories."""
+    if glob_filter:
+        probe = os.path.join(path, glob_filter)
+    else:
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        probe = files[0]
+    flavor = _ts_flavor(probe)
+    if flavor == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ts_type: T.DataType = T.LongType()
+    elif flavor == "ntz":
+        ts_type = T.TimestampNTZType()
+    else:
+        ts_type = T.TimestampType()
+    reader = spark.readStream.schema(_events_schema(ts_type))
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(path)
+    if flavor == "nanos":
+        # integer division: nanos-since-epoch (~1.7e18) exceeds double's
+        # 2^53 exact range, so float division would corrupt timestamps
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if flavor == "ntz":
+        # same wall-clock instant under the pinned UTC session timezone
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
+_TS_US_UTC = "us-utc sentinel"  # documentation anchor only
+
+
+def copy_events_normalized(src: str, dest: str,
+                           mtime: float | None = None) -> None:
+    """Stage a copy of an events parquet file with ``ts`` rewritten to
+    timestamp[us, tz=UTC] — one flavor for every file in a composed
+    stream directory, so a single declared schema fits them all.
+    Driver-side pyarrow: a Spark write job would cost more than the
+    drains these fixtures feed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(src)
+    i = tbl.schema.get_field_index("ts")
+    tgt = pa.timestamp("us", tz="UTC")
+    col = tbl.column(i)
+    if col.type != tgt:
+        # safe=False: nanos -> micros truncates sub-us, matching the
+        # `ts div 1000` read path
+        col = col.cast(tgt, safe=False)
+    pq.write_table(tbl.set_column(i, pa.field("ts", tgt), col), dest)
+    if mtime is not None:
+        os.utime(dest, (mtime, mtime))
+
+
+def copy_events_at(src: str, dest: str, ts_us: int,
+                   mtime: float | None = None) -> None:
+    """Stage a replay copy: every row's ``ts`` replaced by one constant
+    (microseconds since epoch, UTC) — watermark-advancing replays for the
+    dedup-eviction harnesses."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(src)
+    i = tbl.schema.get_field_index("ts")
+    tgt = pa.timestamp("us", tz="UTC")
+    const = pa.array([ts_us] * tbl.num_rows, tgt)
+    pq.write_table(tbl.set_column(i, pa.field("ts", tgt), const), dest)
+    if mtime is not None:
+        os.utime(dest, (mtime, mtime))
+
+
+def write_event_rows(dest: str, rows: list[tuple],
+                     mtime: float | None = None) -> None:
+    """Write sentinel event rows ``(event_id, ts_us, user_id, event_type,
+    value, props)`` as one parquet file in the normalized us-utc flavor."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    }), dest)
+    if mtime is not None:
+        os.utime(dest, (mtime, mtime))
 
 # Kafka payload schema for the cluster path (reference consumer1.py:14-27
 # declares the analogous hand-written StructType for its JSON values).
@@ -65,16 +184,8 @@ def events_stream(spark: SparkSession, sf_dir: str,
     rename the event-time column first (a branch may carry only ONE
     EventTimeWatermark node — e.g. sq6's per-side aliased watermarks).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream
-        .schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # nanos -> micros must use integer division: nanos-since-epoch
-    # (~1.7e18) exceeds double's 2^53 exact range.
-    typed = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    typed = events_stream_reader(spark, sf_dir,
+                                 glob_filter="events.parquet")
     return typed.withWatermark("ts", watermark) if watermark else typed
 
 

@@ -113,6 +113,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Normalize TIMESTAMP_NTZ → TIMESTAMP for every declared-timestamp
+    # column. The fixtures have shipped both flavors across rounds
+    # (TIMESTAMP(NANOS) and TIMESTAMP(MICROS, isAdjustedToUTC=false), the
+    # latter read natively as timestamp_ntz); the session timezone is
+    # pinned to UTC, so the cast re-tags the same wall-clock instant and
+    # downstream code (unix_micros, watermarks, oracles) sees one type.
+    ntz_cols = [f.name for f in SCHEMAS[name].fields
+                if f.dataType.simpleString() == "timestamp"
+                and dict(df.dtypes).get(f.name) == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols})
     expected = {f.name for f in SCHEMAS[name].fields}
     actual = set(df.columns)
     if not expected <= actual:
