@@ -64,6 +64,51 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+def token_ngrams(toks_col_name: str, n: int) -> Column:
+    """Adjacent token n-grams as an array column (space-joined), built
+    with ``transform`` over ``sequence`` — no explode, no shuffle; the
+    whole computation stays inside one projection."""
+    parts = " || ' ' || ".join(
+        f"{toks_col_name}[i + {k}]" for k in range(n))
+    # Spark subscripts are 0-based (DuckDB lists are 1-based — the oracle
+    # shifts); sequence(0, -1) would DESCEND and ANSI mode rejects
+    # out-of-bounds subscripts, so guard docs shorter than n tokens.
+    return F.expr(
+        f"IF(size({toks_col_name}) >= {n}, "
+        f"transform(sequence(0, size({toks_col_name}) - {n}), "
+        f"i -> {parts}), array())")
+
+
+def repetition_features(toks_col_name: str) -> dict[str, Column]:
+    """Gopher/C4-style within-document repetition signals, computed as
+    pure array expressions (one projection, scan speed):
+
+    - ``dup_token_ratio``: fraction of tokens that are repeats of an
+      earlier token (1 - distinct/total),
+    - ``dup_trigram_ratio``: fraction of adjacent token 3-grams that are
+      repeats — the classic boilerplate / template detector.
+
+    Both divide exact integer counts, so the DuckDB oracle is
+    bit-identical.
+    """
+    toks = F.col(toks_col_name)
+    n_toks = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    tri = token_ngrams(toks_col_name, 3)
+    n_tri = F.size(tri)
+    n_tri_uniq = F.size(F.array_distinct(tri))
+    return {
+        "n_tokens": n_toks,
+        "n_unique_tokens": n_uniq,
+        "n_trigrams": n_tri,
+        "n_unique_trigrams": n_tri_uniq,
+        "dup_token_ratio": F.when(
+            n_toks > 0, 1.0 - n_uniq / n_toks).otherwise(F.lit(0.0)),
+        "dup_trigram_ratio": F.when(
+            n_tri > 0, 1.0 - n_tri_uniq / n_tri).otherwise(F.lit(0.0)),
+    }
+
+
 def fingerprint(text: Column) -> Column:
     """Canonical-form content fingerprint: lowercase, collapse whitespace,
     md5. Identical in DuckDB (md5 of the same normalized string)."""

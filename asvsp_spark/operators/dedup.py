@@ -107,45 +107,69 @@ def jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
                   max_df: int | None = 1000) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via inverted shingle
     index (no crossJoin). Candidates = pairs sharing >= 1 shingle with
-    document frequency <= max_df (df_capped_posting keeps the self-join
-    linear under boilerplate-heavy corpora); each candidate is then
-    verified with EXACT jaccard over the FULL shingle sets, so the cap
-    only bounds discovery, never distorts scores. A pair whose every
-    shared shingle is hotter than max_df is missed by construction —
-    such pairs share only boilerplate.
+    document frequency <= max_df; scores stay EXACT under the cap. A
+    pair whose every shared shingle is hotter than max_df is missed by
+    construction — such pairs share only boilerplate.
 
-    The posting list feeds three branches (cap, candidates,
-    verification); localCheckpoint materializes it once instead of
-    recomputing the window+dedup pipeline per branch (~20% at sf0.1)."""
+    Shape (the self-join stays pair-count aggregation, never per-pair
+    set materialization): shingles are split into RARE (df <= max_df)
+    and HOT. Hot shingles number at most posting_rows / max_df by
+    definition, so the hot list broadcasts at any corpus size; the
+    rare/hot split is then two broadcast semi/anti joins — no extra
+    shuffle of the posting list. Shared-shingle counts come from the
+    capped self-join (rare part, linear by construction) plus an
+    array_intersect of the tiny per-doc HOT sets (exact correction), so
+    the cap bounds discovery cost without distorting a single score.
+
+    The posting list feeds several branches; localCheckpoint
+    materializes it once instead of recomputing the window+dedup
+    pipeline per branch."""
     posting = shingle_posting(documents, n, id_col, text_col) \
         .localCheckpoint(eager=False)
-    pruned = df_capped_posting(posting, max_df)
+    sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is not None:
+        # <= posting_rows/max_df distinct hot shingles: broadcastable by
+        # construction (each one occurs in > max_df posting rows)
+        hot = (posting.groupBy("sh")
+               .agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_df)
+               .select("sh"))
+        pruned = posting.join(F.broadcast(hot), "sh", "left_anti")
+        hot_sets = (posting.join(F.broadcast(hot), "sh", "left_semi")
+                    .groupBy("doc")
+                    .agg(F.collect_list("sh").alias("hot_sh")))
+    else:
+        pruned = posting
+        hot_sets = None
     a, b = pruned.alias("a"), pruned.alias("b")
-    candidates = (
+    inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_rare"))
     )
-    # exact verification on full sets, candidates only (semi-join keeps
-    # the collected sets tiny however large the corpus)
-    cand_docs = (candidates
-                 .select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
-                 .distinct())
-    cand_sets = (
-        posting.join(F.broadcast(cand_docs), "doc")
-        .groupBy("doc")
-        .agg(F.collect_list("sh").alias("shingles"))
-    )
-    sh_a = cand_sets.select(F.col("doc").alias("doc_a"),
-                            F.col("shingles").alias("sh_a"))
-    sh_b = cand_sets.select(F.col("doc").alias("doc_b"),
-                            F.col("shingles").alias("sh_b"))
+    if hot_sets is not None:
+        ha = hot_sets.select(F.col("doc").alias("doc_a"),
+                             F.col("hot_sh").alias("hot_a"))
+        hb = hot_sets.select(F.col("doc").alias("doc_b"),
+                             F.col("hot_sh").alias("hot_b"))
+        inter = (
+            inter.join(ha, "doc_a", "left").join(hb, "doc_b", "left")
+            .withColumn(
+                "n_inter",
+                F.col("n_rare") + F.when(
+                    F.col("hot_a").isNotNull() & F.col("hot_b").isNotNull(),
+                    F.size(F.array_intersect("hot_a", "hot_b"))
+                ).otherwise(F.lit(0)))
+            .select("doc_a", "doc_b", "n_inter")
+        )
+    else:
+        inter = inter.select("doc_a", "doc_b",
+                             F.col("n_rare").alias("n_inter"))
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
-        .withColumn("n_a", F.size("sh_a"))
-        .withColumn("n_b", F.size("sh_b"))
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("jaccard",
                     F.col("n_inter")
                     / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))

@@ -14,6 +14,8 @@ Scale design (100TB / billions of vectors):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
@@ -73,14 +75,19 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.45,
     driver (r1 review flagged a driver ``toPandas`` collect here):
 
     - The corpus is hash-assigned to B id-blocks; every unordered block
-      pair (bi <= bj) becomes one cogroup task, and ``applyInPandas``
-      multiplies the two blocks' matrices (vectorized BLAS matmul, not
-      per-row Python). Each side is replicated ~(B+1)/2 times, so total
-      shuffle is ~(B+1)x the corpus and task memory is bounded by
-      2 x target_block x dim doubles regardless of corpus size — the
-      standard blocked all-pairs shape. B defaults to ceil(n /
-      target_block), so block size (hence executor memory per task)
-      stays constant as n grows while task count grows as B^2/2.
+      pair (bi <= bj) becomes one ``applyInPandas`` group whose pdf holds
+      both blocks' rows (side-tagged), and the task multiplies the two
+      matrices (vectorized BLAS matmul, not per-row Python). Each side is
+      replicated ~(B+1)/2 times, so total shuffle is ~(B+1)x the corpus
+      and task memory is bounded by 2 x target_block x dim doubles
+      regardless of corpus size — the standard blocked all-pairs shape.
+      B defaults to ceil(n / target_block), so block size (hence executor
+      memory per task) stays constant as n grows while task count grows
+      as B^2/2. (A cogroup formulation reads more naturally, but a
+      self-cogroup of two projections of the SAME scan mis-binds the
+      right side's columns to the left's expression ids — Spark's
+      analyzer dedup — silently pruning the right side's data columns;
+      the tagged-union single-group form has no dual-child ambiguity.)
     - Zero-norm vectors are kept with a guarded norm (sim contribution
       0), not NaN — they can never cross a positive threshold.
     - Past ``max_exact`` vectors the quadratic task count stops being
@@ -100,15 +107,16 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.45,
     blocked = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"))
-    # side A owns block pairs (blk, bj >= blk); side B owns (bi <= blk, blk)
+    # side 0 owns block pairs (blk, bj >= blk); side 1 owns (bi <= blk, blk)
     a_rep = blocked.select(
         F.col("blk").alias("bi"),
         F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("bj"),
-        "vid", "vec")
+        "vid", "vec", F.lit(0).alias("side"))
     b_rep = blocked.select(
         F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
         F.col("blk").alias("bj"),
-        "vid", "vec")
+        "vid", "vec", F.lit(1).alias("side"))
+    tagged = a_rep.unionByName(b_rep)
 
     out_schema = T.StructType([
         T.StructField("id_a", T.LongType()),
@@ -116,13 +124,14 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.45,
         T.StructField("cos_sim", T.DoubleType()),
     ])
 
-    def _mat(pdf: "pd.DataFrame") -> "np.ndarray":
+    def _mat(pdf):
         m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         return m / np.where(norms > 0, norms, 1.0)
 
-    def score_block_pair(key, left: "pd.DataFrame",
-                         right: "pd.DataFrame") -> "pd.DataFrame":
+    def score_block_pair(key, pdf):
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
         if left.empty or right.empty:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64"),
@@ -150,8 +159,7 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.45,
         })
 
     return (
-        a_rep.groupby("bi", "bj")
-        .cogroup(b_rep.groupby("bi", "bj"))
+        tagged.groupby("bi", "bj")
         .applyInPandas(score_block_pair, out_schema)
     )
 
@@ -179,20 +187,34 @@ def _cosine_pairs_lsh(embeddings: DataFrame, threshold: float,
     )
 
 
-def _hyperplane_sketch(vec_col_name: str, n_planes: int = 8) -> F.Column:
-    """Random-hyperplane sign sketch as one LONG: hyperplane j's weight
-    for dimension i is a deterministic pseudo-random +-1 from
-    xxhash64(j, i) — expression-level, reproducible, no stored model."""
-    dim_idx = f"sequence(0, size({vec_col_name}) - 1)"
-    planes = []
-    for j in range(n_planes):
-        proj = (
-            f"aggregate(zip_with({vec_col_name}, "
-            f" transform({dim_idx},"
-            f"  i -> IF((xxhash64({j}L, CAST(i AS LONG)) & 1L) = 1L, 1.0D, -1.0D)),"
-            f" (x, w) -> CAST(x AS DOUBLE) * w), 0.0D, (acc, x) -> acc + x)")
-        planes.append(f"IF({proj} > 0.0D, shiftleft(1L, {j}), 0L)")
-    return F.expr(" | ".join(planes))
+def _hyperplane_sketch(vec_col_name: str, n_planes: int = 8,
+                       seed: int = 7) -> F.Column:
+    """Random-hyperplane sign sketch as one LONG, Arrow-vectorized: each
+    batch is one (n, dim) x (dim, n_planes) matrix multiply in numpy,
+    sign bits packed into the result long. The +-1 plane matrix is
+    regenerated per batch from a fixed seed (dim x n_planes floats —
+    negligible), so the sketch is deterministic across batches,
+    executors and runs with no stored model.
+
+    An expression-level formulation (aggregate/zip_with/transform with a
+    per-element hash) computes the same thing but is interpreted
+    per-element by Catalyst: ~3x slower on the sf0.1 fixture and growing
+    with dimension; the batched matmul is the scale path."""
+
+    @F.pandas_udf("long")
+    def sketch(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack(vecs.to_numpy())
+        planes = (np.random.default_rng(seed)
+                  .choice(np.array([-1.0, 1.0]), size=(m.shape[1], n_planes)))
+        bits = (m.astype(np.float64) @ planes) > 0.0
+        vals = (bits.astype(np.int64)
+                << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+        return pd.Series(vals)
+
+    return sketch(F.col(vec_col_name))
 
 
 def lsh_bucketed_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,

@@ -189,3 +189,49 @@ r AS (
 )
 SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= 5
 """
+
+# Spark side: functions/text.py repetition_features — pure array exprs.
+# DuckDB lists are 1-based (Spark subscripts 0-based; both build the same
+# trigram strings); integer-count divisions keep ratios bit-identical.
+ORACLE_TEXT["doc_repetition"] = r"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id, toks,
+           CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [] END AS tri
+    FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_unique_tokens,
+       CAST(len(tri) AS INT) AS n_trigrams,
+       CAST(len(list_distinct(tri)) AS INT) AS n_unique_trigrams,
+       round((CASE WHEN len(toks) > 0
+              THEN 1.0 - len(list_distinct(toks)) / len(toks)
+              ELSE 0.0 END) * 1000000) / 1000000.0 AS dup_token_ratio,
+       round((CASE WHEN len(tri) > 0
+              THEN 1.0 - len(list_distinct(tri)) / len(tri)
+              ELSE 0.0 END) * 1000000) / 1000000.0 AS dup_trigram_ratio
+FROM g
+"""
+
+# Spark side: registry label_centroids — posexplode + groupBy(label, dim).
+# unnest() calls zip in DuckDB, giving (value, 1-based ordinal) pairs.
+ORACLE_TEXT["label_centroids"] = """
+WITH e AS (
+    SELECT label,
+           unnest(embedding) AS v,
+           unnest(range(1, len(embedding) + 1)) AS i
+    FROM embeddings
+)
+SELECT label, CAST(i - 1 AS INT) AS dim,
+       count(*) AS n_vectors,
+       round(avg(v) * 1000000) / 1000000.0 AS mean_val
+FROM e
+GROUP BY 1, 2
+"""

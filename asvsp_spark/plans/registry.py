@@ -789,3 +789,44 @@ def _q13(spark, sf):
     return q13_supplier_margin_topk(_t(spark, sf, "lineitem"),
                                     _t(spark, sf, "supplier"),
                                     _t(spark, sf, "nation"))
+
+
+# ---- corpus repetition signals (functions/text.py repetition_features) ----
+
+@register("doc_repetition")
+def _doc_repetition(spark, sf):
+    """Gopher/C4-style within-document repetition filters: duplicate-token
+    and duplicate-trigram fractions, computed as pure array expressions in
+    ONE projection — no explode, no shuffle; the whole signal extraction
+    runs at parquet scan speed however large the corpus."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks"))
+    feats = TX.repetition_features("toks")
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].cast("int").alias("n_tokens"),
+        feats["n_unique_tokens"].cast("int").alias("n_unique_tokens"),
+        feats["n_trigrams"].cast("int").alias("n_trigrams"),
+        feats["n_unique_trigrams"].cast("int").alias("n_unique_trigrams"),
+        round_fixed(feats["dup_token_ratio"], 6).alias("dup_token_ratio"),
+        round_fixed(feats["dup_trigram_ratio"], 6).alias("dup_trigram_ratio"),
+    )
+
+
+# ---- per-label embedding centroids (long format, dimension-wise) ----
+
+@register("label_centroids")
+def _label_centroids(spark, sf):
+    """Per-label centroid of the embedding column in LONG form (label,
+    dim, n_vectors, mean_val): posexplode -> one partial-aggregating
+    groupBy on (label, dim) — the shuffle carries one row per (label,
+    dim) pair regardless of corpus size. The long form keeps every
+    output column scalar (driver-canonicalizer-safe) and is what a
+    k-means/recluster step consumes directly."""
+    emb = _t(spark, sf, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             round_fixed(F.avg("v"), 6).alias("mean_val"))
+    )

@@ -1,0 +1,72 @@
+"""Catalog (metastore) table registration over parquet directories —
+SURVEY §2.1 S4.
+
+The reference registers each landed parquet directory as a partitioned
+Hive external table and runs ``MSCK REPAIR TABLE`` after every append so
+new partition directories become queryable (reference
+src/batch/load_hourly.py:87-105). The Spark-first analogue needs no Hive
+installation: ``CREATE TABLE ... USING PARQUET PARTITIONED BY ...
+LOCATION ...`` against the session catalog, then
+``spark.catalog.recoverPartitions`` — the exact MSCK-equivalent partition
+discovery — after out-of-band appends.
+
+Scale notes: registration reads only the parquet FOOTER schema (no data
+scan); recoverPartitions lists partition directories (driver-side
+listing, parallelized by the InMemoryFileIndex past
+``spark.sql.sources.parallelPartitionDiscovery.threshold``). Catalog
+tables buy partition pruning by name (``WHERE dt = ...`` never lists
+other partitions) and shared visibility across sessions sharing the
+metastore.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def register_parquet_table(spark: SparkSession, name: str, path: str,
+                           partition_cols: tuple[str, ...] = (),
+                           replace: bool = False) -> DataFrame:
+    """Register the parquet directory at ``path`` as an EXTERNAL catalog
+    table ``name`` and return ``spark.table(name)``.
+
+    The DDL schema is inferred from the parquet footers (partition
+    columns are discovered from the directory layout by the same read),
+    so the catalog entry always matches the files on disk at
+    registration time. For partitioned layouts the partitions are
+    recovered immediately — the table is queryable without a separate
+    repair step.
+    """
+    inferred = spark.read.parquet(path).schema
+    by_name = {f.name: f for f in inferred.fields}
+    missing = [c for c in partition_cols if c not in by_name]
+    if missing:
+        raise ValueError(
+            f"partition columns {missing} not present in parquet data at "
+            f"{path} (found {sorted(by_name)})")
+    data_cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in inferred.fields if f.name not in partition_cols)
+    if replace:
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    ddl = f"CREATE TABLE `{name}` ({data_cols}"
+    if partition_cols:
+        part_cols = ", ".join(
+            f"`{c}` {by_name[c].dataType.simpleString()}"
+            for c in partition_cols)
+        ddl += f", {part_cols}) USING PARQUET PARTITIONED BY " \
+               f"({', '.join(f'`{c}`' for c in partition_cols)})"
+    else:
+        ddl += ") USING PARQUET"
+    ddl += f" LOCATION '{path}'"
+    spark.sql(ddl)
+    if partition_cols:
+        repair_table(spark, name)
+    return spark.table(name)
+
+
+def repair_table(spark: SparkSession, name: str) -> None:
+    """MSCK REPAIR TABLE analogue: discover partition directories added
+    to the table location out-of-band (a landing job writing straight to
+    the filesystem) and add them to the catalog. Idempotent."""
+    spark.catalog.recoverPartitions(name)
