@@ -111,13 +111,15 @@ def connected_components_star(edges: DataFrame, src: str = "doc_a",
             cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
                 .select("u", F.least("u", "mv").alias("m")))
+        # no distinct here: small-star's groupBy(v).min is insensitive to
+        # duplicate edges and ss dedups its own output — dropping the
+        # mid-round Exchange saves one shuffle per round
         ls = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.least("v", "m").alias("u"),
                     F.greatest("v", "m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # SMALL-STAR: key each edge by its LARGER endpoint u (neighbors
         # all smaller); connect u and its non-min neighbors to the min
