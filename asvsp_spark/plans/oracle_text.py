@@ -235,3 +235,44 @@ SELECT label, CAST(i - 1 AS INT) AS dim,
 FROM e
 GROUP BY 1, 2
 """
+
+# Spark side: operators/dedup.py winnow_fingerprints / winnow_pairs.
+# md5 hex strings compare lexicographically the same in both engines;
+# DuckDB list slicing is 1-based inclusive (hs[i+1:i+w] = w elements).
+ORACLE_TEXT["winnow_pairs"] = r"""
+WITH t AS (
+    SELECT doc_id AS doc, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+kg AS (
+    SELECT doc,
+           CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1),
+                   i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           ELSE [] END AS hs
+    FROM t
+),
+fp AS (
+    SELECT doc,
+           CASE WHEN len(hs) >= 4 THEN
+               list_distinct(list_transform(range(0, len(hs) - 3),
+                   i -> list_min(hs[i+1:i+4])))
+           WHEN len(hs) > 0 THEN [list_min(hs)]
+           ELSE [] END AS fps
+    FROM kg
+),
+sz AS (SELECT doc, CAST(len(fps) AS INT) AS n_fp FROM fp WHERE len(fps) > 0),
+post AS (SELECT doc, unnest(fps) AS fp_h FROM fp),
+shared AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared
+    FROM post a JOIN post b ON a.fp_h = b.fp_h AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+       round(n_shared / least(sa.n_fp, sb.n_fp) * 1000000) / 1000000.0
+           AS containment
+FROM shared
+JOIN sz sa ON sa.doc = doc_a
+JOIN sz sb ON sb.doc = doc_b
+WHERE n_shared / least(sa.n_fp, sb.n_fp) >= 0.5
+"""

@@ -830,3 +830,14 @@ def _label_centroids(spark, sf):
         .agg(F.count(F.lit(1)).alias("n_vectors"),
              round_fixed(F.avg("v"), 6).alias("mean_val"))
     )
+
+
+# ---- winnowing fingerprint dedup (operators/dedup.py winnow_pairs) ----
+
+@register("winnow_pairs")
+def _winnow_pairs(spark, sf):
+    """Substring-level near-dup candidates from shared winnowing
+    fingerprints (Schleimer et al. SIGMOD'03): min-hash of each window
+    of w consecutive k-gram hashes, inverted-index self-join on the
+    ~2/(w+1)-compressed sketch."""
+    return D.winnow_pairs(_t(spark, sf, "documents"), threshold=0.5)

@@ -112,3 +112,31 @@ def test_star_cc_equals_label_propagation(spark):
     b = sorted((r.vertex, r.component)
                for r in connected_components_star(edges).collect())
     assert a == b
+
+
+def test_winnowing_guarantee_and_compression(spark):
+    """Winnowing's core guarantee: two docs sharing a token run of
+    length >= k + w - 1 (= 6 here) share at least one fingerprint; the
+    sketch is smaller than the full k-gram set; a doc shorter than k
+    tokens fingerprints to empty; a short doc (< w k-grams) keeps a
+    single min."""
+    from asvsp_spark.operators.dedup import (winnow_fingerprints,
+                                             winnow_pairs)
+    shared_run = "alpha beta gamma delta epsilon zeta"   # 6 tokens
+    docs = spark.createDataFrame(
+        [(1, f"one two {shared_run} three four five six seven"),
+         (2, f"nine ten {shared_run} eleven twelve thirteen fourteen"),
+         (3, "totally different words everywhere here folks okay"),
+         (4, "tiny doc"),                                 # < k tokens
+         (5, "four little tokens here")],                 # < w k-grams
+        "doc_id long, text string")
+    fps = {r.doc: r.fps for r in winnow_fingerprints(docs).collect()}
+    assert set(fps[1]) & set(fps[2]), "shared 6-token run must collide"
+    assert fps[4] == []
+    assert len(fps[5]) == 1
+    # compression: fewer fingerprints than k-grams (13 tokens -> 11 kg)
+    assert len(fps[1]) < 11
+    pairs = {(r.doc_a, r.doc_b) for r in
+             winnow_pairs(docs, threshold=0.1).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
