@@ -74,3 +74,51 @@ def sample_k_per_group(documents: DataFrame, k: int = 10,
         .filter(F.col("rk") <= k)
         .select(F.col(id_col), F.col(strat_col), F.col("rk"))
     )
+
+
+def mixture_rebalance(documents: DataFrame,
+                      targets: dict[str, float] | None = None,
+                      strat_col: str = "lang", id_col: str = "doc_id",
+                      salt: str = "mix42") -> DataFrame:
+    """Rebalance a corpus toward TARGET mixture weights — the step that
+    turns raw stratum counts into a training mixture ("40% en, 15% each
+    es/de/fr/zh"): find the largest total M such that every stratum can
+    supply its share (M = min over strata of n_s / t_s), set each
+    stratum's quota to floor(M * t_s), and keep exactly that many
+    documents, chosen deterministically by md5-rank (the same
+    engine-portable order as sample_k_per_group, so EXACT membership is
+    oracle-checkable). Strata without a target weight are dropped.
+
+    Scale: stratum counts are a partial-aggregated groupBy on a
+    low-cardinality key and both derived tables (counts, quotas) are
+    broadcast; the rank needs one shuffle on the stratum key. Exact
+    quotas cost that per-stratum rank — when approximate shares are
+    acceptable at extreme scale, hash_stratified_sample keeps the same
+    determinism with zero shuffles; exact quotas are what a token-budget
+    mixture spec wants.
+    """
+    tg = targets or {"en": 0.4, "es": 0.15, "de": 0.15,
+                     "fr": 0.15, "zh": 0.15}
+    t_expr = F.lit(None).cast("double")
+    for stratum, share in tg.items():
+        t_expr = F.when(F.col(strat_col) == stratum,
+                        F.lit(float(share))).otherwise(t_expr)
+    d = documents.withColumn("_t", t_expr).filter(F.col("_t").isNotNull())
+    counts = d.groupBy(strat_col).agg(
+        F.count(F.lit(1)).alias("n_s"), F.max("_t").alias("t_s"))
+    m = counts.agg(F.min(F.col("n_s") / F.col("t_s")).alias("m_total"))
+    quotas = (counts.crossJoin(F.broadcast(m))
+              .select(strat_col,
+                      F.floor(F.col("m_total") * F.col("t_s"))
+                      .alias("quota")))
+    w = Window.partitionBy(strat_col).orderBy("h", id_col)
+    return (
+        d.withColumn("h", F.md5(F.concat(F.col(id_col).cast("string"),
+                                         F.lit(salt))))
+        .withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(quotas), strat_col)
+        .filter(F.col("rk") <= F.col("quota"))
+        .select(F.col(id_col), F.col(strat_col),
+                F.col("rk").cast("int").alias("rk"),
+                F.col("quota").cast("int").alias("quota"))
+    )

@@ -276,3 +276,26 @@ JOIN sz sa ON sa.doc = doc_a
 JOIN sz sb ON sb.doc = doc_b
 WHERE n_shared / least(sa.n_fp, sb.n_fp) >= 0.5
 """
+
+# Spark side: operators/sampling.py mixture_rebalance (md5-rank quotas).
+ORACLE_TEXT["mixture_rebalance"] = """
+WITH tg(lang, t_s) AS (VALUES
+    ('en', 0.4), ('es', 0.15), ('de', 0.15), ('fr', 0.15), ('zh', 0.15)),
+d AS (
+    SELECT doc_id, documents.lang, t_s,
+           md5(CAST(doc_id AS VARCHAR) || 'mix42') AS h
+    FROM documents JOIN tg ON documents.lang = tg.lang
+),
+counts AS (SELECT lang, count(*) AS n_s, max(t_s) AS t_s FROM d GROUP BY 1),
+m AS (SELECT min(n_s / t_s) AS m_total FROM counts),
+quotas AS (SELECT lang, CAST(floor(m_total * t_s) AS BIGINT) AS quota
+           FROM counts CROSS JOIN m),
+ranked AS (
+    SELECT doc_id, lang, h,
+           row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+    FROM d
+)
+SELECT r.doc_id, r.lang, CAST(r.rk AS INT) AS rk, CAST(q.quota AS INT) AS quota
+FROM ranked r JOIN quotas q USING (lang)
+WHERE r.rk <= q.quota
+"""

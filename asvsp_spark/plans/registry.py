@@ -841,3 +841,14 @@ def _winnow_pairs(spark, sf):
     of w consecutive k-gram hashes, inverted-index self-join on the
     ~2/(w+1)-compressed sketch."""
     return D.winnow_pairs(_t(spark, sf, "documents"), threshold=0.5)
+
+
+# ---- training-mixture rebalance (operators/sampling.py) ----
+
+@register("mixture_rebalance")
+def _mixture_rebalance(spark, sf):
+    """Exact-quota rebalance toward a 40/15/15/15/15 language mixture:
+    quota_s = floor(min(n_s / t_s) * t_s), membership by md5-rank —
+    deterministic and oracle-checkable to the exact document set."""
+    from asvsp_spark.operators.sampling import mixture_rebalance
+    return mixture_rebalance(_t(spark, sf, "documents"))

@@ -247,3 +247,26 @@ def test_tables_load_rejects_schema_drift(spark, tmp_path):
     spark.range(3).selectExpr("id AS o_orderkey").write.parquet(bad + "/orders.parquet")
     with _pytest.raises(ValueError, match="missing declared columns"):
         tables.load(spark, bad, "orders")
+
+
+def test_mixture_rebalance_quota_semantics(spark):
+    """Quota math: M = min(n_s / t_s); each stratum keeps exactly
+    floor(M * t_s); membership is stable across repartitioning."""
+    from asvsp_spark.operators.sampling import mixture_rebalance
+    rows = [(i, "en") for i in range(80)] + \
+           [(100 + i, "es") for i in range(30)] + \
+           [(200 + i, "de") for i in range(10)] + \
+           [(300 + i, "xx") for i in range(7)]      # no target: dropped
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    tg = {"en": 0.5, "es": 0.3, "de": 0.2}
+    out = mixture_rebalance(docs, targets=tg).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.lang, []).append(r.doc_id)
+    # M = min(80/.5, 30/.3, 10/.2) = 50 -> quotas 25 / 15 / 10
+    assert {k: len(v) for k, v in got.items()} == \
+        {"en": 25, "es": 15, "de": 10}
+    assert "xx" not in got
+    again = mixture_rebalance(docs.repartition(13), targets=tg).collect()
+    assert sorted(r.doc_id for r in again) == \
+        sorted(r.doc_id for r in out)
