@@ -142,3 +142,42 @@ def bm25_topk(docs: DataFrame, query_terms: tuple[str, ...],
               .limit(top_k))
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return scored.withColumn("rk", F.row_number().over(w))
+
+
+def unigram_logprob_score(docs: DataFrame,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          lang_col: str = "lang") -> DataFrame:
+    """Per-document average unigram log-probability under that document's
+    own language model — the CCNet-style perplexity proxy used to rank
+    corpus quality (low average log-prob = out-of-distribution text).
+
+    Model = corpus-trained unigram MLE per language: p(tok | lang) =
+    count(lang, tok) / total(lang). Every token the scorer sees exists
+    in the model by construction (trained on the same corpus), so there
+    is no OOV branch; a held-out split would add one coalesce.
+
+    Shape: one explode feeds BOTH the model counts and the scoring join —
+    groupBy (lang, tok) partial-aggregates to vocabulary cardinality, the
+    per-lang totals broadcast, and the scoring join shuffles on the
+    (lang, tok) key (vocabulary-distributed, not corpus-hot). Scores sum
+    exact integer counts through ln() and round to 6 AFTER the division.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"), F.col(lang_col).alias("lang"),
+        F.explode(TX.tokens(F.col(text_col))).alias("tok"))
+    model = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("c_lt"))
+    totals = model.groupBy("lang").agg(F.sum("c_lt").alias("c_l"))
+    scored = (
+        toks.join(model, ["lang", "tok"])
+        .join(F.broadcast(totals), "lang")
+        .groupBy(F.col("doc").alias("doc_id"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.avg(F.log(F.col("c_lt") / F.col("c_l")))
+              .alias("avg_lp"))
+    )
+    from asvsp_spark.plans.base import round_fixed
+    return scored.select(
+        "doc_id", "lang", F.col("n_tokens").cast("int").alias("n_tokens"),
+        round_fixed(F.col("avg_lp"), 6).alias("avg_logprob"))

@@ -299,3 +299,57 @@ SELECT r.doc_id, r.lang, CAST(r.rk AS INT) AS rk, CAST(q.quota AS INT) AS quota
 FROM ranked r JOIN quotas q USING (lang)
 WHERE r.rk <= q.quota
 """
+
+# Spark side: operators/relevance.py unigram_logprob_score.
+ORACLE_TEXT["unigram_logprob_score"] = r"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+),
+model AS (SELECT lang, tok, count(*) AS c_lt FROM toks GROUP BY 1, 2),
+totals AS (SELECT lang, sum(c_lt) AS c_l FROM model GROUP BY 1)
+SELECT t.doc_id, t.lang, CAST(count(*) AS INT) AS n_tokens,
+       round(avg(ln(c_lt / c_l)) * 1000000) / 1000000.0 AS avg_logprob
+FROM toks t
+JOIN model USING (lang, tok)
+JOIN totals USING (lang)
+GROUP BY 1, 2
+"""
+
+# Spark side: registry funnel_daily (conditional-min ordered funnel).
+ORACLE_TEXT["funnel_daily"] = """
+WITH per_user AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY 1, 2
+),
+flags AS (
+    SELECT day,
+           (t_view IS NOT NULL) AS s1,
+           (t_view IS NOT NULL AND t_click IS NOT NULL
+            AND t_click >= t_view) AS s2,
+           (t_view IS NOT NULL AND t_click IS NOT NULL
+            AND t_click >= t_view AND t_signup IS NOT NULL
+            AND t_signup >= t_click) AS s3,
+           (t_view IS NOT NULL AND t_click IS NOT NULL
+            AND t_click >= t_view AND t_signup IS NOT NULL
+            AND t_signup >= t_click AND t_purchase IS NOT NULL
+            AND t_purchase >= t_signup) AS s4
+    FROM per_user
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after,
+       CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_after,
+       CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after,
+       round((CASE WHEN sum(CASE WHEN s1 THEN 1 ELSE 0 END) > 0
+              THEN sum(CASE WHEN s4 THEN 1 ELSE 0 END)
+                   / sum(CASE WHEN s1 THEN 1 ELSE 0 END)
+              ELSE 0.0 END) * 1000000) / 1000000.0 AS conversion
+FROM flags
+GROUP BY day
+"""

@@ -852,3 +852,47 @@ def _mixture_rebalance(spark, sf):
     deterministic and oracle-checkable to the exact document set."""
     from asvsp_spark.operators.sampling import mixture_rebalance
     return mixture_rebalance(_t(spark, sf, "documents"))
+
+
+# ---- corpus quality scoring: unigram LM log-prob (CCNet-style) ----
+
+@register("unigram_logprob_score")
+def _unigram_logprob_score(spark, sf):
+    """Per-doc average unigram log-prob under the doc's own language
+    model (operators/relevance.py) — the perplexity-proxy quality rank."""
+    from asvsp_spark.operators.relevance import unigram_logprob_score
+    return unigram_logprob_score(_t(spark, sf, "documents"))
+
+
+# ---- ordered funnel over the events stream (view>click>signup>purchase) ----
+
+@register("funnel_daily")
+def _funnel_daily(spark, sf):
+    """Classic ordered-funnel conversion: per (user, day) the FIRST
+    timestamp of each stage via conditional min, a stage counts only if
+    its first occurrence is at-or-after the previous stage's first
+    occurrence; daily totals + final conversion rate. One shuffle on
+    (user, day), then a partial-agg rollup onto ~30 day keys."""
+    ev = _t(spark, sf, "events")
+    fs = {t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+          .alias(f"t_{t}")
+          for t in ("view", "click", "signup", "purchase")}
+    per_user = (ev
+                .withColumn("day", F.to_date("ts"))
+                .groupBy("user_id", "day")
+                .agg(*fs.values()))
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_view"))
+    s3 = s2 & F.col("t_signup").isNotNull() & (F.col("t_signup") >= F.col("t_click"))
+    s4 = s3 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") >= F.col("t_signup"))
+    daily = (per_user.groupBy("day").agg(
+        F.sum(s1.cast("long")).alias("n_view"),
+        F.sum(s2.cast("long")).alias("n_click_after"),
+        F.sum(s3.cast("long")).alias("n_signup_after"),
+        F.sum(s4.cast("long")).alias("n_purchase_after")))
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "n_view", "n_click_after", "n_signup_after", "n_purchase_after",
+        round_fixed(F.when(F.col("n_view") > 0,
+                           F.col("n_purchase_after") / F.col("n_view"))
+                    .otherwise(F.lit(0.0)), 6).alias("conversion"))
