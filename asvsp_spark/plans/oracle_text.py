@@ -353,3 +353,35 @@ SELECT CAST(day AS VARCHAR) AS day,
 FROM flags
 GROUP BY day
 """
+
+# Spark side: registry quality_filter_report (p25 percentile gate).
+ORACLE_TEXT["quality_filter_report"] = rf"""
+WITH t AS (
+    SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id, lang,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x IN {_STOPLIST})) AS INT) AS n_stop
+    FROM t
+),
+s AS (
+    SELECT doc_id, lang,
+           round((least(n_tokens, 500) / 500.0 + n_stop / n_tokens) / 2
+                 * 1000000) / 1000000.0 AS q
+    FROM m
+),
+th AS (SELECT lang, quantile_cont(q, 0.25) AS p25_raw FROM s GROUP BY 1)
+SELECT s.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN q >= p25_raw THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(max(p25_raw) * 1000000) / 1000000.0 AS p25,
+       round(sum(CASE WHEN q >= p25_raw THEN 1 ELSE 0 END)
+             / count(*) * 1000000) / 1000000.0 AS kept_frac,
+       round(sum(CASE WHEN q >= p25_raw THEN q END)
+             / sum(CASE WHEN q >= p25_raw THEN 1 ELSE 0 END)
+             * 1000000) / 1000000.0 AS avg_kept_q
+FROM s JOIN th USING (lang)
+GROUP BY 1
+"""

@@ -898,3 +898,41 @@ def _funnel_daily(spark, sf):
         round_fixed(F.when(F.col("n_view") > 0,
                            F.col("n_purchase_after") / F.col("n_view"))
                     .otherwise(F.lit(0.0)), 6).alias("conversion"))
+
+
+# ---- composed quality gate: per-language p25 percentile cut ----
+
+@register("quality_filter_report")
+def _quality_filter_report(spark, sf):
+    """The composed quality gate a corpus pipeline actually ships: score
+    every document (same formula as text_profile), cut each language at
+    its own p25 (exact percentile_cont), report kept counts/fractions.
+    Thresholds are a per-language aggregate joined back by broadcast —
+    the corpus shuffles once for the percentile, never for the gate."""
+    docs = _t(spark, sf, "documents")
+    d = (docs
+         .withColumn("toks", TX.tokens(F.col("text")))
+         .withColumn("n_tokens", F.size("toks"))
+         .withColumn("n_stop", TX.stopword_count("toks")))
+    scored = d.select(
+        "doc_id", "lang",
+        round_fixed((F.least(F.col("n_tokens"), F.lit(500)) / 500.0
+                     + F.col("n_stop") / F.col("n_tokens")) / 2, 6)
+        .alias("q"))
+    th = scored.groupBy("lang").agg(
+        F.percentile("q", 0.25).alias("p25_raw"))
+    return (
+        scored.join(F.broadcast(th), "lang")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum((F.col("q") >= F.col("p25_raw")).cast("long"))
+              .alias("n_kept"),
+             F.max(round_fixed(F.col("p25_raw"), 6)).alias("p25"),
+             F.sum(F.when(F.col("q") >= F.col("p25_raw"), F.col("q")))
+              .alias("_kept_sum"))
+        .select("lang", "n_docs", "n_kept", "p25",
+                round_fixed(F.col("n_kept") / F.col("n_docs"), 6)
+                .alias("kept_frac"),
+                round_fixed(F.col("_kept_sum") / F.col("n_kept"), 6)
+                .alias("avg_kept_q"))
+    )
