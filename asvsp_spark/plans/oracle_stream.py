@@ -223,3 +223,40 @@ SELECT t.event_type,
 FROM t, m
 WHERE t.ws + INTERVAL 1 HOUR <= m.mx - INTERVAL 2 HOUR
 """
+
+# Spark side: streaming/queries.py sq10_funnel_hourly (stream funnel).
+ORACLE_STREAM["sq10_funnel_hourly"] = """
+WITH per_user AS (
+    SELECT date_trunc('hour', ts) AS w, user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY 1, 2
+),
+flags AS (
+    SELECT w,
+           (t_view IS NOT NULL) AS s1,
+           (t_view IS NOT NULL AND t_click IS NOT NULL
+            AND t_click >= t_view) AS s2,
+           (t_view IS NOT NULL AND t_click IS NOT NULL
+            AND t_click >= t_view AND t_signup IS NOT NULL
+            AND t_signup >= t_click) AS s3,
+           (t_view IS NOT NULL AND t_click IS NOT NULL
+            AND t_click >= t_view AND t_signup IS NOT NULL
+            AND t_signup >= t_click AND t_purchase IS NOT NULL
+            AND t_purchase >= t_signup) AS s4
+    FROM per_user
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after,
+       CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_after,
+       CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after,
+       round((CASE WHEN sum(CASE WHEN s1 THEN 1 ELSE 0 END) > 0
+              THEN sum(CASE WHEN s4 THEN 1 ELSE 0 END)
+                   / sum(CASE WHEN s1 THEN 1 ELSE 0 END)
+              ELSE 0.0 END) * 1000000) / 1000000.0 AS conversion
+FROM flags
+GROUP BY w
+"""

@@ -936,3 +936,8 @@ def _quality_filter_report(spark, sf):
                 round_fixed(F.col("_kept_sum") / F.col("n_kept"), 6)
                 .alias("avg_kept_q"))
     )
+
+
+# ---- streaming funnel (streaming/queries.py sq10) ----
+
+_REGISTRY["sq10_funnel_hourly"] = SQ.sq10_funnel_hourly

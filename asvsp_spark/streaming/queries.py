@@ -653,3 +653,54 @@ def sq9_hourly_daily_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_events", "n_hours", "max_hourly_events",
         (F.col("sum_centi") / 100.0).alias("sum_value"))
     return drain(out, spark, output_mode="append")
+
+
+# ---------------------------------------------------------------- SQ10
+
+def sq10_funnel_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ordered funnel per tumbling hour: the batch
+    ``funnel_daily`` analytic expressed against the live stream. The
+    stateful layer is ONE streaming aggregation — conditional-min first
+    timestamps per (window, user), watermark-bounded state — and the
+    order-sensitive stage flags + per-window counts run inside
+    foreachBatch on the (already aggregated, small) per-user rows, the
+    same split every consumer uses for batch-only ops (T8).
+
+    Scale: state is (window x active user) carrying four timestamps;
+    the foreachBatch rollup reduces user rows to ~windows rows before
+    anything leaves the executors. Per-user state cardinality gets the
+    same state-store partition override as sq8's sessions.
+    """
+    stream = events_stream(spark, sf_dir)
+    mins = (
+        stream
+        .groupBy(F.window("ts", "1 hour").alias("window"), "user_id")
+        .agg(*[
+            F.min(F.when(F.col("event_type") == t, F.col("ts")))
+            .alias(f"t_{t}")
+            for t in ("view", "click", "signup", "purchase")
+        ])
+    )
+
+    def finish(batch: DataFrame) -> DataFrame:
+        s1 = F.col("t_view").isNotNull()
+        s2 = s1 & F.col("t_click").isNotNull() & \
+            (F.col("t_click") >= F.col("t_view"))
+        s3 = s2 & F.col("t_signup").isNotNull() & \
+            (F.col("t_signup") >= F.col("t_click"))
+        s4 = s3 & F.col("t_purchase").isNotNull() & \
+            (F.col("t_purchase") >= F.col("t_signup"))
+        daily = batch.groupBy("window").agg(
+            F.sum(s1.cast("long")).alias("n_view"),
+            F.sum(s2.cast("long")).alias("n_click_after"),
+            F.sum(s3.cast("long")).alias("n_signup_after"),
+            F.sum(s4.cast("long")).alias("n_purchase_after"))
+        return daily.select(
+            _fmt_window_start(), "n_view", "n_click_after",
+            "n_signup_after", "n_purchase_after",
+            round_fixed(
+                F.when(F.col("n_view") > 0,
+                       F.col("n_purchase_after") / F.col("n_view"))
+                .otherwise(F.lit(0.0)), 6).alias("conversion"))
+
+    return drain(mins, spark, batch_transform=finish, shuffle_partitions=16)
