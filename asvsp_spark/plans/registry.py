@@ -941,3 +941,14 @@ def _quality_filter_report(spark, sf):
 # ---- streaming funnel (streaming/queries.py sq10) ----
 
 _REGISTRY["sq10_funnel_hourly"] = SQ.sq10_funnel_hourly
+
+
+# ---- mergeable HLL sketch rollup (operators/sketches.py) ----
+
+@register("hll_user_rollup")
+def _hll_user_rollup(spark, sf):  # rows-only: estimates are engine-specific
+    """Daily HLL user sketches + monthly rollup by SKETCH UNION (no raw
+    rescan) — the mergeable pre-aggregate approx_count_distinct cannot
+    express. Error bound + merge identity unit-tested."""
+    from asvsp_spark.operators.sketches import hll_user_rollup
+    return hll_user_rollup(_t(spark, sf, "events"))

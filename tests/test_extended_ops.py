@@ -270,3 +270,32 @@ def test_mixture_rebalance_quota_semantics(spark):
     again = mixture_rebalance(docs.repartition(13), targets=tg).collect()
     assert sorted(r.doc_id for r in again) == \
         sorted(r.doc_id for r in out)
+
+
+def test_hll_rollup_error_bound_and_merge_identity(spark):
+    """Sketch estimates land within 5% of exact distinct counts at
+    lgK=12, and the monthly number comes from unioning DAILY sketches —
+    assert it matches a direct whole-month sketch exactly (same sketch
+    algebra) and the exact count within the bound."""
+    from asvsp_spark import tables
+    from asvsp_spark.operators.sketches import (daily_user_sketches,
+                                                monthly_distinct_users)
+    from tests.conftest import SF_DIR
+    ev = tables.load(spark, SF_DIR, "events")
+    daily = daily_user_sketches(ev)
+    monthly = {(r.month, r.event_type): r.est_users
+               for r in monthly_distinct_users(daily).collect()}
+    direct = {(r.month, r.event_type): r.est
+              for r in (ev.withColumn("month", F.date_format("ts", "yyyy-MM"))
+                        .groupBy("month", "event_type")
+                        .agg(F.hll_sketch_estimate(
+                            F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+                        .collect())}
+    exact = {(r.month, r.event_type): r.n
+             for r in (ev.withColumn("month", F.date_format("ts", "yyyy-MM"))
+                       .groupBy("month", "event_type")
+                       .agg(F.count_distinct("user_id").alias("n"))
+                       .collect())}
+    assert monthly == direct, "union of daily sketches == whole-month sketch"
+    for k, est in monthly.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
