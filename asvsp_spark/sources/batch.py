@@ -179,3 +179,84 @@ def compact_parquet(spark: SparkSession, path: str,
     _shutil.rmtree(old)
     import glob as _glob
     return len(_glob.glob(f"{path}/**/*.parquet", recursive=True))
+
+
+def merge_upsert(spark, path: str, updates, key_cols: list[str],
+                 delete_col: str | None = None) -> dict:
+    """MERGE INTO over a plain-parquet dataset: upsert ``updates`` into
+    the dataset at ``path`` by ``key_cols`` — matched rows are replaced
+    by the update row, unmatched update rows are inserted, and (when
+    ``delete_col`` names a boolean column) update rows with it true
+    DELETE the matched base row. Returns counts per action.
+
+    This is the reference's truncate-and-reload ritual replaced by a
+    keyed merge (and the operation Delta/Iceberg call MERGE, expressed
+    on raw parquet): one full-outer join on the key, action decided per
+    row, rewrite through the same crash-safe rename protocol as
+    compact_parquet (old data survives aside until the new dir is
+    live). Scale: the join shuffles base+updates by key once — for
+    partitioned bases where updates touch few partitions, join against
+    only those partitions and use overwrite_window_partitions instead;
+    this full-merge path is the general fallback.
+    """
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(path)
+    data_cols = [c for c in base.columns if c not in key_cols]
+    upd_cols = [c for c in updates.columns
+                if c not in key_cols and c != delete_col]
+    if set(upd_cols) != set(data_cols):
+        raise ValueError(
+            f"update columns {sorted(upd_cols)} must match base data "
+            f"columns {sorted(data_cols)}")
+    u = updates.withColumn(
+        "_del",
+        F.col(delete_col) if delete_col else F.lit(False))
+    b = base.withColumn("_present", F.lit(True))
+    u = u.withColumn("_updated", F.lit(True))
+    joined = b.alias("b").join(
+        u.alias("u"), key_cols, "full_outer").localCheckpoint(eager=False)
+
+    in_base = F.col("b._present").isNotNull()
+    in_upd = F.col("u._updated").isNotNull()
+    deleted = in_upd & F.col("u._del")
+    counts = {
+        row["action"]: row["n"]
+        for row in (joined.select(
+            F.when(deleted & in_base, "delete")
+             .when(in_upd & in_base, "update")
+             .when(in_upd, "insert")
+             .otherwise("keep").alias("action"))
+            .groupBy("action").agg(F.count(F.lit(1)).alias("n"))
+            .collect())
+    }
+    merged = (
+        joined
+        .filter(~deleted)
+        .select(*key_cols,
+                *[F.when(in_upd, F.col(f"u.{c}"))
+                   .otherwise(F.col(f"b.{c}")).alias(c)
+                  for c in data_cols])
+    )
+    token = _uuid.uuid4().hex[:8]
+    tmp = f"{path}__merge_{token}"
+    try:
+        merged.write.mode("overwrite").parquet(tmp)
+    except BaseException:
+        _shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    old = f"{path}__old_{token}"
+    _os.rename(path, old)
+    try:
+        _os.rename(tmp, path)
+    except BaseException:
+        _os.rename(old, path)
+        _shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    _shutil.rmtree(old)
+    return {k: counts.get(k, 0) for k in
+            ("insert", "update", "delete", "keep")}

@@ -184,3 +184,37 @@ def test_compact_parquet_cleans_up_on_write_failure(spark, tmp_path):
         compact_parquet(spark, path, partition_by=["no_such_col"])
     assert spark.read.parquet(path).count() == 100
     assert g.glob(str(tmp_path / "ds__*")) == []
+
+
+def test_merge_upsert_actions_and_survivors(spark):
+    """MERGE semantics: update replaces, insert appends, delete removes,
+    untouched rows survive; the action counts report each class."""
+    import tempfile
+    from asvsp_spark.sources.batch import merge_upsert
+    d = tempfile.mkdtemp(prefix="merge-") + "/t"
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double").write.parquet(d)
+    updates = spark.createDataFrame(
+        [(2, "B", 22.0, False),   # update
+         (4, "d", 40.0, False),   # insert
+         (3, None, 0.0, True)],   # delete
+        "id long, name string, v double, is_deleted boolean")
+    counts = merge_upsert(spark, d, updates, ["id"],
+                          delete_col="is_deleted")
+    assert counts == {"insert": 1, "update": 1, "delete": 1, "keep": 1}
+    got = sorted((r.id, r.name, r.v)
+                 for r in spark.read.parquet(d).collect())
+    assert got == [(1, "a", 10.0), (2, "B", 22.0), (4, "d", 40.0)]
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    import tempfile
+    import pytest as _pytest
+    from asvsp_spark.sources.batch import merge_upsert
+    d = tempfile.mkdtemp(prefix="merge-bad-") + "/t"
+    spark.createDataFrame([(1, "a")], "id long, name string") \
+        .write.parquet(d)
+    upd = spark.createDataFrame([(1, 5.0)], "id long, other double")
+    with _pytest.raises(ValueError, match="must match"):
+        merge_upsert(spark, d, upd, ["id"])
