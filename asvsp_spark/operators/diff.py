@@ -53,3 +53,41 @@ def diff_summary(old: DataFrame, new: DataFrame, key: str,
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_keys"))
     )
+
+
+def scd2_intervals(events: DataFrame, key_col: str, state_col: str,
+                   ts_col: str = "ts",
+                   tiebreak_col: str | None = None) -> DataFrame:
+    """Type-2 slowly-changing dimension from a state-change event log:
+    collapse consecutive identical states per key and emit one validity
+    interval per state run — (key, state, valid_from, valid_to,
+    is_current), the standard warehouse dimension-history build.
+
+    Shape: one shuffle on the key; lag() drops rows whose state equals
+    the previous state (run-length encoding), lead() closes each
+    interval with the next run's start. ``tiebreak_col`` makes the
+    within-timestamp order total so the result is deterministic and
+    oracle-checkable.
+
+    Scale: the window partitions by the dimension key (bounded rows per
+    key); nothing global. For an incremental build, union yesterday's
+    open intervals with today's events and re-run over the affected keys
+    only (merge_upsert applies the result).
+    """
+    from pyspark.sql import Window
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    runs = (
+        events
+        .withColumn("_prev", F.lag(state_col).over(w))
+        .filter(F.col("_prev").isNull()
+                | (F.col(state_col) != F.col("_prev")))
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+    )
+    return runs.select(
+        F.col(key_col), F.col(state_col).alias("state"),
+        "valid_from", "valid_to",
+        F.col("valid_to").isNull().alias("is_current"))

@@ -710,3 +710,29 @@ JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation ON n_nationkey = s_nationkey
 WHERE rk <= 10
 """
+
+# Spark side: operators/diff.py scd2_intervals (registry scd2_user_state).
+ORACLE_EXT["scd2_user_state"] = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_state
+    FROM events
+),
+runs AS (
+    SELECT user_id, event_type AS state, ts AS valid_from, event_id
+    FROM ordered
+    WHERE prev_state IS NULL OR event_type <> prev_state
+),
+closed AS (
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to
+    FROM runs
+)
+SELECT user_id, state,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       (valid_to IS NULL) AS is_current
+FROM closed
+"""

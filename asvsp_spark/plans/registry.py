@@ -952,3 +952,23 @@ def _hll_user_rollup(spark, sf):  # rows-only: estimates are engine-specific
     express. Error bound + merge identity unit-tested."""
     from asvsp_spark.operators.sketches import hll_user_rollup
     return hll_user_rollup(_t(spark, sf, "events"))
+
+
+# ---- SCD2 dimension history (operators/diff.py scd2_intervals) ----
+
+@register("scd2_user_state")
+def _scd2_user_state(spark, sf):
+    """User activity-state history as type-2 validity intervals:
+    consecutive identical event types collapse into one run, lead()
+    closes each interval (operators/diff.py)."""
+    from asvsp_spark.operators.diff import scd2_intervals
+    ev = _t(spark, sf, "events").select("user_id", "event_type", "ts",
+                                        "event_id")
+    out = scd2_intervals(ev, "user_id", "event_type",
+                         tiebreak_col="event_id")
+    return out.select(
+        "user_id", "state",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss")
+         .alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current")

@@ -299,3 +299,22 @@ def test_hll_rollup_error_bound_and_merge_identity(spark):
     assert monthly == direct, "union of daily sketches == whole-month sketch"
     for k, est in monthly.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_scd2_collapses_runs_and_flags_current(spark):
+    from asvsp_spark.operators.diff import scd2_intervals
+    rows = [
+        (1, "A", 100, 1), (1, "A", 200, 2), (1, "B", 300, 3),
+        (1, "A", 400, 4),                     # back to A: NEW interval
+        (2, "X", 150, 5),
+    ]
+    ev = spark.createDataFrame(rows, "k long, s string, t long, id long")
+    out = sorted((r.k, r.state, r.valid_from, r.valid_to, r.is_current)
+                 for r in scd2_intervals(ev, "k", "s", ts_col="t",
+                                         tiebreak_col="id").collect())
+    assert out == [
+        (1, "A", 100, 300, False),
+        (1, "A", 400, None, True),
+        (1, "B", 300, 400, False),
+        (2, "X", 150, None, True),
+    ]
