@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis) for the operators whose contracts
+are easiest to get subtly wrong: the as-of join's backward-inclusive
+semantics, Z-value bijectivity, Jaccard scoring against a brute-force
+reference, and mixture-quota arithmetic. Each property runs a handful of
+randomized examples against a pure-Python reference implementation —
+the cross-check the DuckDB oracle can't give for operator EDGE cases the
+fixtures never hit (ties, empty groups, singleton strata).
+
+Examples are kept small (Spark jobs per example) and counts low; the
+suite stays in seconds.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(max_examples=10, deadline=None,
+               suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                      HealthCheck.too_slow])
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                  min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50),
+                             st.integers(-100, 100)),
+                   min_size=0, max_size=15),
+)
+@SET
+def test_asof_join_matches_reference(spark, left, right):
+    """For every left row: the payload of the LATEST right row of the
+    same key with right_ts <= left_ts (ties broken toward the larger
+    right_ts; equal right_ts rows — the dedup inside asof keeps one
+    deterministically), else NULL."""
+    from asvsp_spark.operators.asof import asof_join
+    # de-dup right on (key, ts): the operator's window carries ONE struct
+    # per instant; a reference with duplicate instants is ill-defined
+    seen = {}
+    for k, t, v in right:
+        seen[(k, t)] = v
+    right = [(k, t, v) for (k, t), v in seen.items()]
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)],
+        "lid long, k long, lt long")
+    rdf = spark.createDataFrame(
+        right or [(None, None, None)],
+        "k long, rt long, v long").filter(F.col("k").isNotNull())
+    got = {r.lid: r.v
+           for r in asof_join(ldf, rdf, on="k", left_ts="lt",
+                              right_ts="rt").collect()}
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for (rk, rt, v) in right if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t, cands, got[i])
+
+
+@given(pairs=st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                      min_size=1, max_size=50, unique=True))
+@SET
+def test_zvalue_is_injective_and_bounded(spark, pairs):
+    from asvsp_spark.sources.layout import zvalue
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        "a", "b", zvalue(F.col("a"), F.col("b"), bits=8).alias("z"))
+    rows = df.collect()
+    zs = [r.z for r in rows]
+    assert len(set(zs)) == len(set(pairs)), "interleave must be injective"
+    assert all(0 <= z < (1 << 16) for z in zs)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12)
+        .map(lambda ws: " ".join(ws)),
+        min_size=2, max_size=8),
+    threshold=st.sampled_from([0.2, 0.5, 0.8]),
+)
+@SET
+def test_jaccard_pairs_matches_bruteforce(spark, texts, threshold):
+    """Every emitted pair's score equals brute-force set Jaccard over
+    distinct word trigrams, and no qualifying pair is missed (max_df
+    high enough that the cap never fires)."""
+    from asvsp_spark.operators.dedup import jaccard_pairs
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in jaccard_pairs(docs, threshold=threshold).collect()}
+
+    def shingles(t: str) -> set:
+        toks = t.strip().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            j = inter / len(sa | sb)
+            if j >= threshold:
+                want[(a, b)] = round(j * 1e6) / 1e6
+    assert got == want
+
+
+@given(
+    sizes=st.lists(st.integers(1, 40), min_size=1, max_size=4),
+    weights=st.lists(st.integers(1, 10), min_size=4, max_size=4),
+)
+@SET
+def test_mixture_rebalance_quota_invariants(spark, sizes, weights):
+    """Quotas: every stratum keeps exactly floor(M * t_s) with
+    M = min(n_s / t_s); kept counts never exceed stratum sizes and the
+    binding stratum keeps all (or all-but-floor-rounding) of its rows."""
+    from asvsp_spark.operators.sampling import mixture_rebalance
+    langs = ["aa", "bb", "cc", "dd"][:len(sizes)]
+    w = weights[:len(sizes)]
+    tot = sum(w)
+    targets = {l: wi / tot for l, wi in zip(langs, w)}
+    rows, nid = [], 0
+    for l, n in zip(langs, sizes):
+        for _ in range(n):
+            rows.append((nid, l))
+            nid += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_rebalance(docs, targets=targets).collect()
+    kept = {l: 0 for l in langs}
+    for r in out:
+        kept[r.lang] += 1
+    m = min(n / targets[l] for l, n in zip(langs, sizes))
+    for l, n in zip(langs, sizes):
+        assert kept[l] == math.floor(m * targets[l])
+        assert kept[l] <= n
