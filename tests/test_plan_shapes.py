@@ -135,3 +135,39 @@ def test_q13_aggregates_fact_before_dimension_join(spark):
     assert join_pos != -1 and topk_pos != -1
     # top-down print: joins first, then TakeOrdered, then the aggregate
     assert join_pos < topk_pos < agg_pos
+
+
+def test_doc_repetition_is_single_scan_no_shuffle(spark):
+    """The repetition signals are one projection over the scan — any
+    Exchange appearing means someone turned a per-row feature into an
+    aggregation."""
+    from asvsp_spark.plans.registry import all_queries
+    plan = _plan(all_queries()["doc_repetition"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_funnel_two_aggregation_levels_only(spark):
+    """funnel_daily: exactly the (user, day) agg and the day rollup —
+    two exchanges, no joins, column-pruned scan."""
+    from asvsp_spark.plans.registry import all_queries
+    plan = _plan(all_queries()["funnel_daily"](spark, SF_DIR))
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read and "value" not in read
+
+
+def test_mixture_rebalance_broadcasts_quotas(spark):
+    """The quota/threshold tables must broadcast — the corpus shuffles
+    once for the per-stratum rank, never for the quota join."""
+    from asvsp_spark.plans.registry import all_queries
+    plan = _plan(all_queries()["mixture_rebalance"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_gate_broadcasts_thresholds(spark):
+    from asvsp_spark.plans.registry import all_queries
+    plan = _plan(all_queries()["quality_filter_report"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
