@@ -150,3 +150,186 @@ def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
         "frame_sample requires video codecs; environment has none. "
         "The batching/partitioning contract is documented here and in "
         "media_features.")
+
+
+# ---- synthetic raw codec: the decode/resize/frame-sample pipelines run
+# END-TO-END against a deterministic uncompressed format (numpy-only), so
+# the full plumbing — binary parsing, per-row decode, Python-side explode,
+# batch shapes — is exercised and testable in an environment with no real
+# codecs. Swapping RAWI/RAWA/RAWV parsing for PIL/soundfile/pyav turns
+# these into the production decoders without touching any Spark code.
+
+RAW_IMAGE_MAGIC = b"RAWI"   # RAWI | w:u16 | h:u16 | w*h grayscale bytes
+RAW_AUDIO_MAGIC = b"RAWA"   # RAWA | rate:u32 | n:u32 | n int8 samples
+RAW_VIDEO_MAGIC = b"RAWV"   # RAWV | frames:u16 | w:u16 | h:u16 | frames*w*h
+
+
+def attach_synthetic_media(documents: DataFrame) -> DataFrame:
+    """Deterministic RAWI/RAWA/RAWV payloads generated per doc_id inside
+    mapInPandas (numpy PRNG seeded by doc_id — identical across runs,
+    partitionings and executors). Same round-robin media_type assignment
+    as attach_fake_media, but the payloads PARSE."""
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        import struct
+        for pdf in batches:
+            payloads = []
+            mtypes = []
+            for doc_id in pdf["doc_id"]:
+                rng = np.random.default_rng(int(doc_id))
+                kind = MEDIA_TYPES[int(doc_id) % len(MEDIA_TYPES)]
+                mtypes.append(kind)
+                if kind == "image":
+                    w, h = 8 + int(doc_id) % 25, 6 + int(doc_id) % 19
+                    px = rng.integers(0, 256, size=w * h,
+                                      dtype=np.uint8).tobytes()
+                    payloads.append(RAW_IMAGE_MAGIC
+                                    + struct.pack(">HH", w, h) + px)
+                elif kind == "audio":
+                    rate = 8000
+                    n = 1000 + int(doc_id) % 3000
+                    smp = rng.integers(-128, 128, size=n,
+                                       dtype=np.int8).tobytes()
+                    payloads.append(RAW_AUDIO_MAGIC
+                                    + struct.pack(">II", rate, n) + smp)
+                else:
+                    nf, w, h = 4 + int(doc_id) % 13, 8, 6
+                    px = rng.integers(0, 256, size=nf * w * h,
+                                      dtype=np.uint8).tobytes()
+                    payloads.append(RAW_VIDEO_MAGIC
+                                    + struct.pack(">HHH", nf, w, h) + px)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": mtypes,
+                "payload": payloads,
+                "meta": pdf["meta"],
+            })
+
+    base = documents.select(
+        "doc_id", F.lit("x").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(F.col("n_chars"), F.col("source")).alias("meta"))
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_image_raw(media: DataFrame, max_side: int = 16) -> DataFrame:
+    """Decode + nearest-neighbor resize of RAWI images: (doc_id, width,
+    height, out_width, out_height, mean_intensity). The resize is a pure
+    numpy stride decimation — the production swap-in is PIL.thumbnail
+    with identical input/output contract."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ])
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        import struct
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"],
+                                           pdf["payload"]):
+                if mt != "image":
+                    continue
+                buf = bytes(payload)
+                assert buf[:4] == RAW_IMAGE_MAGIC, "not a RAWI payload"
+                w, h = struct.unpack(">HH", buf[4:8])
+                px = np.frombuffer(buf[8:8 + w * h],
+                                   dtype=np.uint8).reshape(h, w)
+                sx = max(1, -(-w // max_side))
+                sy = max(1, -(-h // max_side))
+                small = px[::sy, ::sx]
+                rows.append((int(doc_id), w, h,
+                             small.shape[1], small.shape[0],
+                             round(float(px.mean()), 6)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height",
+                               "out_width", "out_height", "mean_intensity"])
+
+    return media.mapInPandas(decode, schema=out_schema)
+
+
+def decode_audio_raw(media: DataFrame, target_rate: int = 4000) -> DataFrame:
+    """Decode + linear-resample RAWA audio: (doc_id, rate, n_samples,
+    duration_s, out_samples, rms). Production swap-in: soundfile/librosa
+    with the same contract."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("out_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ])
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        import struct
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"],
+                                           pdf["payload"]):
+                if mt != "audio":
+                    continue
+                buf = bytes(payload)
+                assert buf[:4] == RAW_AUDIO_MAGIC, "not a RAWA payload"
+                rate, n = struct.unpack(">II", buf[4:12])
+                smp = np.frombuffer(buf[12:12 + n], dtype=np.int8)
+                out_n = max(1, int(n * target_rate / rate))
+                res = np.interp(np.linspace(0, n - 1, out_n),
+                                np.arange(n), smp.astype(np.float64))
+                rows.append((int(doc_id), rate, n,
+                             round(n / rate, 6), out_n,
+                             round(float(np.sqrt((res ** 2).mean())), 6)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "rate", "n_samples", "duration_s",
+                               "out_samples", "rms"])
+
+    return media.mapInPandas(decode, schema=out_schema)
+
+
+def frame_sample_raw(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """RAWV frame sampling — the Python-side EXPLODE shape: one input
+    video row yields one output row per sampled frame (index + digest).
+    Repartition by doc_id before this stage in production so decode cost
+    spreads evenly; the output is narrow (no frame payloads shuffled)."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_mean", T.DoubleType()),
+        T.StructField("frame_digest", T.StringType()),
+    ])
+
+    def sample(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        import struct
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"],
+                                           pdf["payload"]):
+                if mt != "video":
+                    continue
+                buf = bytes(payload)
+                assert buf[:4] == RAW_VIDEO_MAGIC, "not a RAWV payload"
+                nf, w, h = struct.unpack(">HHH", buf[4:10])
+                frames = np.frombuffer(
+                    buf[10:10 + nf * w * h],
+                    dtype=np.uint8).reshape(nf, h, w)
+                for idx in range(0, nf, every_n):
+                    fr = frames[idx]
+                    rows.append((int(doc_id), idx,
+                                 round(float(fr.mean()), 6),
+                                 hashlib.md5(fr.tobytes()).hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_mean",
+                               "frame_digest"])
+
+    return media.mapInPandas(sample, schema=out_schema)

@@ -972,3 +972,26 @@ def _scd2_user_state(spark, sf):
          .alias("valid_from"),
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         "is_current")
+
+
+# ---- multimodal decode pipelines over the synthetic raw codec ----
+
+@register("media_image_decode")
+def _media_image_decode(spark, sf):  # rows-only: binary parsing has no SQL twin
+    """Decode + resize the RAWI image payloads end-to-end (synthetic
+    deterministic codec; production swaps PIL into the identical
+    mapInPandas contract — operators/multimodal.py)."""
+    from asvsp_spark.operators.multimodal import (attach_synthetic_media,
+                                                  decode_image_raw)
+    return decode_image_raw(
+        attach_synthetic_media(_t(spark, sf, "documents")), max_side=16)
+
+
+@register("media_frame_sample")
+def _media_frame_sample(spark, sf):  # rows-only: Python-side explode
+    """RAWV frame sampling: one row per sampled frame — the Python-side
+    explode shape for video pipelines (operators/multimodal.py)."""
+    from asvsp_spark.operators.multimodal import (attach_synthetic_media,
+                                                  frame_sample_raw)
+    return frame_sample_raw(
+        attach_synthetic_media(_t(spark, sf, "documents")), every_n=4)
