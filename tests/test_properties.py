@@ -136,3 +136,67 @@ def test_mixture_rebalance_quota_invariants(spark, sizes, weights):
     for l, n in zip(langs, sizes):
         assert kept[l] == math.floor(m * targets[l])
         assert kept[l] <= n
+
+
+@given(
+    series=st.dictionaries(
+        st.sampled_from(["N_A", "N_B", "N_C"]),
+        st.lists(st.integers(1, 5), min_size=1, max_size=14),
+        min_size=1, max_size=3),
+)
+@SET
+def test_q10_gaps_and_islands_matches_reference(spark, series):
+    """SURVEY §7.4 item 4: random monthly revenue patterns through the
+    REAL q10 pipeline vs a pure-Python longest-declining-streak
+    reference (row-consecutive semantics, earliest streak on ties,
+    rank with ties kept)."""
+    from asvsp_spark.plans.queries import q10_improvement_streaks
+    import datetime
+    nations_list = sorted(series)
+    nation = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(nations_list)],
+        "n_nationkey long, n_name string")
+    customer = spark.createDataFrame(
+        [(100 + i, i) for i in range(len(nations_list))],
+        "c_custkey long, c_nationkey long")
+    rows, ok = [], 0
+    for i, n in enumerate(nations_list):
+        for m, price in enumerate(series[n]):
+            yr, mon = 1995 + m // 12, m % 12 + 1
+            rows.append((ok, 100 + i, float(price),
+                         datetime.date(yr, mon, 5), "1-URGENT"))
+            ok += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double,"
+              "o_orderdate date, o_orderpriority string")
+    got = sorted((r.nation, r.longest_streak, r.streak_start, r.rnk)
+                 for r in q10_improvement_streaks(
+                     orders, customer, nation).collect())
+
+    # pure-Python reference over the same monthly series
+    best = {}
+    for i, n in enumerate(nations_list):
+        vals = series[n]
+        runs = []          # (len, start_month_index)
+        cur, start = 0, None
+        for m in range(1, len(vals)):
+            if vals[m] < vals[m - 1]:
+                if cur == 0:
+                    start = m
+                cur += 1
+                runs.append((cur, start))
+            else:
+                cur = 0
+        if runs:
+            mx = max(l for l, _ in runs)
+            starts = [s for l, s in runs if l == mx]
+            sm = min(starts)
+            yr, mon = 1995 + sm // 12, sm % 12 + 1
+            best[n] = (mx, yr * 100 + mon)
+    # q10's rank window orders by (streak desc, nation asc): the nation
+    # tiebreak makes the order total, so rank == position
+    ranked = sorted(best.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    want = [(n, mx, start, pos + 1)
+            for pos, (n, (mx, start)) in enumerate(ranked)
+            if pos + 1 <= 15]
+    assert got == sorted(want)
