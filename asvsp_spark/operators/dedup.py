@@ -386,15 +386,22 @@ def winnow_fingerprints(documents: DataFrame, k: int = 3, w: int = 4,
 
 def winnow_pairs(documents: DataFrame, k: int = 3, w: int = 4,
                  threshold: float = 0.5,
-                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                 id_col: str = "doc_id", text_col: str = "text",
+                 max_df: int | None = 1000) -> DataFrame:
     """Near-duplicate candidate pairs from shared winnowing fingerprints:
     containment = |shared fps| / min(|fps_a|, |fps_b|) >= threshold.
 
     Same inverted-index shape as jaccard_pairs but over the winnowed
     sketch — the posting list is ~2/(w+1) the size of the full shingle
-    index, so the self-join shuffles a fraction of the corpus. Hot
-    fingerprints (boilerplate) can be capped exactly like
-    df_capped_posting; the fixture corpus needs no cap.
+    index, so the self-join shuffles a fraction of the corpus. The same
+    hot-key guard applies: fingerprints shared by more than ``max_df``
+    documents (boilerplate) are dropped from the sketch ENTIRELY —
+    candidates, shared counts and set sizes — via a broadcast anti-join
+    (<= rows/max_df distinct hot fps by construction). Unlike
+    jaccard_pairs there is no exact-score correction: winnowing is
+    already a recall sketch, and a boilerplate fingerprint carries no
+    dedup signal, so containment is simply defined over the capped
+    sketch.
 
     The fingerprint projection MUST be materialized (localCheckpoint)
     before fanning into the three consumers: the interpreted
@@ -403,9 +410,15 @@ def winnow_pairs(documents: DataFrame, k: int = 3, w: int = 4,
     """
     fps = winnow_fingerprints(documents, k, w, id_col, text_col) \
         .localCheckpoint(eager=False)
-    sizes = fps.select("doc", F.size("fps").alias("n_fp")) \
-        .filter(F.col("n_fp") > 0)
     posting = fps.select("doc", F.explode("fps").alias("fp"))
+    if max_df is not None:
+        hot = (posting.groupBy("fp")
+               .agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_df)
+               .select("fp"))
+        posting = posting.join(F.broadcast(hot), "fp", "left_anti") \
+            .localCheckpoint(eager=False)
+    sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = posting.alias("a"), posting.alias("b")
     shared = (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))

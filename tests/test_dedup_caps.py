@@ -140,3 +140,24 @@ def test_winnowing_guarantee_and_compression(spark):
              winnow_pairs(docs, threshold=0.1).collect()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_winnow_df_cap_drops_boilerplate_only(spark):
+    """A fingerprint shared by many docs is dropped by the cap
+    (candidates stay linear); pairs sharing rare fingerprints survive
+    with containment over the capped sketch."""
+    from asvsp_spark.operators.dedup import winnow_pairs
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, f"{shared} filler{i}a filler{i}b") for i in range(30)]
+        + [(100, f"unique one two three {shared}"),
+           (101, f"unique one two three {shared} tail")],
+        "doc_id long, text string")
+    capped = winnow_pairs(docs, threshold=0.4, max_df=10).collect()
+    uncapped = winnow_pairs(docs, threshold=0.4, max_df=None).collect()
+    # uncapped: the 30 boilerplate docs pair up quadratically
+    assert len(uncapped) > len(capped)
+    got = {(r.doc_a, r.doc_b) for r in capped}
+    assert (100, 101) in got, "rare-fingerprint pair must survive the cap"
+    assert not any(a < 100 and b < 100 for a, b in got), \
+        "boilerplate-only pairs must be capped away"
