@@ -55,6 +55,29 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("--out", required=True)
     xp.add_argument("--format", choices=("parquet", "csv"), default="parquet")
 
+    cp = sub.add_parser("compact", help="compact a parquet dataset's small files")
+    cp.add_argument("path")
+    cp.add_argument("--target-mb", type=int, default=512)
+
+    zo = sub.add_parser("zorder", help="rewrite a dataset Z-ordered on two columns")
+    zo.add_argument("src")
+    zo.add_argument("dest")
+    zo.add_argument("col_a")
+    zo.add_argument("col_b")
+    zo.add_argument("--files", type=int, default=8)
+
+    rt = sub.add_parser("register-table",
+                        help="register a parquet dir as a catalog table (MSCK-style repair)")
+    rt.add_argument("name")
+    rt.add_argument("path")
+    rt.add_argument("--partition-cols", default="")
+
+    mg = sub.add_parser("merge", help="MERGE updates parquet into a base dataset by key")
+    mg.add_argument("base")
+    mg.add_argument("updates")
+    mg.add_argument("--keys", required=True, help="comma-separated key columns")
+    mg.add_argument("--delete-col", default=None)
+
     args = p.parse_args(argv)
 
     from asvsp_spark.plans.registry import all_oracle_sql, all_queries
@@ -102,6 +125,39 @@ def main(argv: list[str] | None = None) -> int:
         layers = run_batch_chain(_session(args), args.sf_dir, args.out_dir)
         for name, df in layers.items():
             print(f"{name}: {df.count()} rows -> {args.out_dir}/{name}")
+        return 0
+
+    if args.cmd == "compact":
+        from asvsp_spark.sources.batch import compact_parquet
+        n = compact_parquet(_session(args), args.path,
+                            target_file_bytes=args.target_mb * 1024 * 1024)
+        print(f"{args.path}: compacted to {n} files")
+        return 0
+
+    if args.cmd == "zorder":
+        from asvsp_spark.sources.layout import write_zordered
+        spark = _session(args)
+        write_zordered(spark.read.parquet(args.src), args.dest,
+                       args.col_a, args.col_b, n_files=args.files)
+        print(f"{args.src} -> {args.dest} (z-ordered on {args.col_a},{args.col_b})")
+        return 0
+
+    if args.cmd == "register-table":
+        from asvsp_spark.sources.catalog import register_parquet_table
+        parts = tuple(c for c in args.partition_cols.split(",") if c)
+        t = register_parquet_table(_session(args), args.name, args.path,
+                                   partition_cols=parts, replace=True)
+        print(f"table {args.name}: {t.count()} rows at {args.path}")
+        return 0
+
+    if args.cmd == "merge":
+        from asvsp_spark.sources.batch import merge_upsert
+        spark = _session(args)
+        counts = merge_upsert(spark, args.base,
+                              spark.read.parquet(args.updates),
+                              args.keys.split(","),
+                              delete_col=args.delete_col)
+        print(f"{args.base}: {counts}")
         return 0
 
     return 1
