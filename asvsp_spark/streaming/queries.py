@@ -205,6 +205,35 @@ def sq2c_stateful_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain(hourly_trend_stateful(stream), spark)
 
 
+# ---------------------------------------------------------------- SQ2d
+
+def sq2d_trend_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sq2c's cross-batch trend on Spark 4's transformWithStateInPandas
+    (StatefulProcessor) instead of applyInPandasWithState — identical
+    two-batch harness, identical output. NOT registered with the driver:
+    the TWS python driver worker needs google.protobuf, absent in this
+    container (see streaming/stateful.py hourly_trend_tws docstring);
+    runs as written on a cluster with protobuf."""
+    from asvsp_spark.streaming.stateful import hourly_trend_tws
+    events = tables.load(spark, sf_dir, "events")
+    mx_us = events.agg(F.max(F.unix_micros("ts")).alias("mx")).first()["mx"]
+    tmp = tempfile.mkdtemp(prefix="asvsp-sq2d-")
+    sent_us = mx_us + 30 * 24 * 3600 * 1_000_000
+    stream_dir = f"{tmp}/stream"
+    os.makedirs(stream_dir)
+    now = time.time()
+    copy_events_normalized(f"{sf_dir}/events.parquet",
+                           f"{stream_dir}/f0.parquet", mtime=now - 100)
+    write_event_rows(
+        f"{stream_dir}/f1.parquet",
+        [(10**12 + i, sent_us, 0, t, 0.0, "{}")
+         for i, t in enumerate(EVENT_TYPES)],
+        mtime=now - 50)
+    raw = events_stream_reader(spark, stream_dir, max_files_per_trigger=1)
+    stream = raw.withWatermark("ts", "2 hours")
+    return drain(hourly_trend_tws(stream), spark)
+
+
 # ---------------------------------------------------------------- SQ3
 
 def sq3_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
