@@ -72,6 +72,11 @@ def main(argv: list[str] | None = None) -> int:
     rt.add_argument("path")
     rt.add_argument("--partition-cols", default="")
 
+    cpip = sub.add_parser("corpus-pipeline",
+                          help="profile -> quality gate -> dedup -> rebalance -> write")
+    cpip.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    cpip.add_argument("--out-dir", required=True)
+
     mg = sub.add_parser("merge", help="MERGE updates parquet into a base dataset by key")
     mg.add_argument("base")
     mg.add_argument("updates")
@@ -148,6 +153,13 @@ def main(argv: list[str] | None = None) -> int:
         t = register_parquet_table(_session(args), args.name, args.path,
                                    partition_cols=parts, replace=True)
         print(f"table {args.name}: {t.count()} rows at {args.path}")
+        return 0
+
+    if args.cmd == "corpus-pipeline":
+        from asvsp_spark.pipeline import run_corpus_pipeline
+        counts = run_corpus_pipeline(_session(args), args.sf_dir, args.out_dir)
+        for stage, n in counts.items():
+            print(f"{stage:16s} {n}")
         return 0
 
     if args.cmd == "merge":

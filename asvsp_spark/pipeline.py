@@ -42,3 +42,86 @@ def run_batch_chain(spark: SparkSession, sf_dir: str,
         "monthly": spark.read.parquet(f"{out_dir}/monthly"),
         "baselines": spark.read.parquet(f"{out_dir}/baselines"),
     }
+
+
+def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
+                        quality_pct: float = 0.25,
+                        jaccard_threshold: float = 0.5,
+                        targets: dict[str, float] | None = None,
+                        ) -> dict[str, int]:
+    """The LLM training-data preparation chain, end to end — what a user
+    of this engine actually runs over a raw corpus:
+
+      1. profile   — per-doc quality score + language (one scan,
+                     functions/text.py expressions),
+      2. gate      — drop each language's bottom ``quality_pct`` by exact
+                     percentile threshold (broadcast thresholds),
+      3. exact dedup — keep the smallest doc_id per canonical-text
+                     fingerprint,
+      4. near dedup — Jaccard clusters (inverted index + df cap ->
+                     connected components); keep each cluster's
+                     canonical representative,
+      5. rebalance — exact-quota mixture toward ``targets`` (md5-rank
+                     membership),
+      6. write     — the cleaned corpus partitioned by lang, via the
+                     idempotent partitioned writer.
+
+    Every stage is the already-oracle-checked operator — this function
+    only composes them — and each materializes a narrow id set, so the
+    full text travels exactly twice (profile scan + final write-out
+    semi-join). Returns per-stage surviving counts (monotone
+    non-increasing; pinned in tests).
+    """
+    from pyspark.sql import functions as F
+
+    from asvsp_spark.functions import text as TX
+    from asvsp_spark.operators.components import dedup_clusters
+    from asvsp_spark.operators.dedup import exact_dedup, jaccard_pairs
+    from asvsp_spark.operators.sampling import mixture_rebalance
+    from asvsp_spark.plans.base import round_fixed
+
+    docs = tables.load(spark, sf_dir, "documents")
+    counts: dict[str, int] = {"raw": docs.count()}
+
+    # 1-2: score and gate (same formula as the quality_filter_report query)
+    scored = (docs
+              .withColumn("toks", TX.tokens(F.col("text")))
+              .withColumn("n_tokens", F.size("toks"))
+              .withColumn("n_stop", TX.stopword_count("toks"))
+              .withColumn("q", round_fixed(
+                  (F.least(F.col("n_tokens"), F.lit(500)) / 500.0
+                   + F.col("n_stop") / F.col("n_tokens")) / 2, 6))
+              .drop("toks"))
+    th = scored.groupBy("lang").agg(
+        F.percentile("q", quality_pct).alias("q_min"))
+    gated = (scored.join(F.broadcast(th), "lang")
+             .filter(F.col("q") >= F.col("q_min"))
+             .drop("q", "q_min", "n_tokens", "n_stop")
+             .localCheckpoint(eager=False))
+    counts["quality_gated"] = gated.count()
+
+    # 3: exact dedup — keepers only
+    keepers = exact_dedup(gated).select(
+        F.col("keeper_id").alias("doc_id"))
+    exact = gated.join(F.broadcast(keepers), "doc_id", "left_semi") \
+        .localCheckpoint(eager=False)
+    counts["exact_deduped"] = exact.count()
+
+    # 4: near-dup clusters -> canonical representative per cluster
+    edges = jaccard_pairs(exact, threshold=jaccard_threshold) \
+        .select("doc_a", "doc_b")
+    clusters = dedup_clusters(exact, edges)
+    near = exact.join(
+        clusters.filter(F.col("is_keeper")).select("doc_id"),
+        "doc_id", "left_semi").localCheckpoint(eager=False)
+    counts["near_deduped"] = near.count()
+
+    # 5: mixture rebalance (targets default to sampling.mixture_rebalance's)
+    kept_ids = mixture_rebalance(near, targets=targets).select("doc_id")
+    final = near.join(kept_ids, "doc_id", "left_semi")
+    counts["rebalanced"] = final.count()
+
+    # 6: durable, partition-pruned layout
+    write_partitioned(final, f"{out_dir}/corpus", ["lang"])
+    counts["written"] = spark.read.parquet(f"{out_dir}/corpus").count()
+    return counts

@@ -318,3 +318,20 @@ def test_scd2_collapses_runs_and_flags_current(spark):
         (1, "B", 300, 400, False),
         (2, "X", 150, None, True),
     ]
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    """The composed training-data chain: every stage shrinks (or holds)
+    the corpus, the written output equals the final stage, survivors are
+    real doc_ids, and the per-lang layout lands on disk."""
+    from asvsp_spark.pipeline import run_corpus_pipeline
+    from tests.conftest import SF_DIR
+    out = str(tmp_path / "clean")
+    counts = run_corpus_pipeline(spark, SF_DIR, out)
+    assert counts["raw"] >= counts["quality_gated"] >= \
+        counts["exact_deduped"] >= counts["near_deduped"] >= \
+        counts["rebalanced"] == counts["written"] > 0
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert set(corpus.columns) >= {"doc_id", "text", "lang", "source"}
+    import glob
+    assert glob.glob(f"{out}/corpus/lang=*"), "must partition by lang"
