@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from asvsp_spark import tables
 from asvsp_spark.plans.oracle import ORACLE
+from asvsp_spark.plans.oracle_ext import ORACLE_EXT
+from asvsp_spark.plans.oracle_text import ORACLE_TEXT
 
 Q_NAMES = (
     "q01_yearly_rank_yoy", "q02_peak_month", "q03_cumulative_top10",
@@ -38,6 +40,11 @@ _DIALECT_SHIMS = (
     # -> double) produces DOUBLE; the D suffix forces a double literal
     ("/ 100.0", "/ 100.0D"),
     ("/ 10000.0", "/ 10000.0D"),
+    ("/ 1000000.0", "/ 1000000.0D"),
+    # Spark has no bare VARCHAR cast target / strftime
+    ("AS VARCHAR)", "AS STRING)"),
+    ("strftime(", "date_format("),
+    ("'%Y-%m-%d %H:%M:%S'", "'yyyy-MM-dd HH:mm:ss'"),
 )
 
 
@@ -48,12 +55,22 @@ def to_spark_sql(duckdb_sql: str) -> str:
     return out
 
 
-SPARK_SQL: dict[str, str] = {name: to_spark_sql(ORACLE[name]) for name in Q_NAMES}
+# Extension queries whose oracle SQL sits in the Spark/DuckDB dialect
+# intersection after the same shims (the list-lambda text oracles do
+# not; their SQL surface is DuckDB-only by construction).
+EXT_NAMES = ("funnel_daily", "scd2_user_state")
+
+# merged locally: registry also merges these into ORACLE at import, but
+# this module must not depend on registry import order
+_SOURCES: dict[str, str] = {**ORACLE, **ORACLE_TEXT, **ORACLE_EXT}
+
+SPARK_SQL: dict[str, str] = {name: to_spark_sql(_SOURCES[name])
+                             for name in Q_NAMES + EXT_NAMES}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Temp views for the tables the SQL variants read."""
-    for t in ("orders", "customer", "nation"):
+    for t in ("orders", "customer", "nation", "events"):
         tables.load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 

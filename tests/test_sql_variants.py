@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 from asvsp_spark.plans.registry import all_queries
-from asvsp_spark.plans.sql_queries import Q_NAMES, run_sql_variant
+from asvsp_spark.plans.sql_queries import EXT_NAMES, Q_NAMES, run_sql_variant
 from tests.conftest import SF_DIR
 
 
@@ -16,7 +16,7 @@ def _rowset(df):
     return sorted(tuple(str(row[c]) for c in cols) for row in df.collect()), cols
 
 
-@pytest.mark.parametrize("name", Q_NAMES)
+@pytest.mark.parametrize("name", Q_NAMES + EXT_NAMES)
 def test_sql_variant_matches_dataframe(name, spark):
     df_rows, df_cols = _rowset(all_queries()[name](spark, SF_DIR))
     sql_rows, sql_cols = _rowset(run_sql_variant(spark, SF_DIR, name))
