@@ -5,11 +5,13 @@ Scale design (100TB / billions of vectors):
 - Brute force is the correctness baseline: broadcast the (small) query
   set, scan the corpus once, per-partition partial top-k via window rank.
   Works at any corpus size as long as |queries| x k fits on the driver.
-- The LSH path buckets vectors by random-hyperplane sign sketches
-  (deterministic hash-derived hyperplanes, expression-level); candidates
-  only within matching buckets — sub-linear per query. Recall < 1 by
-  construction, so it is registered as a rows-only check (no SQL oracle),
-  with the bucket width as the recall/cost knob.
+- The LSH paths bucket vectors by random-hyperplane sign sketches
+  (seeded numpy ``default_rng`` plane matrix regenerated per Arrow batch
+  inside a pandas UDF — deterministic across batches/executors/runs with
+  no stored model); candidates only within matching buckets — sub-linear
+  per query. Recall < 1 by construction, so they are registered as
+  rows-only checks (no SQL oracle), with bands/planes as the recall/cost
+  knobs.
 """
 
 from __future__ import annotations
@@ -101,7 +103,7 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.45,
 
     n = embeddings.count()
     if n > max_exact:
-        return _cosine_pairs_lsh(embeddings, threshold, id_col, vec_col)
+        return _cosine_pairs_lsh(embeddings, threshold, id_col, vec_col, n=n)
 
     B = n_blocks or max(1, -(-n // target_block))
     blocked = embeddings.select(
@@ -165,26 +167,127 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.45,
 
 
 def _cosine_pairs_lsh(embeddings: DataFrame, threshold: float,
-                      id_col: str, vec_col: str,
-                      n_planes: int = 8) -> DataFrame:
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n: int | None = None,
+                      bands: int = 8, rows_per_band: int | None = None,
+                      max_bucket: int | None = 500,
+                      target_bucket: int = 32) -> DataFrame:
     """Sub-linear near-dup pair path for corpora past the exact-all-pairs
-    budget: random-hyperplane sign buckets (same deterministic
-    xxhash64-derived planes as lsh_bucketed_topk) generate candidates —
-    only same-bucket pairs are scored — then exact cosine verifies each
-    candidate, so there are no false positives (recall < 1 by design)."""
+    budget: the banded random-hyperplane twin of ``minhash_lsh_pairs``.
+
+    Shape (mirrors the MinHash band join, ``dedup.py``):
+
+    - Sketch: ``bands x rows_per_band`` sign bits per vector from a
+      seeded numpy ``default_rng`` plane matrix regenerated per Arrow
+      batch (deterministic, no stored model). Each band's bit-slice
+      becomes one band key, so a pair collides if ANY band matches —
+      collision prob 1-(1-p^r)^b with p = 1 - theta/pi, tuned for the
+      high-similarity (near-dup) regime this path serves.
+    - ``rows_per_band`` scales with the corpus: r = log2(n /
+      target_bucket) clamped to [8, 24], keeping the EXPECTED bucket near
+      ``target_bucket`` (~32: candidate volume ~ bands * target_bucket/2
+      per vector — linear in n with a small constant) instead of the
+      fixed 2^8 buckets that made the old formulation quadratic exactly
+      past the 2M-vector reroute point.
+    - Hot-bucket cap: band buckets holding more than ``max_bucket``
+      vectors are dropped before the self-join (k^2 candidates otherwise)
+      — same guard and same recall caveat as the MinHash path: giant
+      duplicate cliques surface through their other bands.
+    - Exact cosine verifies every candidate (vectors joined back by id,
+      linear shuffles), so there are no false positives; recall < 1 by
+      design and the operator is registered rows-only.
+    """
+    if n is None:
+        n = embeddings.count()
+    if rows_per_band is None:
+        import math
+        rows_per_band = max(8, min(24, math.ceil(
+            math.log2(max(2.0, n / max(1, target_bucket))))))
     sketched = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        _hyperplane_sketch(vec_col, n_planes).alias("bucket"))
-    a, b = sketched.alias("a"), sketched.alias("b")
+        F.col(id_col).alias("vid"),
+        F.explode(_hyperplane_band_keys(
+            vec_col, bands, rows_per_band)).alias("band_key"))
+    cand = _lsh_band_candidates(sketched, max_bucket)
+    vecs = embeddings.select(F.col(id_col).alias("vid"),
+                             F.col(vec_col).alias("vec"))
+    va = vecs.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = vecs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vid") < F.col("b.vid")))
-        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),
-                round_fixed(cosine(as_double(F.col("a.vec")),
-                                   as_double(F.col("b.vec"))), 6)
-                .alias("cos_sim"))
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos_sim",
+                    round_fixed(cosine(as_double(F.col("vec_a")),
+                                       as_double(F.col("vec_b"))), 6))
         .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
     )
+
+
+def _lsh_band_candidates(sketched: DataFrame,
+                         max_bucket: int | None) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs from an exploded
+    (vid, band_key) table, with buckets larger than ``max_bucket``
+    dropped before the self-join — the band-join hot-key guard shared
+    with ``minhash_lsh_pairs`` (dedup.py). Factored out so the
+    giant-bucket unit test can assert candidate counts directly."""
+    buckets = sketched
+    if max_bucket is not None:
+        cold = (buckets.groupBy("band_key")
+                .agg(F.count(F.lit(1)).alias("bsz"))
+                .filter(F.col("bsz") <= max_bucket)
+                .select("band_key"))
+        buckets = buckets.join(cold, "band_key", "left_semi")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.vid") < F.col("b.vid")))
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+
+
+def _hyperplane_band_keys(vec_col_name: str, bands: int, rows_per_band: int,
+                          seed: int = 7) -> F.Column:
+    """``bands`` band keys per vector as ARRAY<LONG>, Arrow-vectorized:
+    one (n, dim) x (dim, bands*rows_per_band) matmul per batch, each
+    band's bit-slice packed as band_index * 2^r + bits (disjoint key
+    spaces across bands). The +-1 plane matrix is regenerated per batch
+    from the fixed seed — deterministic everywhere, no stored model.
+
+    NULL / ragged / non-finite embeddings yield a NULL key array (the
+    explode drops them): degenerate vectors can never cross a positive
+    cosine threshold, matching the exact path's zero-norm guard."""
+    total = bands * rows_per_band
+
+    @F.pandas_udf("array<long>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        arrs = [np.asarray(v, dtype=np.float64)
+                if v is not None else None for v in vecs]
+        dim = next((a.shape[0] for a in arrs
+                    if a is not None and a.ndim == 1 and a.shape[0] > 0), None)
+        out = [None] * len(arrs)
+        if dim is None:
+            return pd.Series(out, dtype="object")
+        valid = [i for i, a in enumerate(arrs)
+                 if a is not None and a.ndim == 1 and a.shape[0] == dim
+                 and np.isfinite(a).all()]
+        if valid:
+            m = np.stack([arrs[i] for i in valid])
+            planes = (np.random.default_rng(seed)
+                      .choice(np.array([-1.0, 1.0]), size=(dim, total)))
+            bits = (((m @ planes) > 0.0).astype(np.int64)
+                    .reshape(len(valid), bands, rows_per_band))
+            w = np.int64(1) << np.arange(rows_per_band, dtype=np.int64)
+            base = np.int64(1) << np.int64(rows_per_band)
+            keys = ((bits * w).sum(axis=2)
+                    + np.arange(bands, dtype=np.int64) * base)
+            for j, i in enumerate(valid):
+                out[i] = [int(kk) for kk in keys[j]]
+        return pd.Series(out, dtype="object")
+
+    return band_keys(F.col(vec_col_name))
 
 
 def _hyperplane_sketch(vec_col_name: str, n_planes: int = 8,
@@ -199,19 +302,36 @@ def _hyperplane_sketch(vec_col_name: str, n_planes: int = 8,
     An expression-level formulation (aggregate/zip_with/transform with a
     per-element hash) computes the same thing but is interpreted
     per-element by Catalyst: ~3x slower on the sf0.1 fixture and growing
-    with dimension; the batched matmul is the scale path."""
+    with dimension; the batched matmul is the scale path.
+
+    NULL / ragged / non-finite embeddings map to sentinel bucket 0
+    instead of raising inside the Python worker (the rest of the
+    similarity family tolerates degenerate vectors; the sketch must
+    too)."""
 
     @F.pandas_udf("long")
     def sketch(vecs: pd.Series) -> pd.Series:
         import numpy as np
         if len(vecs) == 0:
             return pd.Series([], dtype="int64")
-        m = np.stack(vecs.to_numpy())
-        planes = (np.random.default_rng(seed)
-                  .choice(np.array([-1.0, 1.0]), size=(m.shape[1], n_planes)))
-        bits = (m.astype(np.float64) @ planes) > 0.0
-        vals = (bits.astype(np.int64)
-                << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+        arrs = [np.asarray(v, dtype=np.float64)
+                if v is not None else None for v in vecs]
+        dim = next((a.shape[0] for a in arrs
+                    if a is not None and a.ndim == 1 and a.shape[0] > 0), None)
+        vals = np.zeros(len(arrs), dtype=np.int64)
+        if dim is not None:
+            valid = [i for i, a in enumerate(arrs)
+                     if a is not None and a.ndim == 1 and a.shape[0] == dim
+                     and np.isfinite(a).all()]
+            if valid:
+                m = np.stack([arrs[i] for i in valid])
+                planes = (np.random.default_rng(seed)
+                          .choice(np.array([-1.0, 1.0]),
+                                  size=(dim, n_planes)))
+                bits = (m @ planes) > 0.0
+                vv = (bits.astype(np.int64)
+                      << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+                vals[valid] = vv
         return pd.Series(vals)
 
     return sketch(F.col(vec_col_name))

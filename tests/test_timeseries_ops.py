@@ -154,6 +154,70 @@ def test_cosine_dup_pairs_lsh_fallback(spark):
     assert all(exact[k] == v for k, v in lsh.items())
 
 
+def test_cosine_lsh_giant_bucket_candidates_stay_linear(spark):
+    """A giant near-identical clique (every band key shared) must NOT
+    produce quadratic candidates: the hot-bucket cap drops its buckets
+    before the self-join, mirroring minhash_lsh_pairs' guard. Distinct
+    near-dup pairs outside the clique still surface."""
+    import math
+    from asvsp_spark.operators.similarity import (
+        _hyperplane_band_keys, _lsh_band_candidates)
+    from pyspark.sql import functions as F
+    clique = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(300)]
+    # two near-dup vectors far from the clique direction
+    extras = [(1000, [-4.0, 3.0, -2.0, 1.0]), (1001, [-4.0, 3.1, -2.0, 1.0])]
+    emb = spark.createDataFrame(clique + extras,
+                                "vec_id long, embedding array<double>")
+    sketched = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.explode(_hyperplane_band_keys("embedding", 8, 8)).alias("band_key"))
+    capped = _lsh_band_candidates(sketched, max_bucket=50).count()
+    uncapped = _lsh_band_candidates(sketched, max_bucket=None).count()
+    assert uncapped >= math.comb(300, 2)  # the quadratic blow-up is real
+    assert capped <= 10                   # and the cap removes it
+    got = {(r.id_a, r.id_b) for r in
+           _lsh_band_candidates(sketched, max_bucket=50).collect()}
+    assert (1000, 1001) in got
+
+
+def test_cosine_lsh_recall_on_near_identical_clusters(spark):
+    """The banded sketch must catch high-similarity pairs (its target
+    regime) with near-certain probability: 1-(1-p^r)^b with p~0.95+."""
+    import numpy as np
+    from asvsp_spark.operators.similarity import _cosine_pairs_lsh
+    rng = np.random.default_rng(11)
+    rows = []
+    want = set()
+    for c in range(20):
+        base = rng.normal(size=16)
+        a_id, b_id = 2 * c, 2 * c + 1
+        rows.append((a_id, [float(x) for x in base]))
+        rows.append((b_id, [float(x) for x in base + rng.normal(scale=0.01, size=16)]))
+        want.add((a_id, b_id))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b)
+           for r in _cosine_pairs_lsh(emb, threshold=0.99).collect()}
+    assert len(got & want) / len(want) >= 0.9
+
+
+def test_lsh_sketch_tolerates_null_and_ragged_embeddings(spark):
+    """ADVICE r2: a NULL or ragged embedding must not fail the Python
+    worker — banded keys go NULL (row dropped from candidates), the
+    single-bucket sketch goes to sentinel 0."""
+    from asvsp_spark.operators.similarity import (
+        _cosine_pairs_lsh, lsh_bucketed_topk)
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.01, 0.0]),
+         (2, None), (3, [5.0, 5.0])],
+        "vec_id long, embedding array<double>")
+    pairs = {(r.id_a, r.id_b)
+             for r in _cosine_pairs_lsh(emb, threshold=0.9).collect()}
+    assert (0, 1) in pairs
+    assert not any(2 in p or 3 in p for p in pairs)
+    # single-bucket sketch path: must simply not raise
+    lsh_bucketed_topk(emb, k=2, n_queries=2).collect()
+
+
 def test_similarity_module_never_collects_to_driver():
     """r1 review: the dup-pair index must not be materialized on the
     driver. Pin it at the source level."""
