@@ -261,8 +261,13 @@ fp AS (
            ELSE [] END AS fps
     FROM kg
 ),
-sz AS (SELECT doc, CAST(len(fps) AS INT) AS n_fp FROM fp WHERE len(fps) > 0),
-post AS (SELECT doc, unnest(fps) AS fp_h FROM fp),
+post0 AS (SELECT doc, unnest(fps) AS fp_h FROM fp),
+-- mirror the operator's max_df=1000 hot-fingerprint cap: boilerplate
+-- fingerprints leave the sketch entirely (candidates, counts AND sizes)
+hot AS (SELECT fp_h FROM post0 GROUP BY 1 HAVING count(*) > 1000),
+post AS (SELECT doc, fp_h FROM post0
+         WHERE fp_h NOT IN (SELECT fp_h FROM hot)),
+sz AS (SELECT doc, CAST(count(*) AS INT) AS n_fp FROM post GROUP BY doc),
 shared AS (
     SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared
     FROM post a JOIN post b ON a.fp_h = b.fp_h AND a.doc < b.doc

@@ -267,37 +267,49 @@ _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 # last 5 registered (repeat_buyer_segments .. stratified_sample_docs)
 # absent — a hard 50-entry cap walked front-to-back. With more than 50
 # registered queries the first 50 therefore ARE the driver-checked set,
-# chosen explicitly here: every round-1-green query, the five the round-1
-# pass truncated, and the highest-value additions. All 50 are
-# oracle-paired (hash-checkable, the strong signal) — mixture_rebalance
-# carries the sampling family's driver row with EXACT md5-rank
-# membership, where Bernoulli stratified_sample_docs could only offer a
-# rows-only check. Entries beyond 50 are covered by the same DuckDB
+# chosen explicitly here. All 50 are oracle-paired (hash-checkable, the
+# strong signal). Entries beyond 50 are covered by the same DuckDB
 # parity harness locally (tests/test_oracle_parity.py).
+#
+# ROTATION (r3, per the r2 verdict): six never-driver-checked operators
+# earn slots — q12_late_shipments (big x big lineitem join),
+# winnow_pairs (MOSS sketch, oracle now mirrors the max_df cap),
+# funnel_daily, scd2_user_state, sq9_hourly_daily_chain,
+# sq10_funnel_hourly — displacing six entries whose operator family
+# keeps another green driver row AND which stay hash-checked locally:
+# doc_length_histogram / top_terms_per_lang (histogram + per-group
+# top-k shapes: rollups, tfidf_top_terms, bm25_search rows remain),
+# embedding_stats (similarity family keeps cosine_topk /
+# cosine_dup_pairs / quantize rows), repeat_buyer_segments (when-chain
+# segmentation: q05/q07/q09 rows remain), type_correlation (corr
+# aggregate: baselines_events' exact-moment row remains),
+# sample_k_per_group (sampling family keeps mixture_rebalance's
+# exact md5-rank row).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "q02_peak_month", "q03_cumulative_top10",
     "q04_mom_pct_change", "q05_same_month_yoy", "q06_moving_average",
     "q07_ntile_quartiles", "q08_period_compare", "q09_weekend_effect",
-    "q10_improvement_streaks",
+    "q10_improvement_streaks", "q12_late_shipments",
     "rollup_daily_events", "rollup_monthly_events", "baselines_events",
     "rollup_annual_nation",
-    "dedup_exact", "jaccard_pairs",
-    "text_profile", "doc_length_histogram", "top_terms_per_lang",
+    "dedup_exact", "jaccard_pairs", "winnow_pairs",
+    "text_profile",
     "tfidf_top_terms", "bm25_search",
     "media_features",
-    "embedding_stats", "embedding_quantize_int8", "cosine_topk",
+    "embedding_quantize_int8", "cosine_topk",
     "cosine_dup_pairs",
     "sq1_vs_baseline", "sq2_dominant_trend", "sq2c_stateful_trend",
     "sq3_top_users", "sq4_engagement_conversion", "sq5_rank_anomaly",
     "sq6_attribution_join", "sq7_dedup_hourly",
     "sq7b_dedup_within_watermark", "sq8_session_windows",
+    "sq9_hourly_daily_chain", "sq10_funnel_hourly",
     "asof_last_order", "sessionize_users",
     "distinct_users_daily",
     "cube_revenue_nation_year", "priority_percentiles", "pivot_daily_type",
     "dedup_components",
     "events_after_order", "snapshot_diff_orders",
-    "inactive_customers", "repeat_buyer_segments", "type_correlation",
-    "sample_k_per_group",
+    "inactive_customers",
+    "funnel_daily", "scd2_user_state",
     "mixture_rebalance",
 )
 
