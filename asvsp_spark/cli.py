@@ -76,6 +76,10 @@ def main(argv: list[str] | None = None) -> int:
                           help="profile -> quality gate -> dedup -> rebalance -> write")
     cpip.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     cpip.add_argument("--out-dir", required=True)
+    cpip.add_argument("--near-dedup", default="minhash",
+                      choices=["minhash", "jaccard", "winnow"],
+                      help="near-dup candidate generator (minhash = "
+                           "sub-linear sketch default)")
 
     mg = sub.add_parser("merge", help="MERGE updates parquet into a base dataset by key")
     mg.add_argument("base")
@@ -157,7 +161,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "corpus-pipeline":
         from asvsp_spark.pipeline import run_corpus_pipeline
-        counts = run_corpus_pipeline(_session(args), args.sf_dir, args.out_dir)
+        counts = run_corpus_pipeline(_session(args), args.sf_dir, args.out_dir,
+                                     near_dedup=args.near_dedup)
         for stage, n in counts.items():
             print(f"{stage:16s} {n}")
         return 0

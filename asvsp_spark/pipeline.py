@@ -48,6 +48,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                         quality_pct: float = 0.25,
                         jaccard_threshold: float = 0.5,
                         targets: dict[str, float] | None = None,
+                        near_dedup: str = "minhash",
                         ) -> dict[str, int]:
     """The LLM training-data preparation chain, end to end — what a user
     of this engine actually runs over a raw corpus:
@@ -58,9 +59,17 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                      percentile threshold (broadcast thresholds),
       3. exact dedup — keep the smallest doc_id per canonical-text
                      fingerprint,
-      4. near dedup — Jaccard clusters (inverted index + df cap ->
-                     connected components); keep each cluster's
-                     canonical representative,
+      4. near dedup — candidate pairs from the ``near_dedup`` generator
+                     -> connected components; keep each cluster's
+                     canonical representative. Generators: ``minhash``
+                     (default — MinHash-LSH bands: sub-linear candidate
+                     volume; the 20x adversarial-duplication probe in
+                     COVERAGE.md measures it at 3.3x growth where exact
+                     ``jaccard`` hits 26x, which is why production
+                     defaults to the sketch), ``jaccard`` (exact
+                     inverted-index pairs — the quadratic-output answer
+                     a small/audited corpus can afford), ``winnow``
+                     (MOSS fingerprints: substring-level containment),
       5. rebalance — exact-quota mixture toward ``targets`` (md5-rank
                      membership),
       6. write     — the cleaned corpus partitioned by lang, via the
@@ -70,15 +79,28 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     only composes them — and each materializes a narrow id set, so the
     full text travels exactly twice (profile scan + final write-out
     semi-join). Returns per-stage surviving counts (monotone
-    non-increasing; pinned in tests).
+    non-increasing; pinned in tests under both the minhash and jaccard
+    generators).
     """
     from pyspark.sql import functions as F
 
     from asvsp_spark.functions import text as TX
     from asvsp_spark.operators.components import dedup_clusters
-    from asvsp_spark.operators.dedup import exact_dedup, jaccard_pairs
+    from asvsp_spark.operators.dedup import (
+        exact_dedup, jaccard_pairs, minhash_lsh_pairs, winnow_pairs)
     from asvsp_spark.operators.sampling import mixture_rebalance
     from asvsp_spark.plans.base import round_fixed
+
+    pair_generators = {
+        "minhash": minhash_lsh_pairs,
+        "jaccard": jaccard_pairs,
+        "winnow": winnow_pairs,
+    }
+    if near_dedup not in pair_generators:
+        raise ValueError(
+            f"near_dedup must be one of {sorted(pair_generators)}, "
+            f"got {near_dedup!r}")
+    pair_gen = pair_generators[near_dedup]
 
     docs = tables.load(spark, sf_dir, "documents")
     counts: dict[str, int] = {"raw": docs.count()}
@@ -108,7 +130,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     counts["exact_deduped"] = exact.count()
 
     # 4: near-dup clusters -> canonical representative per cluster
-    edges = jaccard_pairs(exact, threshold=jaccard_threshold) \
+    edges = pair_gen(exact, threshold=jaccard_threshold) \
         .select("doc_a", "doc_b")
     clusters = dedup_clusters(exact, edges)
     near = exact.join(

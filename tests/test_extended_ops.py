@@ -320,14 +320,17 @@ def test_scd2_collapses_runs_and_flags_current(spark):
     ]
 
 
-def test_corpus_pipeline_end_to_end(spark, tmp_path):
+@pytest.mark.parametrize("near_dedup", ["minhash", "jaccard"])
+def test_corpus_pipeline_end_to_end(spark, tmp_path, near_dedup):
     """The composed training-data chain: every stage shrinks (or holds)
     the corpus, the written output equals the final stage, survivors are
-    real doc_ids, and the per-lang layout lands on disk."""
+    real doc_ids, and the per-lang layout lands on disk — under both the
+    default sub-linear MinHash pair generator and the exact Jaccard
+    one."""
     from asvsp_spark.pipeline import run_corpus_pipeline
     from tests.conftest import SF_DIR
-    out = str(tmp_path / "clean")
-    counts = run_corpus_pipeline(spark, SF_DIR, out)
+    out = str(tmp_path / f"clean_{near_dedup}")
+    counts = run_corpus_pipeline(spark, SF_DIR, out, near_dedup=near_dedup)
     assert counts["raw"] >= counts["quality_gated"] >= \
         counts["exact_deduped"] >= counts["near_deduped"] >= \
         counts["rebalanced"] == counts["written"] > 0
@@ -335,3 +338,11 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     assert set(corpus.columns) >= {"doc_id", "text", "lang", "source"}
     import glob
     assert glob.glob(f"{out}/corpus/lang=*"), "must partition by lang"
+
+
+def test_corpus_pipeline_rejects_unknown_generator(spark, tmp_path):
+    from asvsp_spark.pipeline import run_corpus_pipeline
+    from tests.conftest import SF_DIR
+    with pytest.raises(ValueError, match="near_dedup"):
+        run_corpus_pipeline(spark, SF_DIR, str(tmp_path / "x"),
+                            near_dedup="simhash-nope")
