@@ -82,8 +82,15 @@ def scd2_intervals(events: DataFrame, key_col: str, state_col: str,
     runs = (
         events
         .withColumn("_prev", F.lag(state_col).over(w))
-        .filter(F.col("_prev").isNull()
-                | (F.col(state_col) != F.col("_prev")))
+        # _has_prev distinguishes "first row of the key" from "previous
+        # state was NULL": lag of a constant is NULL only on the first
+        # row. eqNullSafe keeps a NULL-state row that follows a non-NULL
+        # state (plain != would yield NULL and drop it, silently merging
+        # the NULL run into the prior interval) and still collapses
+        # consecutive NULL states into one run.
+        .withColumn("_has_prev", F.lag(F.lit(True)).over(w))
+        .filter(F.col("_has_prev").isNull()
+                | ~F.col(state_col).eqNullSafe(F.col("_prev")))
         .withColumn("valid_from", F.col(ts_col))
         .withColumn("valid_to", F.lead("valid_from").over(w))
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -111,18 +112,35 @@ def overwrite_window_partitions(df: DataFrame, path: str,
      .partitionBy(*partition_by).parquet(path))
 
 
-def foreach_batch_overwrite_partitions(path: str, partition_by: list[str]):
+def foreach_batch_overwrite_partitions(path: str, partition_by: list[str],
+                                       files_per_partition: int | None = None):
     """Exactly-once-per-window streaming sink: each micro-batch overwrites
     the (e.g. window_start-derived) partitions it carries. Combined with
     update output mode, a window re-emitted by a later batch — or by a
     whole re-run after checkpoint loss — simply replaces its partition:
     the sink is idempotent without any truncate step (SURVEY §7.3
     'batch-id-keyed upserts or overwrite-by-window partitions').
+
+    ``files_per_partition`` bounds the sink's file count: without it,
+    every upstream task writes its own file into every partition dir it
+    touches (shuffle_partitions x |partition values| files per batch —
+    small-files accretion plus one commit per file). ``1`` repartitions
+    the batch by the partition columns so each partition value lands in
+    exactly one file; ``n > 1`` adds a deterministic row-hash salt so a
+    hot partition value still fans out over n write tasks.
     """
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        overwrite_window_partitions(batch_df, path, partition_by)
+        out = batch_df
+        if files_per_partition == 1:
+            out = out.repartition(*[F.col(c) for c in partition_by])
+        elif files_per_partition and files_per_partition > 1:
+            salt = F.pmod(F.xxhash64(F.struct(*batch_df.columns)),
+                          F.lit(files_per_partition))
+            out = out.repartition(
+                *[F.col(c) for c in partition_by], salt)
+        overwrite_window_partitions(out, path, partition_by)
     return _sink
 
 
@@ -228,6 +246,10 @@ def merge_upsert(spark, path: str, updates, key_cols: list[str],
         row["action"]: row["n"]
         for row in (joined.select(
             F.when(deleted & in_base, "delete")
+             # delete flag on a key absent from the base: nothing to
+             # remove and the row is excluded from the merged output, so
+             # it must not be counted as an insert
+             .when(deleted, "delete_noop")
              .when(in_upd & in_base, "update")
              .when(in_upd, "insert")
              .otherwise("keep").alias("action"))
@@ -259,4 +281,4 @@ def merge_upsert(spark, path: str, updates, key_cols: list[str],
         raise
     _shutil.rmtree(old)
     return {k: counts.get(k, 0) for k in
-            ("insert", "update", "delete", "keep")}
+            ("insert", "update", "delete", "delete_noop", "keep")}

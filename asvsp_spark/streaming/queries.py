@@ -384,9 +384,15 @@ def sq6_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conversion day, overwrite-by-partition idempotency), NOT the
     # driver-collecting drain: this join emits O(events) rows, and the
     # read-back below is the only batch materialization.
+    # files_per_partition=1: without it each of the join's shuffle tasks
+    # writes its own file into every conv_day dir it touches (~8 x 31
+    # files + commits per drain); one file per day is the right local
+    # AND cluster shape for this row count — raise it past 1 (salted)
+    # only when a single day's attribution rows outgrow one task.
     sunk = drain_to_parquet(
         result.withColumn("conv_day", F.substring("conv_time", 1, 10)),
-        spark, partition_by=["conv_day"], output_mode="append")
+        spark, partition_by=["conv_day"], output_mode="append",
+        files_per_partition=1)
     return sunk.select(
         "conv_event_id", "eng_event_id", "user_id", "conv_type",
         "eng_type", "conv_time", "lag_micros", "conv_value")

@@ -314,7 +314,8 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession,
                      output_mode: str = "append",
                      shuffle_partitions: int | None = None,
                      checkpoint_dir: str | None = None,
-                     sink: str = "overwrite_partitions") -> DataFrame:
+                     sink: str = "overwrite_partitions",
+                     files_per_partition: int | None = None) -> DataFrame:
     """Production-shaped drain for ROW-LEVEL streaming output: micro-
     batches land in a partitioned parquet sink and the returned DataFrame
     READS THE SINK. Nothing row-level ever moves through the driver —
@@ -358,7 +359,8 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession,
             from asvsp_spark.sources.batch import (
                 foreach_batch_overwrite_partitions)
             writer = writer.foreachBatch(foreach_batch_overwrite_partitions(
-                sink_path, partition_by))
+                sink_path, partition_by,
+                files_per_partition=files_per_partition))
         else:
             raise ValueError(f"unknown sink contract {sink!r}")
         query = (writer

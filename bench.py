@@ -76,8 +76,24 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(result))
+    # The driver keeps only a bounded TAIL of this process's output, and
+    # round 2's artifact lost the head of the (long) per-query line to
+    # that buffer. Defend both ways: persist the complete result to
+    # BENCH_LOCAL.json in the repo (survives regardless of buffering),
+    # and print the mandated one-liner as the true last line — after
+    # spark.stop(), maximally compact (no separator spaces, sorted keys).
+    try:
+        local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LOCAL.json")
+        with open(local, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# bench: could not write BENCH_LOCAL.json: {exc}",
+              file=sys.stderr)
     spark.stop()
+    print(json.dumps(result, separators=(",", ":"), sort_keys=True),
+          flush=True)
 
 
 if __name__ == "__main__":

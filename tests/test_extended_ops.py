@@ -320,6 +320,34 @@ def test_scd2_collapses_runs_and_flags_current(spark):
     ]
 
 
+def test_scd2_null_state_runs_are_their_own_intervals(spark):
+    """NULL is a real state: a NULL following a non-NULL state opens a
+    new interval (a null-unsafe != would drop the row and silently merge
+    the NULL run into the prior interval), consecutive NULLs collapse
+    into one run, and a NULL-to-non-NULL transition closes it."""
+    from asvsp_spark.operators.diff import scd2_intervals
+    rows = [
+        (1, "A", 100, 1),
+        (1, None, 200, 2),   # A -> NULL: new interval
+        (1, None, 300, 3),   # NULL run continues: collapsed
+        (1, "B", 400, 4),    # NULL -> B: closes the NULL interval
+        (2, None, 50, 5),    # key starting in NULL state
+        (2, None, 60, 6),
+    ]
+    ev = spark.createDataFrame(rows, "k long, s string, t long, id long")
+    out = sorted(
+        ((r.k, r.state, r.valid_from, r.valid_to, r.is_current)
+         for r in scd2_intervals(ev, "k", "s", ts_col="t",
+                                 tiebreak_col="id").collect()),
+        key=lambda t: (t[0], t[2]))
+    assert out == [
+        (1, "A", 100, 200, False),
+        (1, None, 200, 400, False),
+        (1, "B", 400, None, True),
+        (2, None, 50, None, True),
+    ]
+
+
 @pytest.mark.parametrize("near_dedup", ["minhash", "jaccard"])
 def test_corpus_pipeline_end_to_end(spark, tmp_path, near_dedup):
     """The composed training-data chain: every stage shrinks (or holds)

@@ -202,10 +202,33 @@ def test_merge_upsert_actions_and_survivors(spark):
         "id long, name string, v double, is_deleted boolean")
     counts = merge_upsert(spark, d, updates, ["id"],
                           delete_col="is_deleted")
-    assert counts == {"insert": 1, "update": 1, "delete": 1, "keep": 1}
+    assert counts == {"insert": 1, "update": 1, "delete": 1,
+                      "delete_noop": 0, "keep": 1}
     got = sorted((r.id, r.name, r.v)
                  for r in spark.read.parquet(d).collect())
     assert got == [(1, "a", 10.0), (2, "B", 22.0), (4, "d", 40.0)]
+
+
+def test_merge_upsert_delete_of_absent_key_is_noop(spark):
+    """A delete-flagged update whose key is absent from the base must
+    not be counted as an insert (it is excluded from the output); it
+    lands in its own delete_noop bucket so counts agree with the data."""
+    import tempfile
+    from asvsp_spark.sources.batch import merge_upsert
+    d = tempfile.mkdtemp(prefix="merge-noop-") + "/t"
+    spark.createDataFrame([(1, "a", 10.0)],
+                          "id long, name string, v double").write.parquet(d)
+    updates = spark.createDataFrame(
+        [(9, None, 0.0, True),    # delete of a key that does not exist
+         (2, "b", 20.0, False)],  # genuine insert
+        "id long, name string, v double, is_deleted boolean")
+    counts = merge_upsert(spark, d, updates, ["id"],
+                          delete_col="is_deleted")
+    assert counts == {"insert": 1, "update": 0, "delete": 0,
+                      "delete_noop": 1, "keep": 1}
+    got = sorted((r.id, r.name, r.v)
+                 for r in spark.read.parquet(d).collect())
+    assert got == [(1, "a", 10.0), (2, "b", 20.0)]
 
 
 def test_merge_upsert_rejects_schema_mismatch(spark):

@@ -444,3 +444,74 @@ def test_transform_with_state_gate(spark, tmp_path):
         from pyspark.errors.exceptions.captured import StreamingQueryException
         with _pytest.raises(StreamingQueryException):
             drain(res, spark).count()
+
+
+def test_kafka_stream_option_contract_and_payload_path(spark, monkeypatch,
+                                                       tmp_path):
+    """Contract test for the Kafka adapter (no broker in the sandbox),
+    mirroring the JDBC option-threading tests: kafka_stream must reach
+    Spark's reader with format='kafka' and the broker/topic/offset
+    options, and its value-decoding chain (cast value to string ->
+    from_json -> to_timestamp -> watermark) must parse real JSON bytes
+    shaped exactly like Kafka's wire schema. The reader is intercepted;
+    load() returns a file-source STREAM with Kafka's columns, so
+    everything downstream of .load() runs unmodified and drains for
+    real (reference consumer1.py:39-47)."""
+    import json
+
+    from pyspark.sql import SparkSession
+    from asvsp_spark.streaming.source import drain, kafka_stream
+
+    payloads = [
+        {"event_id": 1, "ts": "2024-03-01 10:15:00", "user_id": 7,
+         "event_type": "click", "value": 1.5, "props": "{}"},
+        {"event_id": 2, "ts": "2024-03-01 11:45:00", "user_id": 8,
+         "event_type": "purchase", "value": 99.0, "props": "{}"},
+        # malformed value: from_json must yield NULL fields, not fail
+        {"_garbage": True},
+    ]
+    rows = [(None, json.dumps(p).encode("utf-8"), "events", 0, i,
+             None, 0) for i, p in enumerate(payloads)]
+    kafka_wire = ("key binary, value binary, topic string, partition int, "
+                  "offset long, timestamp timestamp, timestampType int")
+    spark.createDataFrame(rows, kafka_wire).write.parquet(
+        str(tmp_path / "wire"))
+
+    captured = {"format": None, "options": {}}
+    real_read_stream = SparkSession.readStream  # property, pre-patch
+
+    class FakeKafkaReader:
+        def format(self, fmt):
+            captured["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            captured["options"][k] = v
+            return self
+
+        def load(self):
+            return (real_read_stream.fget(spark).schema(kafka_wire)
+                    .parquet(str(tmp_path / "wire")))
+
+    monkeypatch.setattr(SparkSession, "readStream",
+                        property(lambda self: FakeKafkaReader()))
+    stream = kafka_stream(spark, "broker1:9092,broker2:9092", "events",
+                          starting_offsets="latest")
+    monkeypatch.undo()  # drain() builds non-kafka readers internally
+
+    assert captured["format"] == "kafka"
+    assert captured["options"] == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events",
+        "startingOffsets": "latest",
+    }
+    assert stream.isStreaming
+    got = sorted(
+        ((r.event_id, str(r.ts), r.user_id, r.event_type, r.value)
+         for r in drain(stream, spark, output_mode="append").collect()),
+        key=lambda t: (t[0] is None, t[0]))
+    assert got == [
+        (1, "2024-03-01 10:15:00", 7, "click", 1.5),
+        (2, "2024-03-01 11:45:00", 8, "purchase", 99.0),
+        (None, "None", None, None, None),
+    ]
