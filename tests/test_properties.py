@@ -200,3 +200,49 @@ def test_q10_gaps_and_islands_matches_reference(spark, series):
             for pos, (n, (mx, start)) in enumerate(ranked)
             if pos + 1 <= 15]
     assert got == sorted(want)
+
+
+@given(
+    vecs=st.lists(
+        st.one_of(
+            st.lists(st.integers(-3, 3).map(float), min_size=4, max_size=4),
+            st.just([0.0, 0.0, 0.0, 0.0]),        # zero-norm vectors
+            st.just([1.0, 2.0, 2.0, 0.0]),        # forced duplicates
+        ),
+        min_size=1, max_size=12),
+    threshold=st.sampled_from([0.3, 0.7, 0.95]),
+)
+@SET
+def test_blocked_cosine_pairs_block_count_invariant(spark, vecs, threshold):
+    """cosine_dup_pairs' blocked all-pairs decomposition is an execution
+    detail: the result set must be IDENTICAL for any block count — one
+    block (everything in the diagonal group), two, and more blocks than
+    vectors (empty blocks, every pair off-diagonal) — and must match a
+    pure-Python exact reference. Zero-norm vectors contribute similarity
+    0 (never cross a positive threshold); duplicate vectors under
+    distinct ids emit one canonical (min_id, max_id) pair."""
+    from asvsp_spark.operators.similarity import cosine_dup_pairs
+
+    n = len(vecs)
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+
+    def ref_pairs():
+        out = set()
+        for a in range(n):
+            for b in range(a + 1, n):
+                na = math.sqrt(sum(x * x for x in vecs[a]))
+                nb = math.sqrt(sum(x * x for x in vecs[b]))
+                sim = (sum(x * y for x, y in zip(vecs[a], vecs[b]))
+                       / (na * nb)) if na > 0 and nb > 0 else 0.0
+                if round(sim, 6) >= threshold:
+                    out.add((a, b))
+        return out
+
+    want = ref_pairs()
+    for n_blocks in (1, 2, n + 3):
+        got = {(r.id_a, r.id_b)
+               for r in cosine_dup_pairs(emb, threshold=threshold,
+                                         n_blocks=n_blocks).collect()}
+        assert got == want, (n_blocks, sorted(got), sorted(want))
