@@ -436,3 +436,44 @@ def winnow_pairs(documents: DataFrame, k: int = 3, w: int = 4,
         .select("doc_a", "doc_b", "n_shared", "n_a", "n_b",
                 round_fixed(F.col("containment"), 6).alias("containment"))
     )
+
+
+def decontaminate_report(documents: DataFrame, benchmark: DataFrame,
+                         n: int = 3, min_hits: int = 1,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    n-grams with an evaluation/benchmark set — the test-set-overlap
+    removal every training-data pipeline runs before a corpus ships
+    (the n-gram collision method of GPT-3 appendix C / PaLM; no
+    reference analogue — beyond-parity extension like the rest of the
+    dedup family).
+
+    Returns one row per corpus document: (doc_id, n_hits = how many of
+    its DISTINCT n-grams appear anywhere in the benchmark set,
+    contaminated = n_hits >= min_hits). Callers drop flagged docs with a
+    filter/anti-join; keeping the full report (zeros included) makes the
+    result deterministic and oracle-checkable.
+
+    Scale shape: the corpus side is the same shingle_posting inverted
+    index as jaccard_pairs (linear, whole-stage-codegen'd); the
+    benchmark side collapses to its DISTINCT shingle set, which is tiny
+    relative to any 100TB corpus (eval suites are MBs) and is explicitly
+    broadcast — the corpus never shuffles: posting rows stream through a
+    broadcast-hash semi-match and a partial-agg count by doc. A LEFT
+    join from the id spine restores hit-less documents.
+    """
+    corpus_sh = shingle_posting(documents, n, id_col, text_col)
+    bench_sh = (shingle_posting(benchmark, n, id_col, text_col)
+                .select("sh").distinct())
+    hits = (corpus_sh
+            .join(F.broadcast(bench_sh), "sh", "left_semi")
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    spine = documents.select(F.col(id_col).alias("doc"))
+    return (
+        spine.join(hits, "doc", "left")
+        .select(F.col("doc").alias(id_col),
+                F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
+        .withColumn("contaminated", F.col("n_hits") >= min_hits)
+    )

@@ -390,3 +390,54 @@ SELECT s.lang,
 FROM s JOIN th USING (lang)
 GROUP BY 1
 """
+
+# Spark side: operators/dedup.py decontaminate_report — corpus = docs
+# with doc_id % 37 != 0, benchmark = the rest; n_hits counts the
+# corpus doc's DISTINCT trigrams seen anywhere in the benchmark.
+ORACLE_TEXT["decontaminate_report"] = r"""
+WITH sh AS (
+    SELECT doc_id AS doc,
+           list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS shingles
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents)
+),
+corpus AS (SELECT doc, unnest(shingles) AS s FROM sh WHERE doc % 37 != 0),
+bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc % 37 = 0),
+hits AS (
+    SELECT doc, count(*) AS n_hits
+    FROM corpus WHERE s IN (SELECT s FROM bench)
+    GROUP BY doc
+)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 37 != 0) d
+LEFT JOIN hits h ON h.doc = d.doc_id
+"""
+
+# Spark side: operators/packing.py packing_stats — per-(shard, bin)
+# contiguous-packing rollup; shard = pmod(xxhash64(doc_id), 4) is not
+# reproducible in DuckDB, so the registered query passes a precomputed
+# doc_id % 4 shard via a view-free formulation mirrored here.
+ORACLE_TEXT["packing_bins"] = r"""
+WITH t AS (
+    SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+    FROM documents
+),
+off AS (
+    SELECT doc_id, shard, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+    FROM t
+)
+SELECT shard, CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS bin_id,
+       count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       round(SUM(n_tokens) / 256.0 * 1000000) / 1000000.0 AS utilization
+FROM off
+GROUP BY 1, 2
+"""

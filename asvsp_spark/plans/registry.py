@@ -285,6 +285,13 @@ _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 # aggregate: baselines_events' exact-moment row remains),
 # sample_k_per_group (sampling family keeps mixture_rebalance's
 # exact md5-rank row).
+#
+# r3 additions: decontaminate_report and packing_bins are NEW operator
+# families (benchmark decontamination, sequence packing) with no prior
+# driver row anywhere — they take the slots of bm25_search (relevance
+# family keeps tfidf_top_terms's row; bm25 stays oracle-paired locally)
+# and pivot_daily_type (driver-green in r1 AND r2; reshape coverage
+# continues via cube_revenue_nation_year's grouping-sets row).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "q02_peak_month", "q03_cumulative_top10",
     "q04_mom_pct_change", "q05_same_month_yoy", "q06_moving_average",
@@ -293,8 +300,9 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "rollup_daily_events", "rollup_monthly_events", "baselines_events",
     "rollup_annual_nation",
     "dedup_exact", "jaccard_pairs", "winnow_pairs",
+    "decontaminate_report", "packing_bins",
     "text_profile",
-    "tfidf_top_terms", "bm25_search",
+    "tfidf_top_terms",
     "media_features",
     "embedding_quantize_int8", "cosine_topk",
     "cosine_dup_pairs",
@@ -305,7 +313,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "sq9_hourly_daily_chain", "sq10_funnel_hourly",
     "asof_last_order", "sessionize_users",
     "distinct_users_daily",
-    "cube_revenue_nation_year", "priority_percentiles", "pivot_daily_type",
+    "cube_revenue_nation_year", "priority_percentiles",
     "dedup_components",
     "events_after_order", "snapshot_diff_orders",
     "inactive_customers",
@@ -1007,3 +1015,31 @@ def _media_frame_sample(spark, sf):  # rows-only: Python-side explode
                                                   frame_sample_raw)
     return frame_sample_raw(
         attach_synthetic_media(_t(spark, sf, "documents")), every_n=4)
+
+
+# ---- benchmark decontamination (operators/dedup.py) ----
+
+@register("decontaminate_report")
+def _decontaminate_report(spark, sf):
+    """Test-set-overlap removal: corpus docs (doc_id % 37 != 0) flagged
+    by shared trigrams with the held-out benchmark subset (% 37 == 0).
+    The benchmark shingle set is broadcast; the corpus never shuffles."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return D.decontaminate_report(corpus, bench, n=3, min_hits=1)
+
+
+# ---- sequence packing (operators/packing.py) ----
+
+@register("packing_bins")
+def _packing_bins(spark, sf):
+    """Contiguous-packing report per (shard, bin): docs are concatenated
+    per shard in doc_id order and cut every 256 tokens; bin = where the
+    doc's first token lands. Shard here is doc_id % 4 so the assignment
+    is reproducible in the oracle; production defaults to the xxhash64
+    shard."""
+    from asvsp_spark.operators.packing import packing_stats
+    return packing_stats(
+        _t(spark, sf, "documents"), budget=256, n_shards=4,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(4)))

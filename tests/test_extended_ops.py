@@ -374,3 +374,81 @@ def test_corpus_pipeline_rejects_unknown_generator(spark, tmp_path):
     with pytest.raises(ValueError, match="near_dedup"):
         run_corpus_pipeline(spark, SF_DIR, str(tmp_path / "x"),
                             near_dedup="simhash-nope")
+
+
+def test_decontaminate_report_flags_overlap_only(spark):
+    """Docs sharing a trigram with the benchmark get n_hits = the count
+    of their DISTINCT contaminated trigrams; clean docs appear with 0;
+    docs shorter than n words can never be contaminated; an empty
+    benchmark flags nothing."""
+    from asvsp_spark.operators.dedup import decontaminate_report
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),       # shares 2 trigrams
+         (2, "totally unrelated text here now"), # clean
+         (3, "too short"),                       # < 3 words: no trigrams
+         (4, "quick brown fox")],                # exactly the trigram
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox jumps high")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in decontaminate_report(corpus, bench, n=3).collect()}
+    assert got == {1: (2, True), 2: (0, False), 3: (0, False),
+                   4: (1, True)}
+    empty_bench = spark.createDataFrame([], "doc_id long, text string")
+    got2 = {r.doc_id: r.contaminated
+            for r in decontaminate_report(corpus, empty_bench, n=3).collect()}
+    assert got2 == {1: False, 2: False, 3: False, 4: False}
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must reach the corpus via a broadcast
+    join — the corpus posting list may never shuffle on the shingle."""
+    from asvsp_spark.operators.dedup import decontaminate_report
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(20)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(99, "alpha beta gamma")], "doc_id long, text string")
+    plan = (decontaminate_report(corpus, bench)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_pack_contiguous_reference_semantics(spark):
+    """Single shard: bins follow the running token prefix exactly —
+    bin = floor(start_offset / budget), docs straddle boundaries, and
+    per-bin stats roll up the same assignment."""
+    from pyspark.sql import functions as F
+    from asvsp_spark.operators.packing import pack_contiguous, packing_stats
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f g h i j"), (4, "k")],
+        "doc_id long, text string")
+    one_shard = F.lit(0)
+    got = {r.doc_id: (r.bin_id, r.n_tokens, r.start_offset)
+           for r in pack_contiguous(docs, budget=4, n_shards=1,
+                                    shard_expr=one_shard).collect()}
+    # offsets: d1@0(3 toks), d2@3(2), d3@5(5), d4@10(1); budget 4
+    assert got == {1: (0, 3, 0), 2: (0, 2, 3), 3: (1, 5, 5),
+                   4: (2, 1, 10)}
+    stats = {r.bin_id: (r.n_docs, r.n_tokens, r.first_doc)
+             for r in packing_stats(docs, budget=4, n_shards=1,
+                                    shard_expr=one_shard).collect()}
+    assert stats == {0: (2, 5, 1), 1: (1, 5, 3), 2: (1, 1, 4)}
+
+
+def test_pack_contiguous_shards_are_independent(spark):
+    """Sharded packing must equal packing each shard's docs alone —
+    the property that makes the operator embarrassingly parallel."""
+    from pyspark.sql import functions as F
+    from asvsp_spark.operators.packing import pack_contiguous
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(40)],
+        "doc_id long, text string")
+    whole = {r.doc_id: (r.shard, r.bin_id, r.start_offset)
+             for r in pack_contiguous(docs, budget=8, n_shards=3).collect()}
+    for s in range(3):
+        sub = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == s)
+        alone = {r.doc_id: r.bin_id for r in pack_contiguous(
+            sub, budget=8, n_shards=3).collect()}
+        for did, b in alone.items():
+            assert whole[did] == (s, b, whole[did][2])
