@@ -80,6 +80,10 @@ def main(argv: list[str] | None = None) -> int:
                       choices=["minhash", "jaccard", "winnow"],
                       help="near-dup candidate generator (minhash = "
                            "sub-linear sketch default)")
+    cpip.add_argument("--benchmark", default=None,
+                      help="parquet path of an eval set (doc_id, text); "
+                           "when given, docs sharing a trigram with it "
+                           "are dropped before rebalancing")
 
     mg = sub.add_parser("merge", help="MERGE updates parquet into a base dataset by key")
     mg.add_argument("base")
@@ -161,8 +165,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "corpus-pipeline":
         from asvsp_spark.pipeline import run_corpus_pipeline
-        counts = run_corpus_pipeline(_session(args), args.sf_dir, args.out_dir,
-                                     near_dedup=args.near_dedup)
+        spark = _session(args)
+        bench = (spark.read.parquet(args.benchmark)
+                 if args.benchmark else None)
+        counts = run_corpus_pipeline(spark, args.sf_dir, args.out_dir,
+                                     near_dedup=args.near_dedup,
+                                     benchmark=bench)
         for stage, n in counts.items():
             print(f"{stage:16s} {n}")
         return 0

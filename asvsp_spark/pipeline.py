@@ -49,6 +49,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                         jaccard_threshold: float = 0.5,
                         targets: dict[str, float] | None = None,
                         near_dedup: str = "minhash",
+                        benchmark: DataFrame | None = None,
                         ) -> dict[str, int]:
     """The LLM training-data preparation chain, end to end — what a user
     of this engine actually runs over a raw corpus:
@@ -70,9 +71,12 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                      inverted-index pairs — the quadratic-output answer
                      a small/audited corpus can afford), ``winnow``
                      (MOSS fingerprints: substring-level containment),
-      5. rebalance — exact-quota mixture toward ``targets`` (md5-rank
+      5. decontaminate — if a ``benchmark`` eval set is supplied, drop
+                     docs sharing any word trigram with it (broadcast
+                     collision anti-join; dedup.decontaminate_report),
+      6. rebalance — exact-quota mixture toward ``targets`` (md5-rank
                      membership),
-      6. write     — the cleaned corpus partitioned by lang, via the
+      7. write     — the cleaned corpus partitioned by lang, via the
                      idempotent partitioned writer.
 
     Every stage is the already-oracle-checked operator — this function
@@ -138,12 +142,21 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         "doc_id", "left_semi").localCheckpoint(eager=False)
     counts["near_deduped"] = near.count()
 
-    # 5: mixture rebalance (targets default to sampling.mixture_rebalance's)
+    # 5: benchmark decontamination (optional — needs an eval set)
+    if benchmark is not None:
+        from asvsp_spark.operators.dedup import decontaminate_report
+        clean_ids = (decontaminate_report(near, benchmark)
+                     .filter(~F.col("contaminated")).select("doc_id"))
+        near = near.join(clean_ids, "doc_id", "left_semi") \
+            .localCheckpoint(eager=False)
+        counts["decontaminated"] = near.count()
+
+    # 6: mixture rebalance (targets default to sampling.mixture_rebalance's)
     kept_ids = mixture_rebalance(near, targets=targets).select("doc_id")
     final = near.join(kept_ids, "doc_id", "left_semi")
     counts["rebalanced"] = final.count()
 
-    # 6: durable, partition-pruned layout
+    # 7: durable, partition-pruned layout
     write_partitioned(final, f"{out_dir}/corpus", ["lang"])
     counts["written"] = spark.read.parquet(f"{out_dir}/corpus").count()
     return counts

@@ -368,6 +368,27 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path, near_dedup):
     assert glob.glob(f"{out}/corpus/lang=*"), "must partition by lang"
 
 
+def test_corpus_pipeline_decontaminates_against_benchmark(spark, tmp_path):
+    """With a benchmark set supplied, the decontamination stage slots in
+    between near-dedup and rebalance, the funnel stays monotone, and no
+    survivor shares a trigram with the benchmark."""
+    from asvsp_spark import tables
+    from asvsp_spark.operators.dedup import decontaminate_report
+    from asvsp_spark.pipeline import run_corpus_pipeline
+    from tests.conftest import SF_DIR
+    docs = tables.load(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 19 == 0) \
+        .select("doc_id", "text")
+    out = str(tmp_path / "clean_decontam")
+    counts = run_corpus_pipeline(spark, SF_DIR, out, benchmark=bench)
+    assert counts["near_deduped"] >= counts["decontaminated"] >= \
+        counts["rebalanced"] == counts["written"] > 0
+    survivors = spark.read.parquet(f"{out}/corpus").select("doc_id", "text")
+    flagged = (decontaminate_report(survivors, bench)
+               .filter(F.col("contaminated")).count())
+    assert flagged == 0
+
+
 def test_corpus_pipeline_rejects_unknown_generator(spark, tmp_path):
     from asvsp_spark.pipeline import run_corpus_pipeline
     from tests.conftest import SF_DIR

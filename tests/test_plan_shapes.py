@@ -171,3 +171,34 @@ def test_quality_gate_broadcasts_thresholds(spark):
     plan = _plan(all_queries()["quality_filter_report"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pack_contiguous_single_shuffle_pruned_scan(spark):
+    """Packing is one Exchange (hashpartitioning by shard for the
+    window) over a column-pruned scan — no joins, no second shuffle."""
+    from asvsp_spark.operators.packing import pack_contiguous
+    from asvsp_spark import tables
+    docs = tables.load(spark, SF_DIR, "documents")
+    plan = _plan(pack_contiguous(docs, budget=256, n_shards=4))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read and "source" not in read
+
+
+def test_decontaminate_corpus_never_shuffles_on_shingle(spark):
+    """decontaminate_report: the benchmark side reaches the corpus via
+    broadcast — no sort-merge join, no Exchange keyed by the shingle."""
+    from asvsp_spark.operators.dedup import decontaminate_report
+    from asvsp_spark import tables
+    from pyspark.sql import functions as F
+    docs = tables.load(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    plan = _plan(decontaminate_report(corpus, bench))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one shingle-keyed Exchange: the BENCHMARK side's own tiny
+    # distinct (under its BroadcastExchange); the corpus posting list
+    # itself must never repartition by shingle
+    assert plan.count("hashpartitioning(sh") == 1
