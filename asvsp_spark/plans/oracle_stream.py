@@ -260,3 +260,20 @@ SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM flags
 GROUP BY w
 """
+
+# Spark side: streaming/queries.py sq11_late_audit — batch 1 = even
+# event_ids (sets watermark = its max ts - 2h), batch 2 = odd ids; the
+# late side output is exactly batch 2's rows older than that watermark.
+ORACLE_STREAM["sq11_late_audit"] = """
+WITH wm AS (
+    SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events WHERE event_id % 2 = 0
+),
+late AS (
+    SELECT * FROM events
+    WHERE event_id % 2 = 1 AND ts < (SELECT w FROM wm)
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_late,
+       CAST(sum(event_id) AS BIGINT) AS late_id_sum
+FROM late GROUP BY 1
+"""

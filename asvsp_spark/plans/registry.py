@@ -292,6 +292,10 @@ _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 # family keeps tfidf_top_terms's row; bm25 stays oracle-paired locally)
 # and pivot_daily_type (driver-green in r1 AND r2; reshape coverage
 # continues via cube_revenue_nation_year's grouping-sets row).
+# sq11_late_audit (late-data side output — the last §2.8 'Absent'
+# capability, new family) takes sq7_dedup_hourly's slot: the streaming-
+# dedup family keeps sq7b's bounded-state row, and sq7 stays locally
+# hash-checked by the identical DuckDB method.
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "q02_peak_month", "q03_cumulative_top10",
     "q04_mom_pct_change", "q05_same_month_yoy", "q06_moving_average",
@@ -308,8 +312,9 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "cosine_dup_pairs",
     "sq1_vs_baseline", "sq2_dominant_trend", "sq2c_stateful_trend",
     "sq3_top_users", "sq4_engagement_conversion", "sq5_rank_anomaly",
-    "sq6_attribution_join", "sq7_dedup_hourly",
+    "sq6_attribution_join",
     "sq7b_dedup_within_watermark", "sq8_session_windows",
+    "sq11_late_audit",
     "sq9_hourly_daily_chain", "sq10_funnel_hourly",
     "asof_last_order", "sessionize_users",
     "distinct_users_daily",
@@ -1043,3 +1048,13 @@ def _packing_bins(spark, sf):
     return packing_stats(
         _t(spark, sf, "documents"), budget=256, n_shards=4,
         shard_expr=F.pmod(F.col("doc_id"), F.lit(4)))
+
+
+# ---- late-data side output (streaming/source.py drain_with_late_audit) ----
+
+@register("sq11_late_audit")
+def _sq11_late_audit(spark, sf):
+    """Flink-style late-data side output over a two-batch parity split:
+    the per-hour audit of rows a 2h-watermarked aggregation would have
+    silently dropped (SURVEY §2.8 'Absent': late-data side outputs)."""
+    return SQ.sq11_late_audit(spark, sf)

@@ -43,8 +43,11 @@ from asvsp_spark import tables
 from asvsp_spark.operators.rollups import baselines, centi_avg, value_centi
 from asvsp_spark.plans.base import round_fixed
 from asvsp_spark.streaming.source import (WATERMARK, copy_events_at,
-                                          copy_events_normalized, drain,
-                                          drain_to_parquet, events_stream,
+                                          copy_events_normalized,
+                                          copy_events_split, drain,
+                                          drain_to_parquet,
+                                          drain_with_late_audit,
+                                          events_stream,
                                           events_stream_reader,
                                           write_event_rows)
 from asvsp_spark.streaming.stateful import hourly_trend_stateful
@@ -739,3 +742,43 @@ def sq10_funnel_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.lit(0.0)), 6).alias("conversion"))
 
     return drain(mins, spark, batch_transform=finish, shuffle_partitions=16)
+
+
+# ---------------------------------------------------------------- SQ11
+
+def sq11_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data side output (SURVEY §2.8 'Absent': late-data side
+    outputs — the LAST absent streaming capability; Spark silently drops
+    late rows where Flink offers sideOutputLateData). The audit answers
+    the operational question the drop hides: HOW MUCH data arrived too
+    late, and where.
+
+    Harness (deterministic, oracle-checkable): the events table is split
+    into two mtime-ordered micro-batches by event_id parity. Batch 1
+    (even ids) establishes the watermark = max(ts of batch 1) - 2h;
+    batch 2's (odd) rows older than that are captured by
+    drain_with_late_audit instead of vanishing. Output: the per-hour
+    ELEMENT-late audit with an id checksum — the rows per-row watermark
+    state would evict; a windowed agg drops the subset whose window had
+    fully closed (semantics pinned in tests/test_streaming_semantics.py).
+
+    Scale notes: the split drain appends both sides executor-side (only
+    the running-max scalar touches the driver) and this rollup shuffles
+    the (tiny) late side once onto hour keys.
+    """
+    tmp = tempfile.mkdtemp(prefix="asvsp-sq11-")
+    now = time.time()
+    src = f"{sf_dir}/events.parquet"
+    copy_events_split(src, f"{tmp}/f0.parquet", 2, 0, mtime=now - 100)
+    copy_events_split(src, f"{tmp}/f1.parquet", 2, 1, mtime=now - 99)
+
+    stream = events_stream_reader(spark, tmp, max_files_per_trigger=1)
+    _ontime, late = drain_with_late_audit(stream, spark,
+                                          delay_seconds=7200)
+    return (
+        late
+        .groupBy(F.window("ts", "1 hour").alias("window"))
+        .agg(F.count(F.lit(1)).alias("n_late"),
+             F.sum("event_id").alias("late_id_sum"))
+        .select(_fmt_window_start(), "n_late", "late_id_sum")
+    )

@@ -371,3 +371,104 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession,
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(sink_path)
+
+
+def copy_events_split(src: str, dest: str, mod: int, rem: int,
+                      mtime: float | None = None) -> None:
+    """Stage the subset of an events parquet file with
+    ``event_id % mod == rem`` (ts-normalized like copy_events_normalized)
+    — deterministic multi-batch splits for harnesses whose oracle must
+    reconstruct each micro-batch's contents."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(_normalized_events_cached(src))
+    # no modulo kernel in pyarrow.compute — a numpy mask is fine at
+    # fixture scale (this is a test/harness staging helper)
+    mask = pa.array(tbl.column("event_id").to_numpy() % mod == rem)
+    pq.write_table(tbl.filter(mask), dest)
+    if mtime is not None:
+        os.utime(dest, (mtime, mtime))
+
+
+def drain_with_late_audit(stream_df: DataFrame, spark: SparkSession,
+                          delay_seconds: int = 7200, ts_col: str = "ts",
+                          late_path: str | None = None,
+                          ontime_path: str | None = None,
+                          shuffle_partitions: int | None = None
+                          ) -> tuple[DataFrame, DataFrame]:
+    """Late-data SIDE OUTPUT — the one §2.8 'Absent' capability Spark has
+    no primitive for (Flink's ``sideOutputLateData``): a watermarked
+    aggregation silently DROPS rows later than the allowed delay, and
+    this drain captures them instead. Returns (ontime_df, late_df) read
+    back from two parquet side sinks.
+
+    Semantics — ELEMENT-level lateness against Spark's own watermark
+    clock: the watermark advances at micro-batch COMMIT (max event time
+    seen minus the delay), so a row is flagged late iff its event time
+    is older than the watermark as of the START of its batch. The drain
+    replicates that clock with one scalar of driver state (the running
+    max event time in microseconds, updated AFTER each batch is routed —
+    the same commit-time lag). Element-late is what per-ROW watermark
+    state ops judge (dropDuplicatesWithinWatermark eviction,
+    stream-stream join state); a WINDOWED aggregation is more lenient —
+    it only drops a late row once its whole window has closed
+    (window_end <= watermark) — so the flagged set is a superset of a
+    window agg's drops, at window-size granularity. Both facts are
+    pinned in tests/test_streaming_semantics.py.
+
+    Scale notes: both outputs are executor-side parquet appends — no
+    row-level data crosses the driver (only the per-batch max, one
+    scalar). Each batch is persisted once and split by one filter each
+    way; the late side of a healthy stream is a trickle. For production
+    idempotency under re-runs, point the sinks at batch-id-keyed
+    subdirs or swap in foreach_batch_overwrite_partitions; a one-shot
+    availableNow drain (fresh checkpoint) needs neither.
+    """
+    from pyspark.sql import functions as F
+
+    late_dir = late_path or tempfile.mkdtemp(prefix="asvsp-late-")
+    ontime_dir = ontime_path or tempfile.mkdtemp(prefix="asvsp-ontime-")
+    state = {"max_us": None}
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            us = F.unix_micros(F.col(ts_col))
+            if state["max_us"] is None:
+                ontime, late = batch_df, None
+            else:
+                wm_us = state["max_us"] - delay_seconds * 1_000_000
+                ontime = batch_df.filter(us >= F.lit(wm_us))
+                late = batch_df.filter(us < F.lit(wm_us))
+            ontime.write.mode("append").parquet(ontime_dir)
+            if late is not None:
+                late.write.mode("append").parquet(late_dir)
+            mx = batch_df.agg(F.max(us).alias("mx")).collect()[0]["mx"]
+            if mx is not None:
+                state["max_us"] = (mx if state["max_us"] is None
+                                   else max(state["max_us"], mx))
+        finally:
+            batch_df.unpersist()
+
+    cap = shuffle_partitions if shuffle_partitions is not None else int(
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    ckpt = tempfile.mkdtemp(prefix="asvsp-ckpt-")
+    try:
+        if int(prev) > cap:
+            spark.conf.set("spark.sql.shuffle.partitions", str(cap))
+        query = (stream_df.writeStream.outputMode("append")
+                 .foreachBatch(handle)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True)
+                 .start())
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def _read(path: str) -> DataFrame:
+        if any(f.endswith(".parquet") for f in os.listdir(path)):
+            return spark.read.parquet(path)
+        return spark.createDataFrame([], stream_df.schema)
+
+    return _read(ontime_dir), _read(late_dir)

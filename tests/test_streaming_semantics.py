@@ -515,3 +515,71 @@ def test_kafka_stream_option_contract_and_payload_path(spark, monkeypatch,
         (2, "2024-03-01 11:45:00", 8, "purchase", 99.0),
         (None, "None", None, None, None),
     ]
+
+
+def test_late_audit_element_vs_window_semantics(spark, tmp_path):
+    """drain_with_late_audit pins two facts on a hand-built 3-batch
+    stream (batch 0 max ts 12:59 -> audit watermark 10:59 from batch 1
+    on; batch 1 is an on-time boundary so Spark's own aggregation
+    watermark — which lags one extra batch — is also in force by
+    batch 2):
+
+    - ELEMENT-late = ts < watermark-at-batch-start: the 09:30 and 10:30
+      replays in batch 2 are flagged; everything else is on time
+      (conservation: ontime + late = everything, disjoint).
+    - A WINDOWED agg is more lenient: it still accepts the 10:30 row
+      (its [10:00, 11:00) window end 11:00 > 10:59 watermark) and drops
+      only the 09:30 row (window fully closed) — the flagged set is a
+      strict SUPERSET of the window agg's drops, at window granularity.
+    """
+    import datetime as _dt
+    import os as _os
+    import time as _time
+
+    from asvsp_spark.streaming.source import (drain,
+                                              drain_with_late_audit,
+                                              write_event_rows)
+
+    def us(hh, mm):
+        t = _dt.datetime(2024, 1, 6, hh, mm, tzinfo=_dt.timezone.utc)
+        return int(t.timestamp() * 1_000_000)
+
+    d = str(tmp_path / "stream")
+    _os.makedirs(d)
+    now = _time.time()
+    write_event_rows(f"{d}/b0.parquet", [
+        (1, us(10, 5), 1, "click", 1.0, "{}"),
+        (2, us(12, 59), 1, "click", 1.0, "{}"),   # max -> wm 10:59
+    ], mtime=now - 100)
+    write_event_rows(f"{d}/b1.parquet", [
+        (6, us(12, 30), 1, "click", 1.0, "{}"),   # on-time boundary
+    ], mtime=now - 99)
+    write_event_rows(f"{d}/b2.parquet", [
+        (3, us(9, 30), 1, "click", 1.0, "{}"),    # late, window closed
+        (4, us(10, 30), 1, "click", 1.0, "{}"),   # late, window open
+        (5, us(13, 0), 1, "click", 1.0, "{}"),    # on time
+    ], mtime=now - 98)
+
+    def reader():
+        return (spark.readStream
+                .schema("event_id long, ts timestamp, user_id long, "
+                        "event_type string, value double, props string")
+                .option("maxFilesPerTrigger", "1").parquet(d))
+
+    ontime, late = drain_with_late_audit(reader(), spark,
+                                         delay_seconds=7200)
+    late_ids = {r.event_id for r in late.collect()}
+    ontime_ids = {r.event_id for r in ontime.collect()}
+    assert late_ids == {3, 4}
+    assert ontime_ids == {1, 2, 5, 6}
+
+    agg = (reader().withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("window"))
+           .agg(F.sum("event_id").alias("id_sum")))
+    by_hour = {}
+    for r in drain(agg, spark).collect():  # batch order; last write wins
+        by_hour[str(r["window"]["start"])[11:16]] = r.id_sum
+    assert by_hour.get("10:00") == 5, by_hour     # id 4 accepted late
+    assert by_hour.get("12:00") == 8              # 2 + boundary 6
+    assert by_hour.get("13:00") == 5
+    assert "09:00" not in by_hour                 # id 3 dropped by agg
