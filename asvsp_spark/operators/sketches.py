@@ -60,3 +60,52 @@ def hll_user_rollup(events: DataFrame, lg_k: int = 12) -> DataFrame:
         F.col("month").alias("period"),
         "event_type", "est_users")
     return day_level.unionByName(month_level)
+
+
+def heavy_hitters(df: DataFrame, key_cols: list[str],
+                  s_num: int = 3, s_den: int = 1000) -> DataFrame:
+    """EXACT frequent items above a frequency share threshold — every
+    key with count >= n * s_num / s_den — found WITHOUT shuffling the
+    full key cardinality (the distributed Misra-Gries / SpaceSaving
+    trade re-expressed relationally; no reference analogue).
+
+    Why not a plain groupBy-HAVING: at 100 TB a global groupBy on an
+    ultra-high-cardinality key (user id, URL, n-gram) shuffles EVERY
+    distinct key once even though only a handful can clear the
+    threshold. This operator prunes first with the pigeonhole bound: if
+    freq(x) >= n * s then in at least one partition p, the local
+    freq_p(x) >= n_p * s. So:
+
+      pass 1 — count per (partition, key): the (pid, key) groupBy is a
+        map-side-partial shuffle whose output is per-partition counts; a
+        window over pid derives each partition's total, and keys
+        clearing the LOCAL threshold become candidates (a provable
+        superset of the true heavy hitters, typically tiny);
+      pass 2 — broadcast the candidates, semi-join the raw rows (no
+        key shuffle — the broadcast hash filter runs map-side), exact
+        count only those, keep count * s_den >= n * s_num.
+
+    All threshold arithmetic is integer cross-multiplication (count *
+    s_den vs n * s_num) — no float rounding, so DuckDB's plain
+    GROUP BY ... HAVING oracle matches bit-for-bit, which is also the
+    proof the pruning loses nothing. The candidate guarantee holds for
+    ANY partitioning of the input.
+    """
+    from pyspark.sql import Window
+
+    n = df.count()
+    keyed = df.select(*key_cols,
+                      F.spark_partition_id().alias("_pid"))
+    local = keyed.groupBy("_pid", *key_cols).agg(
+        F.count(F.lit(1)).alias("_lc"))
+    w = Window.partitionBy("_pid")
+    cand = (local
+            .withColumn("_ln", F.sum("_lc").over(w))
+            .filter(F.col("_lc") * s_den >= F.col("_ln") * s_num)
+            .select(*key_cols).distinct())
+    return (
+        df.join(F.broadcast(cand), key_cols, "left_semi")
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * s_den >= F.lit(n) * s_num)
+    )

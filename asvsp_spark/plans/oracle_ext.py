@@ -736,3 +736,12 @@ SELECT user_id, state,
        (valid_to IS NULL) AS is_current
 FROM closed
 """
+
+# Spark side: operators/sketches.py heavy_hitters — integer cross-
+# multiplied threshold (count * 1000 >= n * 7), no float rounding.
+ORACLE_EXT["heavy_hitters_users"] = """
+SELECT user_id, count(*) AS n_occurrences
+FROM events
+GROUP BY 1
+HAVING count(*) * 1000 >= (SELECT count(*) FROM events) * 7
+"""

@@ -295,7 +295,10 @@ _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 # sq11_late_audit (late-data side output — the last §2.8 'Absent'
 # capability, new family) takes sq7_dedup_hourly's slot: the streaming-
 # dedup family keeps sq7b's bounded-state row, and sq7 stays locally
-# hash-checked by the identical DuckDB method.
+# hash-checked by the identical DuckDB method. heavy_hitters_users
+# (pigeonhole-pruned exact frequent items, new sketch family) takes
+# snapshot_diff_orders' slot: the diff module keeps scd2_user_state's
+# row; snapshot_diff was driver-green in r1 AND r2.
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "q02_peak_month", "q03_cumulative_top10",
     "q04_mom_pct_change", "q05_same_month_yoy", "q06_moving_average",
@@ -320,7 +323,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "distinct_users_daily",
     "cube_revenue_nation_year", "priority_percentiles",
     "dedup_components",
-    "events_after_order", "snapshot_diff_orders",
+    "events_after_order", "heavy_hitters_users",
     "inactive_customers",
     "funnel_daily", "scd2_user_state",
     "mixture_rebalance",
@@ -1058,3 +1061,16 @@ def _sq11_late_audit(spark, sf):
     the per-hour audit of rows a 2h-watermarked aggregation would have
     silently dropped (SURVEY §2.8 'Absent': late-data side outputs)."""
     return SQ.sq11_late_audit(spark, sf)
+
+
+# ---- exact heavy hitters with pigeonhole pruning (operators/sketches.py) ----
+
+@register("heavy_hitters_users")
+def _heavy_hitters_users(spark, sf):
+    """Users above a 0.7% share of all events, found without a full-
+    cardinality shuffle: per-partition pigeonhole candidates -> broadcast
+    semi-join -> exact recount. Counts are exact, so the DuckDB
+    GROUP BY ... HAVING oracle doubles as proof the pruning is lossless."""
+    from asvsp_spark.operators.sketches import heavy_hitters
+    return heavy_hitters(_t(spark, sf, "events"), ["user_id"],
+                         s_num=7, s_den=1000)

@@ -473,3 +473,27 @@ def test_pack_contiguous_shards_are_independent(spark):
             sub, budget=8, n_shards=3).collect()}
         for did, b in alone.items():
             assert whole[did] == (s, b, whole[did][2])
+
+
+def test_heavy_hitters_exact_under_any_partitioning(spark):
+    """The pigeonhole candidate pruning must be lossless for EVERY
+    physical partitioning: a skewed key distribution yields the same
+    exact result as a brute-force groupBy-HAVING at 1, 3, and 40
+    partitions (including partitions holding no heavy key), and the
+    result thresholds with integer cross-multiplication."""
+    from asvsp_spark.operators.sketches import heavy_hitters
+    rows = ([("hot",)] * 300 + [("warm",)] * 120
+            + [(f"cold{i}",) for i in range(580)])
+    n = len(rows)  # 1000; threshold 10% -> hot (300), warm (120)
+    base = spark.createDataFrame(rows, "k string")
+    want = {("hot", 300), ("warm", 120)}
+    for parts in (1, 3, 40):
+        got = {(r.k, r.n_occurrences)
+               for r in heavy_hitters(base.repartition(parts), ["k"],
+                                      s_num=100, s_den=1000).collect()}
+        assert got == want, (parts, got)
+    # threshold exactly at a key's count: >= keeps it (warm at 12.0%)
+    got = {(r.k, r.n_occurrences)
+           for r in heavy_hitters(base.repartition(5), ["k"],
+                                  s_num=120, s_den=1000).collect()}
+    assert got == {("hot", 300), ("warm", 120)}
