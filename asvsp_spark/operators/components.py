@@ -179,10 +179,14 @@ def dedup_clusters(documents: DataFrame, edges: DataFrame,
         .select("doc_id",
                 F.coalesce("component", "doc_id").alias("cluster_id"))
     )
-    sizes = assigned.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size"))
+    # one shuffle on cluster_id (window count) instead of the
+    # groupBy + join-back pair; cluster cardinality per task is bounded
+    # by the largest dedup cluster, same bound either formulation has
+    from pyspark.sql import Window
+    w = Window.partitionBy("cluster_id")
     return (
-        assigned.join(sizes, "cluster_id")
+        assigned
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .select("doc_id", "cluster_id", "cluster_size",
                 (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"))
     )
