@@ -246,3 +246,46 @@ def test_blocked_cosine_pairs_block_count_invariant(spark, vecs, threshold):
                for r in cosine_dup_pairs(emb, threshold=threshold,
                                          n_blocks=n_blocks).collect()}
         assert got == want, (n_blocks, sorted(got), sorted(want))
+
+
+@given(
+    counts=st.lists(st.integers(1, 40), min_size=1, max_size=8),
+    parts=st.sampled_from([1, 2, 5, 17]),
+    s_num=st.sampled_from([5, 10, 20]),
+)
+@SET
+def test_heavy_hitters_matches_reference(spark, counts, parts, s_num):
+    """Pigeonhole-pruned heavy hitters == brute-force reference for any
+    key-frequency profile, partition count, and threshold share — the
+    pruning may never lose a qualifying key nor admit extra ones."""
+    from asvsp_spark.operators.sketches import heavy_hitters
+    rows = [(f"k{i}",) for i, c in enumerate(counts) for _ in range(c)]
+    n = len(rows)
+    df = spark.createDataFrame(rows, "k string").repartition(parts)
+    got = {(r.k, r.n_occurrences)
+           for r in heavy_hitters(df, ["k"], s_num=s_num,
+                                  s_den=100).collect()}
+    want = {(f"k{i}", c) for i, c in enumerate(counts)
+            if c * 100 >= n * s_num}
+    assert got == want
+
+
+@given(
+    toks=st.lists(st.integers(1, 9), min_size=1, max_size=20),
+    budget=st.sampled_from([1, 4, 16]),
+)
+@SET
+def test_pack_contiguous_matches_reference(spark, toks, budget):
+    """Single-shard packing == the running prefix-sum reference: bin of
+    doc i is floor(sum of earlier docs' tokens / budget), in id order."""
+    from asvsp_spark.operators.packing import pack_contiguous
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * t)) for i, t in enumerate(toks)],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.bin_id, r.n_tokens, r.start_offset)
+           for r in pack_contiguous(docs, budget=budget, n_shards=1,
+                                    shard_expr=F.lit(0)).collect()}
+    off = 0
+    for i, t in enumerate(toks):
+        assert got[i] == (off // budget, t, off), (i, got[i], off)
+        off += t
