@@ -65,46 +65,84 @@ def hll_user_rollup(events: DataFrame, lg_k: int = 12) -> DataFrame:
 def heavy_hitters(df: DataFrame, key_cols: list[str],
                   s_num: int = 3, s_den: int = 1000) -> DataFrame:
     """EXACT frequent items above a frequency share threshold — every
-    key with count >= n * s_num / s_den — found WITHOUT shuffling the
-    full key cardinality (the distributed Misra-Gries / SpaceSaving
-    trade re-expressed relationally; no reference analogue).
+    key with count >= n * s_num / s_den (s = s_num/s_den) — without
+    shuffling the full key cardinality: distributed Misra-Gries
+    candidate generation + broadcast exact recount (no reference
+    analogue).
 
-    Why not a plain groupBy-HAVING: at 100 TB a global groupBy on an
-    ultra-high-cardinality key (user id, URL, n-gram) shuffles EVERY
-    distinct key once even though only a handful can clear the
-    threshold. This operator prunes first with the pigeonhole bound: if
-    freq(x) >= n * s then in at least one partition p, the local
-    freq_p(x) >= n_p * s. So:
+    Why not a plain groupBy-HAVING: map-side partial aggregation still
+    builds a per-task hash map over every local distinct key and
+    shuffles one row per (task, key) — at 100 TB with an
+    ultra-high-cardinality key (user id, URL, n-gram) that is unbounded
+    executor memory and a full-cardinality shuffle for a handful of
+    answers. (A groupBy(partition_id, key) formulation is no better:
+    its shuffle volume is identical to the plain groupBy's partials.)
 
-      pass 1 — count per (partition, key): the (pid, key) groupBy is a
-        map-side-partial shuffle whose output is per-partition counts; a
-        window over pid derives each partition's total, and keys
-        clearing the LOCAL threshold become candidates (a provable
-        superset of the true heavy hitters, typically tiny);
-      pass 2 — broadcast the candidates, semi-join the raw rows (no
-        key shuffle — the broadcast hash filter runs map-side), exact
-        count only those, keep count * s_den >= n * s_num.
+      pass 1 — Misra-Gries per partition (``mapInPandas``: the function
+        sees ALL of a partition's Arrow batches, so it folds each
+        batch's vectorized ``value_counts`` into a counter dict capped
+        at k = ceil(s_den/s_num) entries with the classic decrement-all
+        eviction). MG guarantees every key with local freq > n_p/(k+1)
+        survives, and n_p * s >= n_p/(k+1) by the choice of k; the
+        pigeonhole bound (a globally s-heavy key is locally s-heavy in
+        at least one partition) then makes the union of summaries a
+        PROVABLE candidate superset. Memory is O(k) per task and only
+        O(partitions x k) candidate rows ever leave the executors.
+      pass 2 — broadcast the candidate keys, semi-join the raw rows
+        (map-side hash filter, no shuffle of non-candidates), exact
+        count only the candidates, keep count * s_den >= n * s_num.
 
-    All threshold arithmetic is integer cross-multiplication (count *
-    s_den vs n * s_num) — no float rounding, so DuckDB's plain
-    GROUP BY ... HAVING oracle matches bit-for-bit, which is also the
-    proof the pruning loses nothing. The candidate guarantee holds for
-    ANY partitioning of the input.
+    All threshold arithmetic is integer cross-multiplication — no float
+    rounding, so DuckDB's plain GROUP BY ... HAVING oracle matches
+    bit-for-bit, which is also the proof the pruning loses nothing. The
+    guarantee holds for ANY physical partitioning. Rows with a NULL in
+    any key column are excluded up front (NULL is a data-quality count,
+    not a frequency key; the semi-join could never match it back).
     """
-    from pyspark.sql import Window
+    import math
 
-    n = df.count()
-    keyed = df.select(*key_cols,
-                      F.spark_partition_id().alias("_pid"))
-    local = keyed.groupBy("_pid", *key_cols).agg(
-        F.count(F.lit(1)).alias("_lc"))
-    w = Window.partitionBy("_pid")
-    cand = (local
-            .withColumn("_ln", F.sum("_lc").over(w))
-            .filter(F.col("_lc") * s_den >= F.col("_ln") * s_num)
-            .select(*key_cols).distinct())
+    keyed = df.select(*key_cols).na.drop(subset=key_cols)
+    n = keyed.count()
+    k = max(1, math.ceil(s_den / s_num))
+    key_schema = keyed.schema
+
+    def mg_partition(batches):
+        import pandas as pd
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf.groupby(list(pdf.columns), sort=False).size()
+            for key, c in vc.items():
+                tup = key if isinstance(key, tuple) else (key,)
+                if tup in counters:
+                    counters[tup] += int(c)
+                elif len(counters) < k:
+                    counters[tup] = int(c)
+                else:
+                    # decrement-all: one batch-key admission costs every
+                    # counter min(c, its count); keys hitting 0 evict
+                    dec = int(c)
+                    while dec > 0 and counters:
+                        step = min(dec, min(counters.values()))
+                        drop = []
+                        for t in counters:
+                            counters[t] -= step
+                            if counters[t] == 0:
+                                drop.append(t)
+                        for t in drop:
+                            del counters[t]
+                        dec -= step
+                        if len(counters) < k:
+                            break
+                    if dec > 0 and len(counters) < k:
+                        counters[tup] = dec
+        if counters:
+            yield pd.DataFrame(list(counters.keys()),
+                               columns=[f.name for f in key_schema])
+
+    cand = (keyed.mapInPandas(mg_partition, key_schema)
+            .distinct())
     return (
-        df.join(F.broadcast(cand), key_cols, "left_semi")
+        keyed.join(F.broadcast(cand), key_cols, "left_semi")
         .groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") * s_den >= F.lit(n) * s_num)

@@ -45,6 +45,12 @@ _DIALECT_SHIMS = (
     ("AS VARCHAR)", "AS STRING)"),
     ("strftime(", "date_format("),
     ("'%Y-%m-%d %H:%M:%S'", "'yyyy-MM-dd HH:mm:ss'"),
+    # DuckDB list surface -> Spark arrays; Spark SQL string literals
+    # treat backslash as an escape, so the regex needs it doubled
+    (r"len(regexp_split_to_array(trim(text), '\s+'))",
+     r"size(split(trim(text), '\\s+'))"),
+    # Spark floor(bigint/double) is fine but 256.0 parses as DECIMAL
+    ("/ 256.0", "/ 256.0D"),
 )
 
 
@@ -58,7 +64,12 @@ def to_spark_sql(duckdb_sql: str) -> str:
 # Extension queries whose oracle SQL sits in the Spark/DuckDB dialect
 # intersection after the same shims (the list-lambda text oracles do
 # not; their SQL surface is DuckDB-only by construction).
-EXT_NAMES = ("funnel_daily", "scd2_user_state")
+# heavy_hitters_users' SQL text is the UNPRUNED GROUP BY ... HAVING
+# semantic spec — the equivalence test is exactly the statement that the
+# DataFrame path's pigeonhole pruning is lossless. packing_bins' window
+# prefix-sum SQL ports with the regex-split and decimal-literal shims.
+EXT_NAMES = ("funnel_daily", "scd2_user_state",
+             "heavy_hitters_users", "packing_bins")
 
 # merged locally: registry also merges these into ORACLE at import, but
 # this module must not depend on registry import order
@@ -70,7 +81,7 @@ SPARK_SQL: dict[str, str] = {name: to_spark_sql(_SOURCES[name])
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Temp views for the tables the SQL variants read."""
-    for t in ("orders", "customer", "nation", "events"):
+    for t in ("orders", "customer", "nation", "events", "documents"):
         tables.load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
