@@ -80,14 +80,19 @@ def heavy_hitters(df: DataFrame, key_cols: list[str],
 
       pass 1 — Misra-Gries per partition (``mapInPandas``: the function
         sees ALL of a partition's Arrow batches, so it folds each
-        batch's vectorized ``value_counts`` into a counter dict capped
-        at k = ceil(s_den/s_num) entries with the classic decrement-all
-        eviction). MG guarantees every key with local freq > n_p/(k+1)
-        survives, and n_p * s >= n_p/(k+1) by the choice of k; the
-        pigeonhole bound (a globally s-heavy key is locally s-heavy in
-        at least one partition) then makes the union of summaries a
-        PROVABLE candidate superset. Memory is O(k) per task and only
-        O(partitions x k) candidate rows ever leave the executors.
+        batch's vectorized group-size counts into a running Series and,
+        whenever more than k = ceil(s_den/s_num) keys accumulate,
+        subtracts the (k+1)-th largest count from every key and drops
+        the non-positive — the batched MG compaction: each subtraction
+        removes mass from >= k+1 keys simultaneously, so cumulative
+        decrement per key <= n_p/(k+1), and every key with local freq >
+        n_p/(k+1) survives; n_p * s >= n_p/(k+1) by the choice of k.
+        The pigeonhole bound (a globally s-heavy key is locally s-heavy
+        in at least one partition) then makes the union of summaries a
+        PROVABLE candidate superset. Memory is O(batch distinct + k)
+        per task and only O(partitions x k) candidate rows ever leave
+        the executors; everything is pandas-vectorized, no per-row
+        Python.
       pass 2 — broadcast the candidate keys, semi-join the raw rows
         (map-side hash filter, no shuffle of non-candidates), exact
         count only the candidates, keep count * s_den >= n * s_num.
@@ -107,37 +112,22 @@ def heavy_hitters(df: DataFrame, key_cols: list[str],
     key_schema = keyed.schema
 
     def mg_partition(batches):
-        import pandas as pd
-        counters: dict = {}
+        acc = None
         for pdf in batches:
             vc = pdf.groupby(list(pdf.columns), sort=False).size()
-            for key, c in vc.items():
-                tup = key if isinstance(key, tuple) else (key,)
-                if tup in counters:
-                    counters[tup] += int(c)
-                elif len(counters) < k:
-                    counters[tup] = int(c)
-                else:
-                    # decrement-all: one batch-key admission costs every
-                    # counter min(c, its count); keys hitting 0 evict
-                    dec = int(c)
-                    while dec > 0 and counters:
-                        step = min(dec, min(counters.values()))
-                        drop = []
-                        for t in counters:
-                            counters[t] -= step
-                            if counters[t] == 0:
-                                drop.append(t)
-                        for t in drop:
-                            del counters[t]
-                        dec -= step
-                        if len(counters) < k:
-                            break
-                    if dec > 0 and len(counters) < k:
-                        counters[tup] = dec
-        if counters:
-            yield pd.DataFrame(list(counters.keys()),
-                               columns=[f.name for f in key_schema])
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > k:
+                # batched MG compaction: subtract the (k+1)-th largest
+                # count from EVERY key and drop the non-positive — one
+                # subtraction removes >= (k+1) x thr mass, so the
+                # cumulative decrement any key can suffer is < n_p/(k+1)
+                thr = acc.nlargest(k + 1).iloc[-1]
+                acc = acc - thr
+                acc = acc[acc > 0]
+        if acc is not None and len(acc):
+            out = acc.index.to_frame(index=False)
+            out.columns = [f.name for f in key_schema]
+            yield out
 
     cand = (keyed.mapInPandas(mg_partition, key_schema)
             .distinct())
