@@ -441,7 +441,8 @@ def winnow_pairs(documents: DataFrame, k: int = 3, w: int = 4,
 def decontaminate_report(documents: DataFrame, benchmark: DataFrame,
                          n: int = 3, min_hits: int = 1,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         broadcast_benchmark: bool = True) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing word
     n-grams with an evaluation/benchmark set — the test-set-overlap
     removal every training-data pipeline runs before a corpus ships
@@ -461,13 +462,19 @@ def decontaminate_report(documents: DataFrame, benchmark: DataFrame,
     relative to any 100TB corpus (eval suites are MBs) and is explicitly
     broadcast — the corpus never shuffles: posting rows stream through a
     broadcast-hash semi-match and a partial-agg count by doc. A LEFT
-    join from the id spine restores hit-less documents.
+    join from the id spine restores hit-less documents. When the
+    "benchmark" is itself a large corpus (corpus-vs-corpus
+    decontamination), pass ``broadcast_benchmark=False``: both posting
+    lists then shuffle once on the shingle for a sort-merge semi-join —
+    linear, just no longer map-side.
     """
     corpus_sh = shingle_posting(documents, n, id_col, text_col)
     bench_sh = (shingle_posting(benchmark, n, id_col, text_col)
                 .select("sh").distinct())
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
     hits = (corpus_sh
-            .join(F.broadcast(bench_sh), "sh", "left_semi")
+            .join(bench_sh, "sh", "left_semi")
             .groupBy("doc")
             .agg(F.count(F.lit(1)).alias("n_hits")))
     spine = documents.select(F.col(id_col).alias("doc"))

@@ -497,3 +497,23 @@ def test_heavy_hitters_exact_under_any_partitioning(spark):
            for r in heavy_hitters(base.repartition(5), ["k"],
                                   s_num=120, s_den=1000).collect()}
     assert got == {("hot", 300), ("warm", 120)}
+
+
+def test_decontaminate_shuffle_fallback_matches_broadcast(spark):
+    """broadcast_benchmark=False (corpus-vs-corpus decontamination) must
+    produce the identical report through the sort-merge path."""
+    from asvsp_spark.operators.dedup import decontaminate_report
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}") for i in range(12)]
+        + [(99, "zeta eta theta iota")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(1000, "beta gamma delta"), (1001, "eta theta iota")],
+        "doc_id long, text string")
+    a = sorted((r.doc_id, r.n_hits, r.contaminated)
+               for r in decontaminate_report(corpus, bench).collect())
+    b = sorted((r.doc_id, r.n_hits, r.contaminated)
+               for r in decontaminate_report(
+                   corpus, bench, broadcast_benchmark=False).collect())
+    assert a == b
+    assert any(hits > 0 for _, hits, _ in a)
