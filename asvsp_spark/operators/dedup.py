@@ -484,3 +484,60 @@ def decontaminate_report(documents: DataFrame, benchmark: DataFrame,
                 F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
         .withColumn("contaminated", F.col("n_hits") >= min_hits)
     )
+
+
+def incremental_exact_dedup(spark, new_docs: DataFrame, store_path: str,
+                            id_col: str = "doc_id",
+                            text_col: str = "text"):
+    """Production-cadence exact dedup: deduplicate an arriving DELTA
+    (today's crawl) against the accumulated fingerprint store instead of
+    re-scanning the whole corpus — the incremental form every batch
+    operator here ultimately runs as (the global ``exact_dedup`` is the
+    bootstrap/backfill path). Returns ``(fresh_docs, counts)`` where
+    fresh_docs are the delta's first-seen documents and counts reports
+    the funnel.
+
+    Steps, one delta scan + one store anti-join:
+      1. fingerprint the delta (same canonical-text digest as
+         exact_dedup, so the two paths converge on identical stores);
+      2. collapse within-delta duplicates (min id per fingerprint);
+      3. LEFT-ANTI join against the store on the fingerprint — only
+         fingerprints never seen before survive;
+      4. append the survivors' (fp, keeper_id) rows to the store.
+
+    Scale shape: the store is an append-only parquet log keyed by a
+    16-byte digest; the anti-join shuffles delta-side fingerprints only
+    (the store side prunes to its fp column). First-seen keeper wins by
+    construction — an existing fingerprint is never rewritten, so the
+    single-writer daily cadence needs no merge. Store files accrete per
+    run; compact_parquet (sources/batch.py) is the maintenance step,
+    and at warehouse scale the store would be bucketed by fp
+    (sources/bucketing.py) to make this anti-join shuffle-free.
+    """
+    import os as _os
+
+    delta = (new_docs
+             .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+             .groupBy("fp")
+             .agg(F.min(id_col).alias("keeper_id")))
+    n_batch = new_docs.count()
+    n_delta = delta.count()
+
+    if _os.path.exists(store_path):
+        store_fps = spark.read.parquet(store_path).select("fp")
+        fresh_fps = delta.join(store_fps, "fp", "left_anti")
+    else:
+        fresh_fps = delta
+    fresh_fps = fresh_fps.localCheckpoint(eager=True)
+    n_fresh = fresh_fps.count()
+
+    fresh_fps.write.mode("append").parquet(store_path)
+    fresh = new_docs.join(
+        fresh_fps.select(F.col("keeper_id").alias(id_col)),
+        id_col, "left_semi")
+    return fresh, {
+        "batch": n_batch,
+        "within_batch_dupes": n_batch - n_delta,
+        "known_dupes": n_delta - n_fresh,
+        "fresh": n_fresh,
+    }

@@ -517,3 +517,36 @@ def test_decontaminate_shuffle_fallback_matches_broadcast(spark):
                    corpus, bench, broadcast_benchmark=False).collect())
     assert a == b
     assert any(hits > 0 for _, hits, _ in a)
+
+
+def test_incremental_exact_dedup_across_batches(spark, tmp_path):
+    """The daily-delta form of exact dedup: batch 1 bootstraps the
+    fingerprint store; batch 2's replays (same text, any id) and
+    within-batch duplicates are dropped while genuinely new docs pass;
+    first-seen keepers are never rewritten; the store accumulates one
+    row per distinct fingerprint ever seen."""
+    from asvsp_spark.operators.dedup import incremental_exact_dedup
+    store = str(tmp_path / "fp_store")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string")
+    fresh1, c1 = incremental_exact_dedup(spark, b1, store)
+    assert c1 == {"batch": 3, "within_batch_dupes": 1,
+                  "known_dupes": 0, "fresh": 2}
+    assert {r.doc_id for r in fresh1.collect()} == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta"),        # replay of batch-1 text: dropped
+         (11, "epsilon zeta"),      # new
+         (12, "epsilon zeta"),      # within-batch dup of 11
+         (13, "gamma  delta")],     # whitespace variant: same canonical
+        "doc_id long, text string")
+    fresh2, c2 = incremental_exact_dedup(spark, b2, store)
+    assert c2 == {"batch": 4, "within_batch_dupes": 1,
+                  "known_dupes": 2, "fresh": 1}
+    assert {r.doc_id for r in fresh2.collect()} == {11}
+
+    stored = {(r.fp, r.keeper_id)
+              for r in spark.read.parquet(store).collect()}
+    assert len(stored) == 3
+    assert {k for _, k in stored} == {1, 2, 11}  # first-seen keepers
