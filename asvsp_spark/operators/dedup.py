@@ -541,3 +541,113 @@ def incremental_exact_dedup(spark, new_docs: DataFrame, store_path: str,
         "known_dupes": n_delta - n_fresh,
         "fresh": n_fresh,
     }
+
+
+def incremental_minhash_dedup(spark, new_docs: DataFrame, store_path: str,
+                              n: int = 3, threshold: float = 0.5,
+                              num_hashes: int = 16, bands: int = 8,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              max_bucket: int | None = 500):
+    """Near-dup twin of ``incremental_exact_dedup``: continuous corpus
+    ingestion where each arriving delta is near-deduplicated BOTH within
+    itself and against everything ever kept — without storing (or
+    rescanning) any prior text. The state is a MinHash signature store:
+    one array of ``num_hashes`` longs per kept document (~128 bytes at
+    the defaults, vs the document itself), the standard industry shape
+    for rolling web-crawl dedup. Returns ``(fresh_docs, counts)``.
+
+    Steps:
+      1. within-delta: the exact-verified ``minhash_lsh_pairs`` edges ->
+         ``dedup_clusters`` -> keep each cluster's min-id representative
+         (identical semantics to the batch pipeline stage);
+      2. vs store: band-join the survivors' signatures against the
+         stored signatures (same banded LSH, same ``max_bucket``
+         hot-bucket guard on the store side) and estimate Jaccard as the
+         fraction of agreeing signature components — the unbiased
+         MinHash estimator (±1/sqrt(num_hashes) resolution; raise
+         num_hashes for tighter verification, there is no old text to
+         verify exactly against). Matches at or above ``threshold``
+         drop the new doc;
+      3. append the survivors' signatures to the store.
+
+    Scale shape: the store is an append-only (doc, sig) parquet log —
+    band keys are recomputed from the array on read (pure expressions),
+    so there is no posting-list store to compact; the band join shuffles
+    one row per (doc, band), linear in corpus size, and the estimator is
+    a zip_with over two 16-long arrays. First-seen docs win by
+    construction.
+    """
+    import os as _os
+
+    from asvsp_spark.operators.components import dedup_clusters
+
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
+    rows = num_hashes // bands
+
+    n_batch = new_docs.count()
+    edges = minhash_lsh_pairs(
+        new_docs, n, threshold, num_hashes, bands, id_col, text_col,
+        max_bucket).select("doc_a", "doc_b")
+    batch_kept = new_docs.join(
+        dedup_clusters(new_docs, edges, id_col=id_col)
+        .filter(F.col("is_keeper")).select(F.col("doc_id").alias(id_col)),
+        id_col, "left_semi").localCheckpoint(eager=False)
+    n_within = batch_kept.count()
+
+    posting = shingle_posting(batch_kept, n, id_col, text_col)
+    sig = minhash_signatures(posting, num_hashes)
+    new_sigs = sig.select(
+        "doc",
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"))
+
+    def band_rows(sigs: DataFrame, doc_alias: str) -> DataFrame:
+        band_cols = [
+            F.concat_ws("_", F.lit(bi),
+                        *[F.element_at("sig", bi * rows + r + 1)
+                          for r in range(rows)]).alias("band_key")
+            for bi in range(bands)
+        ]
+        return sigs.select(
+            F.col("doc").alias(doc_alias), F.col("sig").alias(f"sig_{doc_alias}"),
+            F.explode(F.array(*band_cols)).alias("band_key"))
+
+    if _os.path.exists(store_path):
+        store_sigs = spark.read.parquet(store_path)
+        old_b = band_rows(store_sigs, "old_doc")
+        if max_bucket is not None:
+            cold = (old_b.groupBy("band_key")
+                    .agg(F.count(F.lit(1)).alias("bsz"))
+                    .filter(F.col("bsz") <= max_bucket)
+                    .select("band_key"))
+            old_b = old_b.join(cold, "band_key", "left_semi")
+        new_b = band_rows(new_sigs, "new_doc")
+        est = F.size(F.filter(
+            F.zip_with("sig_new_doc", "sig_old_doc",
+                       lambda x, y: x == y),
+            lambda v: v)) / F.lit(float(num_hashes))
+        dup_new = (
+            new_b.join(old_b, "band_key")
+            .dropDuplicates(["new_doc", "old_doc"])
+            .withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= threshold)
+            .select(F.col("new_doc").alias("doc"))
+            .distinct()
+        )
+        fresh_sigs = new_sigs.join(dup_new, "doc", "left_anti")
+    else:
+        fresh_sigs = new_sigs
+    fresh_sigs = fresh_sigs.localCheckpoint(eager=True)
+    n_fresh = fresh_sigs.count()
+
+    fresh_sigs.write.mode("append").parquet(store_path)
+    fresh = new_docs.join(fresh_sigs.select(F.col("doc").alias(id_col)),
+                          id_col, "left_semi")
+    return fresh, {
+        "batch": n_batch,
+        "within_batch_near_dupes": n_batch - n_within,
+        "known_near_dupes": n_within - n_fresh,
+        "fresh": n_fresh,
+    }

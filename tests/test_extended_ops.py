@@ -550,3 +550,35 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
               for r in spark.read.parquet(store).collect()}
     assert len(stored) == 3
     assert {k for _, k in stored} == {1, 2, 11}  # first-seen keepers
+
+
+def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
+    """Continuous near-dedup with signature state only: batch 1
+    bootstraps the signature store and collapses its own near-dups;
+    batch 2's near-replays of batch-1 TEXT (never seen as rows) are
+    dropped via the stored signatures while distinct docs pass."""
+    from asvsp_spark.operators.dedup import incremental_minhash_dedup
+    store = str(tmp_path / "sig_store")
+    base = ("spark engine shuffles data across the cluster while the "
+            "optimizer prunes columns and pushes filters down to scans")
+    other = ("completely different words about cooking pasta with "
+             "tomatoes garlic basil and olive oil in a large pot")
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, other)],
+        "doc_id long, text string")
+    fresh1, c1 = incremental_minhash_dedup(spark, b1, store, threshold=0.5)
+    ids1 = {r.doc_id for r in fresh1.collect()}
+    assert ids1 == {1, 3}
+    assert c1 == {"batch": 3, "within_batch_near_dupes": 1,
+                  "known_near_dupes": 0, "fresh": 2}
+
+    b2 = spark.createDataFrame(
+        [(10, base + " extra"),     # near-replay of stored text: dropped
+         (11, "a wholly new document about sailing boats across the "
+              "quiet harbor at dawn with steady northern winds")],
+        "doc_id long, text string")
+    fresh2, c2 = incremental_minhash_dedup(spark, b2, store, threshold=0.5)
+    assert {r.doc_id for r in fresh2.collect()} == {11}
+    assert c2 == {"batch": 2, "within_batch_near_dupes": 0,
+                  "known_near_dupes": 1, "fresh": 1}
+    assert spark.read.parquet(store).count() == 3  # docs 1, 3, 11
