@@ -441,3 +441,28 @@ SELECT shard, CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS bin_id,
 FROM off
 GROUP BY 1, 2
 """
+
+# Spark side: registry incremental_dedup_report — two-phase incremental
+# exact dedup (even ids bootstrap the store, odd ids dedup against it);
+# the funnel reduces to fingerprint set algebra.
+ORACLE_TEXT["incremental_dedup_report"] = f"""
+WITH f AS (
+    SELECT doc_id, doc_id % 2 = 0 AS even, {_FP} AS fp FROM documents
+),
+b1 AS (SELECT fp, count(*) AS c FROM f WHERE even GROUP BY 1),
+b2 AS (SELECT fp, count(*) AS c FROM f WHERE NOT even GROUP BY 1)
+SELECT 1 AS phase,
+       CAST((SELECT COALESCE(sum(c), 0) FROM b1) AS BIGINT) AS n_batch,
+       CAST((SELECT COALESCE(sum(c), 0) - count(*) FROM b1) AS BIGINT)
+           AS within_batch_dupes,
+       CAST(0 AS BIGINT) AS known_dupes,
+       CAST((SELECT count(*) FROM b1) AS BIGINT) AS fresh
+UNION ALL
+SELECT 2,
+       CAST((SELECT COALESCE(sum(c), 0) FROM b2) AS BIGINT),
+       CAST((SELECT COALESCE(sum(c), 0) - count(*) FROM b2) AS BIGINT),
+       CAST((SELECT count(*) FROM b2 WHERE fp IN (SELECT fp FROM b1))
+            AS BIGINT),
+       CAST((SELECT count(*) FROM b2 WHERE fp NOT IN (SELECT fp FROM b1))
+            AS BIGINT)
+"""

@@ -1074,3 +1074,28 @@ def _heavy_hitters_users(spark, sf):
     from asvsp_spark.operators.sketches import heavy_hitters
     return heavy_hitters(_t(spark, sf, "events"), ["user_id"],
                          s_num=7, s_den=1000)
+
+
+# ---- incremental dedup funnel (operators/dedup.py) ----
+
+@register("incremental_dedup_report")
+def _incremental_dedup_report(spark, sf):
+    """Two-phase incremental exact dedup over a fresh store: phase 1
+    (even doc_ids) bootstraps the fingerprint store, phase 2 (odd ids)
+    dedups against it. Output = the per-phase funnel, which DuckDB can
+    reproduce with plain fingerprint set algebra — the driver-checkable
+    contract for the stateful ingestion path."""
+    import tempfile
+    from asvsp_spark.operators.dedup import incremental_exact_dedup
+    docs = _t(spark, sf, "documents")
+    store = tempfile.mkdtemp(prefix="asvsp-incr-") + "/fp"
+    out = []
+    for phase, batch in (
+            (1, docs.filter(F.col("doc_id") % 2 == 0)),
+            (2, docs.filter(F.col("doc_id") % 2 == 1))):
+        _fresh, c = incremental_exact_dedup(spark, batch, store)
+        out.append((phase, c["batch"], c["within_batch_dupes"],
+                    c["known_dupes"], c["fresh"]))
+    return spark.createDataFrame(
+        out, "phase int, n_batch long, within_batch_dupes long, "
+             "known_dupes long, fresh long")
