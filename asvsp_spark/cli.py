@@ -91,6 +91,28 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--keys", required=True, help="comma-separated key columns")
     mg.add_argument("--delete-col", default=None)
 
+    pk = sub.add_parser("pack",
+                        help="assign docs to fixed-token-budget training "
+                             "bins (contiguous packing), partitioned by shard")
+    pk.add_argument("src", help="parquet with (doc_id, text)")
+    pk.add_argument("out")
+    pk.add_argument("--budget", type=int, default=512)
+    pk.add_argument("--shards", type=int, default=4)
+
+    di = sub.add_parser("dedup-incremental",
+                        help="dedup an arriving delta against the "
+                             "accumulated store and advance it")
+    di.add_argument("delta", help="parquet with (doc_id, text)")
+    di.add_argument("--store", required=True,
+                    help="fingerprint/signature store dir (created on "
+                         "first run)")
+    di.add_argument("--out", default=None,
+                    help="write surviving docs here (parquet)")
+    di.add_argument("--near", action="store_true",
+                    help="MinHash near-dedup (signature store) instead "
+                         "of exact (fingerprint store)")
+    di.add_argument("--threshold", type=float, default=0.5)
+
     args = p.parse_args(argv)
 
     from asvsp_spark.plans.registry import all_oracle_sql, all_queries
@@ -183,6 +205,33 @@ def main(argv: list[str] | None = None) -> int:
                               args.keys.split(","),
                               delete_col=args.delete_col)
         print(f"{args.base}: {counts}")
+        return 0
+
+    if args.cmd == "pack":
+        from asvsp_spark.operators.packing import pack_contiguous
+        spark = _session(args)
+        packed = pack_contiguous(spark.read.parquet(args.src),
+                                 budget=args.budget, n_shards=args.shards)
+        packed.write.mode("overwrite").partitionBy("shard").parquet(args.out)
+        print(f"{args.src}: {spark.read.parquet(args.out).count()} docs "
+              f"packed into {args.shards}-shard bins of {args.budget} "
+              f"tokens -> {args.out}")
+        return 0
+
+    if args.cmd == "dedup-incremental":
+        from asvsp_spark.operators.dedup import (incremental_exact_dedup,
+                                                 incremental_minhash_dedup)
+        spark = _session(args)
+        delta = spark.read.parquet(args.delta)
+        if args.near:
+            fresh, counts = incremental_minhash_dedup(
+                spark, delta, args.store, threshold=args.threshold)
+        else:
+            fresh, counts = incremental_exact_dedup(spark, delta, args.store)
+        if args.out:
+            fresh.write.mode("overwrite").parquet(args.out)
+        for stage, cnt in counts.items():
+            print(f"{stage:24s} {cnt}")
         return 0
 
     return 1

@@ -582,3 +582,30 @@ def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     assert c2 == {"batch": 2, "within_batch_near_dupes": 0,
                   "known_near_dupes": 1, "fresh": 1}
     assert spark.read.parquet(store).count() == 3  # docs 1, 3, 11
+
+
+def test_cli_pack_and_dedup_incremental(spark, tmp_path, capsys):
+    """CLI round-trip for the packing and incremental-dedup subcommands:
+    pack writes a shard-partitioned assignment; dedup-incremental
+    bootstraps a store, then a second run drops replays."""
+    import glob
+    from asvsp_spark.cli import main
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"some words number {i} padding the line") for i in range(20)],
+        "doc_id long, text string").write.parquet(src)
+
+    out = str(tmp_path / "packed")
+    assert main(["pack", src, out, "--budget", "16", "--shards", "2"]) == 0
+    assert glob.glob(f"{out}/shard=*")
+    assert spark.read.parquet(out).count() == 20
+
+    store = str(tmp_path / "store")
+    kept = str(tmp_path / "kept")
+    assert main(["dedup-incremental", src, "--store", store,
+                 "--out", kept]) == 0
+    assert "fresh" in capsys.readouterr().out
+    assert spark.read.parquet(kept).count() == 20
+    assert main(["dedup-incremental", src, "--store", store,
+                 "--out", kept]) == 0          # full replay
+    assert spark.read.parquet(kept).count() == 0
