@@ -486,6 +486,20 @@ def decontaminate_report(documents: DataFrame, benchmark: DataFrame,
     )
 
 
+def _store_exists(spark, path: str) -> bool:
+    """Store-existence check that works for any Hadoop-resolvable URI
+    (file://, hdfs://, s3a://), not just driver-local paths — a
+    driver-side ``os.path.exists`` silently reports False for remote
+    stores, which would reset every delta to a bootstrap and corrupt
+    the dedup guarantee at exactly the cluster scale these operators
+    target. Goes through the JVM Hadoop FileSystem bound to the
+    session's configuration, the same resolution ``spark.read`` uses."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def incremental_exact_dedup(spark, new_docs: DataFrame, store_path: str,
                             id_col: str = "doc_id",
                             text_col: str = "text"):
@@ -514,8 +528,6 @@ def incremental_exact_dedup(spark, new_docs: DataFrame, store_path: str,
     and at warehouse scale the store would be bucketed by fp
     (sources/bucketing.py) to make this anti-join shuffle-free.
     """
-    import os as _os
-
     delta = (new_docs
              .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
              .groupBy("fp")
@@ -523,7 +535,7 @@ def incremental_exact_dedup(spark, new_docs: DataFrame, store_path: str,
     n_batch = new_docs.count()
     n_delta = delta.count()
 
-    if _os.path.exists(store_path):
+    if _store_exists(spark, store_path):
         store_fps = spark.read.parquet(store_path).select("fp")
         fresh_fps = delta.join(store_fps, "fp", "left_anti")
     else:
@@ -545,7 +557,7 @@ def incremental_exact_dedup(spark, new_docs: DataFrame, store_path: str,
 
 def incremental_minhash_dedup(spark, new_docs: DataFrame, store_path: str,
                               n: int = 3, threshold: float = 0.5,
-                              num_hashes: int = 16, bands: int = 8,
+                              num_hashes: int = 64, bands: int = 32,
                               id_col: str = "doc_id",
                               text_col: str = "text",
                               max_bucket: int | None = 500):
@@ -553,9 +565,9 @@ def incremental_minhash_dedup(spark, new_docs: DataFrame, store_path: str,
     ingestion where each arriving delta is near-deduplicated BOTH within
     itself and against everything ever kept — without storing (or
     rescanning) any prior text. The state is a MinHash signature store:
-    one array of ``num_hashes`` longs per kept document (~128 bytes at
-    the defaults, vs the document itself), the standard industry shape
-    for rolling web-crawl dedup. Returns ``(fresh_docs, counts)``.
+    one array of ``num_hashes`` longs per kept document (~0.5 KB at the
+    defaults, vs the document itself), the standard industry shape for
+    rolling web-crawl dedup. Returns ``(fresh_docs, counts)``.
 
     Steps:
       1. within-delta: the exact-verified ``minhash_lsh_pairs`` edges ->
@@ -565,21 +577,32 @@ def incremental_minhash_dedup(spark, new_docs: DataFrame, store_path: str,
          stored signatures (same banded LSH, same ``max_bucket``
          hot-bucket guard on the store side) and estimate Jaccard as the
          fraction of agreeing signature components — the unbiased
-         MinHash estimator (±1/sqrt(num_hashes) resolution; raise
-         num_hashes for tighter verification, there is no old text to
-         verify exactly against). Matches at or above ``threshold``
-         drop the new doc;
-      3. append the survivors' signatures to the store.
+         MinHash estimator. At the 64-hash default the estimator's
+         standard error at the j=0.5 boundary is sqrt(0.25/64) ≈ 0.06,
+         so borderline pairs resolve reliably (at 16 hashes the 1/16
+         steps made threshold-0.5 decisions near coin-flips); there is
+         no old text to verify exactly against, so the estimator IS the
+         verification. Matches at or above ``threshold`` drop the new
+         doc;
+      3. SHORT DOCS (< n words) produce no shingles, hence no signature
+         — the LSH path can neither drop nor protect them. They pass
+         through guarded by the exact canonical fingerprint instead:
+         collapsed within the delta (min id per fingerprint) and
+         anti-joined against previously stored short-doc fingerprints,
+         mirroring ``incremental_exact_dedup``. This keeps parity with
+         the batch pipeline (which also keeps short docs) while still
+         stopping exact replays of them across deltas;
+      4. append the survivors' rows to the store.
 
-    Scale shape: the store is an append-only (doc, sig) parquet log —
+    Scale shape: the store is an append-only (doc, sig, fp) parquet log
+    — ``sig`` null marks a short doc carrying only its fingerprint;
     band keys are recomputed from the array on read (pure expressions),
     so there is no posting-list store to compact; the band join shuffles
     one row per (doc, band), linear in corpus size, and the estimator is
-    a zip_with over two 16-long arrays. First-seen docs win by
-    construction.
+    a zip_with over two ``num_hashes``-long arrays. First-seen docs win
+    by construction. Store existence is resolved through the Hadoop
+    FileSystem API (``_store_exists``), so hdfs://'/s3a:// stores work.
     """
-    import os as _os
-
     from asvsp_spark.operators.components import dedup_clusters
 
     if num_hashes % bands != 0:
@@ -595,13 +618,24 @@ def incremental_minhash_dedup(spark, new_docs: DataFrame, store_path: str,
         dedup_clusters(new_docs, edges, id_col=id_col)
         .filter(F.col("is_keeper")).select(F.col("doc_id").alias(id_col)),
         id_col, "left_semi").localCheckpoint(eager=False)
-    n_within = batch_kept.count()
 
     posting = shingle_posting(batch_kept, n, id_col, text_col)
     sig = minhash_signatures(posting, num_hashes)
-    new_sigs = sig.select(
+    sig_rows = sig.select(
         "doc",
-        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"))
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
+        F.lit(None).cast("string").alias("fp"))
+    # docs the shingler cannot see: no signature row — carry the exact
+    # fingerprint instead, collapsing within-delta exact copies
+    short_rows = (
+        batch_kept
+        .select(F.col(id_col).alias("doc"),
+                fingerprint(F.col(text_col)).alias("fp"))
+        .join(sig.select("doc"), "doc", "left_anti")
+        .groupBy("fp").agg(F.min("doc").alias("doc"))
+        .select("doc", F.lit(None).cast("array<bigint>").alias("sig"), "fp"))
+    new_rows = sig_rows.unionByName(short_rows)
+    n_within = new_rows.count()
 
     def band_rows(sigs: DataFrame, doc_alias: str) -> DataFrame:
         band_cols = [
@@ -614,36 +648,45 @@ def incremental_minhash_dedup(spark, new_docs: DataFrame, store_path: str,
             F.col("doc").alias(doc_alias), F.col("sig").alias(f"sig_{doc_alias}"),
             F.explode(F.array(*band_cols)).alias("band_key"))
 
-    if _os.path.exists(store_path):
-        store_sigs = spark.read.parquet(store_path)
-        old_b = band_rows(store_sigs, "old_doc")
+    if _store_exists(spark, store_path):
+        # mergeSchema tolerates stores written before the fp column existed
+        store = spark.read.option("mergeSchema", "true").parquet(store_path)
+        if "fp" not in store.columns:
+            store = store.withColumn("fp", F.lit(None).cast("string"))
+        old_b = band_rows(store.filter(F.col("sig").isNotNull()), "old_doc")
         if max_bucket is not None:
             cold = (old_b.groupBy("band_key")
                     .agg(F.count(F.lit(1)).alias("bsz"))
                     .filter(F.col("bsz") <= max_bucket)
                     .select("band_key"))
             old_b = old_b.join(cold, "band_key", "left_semi")
-        new_b = band_rows(new_sigs, "new_doc")
+        new_b = band_rows(new_rows.filter(F.col("sig").isNotNull()),
+                          "new_doc")
         est = F.size(F.filter(
             F.zip_with("sig_new_doc", "sig_old_doc",
                        lambda x, y: x == y),
             lambda v: v)) / F.lit(float(num_hashes))
-        dup_new = (
+        dup_lsh = (
             new_b.join(old_b, "band_key")
             .dropDuplicates(["new_doc", "old_doc"])
             .withColumn("est_jaccard", est)
             .filter(F.col("est_jaccard") >= threshold)
             .select(F.col("new_doc").alias("doc"))
-            .distinct()
         )
-        fresh_sigs = new_sigs.join(dup_new, "doc", "left_anti")
+        dup_short = (
+            new_rows.filter(F.col("sig").isNull())
+            .join(store.filter(F.col("fp").isNotNull()).select("fp"),
+                  "fp", "left_semi")
+            .select("doc"))
+        dup_new = dup_lsh.unionByName(dup_short).distinct()
+        fresh_rows = new_rows.join(dup_new, "doc", "left_anti")
     else:
-        fresh_sigs = new_sigs
-    fresh_sigs = fresh_sigs.localCheckpoint(eager=True)
-    n_fresh = fresh_sigs.count()
+        fresh_rows = new_rows
+    fresh_rows = fresh_rows.localCheckpoint(eager=True)
+    n_fresh = fresh_rows.count()
 
-    fresh_sigs.write.mode("append").parquet(store_path)
-    fresh = new_docs.join(fresh_sigs.select(F.col("doc").alias(id_col)),
+    fresh_rows.write.mode("append").parquet(store_path)
+    fresh = new_docs.join(fresh_rows.select(F.col("doc").alias(id_col)),
                           id_col, "left_semi")
     return fresh, {
         "batch": n_batch,

@@ -97,6 +97,16 @@ def heavy_hitters(df: DataFrame, key_cols: list[str],
         (map-side hash filter, no shuffle of non-candidates), exact
         count only the candidates, keep count * s_den >= n * s_num.
 
+    The MG pass also emits one per-partition row-count row (``_n_p``
+    with NULL keys), so the global n is the SUM over the checkpointed
+    MG output — no separate count() scan: exactly TWO passes over the
+    input total. Checkpointing the tiny MG output (O(partitions x k)
+    rows) also makes n and the candidate set come from one
+    materialization, so they can never disagree; if the INPUT itself is
+    nondeterministic across jobs (e.g. unseeded sampling upstream), the
+    caller must persist it before calling, as with any multi-pass
+    algorithm.
+
     All threshold arithmetic is integer cross-multiplication — no float
     rounding, so DuckDB's plain GROUP BY ... HAVING oracle matches
     bit-for-bit, which is also the proof the pruning loses nothing. The
@@ -106,14 +116,23 @@ def heavy_hitters(df: DataFrame, key_cols: list[str],
     """
     import math
 
+    from pyspark.sql.types import LongType, StructField, StructType
+
     keyed = df.select(*key_cols).na.drop(subset=key_cols)
-    n = keyed.count()
     k = max(1, math.ceil(s_den / s_num))
     key_schema = keyed.schema
+    names = [f.name for f in key_schema]
+    mg_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in key_schema]
+        + [StructField("_n_p", LongType(), True)])
 
     def mg_partition(batches):
+        import pandas as pd
+
         acc = None
+        n_p = 0
         for pdf in batches:
+            n_p += len(pdf)
             vc = pdf.groupby(list(pdf.columns), sort=False).size()
             acc = vc if acc is None else acc.add(vc, fill_value=0)
             if len(acc) > k:
@@ -126,11 +145,18 @@ def heavy_hitters(df: DataFrame, key_cols: list[str],
                 acc = acc[acc > 0]
         if acc is not None and len(acc):
             out = acc.index.to_frame(index=False)
-            out.columns = [f.name for f in key_schema]
+            out.columns = names
+            out["_n_p"] = pd.array([None] * len(out), dtype="Int64")
             yield out
+        if n_p:
+            yield pd.DataFrame(
+                {**{c: pd.Series([None], dtype="object") for c in names},
+                 "_n_p": pd.array([n_p], dtype="Int64")})
 
-    cand = (keyed.mapInPandas(mg_partition, key_schema)
-            .distinct())
+    mg = (keyed.mapInPandas(mg_partition, mg_schema)
+          .localCheckpoint(eager=True))
+    n = mg.agg(F.sum("_n_p")).first()[0] or 0
+    cand = mg.filter(F.col("_n_p").isNull()).select(*key_cols).distinct()
     return (
         keyed.join(F.broadcast(cand), key_cols, "left_semi")
         .groupBy(*key_cols)

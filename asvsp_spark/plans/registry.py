@@ -1084,11 +1084,23 @@ def _incremental_dedup_report(spark, sf):
     (even doc_ids) bootstraps the fingerprint store, phase 2 (odd ids)
     dedups against it. Output = the per-phase funnel, which DuckDB can
     reproduce with plain fingerprint set algebra — the driver-checkable
-    contract for the stateful ingestion path."""
+    contract for the stateful ingestion path.
+
+    NOTE: unlike other registry entries this runs EAGERLY at
+    query-construction time (the funnel counts require actions and a
+    store write). The store lives under one per-application scratch dir
+    that is wiped on each invocation, so repeated calls neither leak
+    temp dirs nor see stale state."""
+    import os
+    import shutil
     import tempfile
     from asvsp_spark.operators.dedup import incremental_exact_dedup
     docs = _t(spark, sf, "documents")
-    store = tempfile.mkdtemp(prefix="asvsp-incr-") + "/fp"
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"asvsp-incr-{spark.sparkContext.applicationId}")
+    shutil.rmtree(scratch, ignore_errors=True)
+    store = scratch + "/fp"
     out = []
     for phase, batch in (
             (1, docs.filter(F.col("doc_id") % 2 == 0)),

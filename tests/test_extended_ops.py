@@ -584,6 +584,83 @@ def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     assert spark.read.parquet(store).count() == 3  # docs 1, 3, 11
 
 
+def test_incremental_minhash_short_docs_pass_through(spark, tmp_path):
+    """Docs shorter than the shingle width n produce no MinHash
+    signature, so the LSH path can neither drop nor protect them. They
+    must be KEPT (parity with the batch pipeline, which also keeps
+    them) — but guarded by the exact canonical fingerprint: exact
+    copies collapse within one delta, and exact replays (incl.
+    whitespace/case canonical variants) are dropped across deltas."""
+    from asvsp_spark.operators.dedup import incremental_minhash_dedup
+    store = str(tmp_path / "sig_store")
+    b1 = spark.createDataFrame(
+        [(1, "hi"), (2, "hi"),           # short exact copies: collapse to 1
+         (3, "ok bye"),                  # short (2 words < n=3)
+         (4, "a longer document with plenty of words to shingle fine")],
+        "doc_id long, text string")
+    fresh1, c1 = incremental_minhash_dedup(spark, b1, store, threshold=0.5)
+    assert {r.doc_id for r in fresh1.collect()} == {1, 3, 4}
+    assert c1 == {"batch": 4, "within_batch_near_dupes": 1,
+                  "known_near_dupes": 0, "fresh": 3}
+
+    b2 = spark.createDataFrame(
+        [(10, "hi"),                     # exact short replay: dropped
+         (11, "brand new"),              # new short doc: kept
+         (12, "OK  bye")],               # canonical variant of 3: dropped
+        "doc_id long, text string")
+    fresh2, c2 = incremental_minhash_dedup(spark, b2, store, threshold=0.5)
+    assert {r.doc_id for r in fresh2.collect()} == {11}
+    assert c2 == {"batch": 3, "within_batch_near_dupes": 0,
+                  "known_near_dupes": 2, "fresh": 1}
+    # store holds one row per kept doc; short rows carry fp, no sig
+    stored = spark.read.parquet(store)
+    assert stored.count() == 4           # docs 1, 3, 4, 11
+    assert stored.filter("sig is null and fp is not null").count() == 3
+
+
+def test_incremental_minhash_estimator_boundary(spark, tmp_path):
+    """Pins the store-side agreeing-components estimator's decision
+    boundary at the 64-hash default: with 1-word shingles the true
+    Jaccard is constructed exactly (shared/union word counts), a 0.6
+    pair is dropped and a 0.4 pair is kept at threshold 0.5, and the
+    raw component-agreement estimate lands within +-0.15 of truth
+    (std err sqrt(j(1-j)/64) ~= 0.06 at the boundary)."""
+    from asvsp_spark.operators.dedup import (
+        incremental_minhash_dedup, minhash_signatures, shingle_posting)
+
+    def pair(tag, n_shared, n_only):
+        shared = [f"{tag}s{i:03d}" for i in range(n_shared)]
+        a = shared + [f"{tag}a{i:03d}" for i in range(n_only)]
+        b = shared + [f"{tag}b{i:03d}" for i in range(n_only)]
+        return " ".join(a), " ".join(b)
+
+    a40, b40 = pair("lo", 40, 30)   # J = 40/100 = 0.4
+    a60, b60 = pair("hi", 60, 20)   # J = 60/100 = 0.6
+
+    # direct estimator check against constructed truth
+    docs = spark.createDataFrame(
+        [(1, a40), (2, b40), (3, a60), (4, b60)], "doc_id long, text string")
+    sig = minhash_signatures(
+        shingle_posting(docs, n=1), num_hashes=64).collect()
+    by_doc = {r.doc: [r[f"mh_{i}"] for i in range(64)] for r in sig}
+    est40 = sum(x == y for x, y in zip(by_doc[1], by_doc[2])) / 64.0
+    est60 = sum(x == y for x, y in zip(by_doc[3], by_doc[4])) / 64.0
+    assert abs(est40 - 0.4) <= 0.15, est40
+    assert abs(est60 - 0.6) <= 0.15, est60
+
+    # end-to-end decision at threshold 0.5: store the a-side, send the
+    # b-side as the next delta
+    store = str(tmp_path / "sig_store")
+    b1 = spark.createDataFrame([(1, a40), (3, a60)], "doc_id long, text string")
+    _, c1 = incremental_minhash_dedup(spark, b1, store, n=1, threshold=0.5)
+    assert c1["fresh"] == 2
+    b2 = spark.createDataFrame([(2, b40), (4, b60)], "doc_id long, text string")
+    fresh2, c2 = incremental_minhash_dedup(spark, b2, store, n=1, threshold=0.5)
+    assert {r.doc_id for r in fresh2.collect()} == {2}   # 0.4 kept
+    assert c2 == {"batch": 2, "within_batch_near_dupes": 0,
+                  "known_near_dupes": 1, "fresh": 1}     # 0.6 dropped
+
+
 def test_cli_pack_and_dedup_incremental(spark, tmp_path, capsys):
     """CLI round-trip for the packing and incremental-dedup subcommands:
     pack writes a shard-partitioned assignment; dedup-incremental
