@@ -527,13 +527,23 @@ def sq8_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark passes its end), so the output is the batch result minus
     sessions ending inside the final 2h watermark horizon — the oracle
     applies exactly that HAVING filter (same emission rule as sq2c).
+
+    Output cardinality is per-(user, session) — the one UNBOUNDED key
+    in the SQ suite — so unlike sq1-5's (window x type) aggregates it
+    must never collect through the driver: rows land in a manifest
+    parquet sink (a session for any given user can flush in any
+    micro-batch as the watermark advances, so no batch owns a
+    partition) and the returned frame reads the sink, same contract as
+    sq6b.
     """
     from asvsp_spark.operators.sessions import user_sessions
     # per-user session state is high-cardinality (unlike the window x
     # type state of sq1-5), so more state-store partitions win: measured
     # 16 > 8 > 32 at sf0.1 local[32]
-    return drain(user_sessions(events_stream(spark, sf_dir)), spark,
-                 output_mode="append", shuffle_partitions=16)
+    return drain_to_parquet(
+        user_sessions(events_stream(spark, sf_dir)), spark,
+        partition_by=[], sink="append_manifest",
+        output_mode="append", shuffle_partitions=16)
 
 
 # ---------------------------------------------------------------- SQ5

@@ -242,7 +242,8 @@ def drain(stream_df: DataFrame, spark: SparkSession,
           batch_transform: Callable[[DataFrame], DataFrame] | None = None,
           output_mode: str = "update",
           shuffle_partitions: int | None = None,
-          checkpoint_dir: str | None = None) -> DataFrame:
+          checkpoint_dir: str | None = None,
+          max_rows: int = 100_000) -> DataFrame:
     """Run a streaming query to completion with ``availableNow`` and return
     the accumulated result as a batch DataFrame.
 
@@ -271,6 +272,13 @@ def drain(stream_df: DataFrame, spark: SparkSession,
     at sf0.1 local[32]; raise SPARK_GRAFT_STREAM_SHUFFLE on a cluster, or
     pass ``shuffle_partitions`` per-query for high-cardinality state
     (e.g. per-user sessions), where more state-store partitions win.
+
+    ``max_rows`` is a loud guard on the driver collect: a query whose
+    output grows with an unbounded key (per-user rows, row-level joins)
+    must NOT come through here — it would OOM the driver at scale long
+    before failing locally. Such queries route through
+    ``drain_to_parquet``, which never moves rows through the driver;
+    the cap turns a silent scale bug into an immediate error.
     """
     collected: list = []
     schema_holder: list = []
@@ -279,6 +287,12 @@ def drain(stream_df: DataFrame, spark: SparkSession,
         out = batch_transform(batch_df) if batch_transform else batch_df
         schema_holder.append(out.schema)
         collected.extend(out.collect())
+        if len(collected) > max_rows:
+            raise RuntimeError(
+                f"drain() collected {len(collected)} rows "
+                f"(max_rows={max_rows}): this sink is for aggregated, "
+                "bounded output only — route row-level or per-user "
+                "streams through drain_to_parquet")
 
     cap = shuffle_partitions if shuffle_partitions is not None else int(
         os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))

@@ -583,3 +583,37 @@ def test_late_audit_element_vs_window_semantics(spark, tmp_path):
     assert by_hour.get("12:00") == 8              # 2 + boundary 6
     assert by_hour.get("13:00") == 5
     assert "09:00" not in by_hour                 # id 3 dropped by agg
+
+
+def test_drain_row_cap_guards_unbounded_collects(spark):
+    """drain()'s driver collect is for aggregated, bounded output only;
+    an unbounded-key query routed through it must fail LOUDLY at the
+    max_rows cap instead of silently accumulating toward a driver OOM
+    at scale."""
+    import pytest
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        path = _write_split(spark, tmpdir, n_files=1)
+        stream = _stream(spark, path)   # row-level: no aggregation
+        with pytest.raises(Exception, match="max_rows"):
+            drain_rows = __import__(
+                "asvsp_spark.streaming.source",
+                fromlist=["drain"]).drain
+            drain_rows(stream, spark, output_mode="append", max_rows=5)
+
+
+def test_sq8_never_collects_row_level_sessions(spark, monkeypatch):
+    """sq8's per-(user, session) output is the one unbounded key in the
+    SQ suite: it must flow through the parquet manifest sink, never
+    through drain()'s driver collect. Poisoning drain proves the route;
+    the result must still be non-empty sessions."""
+    import asvsp_spark.streaming.queries as Q
+
+    def poisoned(*a, **k):
+        raise AssertionError("sq8 must not route through drain()")
+
+    monkeypatch.setattr(Q, "drain", poisoned)
+    out = Q.sq8_session_windows(spark, SF_DIR)
+    assert out.count() > 0
+    assert set(out.columns) == {"user_id", "session_start", "n_events",
+                                "avg_value", "dwell_us"}
