@@ -1059,6 +1059,21 @@ def _packing_bins(spark, sf):
         shard_expr=F.pmod(F.col("doc_id"), F.lit(4)))
 
 
+@register("packing_best_fit_bins")
+def _packing_best_fit_bins(spark, sf):
+    """Whole-doc best-fit-decreasing packing report per (shard, bin):
+    no straddling, so utilization <= 1 measures padding waste directly.
+    Rows-only by design: the bin chosen for each doc depends on every
+    earlier placement in its shard, which no SQL expression reproduces;
+    the unit suite pins capacity-respect, determinism, and the >= bin
+    utilization vs sequential first-fit."""
+    from asvsp_spark.operators.packing import packing_stats
+    return packing_stats(
+        _t(spark, sf, "documents"), budget=256, n_shards=4,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(4)),
+        method="best_fit")
+
+
 # ---- late-data side output (streaming/source.py drain_with_late_audit) ----
 
 @register("sq11_late_audit")

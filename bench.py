@@ -1,11 +1,18 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "runs": N, "sf": ...}.
 
 Each query is timed to full materialization (count of a cached-free plan —
 we use a collect-less foreach-noop via count() to include the whole
 pipeline but exclude driver-side row transfer).
+
+Median-of-N protocol ($SPARK_GRAFT_BENCH_RUNS, default 3): the suite
+runs as N complete PASSES (pass-level interleave, so host-load spikes
+hit all queries of a pass rather than all runs of one query) and each
+query reports its per-pass MEDIAN. Single-run timings on this host move
++-20-40% with no code change (r3's q01/q13 artifact drift), which made
+round-over-round regression tables noise; medians make them signal.
 """
 
 from __future__ import annotations
@@ -58,15 +65,25 @@ def main() -> None:
     except Exception:
         pass
 
-    timings: dict[str, float] = {}
-    for name in sorted(queries):
-        t0 = time.perf_counter()
-        try:
-            queries[name](spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # a failing query must not hide the rest
-            timings[name] = -1.0
-            print(f"# bench error in {name}: {exc}", file=sys.stderr)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in queries}
+    for _ in range(n_runs):
+        for name in sorted(queries):
+            t0 = time.perf_counter()
+            try:
+                queries[name](spark, sf_dir).count()
+                samples[name].append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # a failing query must not hide the rest
+                samples[name].append(-1.0)
+                print(f"# bench error in {name}: {exc}", file=sys.stderr)
+
+    import statistics
+
+    timings = {
+        name: (-1.0 if any(t < 0 for t in ts)
+               else round(statistics.median(ts), 3))
+        for name, ts in samples.items()
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -74,6 +91,7 @@ def main() -> None:
         "value": round(sum(t for t in timings.values() if t >= 0), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver keeps only a bounded TAIL of this process's output, and
