@@ -113,6 +113,17 @@ def main(argv: list[str] | None = None) -> int:
                          "of exact (fingerprint store)")
     di.add_argument("--threshold", type=float, default=0.5)
 
+    sp = sub.add_parser("split",
+                        help="leakage-safe train/valid/test split: every "
+                             "duplicate cluster lands in one split")
+    sp.add_argument("src", help="parquet with (doc_id, text)")
+    sp.add_argument("out", help="partitioned-by-split parquet assignment")
+    sp.add_argument("--weights", default="train=0.8,valid=0.1,test=0.1",
+                    help="name=weight pairs, comma-separated")
+    sp.add_argument("--edges", default=None,
+                    help="near-dup pair parquet (doc_a, doc_b); omit for "
+                         "exact-fingerprint clusters")
+
     args = p.parse_args(argv)
 
     from asvsp_spark.plans.registry import all_oracle_sql, all_queries
@@ -232,6 +243,22 @@ def main(argv: list[str] | None = None) -> int:
             fresh.write.mode("overwrite").parquet(args.out)
         for stage, cnt in counts.items():
             print(f"{stage:24s} {cnt}")
+        return 0
+
+    if args.cmd == "split":
+        from asvsp_spark.operators.splits import leakage_safe_split
+        spark = _session(args)
+        weights = {}
+        for part in args.weights.split(","):
+            name, _, val = part.partition("=")
+            weights[name.strip()] = float(val)
+        edges = spark.read.parquet(args.edges) if args.edges else None
+        assigned = leakage_safe_split(spark.read.parquet(args.src),
+                                      edges=edges, weights=weights)
+        assigned.write.mode("overwrite").partitionBy("split").parquet(args.out)
+        for r in (spark.read.parquet(args.out).groupBy("split").count()
+                  .orderBy("split").collect()):
+            print(f"{r['split']:8s} {r['count']}")
         return 0
 
     return 1

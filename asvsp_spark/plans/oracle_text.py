@@ -466,3 +466,27 @@ SELECT 2,
        CAST((SELECT count(*) FROM b2 WHERE fp NOT IN (SELECT fp FROM b1))
             AS BIGINT)
 """
+
+# Spark side: registry leakage_split_report — exact-duplicate clusters
+# (min doc_id per canonical fingerprint), split by the first two hex
+# chars of md5(cluster || salt) against cumulative 256ths boundaries
+# (0.8 -> 204 = 'cc', 0.9 -> 230 = 'e6'); md5-hex comparison is
+# engine-portable, so exact split membership matches bit-for-bit.
+ORACLE_TEXT["leakage_split_report"] = f"""
+WITH fp AS (SELECT doc_id, {_FP} AS fp FROM documents),
+cl AS (SELECT doc_id,
+              min(doc_id) OVER (PARTITION BY fp) AS cluster_id
+       FROM fp),
+spl AS (SELECT doc_id, cluster_id,
+               CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)
+                                       || 'split42'), 1, 2) < 'cc'
+                         THEN 'train'
+                    WHEN substring(md5(CAST(cluster_id AS VARCHAR)
+                                       || 'split42'), 1, 2) < 'e6'
+                         THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM cl)
+SELECT split, count(*) AS n_docs,
+       count(DISTINCT cluster_id) AS n_clusters
+FROM spl GROUP BY 1
+"""

@@ -1074,6 +1074,19 @@ def _packing_best_fit_bins(spark, sf):
         method="best_fit")
 
 
+# ---- leakage-safe dataset splitting (operators/splits.py) ----
+
+@register("leakage_split_report")
+def _leakage_split_report(spark, sf):
+    """Per-split doc/cluster audit of the leakage-safe train/valid/test
+    split (exact-duplicate clusters; every doc of a cluster shares its
+    split, so duplicates of training docs can never appear in eval).
+    Deterministic md5-bucket assignment — the oracle reproduces exact
+    membership, not just counts."""
+    from asvsp_spark.operators.splits import split_report
+    return split_report(_t(spark, sf, "documents"))
+
+
 # ---- late-data side output (streaming/source.py drain_with_late_audit) ----
 
 @register("sq11_late_audit")

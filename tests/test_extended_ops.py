@@ -729,3 +729,64 @@ def test_cli_pack_and_dedup_incremental(spark, tmp_path, capsys):
     assert main(["dedup-incremental", src, "--store", store,
                  "--out", kept]) == 0          # full replay
     assert spark.read.parquet(kept).count() == 0
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Near-dup variant: for every pair edge, both endpoints land in the
+    same split (the property the operator exists for); weights steer the
+    cluster-level proportions; assignment is deterministic."""
+    from asvsp_spark.operators.splits import leakage_safe_split
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} body words") for i in range(60)],
+        "doc_id long, text string")
+    # chain 0-1-2 into one cluster, pair (10,11), rest singletons
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a long, doc_b long")
+    out = leakage_safe_split(docs, edges)
+    by_doc = {r.doc_id: (r.cluster_id, r.split) for r in out.collect()}
+    assert len(by_doc) == 60
+    for a, b in [(0, 1), (1, 2), (10, 11)]:
+        assert by_doc[a] == by_doc[b]
+    assert by_doc[0][0] == 0 and by_doc[10][0] == 10
+    assert {s for _, s in by_doc.values()} <= {"train", "valid", "test"}
+    # majority lands in train at 0.8/0.1/0.1
+    n_train = sum(s == "train" for _, s in by_doc.values())
+    assert n_train > 30
+    # deterministic: identical re-run
+    again = {r.doc_id: (r.cluster_id, r.split)
+             for r in leakage_safe_split(docs, edges).collect()}
+    assert again == by_doc
+
+
+def test_leakage_safe_split_exact_matches_near_dup_on_exact_edges(spark):
+    """With edges derived from exact duplicates, the near-dup path and
+    the fingerprint path assign identical clusters and splits."""
+    from asvsp_spark.operators.splits import leakage_safe_split
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same  text"),   # canonical duplicates
+         (3, "other words"), (4, "third thing")],
+        "doc_id long, text string")
+    exact = {r.doc_id: (r.cluster_id, r.split)
+             for r in leakage_safe_split(docs).collect()}
+    edges = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    near = {r.doc_id: (r.cluster_id, r.split)
+            for r in leakage_safe_split(docs, edges).collect()}
+    assert exact == near
+    assert exact[1] == exact[2]
+
+
+def test_cli_split(spark, tmp_path, capsys):
+    """CLI split subcommand: writes a split-partitioned assignment whose
+    partitions cover every doc exactly once."""
+    import glob
+    from asvsp_spark.cli import main
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"document body {i} with words") for i in range(30)],
+        "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "splits")
+    assert main(["split", src, out]) == 0
+    assert glob.glob(f"{out}/split=*")
+    got = spark.read.parquet(out)
+    assert got.count() == 30
+    assert got.select("doc_id").distinct().count() == 30
