@@ -492,3 +492,101 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
         .select("query_id", F.col(id_col).alias("neighbor_id"),
                 "cos_sim", "rnk")
     )
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
+                   n_cells: int | None = None,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   seed: int = 42, max_keep_refs: int = 10_000) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pruning (Abbas et al.,
+    "SemDeDup", arXiv:2303.09540 — public method): k-means cells as the
+    blocking stage, greedy within-cell cosine pruning as the decision
+    stage. Returns one row per vector: (id, cell, is_keeper,
+    max_cos_kept) where ``max_cos_kept`` is the vector's highest cosine
+    to an already-kept vector of its cell (NULL for the cell's first).
+
+    Decision rule (deterministic, matching the dedup family's min-id
+    keeper convention): scan each cell in ascending id order; a vector
+    is DROPPED iff its cosine to some already-KEPT vector of the cell
+    is >= threshold. Cross-cell near-duplicates are missed by
+    construction — the standard blocking trade, with cells trained on
+    the data instead of random hyperplanes (higher recall at the same
+    block budget on clustered corpora; see `_cosine_pairs_lsh` for the
+    untrained alternative).
+
+    Scale shape (billions of vectors): training samples ~40 vectors per
+    centroid (same deterministic hash-sample as ivf_topk), assignment
+    is one broadcast-model pass, and the pruning is one shuffle on the
+    cell id into an ``applyInPandas`` whose per-cell work is a
+    normalized-matrix dot against the KEPT prefix (BLAS, no per-row
+    Python beyond the greedy scan). Cell size ~ sqrt(N) by default;
+    ``max_keep_refs`` caps the kept reference set per cell so one
+    pathological mega-cell cannot go quadratic — vectors past the cap
+    compare against the first ``max_keep_refs`` keepers only
+    (documented recall cap, the hot-bucket guard's twin).
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(as_double(F.col(vec_col))).alias("_fv")).cache()
+    n = emb.count()
+    kc = n_cells or max(2, int(n ** 0.5))
+    train = emb
+    target = 40 * kc
+    if n > 2 * target:
+        denom = max(2, n // target)
+        train = emb.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0)
+    model = KMeans(k=kc, seed=seed, featuresCol="_fv", maxIter=5).fit(train)
+    assigned = (model.transform(emb)
+                .select(F.col(id_col), F.col(vec_col),
+                        F.col("prediction").alias("cell")))
+
+    out_schema = (f"{id_col} long, cell int, is_keeper boolean, "
+                  "max_cos_kept double")
+
+    def prune(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0          # zero vectors: cos 0 vs all
+        X = X / norms[:, None]
+        kept_rows: list[int] = []
+        keep = np.zeros(len(pdf), dtype=bool)
+        max_cos = np.full(len(pdf), np.nan)
+        for i in range(len(pdf)):
+            if kept_rows:
+                refs = X[kept_rows[:max_keep_refs]]
+                c = float(np.max(refs @ X[i]))
+                max_cos[i] = round(c, 6)
+                if c >= threshold:
+                    continue
+            keep[i] = True
+            kept_rows.append(i)
+        return pd.DataFrame({
+            id_col: pdf[id_col], "cell": pdf["cell"].astype("int32"),
+            "is_keeper": keep, "max_cos_kept": max_cos})
+
+    return (assigned.groupBy("cell")
+            .applyInPandas(prune, out_schema))
+
+
+def semantic_dedup_report(embeddings: DataFrame, threshold: float = 0.95,
+                          n_cells: int | None = None,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Per-cell pruning audit: vectors seen, keepers, drop fraction —
+    one partial-aggregated shuffle over the (bounded) cell key."""
+    return (
+        semantic_dedup(embeddings, threshold, n_cells, id_col, vec_col)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.sum(F.col("is_keeper").cast("int")).alias("n_keepers"),
+             F.min(id_col).alias("first_id"))
+        .withColumn("drop_frac",
+                    round_fixed(1 - F.col("n_keepers") / F.col("n_vectors"),
+                                6))
+    )

@@ -242,6 +242,16 @@ def _lsh_topk(spark, sf):  # rows-only: approximate by design
     return SIM.lsh_bucketed_topk(_t(spark, sf, "embeddings"))
 
 
+@register("semantic_dedup_report")
+def _semantic_dedup_report(spark, sf):
+    """SemDeDup-style per-cell pruning audit: k-means blocking + greedy
+    within-cell cosine dedup at threshold 0.9. Rows-only: cell ids come
+    from the trained quantizer, so no SQL oracle can reproduce them; the
+    unit suite pins the single-cell greedy rule exactly."""
+    return SIM.semantic_dedup_report(_t(spark, sf, "embeddings"),
+                                     threshold=0.9)
+
+
 # ---- streaming queries SQ1-SQ5 (SURVEY §2.11) ----
 # Each drains the events file stream with trigger(availableNow) — one
 # micro-batch, the reference's trigger(once) semantics — and returns the

@@ -790,3 +790,48 @@ def test_cli_split(spark, tmp_path, capsys):
     got = spark.read.parquet(out)
     assert got.count() == 30
     assert got.select("doc_id").distinct().count() == 30
+
+
+def test_semantic_dedup_single_cell_greedy_rule(spark):
+    """n_cells-free exactness check via a single cell: ascending-id
+    greedy — a vector is dropped iff cosine >= threshold to an
+    already-KEPT vector, so the min-id member of every near-dup group
+    survives and transitive chains collapse onto the first keeper."""
+    from asvsp_spark.operators.similarity import semantic_dedup
+    # group A: 1,2,3 nearly parallel; group B: 10,11 parallel; 20 alone
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),     # cos(1,2) ~ 0.999 -> dropped
+        (3, [0.998, 0.06, 0.0]),     # near 1 too -> dropped
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.999, 0.04]),    # dropped vs 10
+        (20, [0.0, 0.0, 1.0]),       # orthogonal: kept
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.is_keeper, r.max_cos_kept)
+           for r in semantic_dedup(df, threshold=0.95, n_cells=2).collect()}
+    assert len(out) == 6
+    keepers = {k for k, (kp, _) in out.items() if kp}
+    assert {1, 10, 20} <= keepers
+    assert not out[2][0] and not out[3][0] and not out[11][0]
+    assert out[2][1] >= 0.95 and out[11][1] >= 0.95
+    # deterministic across invocations (seeded k-means + hash sample)
+    again = {r.vec_id: (r.is_keeper, r.max_cos_kept)
+             for r in semantic_dedup(df, threshold=0.95,
+                                     n_cells=2).collect()}
+    assert again == out
+
+
+def test_semantic_dedup_report_counts(spark):
+    """Report totals reconcile with the per-vector assignment on the
+    fixture embeddings table."""
+    from asvsp_spark import tables
+    from asvsp_spark.operators.similarity import (semantic_dedup,
+                                                  semantic_dedup_report)
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    per_vec = semantic_dedup(emb, threshold=0.9)
+    rep = semantic_dedup_report(emb, threshold=0.9)
+    tot = rep.agg(F.sum("n_vectors"), F.sum("n_keepers")).first()
+    assert tot[0] == emb.count()
+    assert tot[1] == per_vec.filter("is_keeper").count()
+    assert 0 < tot[1] <= tot[0]
