@@ -289,3 +289,58 @@ def test_pack_contiguous_matches_reference(spark, toks, budget):
     for i, t in enumerate(toks):
         assert got[i] == (off // budget, t, off), (i, got[i], off)
         off += t
+
+
+@given(
+    sizes=st.lists(st.integers(1, 30), min_size=1, max_size=25),
+    budget=st.integers(5, 20),
+    method=st.sampled_from(["best_fit", "first_fit"]),
+)
+@SET
+def test_pack_whole_docs_invariants(spark, sizes, budget, method):
+    """Whole-doc packing under random sizes/budgets/methods: every doc
+    assigned exactly once, no bin over budget (except a dedicated
+    oversize-doc bin), and best-fit never uses more bins than the
+    theoretical minimum times two (first-fit-family guarantee)."""
+    from asvsp_spark.operators.packing import pack_whole_docs
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * s)) for i, s in enumerate(sizes)],
+        "doc_id long, text string")
+    rows = pack_whole_docs(docs, budget=budget, n_shards=1, method=method,
+                           shard_expr=F.lit(0)).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(len(sizes)))
+    per_bin: dict = {}
+    for r in rows:
+        assert r.n_tokens == sizes[r.doc_id]
+        per_bin.setdefault(r.bin_id, []).append(r.n_tokens)
+    for toks in per_bin.values():
+        assert sum(toks) <= budget or (len(toks) == 1 and toks[0] >= budget)
+    fitting = [s for s in sizes if s < budget]
+    oversize = len(sizes) - len(fitting)
+    lower = math.ceil(sum(fitting) / budget) if fitting else 0
+    assert len(per_bin) <= 2 * lower + 1 + oversize
+
+
+@given(
+    n_docs=st.integers(1, 25),
+    edge_pairs=st.lists(st.tuples(st.integers(0, 24), st.integers(0, 24)),
+                        max_size=15),
+)
+@SET
+def test_leakage_split_never_straddles(spark, n_docs, edge_pairs):
+    """Random doc sets and edge lists (self-loops, out-of-range ids,
+    duplicates included): connected docs always share cluster AND
+    split; every doc is assigned exactly once."""
+    from asvsp_spark.operators.splits import leakage_safe_split
+    docs = spark.createDataFrame(
+        [(i, f"body of document {i}") for i in range(n_docs)],
+        "doc_id long, text string")
+    edges = spark.createDataFrame(
+        edge_pairs or [(None, None)],
+        "doc_a long, doc_b long").na.drop()
+    out = {r.doc_id: (r.cluster_id, r.split)
+           for r in leakage_safe_split(docs, edges).collect()}
+    assert sorted(out) == list(range(n_docs))
+    for a, b in edge_pairs:
+        if a < n_docs and b < n_docs:
+            assert out[a] == out[b], (a, b, out[a], out[b])
