@@ -1,8 +1,9 @@
-"""Spark-SQL text variants of q01-q10 — entry point B of the reference
-(SQL files executed via spark.sql, export_to_postgres.py:23-27;
-SURVEY §3.2). The engine promises BOTH a DataFrame builder and a SQL text
-per analytic query (SURVEY §7.0); tests assert the two variants return
-identical row sets.
+"""Spark-SQL text variants of q01-q10 plus the extension queries whose
+SQL sits in the Spark/DuckDB dialect intersection (EXT_NAMES, 11 as of
+r4) — entry point B of the reference (SQL files executed via spark.sql,
+export_to_postgres.py:23-27; SURVEY §3.2). The engine promises BOTH a
+DataFrame builder and a SQL text per analytic query (SURVEY §7.0);
+tests assert the two variants return identical row sets.
 
 The SQL is derived from the DuckDB oracle strings (plans/oracle.py) with
 two dialect shims, so the three formulations (DataFrame, Spark SQL,
@@ -45,12 +46,23 @@ _DIALECT_SHIMS = (
     ("AS VARCHAR)", "AS STRING)"),
     ("strftime(", "date_format("),
     ("'%Y-%m-%d %H:%M:%S'", "'yyyy-MM-dd HH:mm:ss'"),
+    ("'%Y-%m-%d'", "'yyyy-MM-dd'"),
     # DuckDB list surface -> Spark arrays; Spark SQL string literals
     # treat backslash as an escape, so the regex needs it doubled
     (r"len(regexp_split_to_array(trim(text), '\s+'))",
      r"size(split(trim(text), '\\s+'))"),
     # Spark floor(bigint/double) is fine but 256.0 parses as DECIMAL
     ("/ 256.0", "/ 256.0D"),
+    # DuckDB date_diff('day', start, end) == Spark datediff(end, start)
+    ("date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))",
+     "datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))"),
+    # DuckDB arg_min/arg_max == Spark min_by/max_by; epoch_us == unix_micros
+    ("arg_min(", "min_by("),
+    ("arg_max(", "max_by("),
+    ("epoch_us(", "unix_micros("),
+    # DuckDB regexp_replace needs the 'g' flag; Spark replaces all by
+    # default and parses a 4th argument as a position
+    (", ' ', 'g')", ", ' ')"),
 )
 
 
@@ -69,7 +81,14 @@ def to_spark_sql(duckdb_sql: str) -> str:
 # DataFrame path's pigeonhole pruning is lossless. packing_bins' window
 # prefix-sum SQL ports with the regex-split and decimal-literal shims.
 EXT_NAMES = ("funnel_daily", "scd2_user_state",
-             "heavy_hitters_users", "packing_bins")
+             "heavy_hitters_users", "packing_bins",
+             # r4 widening: the lineitem analytics, percentile/bookend/
+             # setops long tail, and the leakage-safe split report all
+             # port with the date_diff/arg_min/epoch_us shims above
+             "q11_pricing_summary", "q12_late_shipments",
+             "q13_supplier_margin_topk", "nation_revenue_distribution",
+             "user_day_bookends", "customer_retention_setops",
+             "leakage_split_report")
 
 # merged locally: registry also merges these into ORACLE at import, but
 # this module must not depend on registry import order
@@ -81,7 +100,8 @@ SPARK_SQL: dict[str, str] = {name: to_spark_sql(_SOURCES[name])
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Temp views for the tables the SQL variants read."""
-    for t in ("orders", "customer", "nation", "events", "documents"):
+    for t in ("orders", "customer", "nation", "events", "documents",
+              "lineitem", "supplier"):
         tables.load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
