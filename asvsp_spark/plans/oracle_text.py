@@ -490,3 +490,22 @@ SELECT split, count(*) AS n_docs,
        count(DISTINCT cluster_id) AS n_clusters
 FROM spl GROUP BY 1
 """
+
+# Spark side: registry token_length_histogram — per-(lang, log2-bucket)
+# token-length distribution; CASTs mirror Spark's long count/sum and
+# int bucket/min/max types.
+ORACLE_TEXT["token_length_histogram"] = r"""
+WITH t AS (
+    SELECT lang,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+               AS n_tokens
+    FROM documents
+)
+SELECT lang,
+       CAST(floor(log2(greatest(n_tokens, 1))) AS INT) AS bucket_log2,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(n_tokens) AS INT) AS min_tokens,
+       CAST(max(n_tokens) AS INT) AS max_tokens
+FROM t GROUP BY 1, 2
+"""

@@ -40,6 +40,11 @@ _REGISTRY: dict[str, QueryFn] = {}
 
 def register(name: str):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            # a silent overwrite ships the WRONG query under a checked
+            # name (and its oracle may pair with the other definition) —
+            # fail at import, where the collision is one line to find
+            raise ValueError(f"duplicate query registration: {name!r}")
         _REGISTRY[name] = fn
         return fn
     return deco
@@ -187,6 +192,31 @@ def _lang_id(spark, sf):
 def _doc_fingerprint(spark, sf):
     docs = _t(spark, sf, "documents")
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+@register("token_length_histogram")
+def _token_length_histogram(spark, sf):
+    """Per-(lang, log2-bucket) TOKEN-length distribution — the
+    at-a-glance shape check every corpus ingest records (truncation
+    spikes, boilerplate floods, tokenizer drift all show up here
+    first); the per-language log-bucketed companion of the global
+    char-width doc_length_histogram below. Bucket = floor(log2(token
+    count)); one partial-aggregated shuffle on the tiny (lang, bucket)
+    key, token counting stays on the scan."""
+    docs = _t(spark, sf, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs
+        .select("lang", n_tok.alias("n_tokens"))
+        .withColumn("bucket_log2",
+                    F.floor(F.log2(F.greatest("n_tokens", F.lit(1))))
+                    .cast("int"))
+        .groupBy("lang", "bucket_log2")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.min("n_tokens").alias("min_tokens"),
+             F.max("n_tokens").alias("max_tokens"))
+    )
 
 
 @register("text_profile")

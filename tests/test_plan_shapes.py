@@ -202,3 +202,23 @@ def test_decontaminate_corpus_never_shuffles_on_shingle(spark):
     # distinct (under its BroadcastExchange); the corpus posting list
     # itself must never repartition by shingle
     assert plan.count("hashpartitioning(sh") == 1
+
+
+def test_leakage_split_single_shuffle_window_min(spark):
+    """The exact-cluster leakage split plans ONE Exchange (hash by
+    fingerprint for the window-min); the split assignment itself is
+    narrow — no second shuffle, no join."""
+    from asvsp_spark.operators.splits import leakage_safe_split
+    plan = _plan(leakage_safe_split(tables.load(spark, SF_DIR, "documents")))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+
+
+def test_pack_whole_docs_single_shard_shuffle(spark):
+    """Whole-doc packing shuffles once on the shard key into the
+    per-shard applyInPandas — same single-Exchange envelope as the
+    contiguous packer."""
+    from asvsp_spark.operators.packing import pack_whole_docs
+    plan = _plan(pack_whole_docs(tables.load(spark, SF_DIR, "documents")))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
