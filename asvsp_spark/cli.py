@@ -84,6 +84,9 @@ def main(argv: list[str] | None = None) -> int:
                       help="parquet path of an eval set (doc_id, text); "
                            "when given, docs sharing a trigram with it "
                            "are dropped before rebalancing")
+    cpip.add_argument("--scrub-pii", action="store_true",
+                      help="redact emails/phones/IPs/SSNs to typed "
+                           "placeholders before the final write")
 
     mg = sub.add_parser("merge", help="MERGE updates parquet into a base dataset by key")
     mg.add_argument("base")
@@ -203,7 +206,8 @@ def main(argv: list[str] | None = None) -> int:
                  if args.benchmark else None)
         counts = run_corpus_pipeline(spark, args.sf_dir, args.out_dir,
                                      near_dedup=args.near_dedup,
-                                     benchmark=bench)
+                                     benchmark=bench,
+                                     scrub_pii=args.scrub_pii)
         for stage, n in counts.items():
             print(f"{stage:16s} {n}")
         return 0

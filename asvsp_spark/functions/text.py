@@ -134,3 +134,35 @@ def lang_pick(score_cols: dict[str, Column]) -> Column:
             (score_cols[lang] == best) & (best > 0), F.lit(lang)
         ).otherwise(expr)
     return expr
+
+
+# PII scrubbing — the redaction pass every public-web training corpus
+# runs before anything else ships (emails, phone numbers, IP addresses,
+# SSN-shaped ids). Patterns stay in the Java-regex / RE2 dialect
+# intersection (no lookarounds, no backrefs), so DuckDB reproduces the
+# exact same matches — redaction is auditable cross-engine, which
+# matters because a silent dialect divergence here IS a privacy bug.
+PII_PATTERNS: dict[str, str] = {
+    # ordering matters: emails before the bare-word patterns so an
+    # address is counted once as an email, not as its fragments
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (regexp_count — one scan, JVM-side)."""
+    return {f"n_{kind}": F.regexp_count(text, F.lit(pat))
+            for kind, pat in PII_PATTERNS.items()}
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact every PII match with a typed placeholder (<EMAIL>, <SSN>,
+    <PHONE>, <IPV4>), applied in PII_PATTERNS order so overlapping
+    shapes resolve deterministically."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out

@@ -50,6 +50,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                         targets: dict[str, float] | None = None,
                         near_dedup: str = "minhash",
                         benchmark: DataFrame | None = None,
+                        scrub_pii: bool = False,
                         ) -> dict[str, int]:
     """The LLM training-data preparation chain, end to end — what a user
     of this engine actually runs over a raw corpus:
@@ -75,7 +76,10 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                      docs sharing any word trigram with it (broadcast
                      collision anti-join; dedup.decontaminate_report),
       6. rebalance — exact-quota mixture toward ``targets`` (md5-rank
-                     membership),
+                     membership); with ``scrub_pii`` the surviving text
+                     is then redacted in place (functions/text.py
+                     pii_scrub — emails/phones/IPs/SSNs to typed
+                     placeholders, cross-engine-pinned patterns),
       7. write     — the cleaned corpus partitioned by lang, via the
                      idempotent partitioned writer.
 
@@ -155,6 +159,13 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     kept_ids = mixture_rebalance(near, targets=targets).select("doc_id")
     final = near.join(kept_ids, "doc_id", "left_semi")
     counts["rebalanced"] = final.count()
+
+    # 6b: PII redaction (opt-in) — rewrites the text column in place
+    # with typed placeholders; row count unchanged by construction, so
+    # the funnel stays monotone. Runs LAST before the write: scrubbing
+    # after dedup means the regex chain touches only surviving docs.
+    if scrub_pii:
+        final = final.withColumn("text", TX.pii_scrub(F.col("text")))
 
     # 7: durable, partition-pruned layout
     write_partitioned(final, f"{out_dir}/corpus", ["lang"])

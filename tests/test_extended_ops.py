@@ -389,6 +389,28 @@ def test_corpus_pipeline_decontaminates_against_benchmark(spark, tmp_path):
     assert flagged == 0
 
 
+def test_corpus_pipeline_scrub_pii_rewrites_text_only(spark, tmp_path):
+    """scrub_pii redacts the written text in place: the surviving
+    doc_id set is IDENTICAL to an unscrubbed run (redaction happens
+    after every funnel decision) and the fixture corpus — which
+    contains no PII — round-trips byte-identical, proving the regex
+    chain is a no-op on clean text."""
+    from asvsp_spark.pipeline import run_corpus_pipeline
+    from tests.conftest import SF_DIR
+    plain_out = str(tmp_path / "plain")
+    scrub_out = str(tmp_path / "scrubbed")
+    c1 = run_corpus_pipeline(spark, SF_DIR, plain_out)
+    c2 = run_corpus_pipeline(spark, SF_DIR, scrub_out, scrub_pii=True)
+    assert c1 == c2
+    plain = {(r.doc_id, r.text)
+             for r in spark.read.parquet(f"{plain_out}/corpus")
+             .select("doc_id", "text").collect()}
+    scrub = {(r.doc_id, r.text)
+             for r in spark.read.parquet(f"{scrub_out}/corpus")
+             .select("doc_id", "text").collect()}
+    assert plain == scrub
+
+
 def test_corpus_pipeline_rejects_unknown_generator(spark, tmp_path):
     from asvsp_spark.pipeline import run_corpus_pipeline
     from tests.conftest import SF_DIR
@@ -835,3 +857,45 @@ def test_semantic_dedup_report_counts(spark):
     assert tot[0] == emb.count()
     assert tot[1] == per_vec.filter("is_keeper").count()
     assert 0 < tot[1] <= tot[0]
+
+
+def test_pii_scrub_matches_duckdb(spark):
+    """Cross-engine redaction parity on synthetic PII: DuckDB (RE2) and
+    Spark (Java regex) must count and redact the exact same spans — a
+    dialect divergence here is a privacy bug, so it is pinned on data
+    that actually contains PII (the fixture corpus has none)."""
+    import duckdb
+    from asvsp_spark.functions.text import PII_PATTERNS, pii_counts, pii_scrub
+    rows = [
+        (1, "contact john.doe+spam@example.co.uk or call 555-123-4567 now"),
+        (2, "host 192.168.0.1 logged ssn 123-45-6789 then 123-45-6789"),
+        (3, "no pii here just words"),
+        (4, "mixed: a@b.io +122 333 4444 and 10.0.0.255 end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        *[c.alias(k) for k, c in pii_counts(F.col("text")).items()],
+        pii_scrub(F.col("text")).alias("redacted"))
+    got = {r.doc_id: (r.n_email, r.n_ssn, r.n_phone, r.n_ipv4, r.redacted)
+           for r in out.collect()}
+    assert got[1][:4] == (1, 0, 1, 0) and "<EMAIL>" in got[1][4] \
+        and "<PHONE>" in got[1][4]
+    assert got[2][:4] == (0, 2, 0, 1)
+    assert got[3][:4] == (0, 0, 0, 0) and got[3][4] == rows[2][1]
+    assert got[4][:4] == (1, 0, 1, 1)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items())
+    red = "text"
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{kind.upper()}>', 'g')"
+    duck = {r[0]: tuple(r[1:])
+            for r in con.execute(
+                f"SELECT doc_id, {counts}, {red} AS redacted FROM t"
+            ).fetchall()}
+    assert duck == got
