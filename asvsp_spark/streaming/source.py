@@ -312,6 +312,12 @@ def drain(stream_df: DataFrame, spark: SparkSession,
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if checkpoint_dir is None:
+            # one-shot drains never resume: reap the ephemeral
+            # checkpoint so a long bench/session doesn't accrete
+            # thousands of state-store dirs under /tmp
+            import shutil
+            shutil.rmtree(ckpt, ignore_errors=True)
     if not schema_holder:
         if checkpoint_dir is not None and batch_transform is None:
             # resumable drain with nothing new since the last run: empty
@@ -384,6 +390,11 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession,
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if checkpoint_dir is None:
+            # the SINK must outlive the call (the return value reads
+            # it); only the one-shot checkpoint is ephemeral
+            import shutil
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(sink_path)
 
 
@@ -479,6 +490,8 @@ def drain_with_late_audit(stream_df: DataFrame, spark: SparkSession,
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+        shutil.rmtree(ckpt, ignore_errors=True)   # one-shot, never resumed
 
     def _read(path: str) -> DataFrame:
         if any(f.endswith(".parquet") for f in os.listdir(path)):
