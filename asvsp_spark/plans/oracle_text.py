@@ -509,3 +509,31 @@ SELECT lang,
        CAST(max(n_tokens) AS INT) AS max_tokens
 FROM t GROUP BY 1, 2
 """
+
+# Spark side: registry chunk_documents — fixed token windows with
+# overlap (stride = 24, chunk = 32); DuckDB list slicing is 1-based
+# inclusive like Spark's slice(start, length) start.
+ORACLE_TEXT["chunk_documents"] = r"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+n AS (
+    SELECT doc_id, toks,
+           CAST(floor((greatest(len(toks) - 8, 1) + 23) / 24) AS INT)
+               AS n_chunks
+    FROM t
+),
+c AS (
+    SELECT doc_id, toks, CAST(unnest(range(0, n_chunks)) AS INT)
+               AS chunk_id
+    FROM n
+)
+SELECT doc_id, chunk_id,
+       chunk_id * 24 AS start_tok,
+       CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS INT)
+           AS n_tokens,
+       array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+           AS chunk_text
+FROM c
+"""

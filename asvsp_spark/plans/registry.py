@@ -194,6 +194,16 @@ def _doc_fingerprint(spark, sf):
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
+@register("chunk_documents")
+def _chunk_documents(spark, sf):
+    """Fixed token windows (32 tokens, 8 overlap) per document — the
+    corpus -> embedding/pretraining chunking step (operators/chunking).
+    Shuffle-free: tokenize + posexplode + slice, all codegen."""
+    from asvsp_spark.operators.chunking import chunk_documents
+    return chunk_documents(_t(spark, sf, "documents"),
+                           chunk_tokens=32, overlap=8)
+
+
 @register("token_length_histogram")
 def _token_length_histogram(spark, sf):
     """Per-(lang, log2-bucket) TOKEN-length distribution — the
@@ -345,7 +355,13 @@ _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 # nation_revenue_distribution), and every displaced entry stays pinned
 # by the identical local DuckDB hash in tests/test_oracle_parity.py.
 # After this round every oracle-paired entry in the registry has >= 1
-# green driver row across rounds.
+# green driver row across rounds — including r4's OWN new entries
+# (leakage_split_report, token_length_histogram, chunk_documents),
+# which take the slots of text_profile / tfidf_top_terms /
+# media_features (each driver-green in 2-3 prior rounds; the text
+# family keeps quality_filter_report/doc_repetition/top_bigrams rows,
+# relevance keeps unigram_logprob_score) so the newcomers don't reopen
+# the never-checked ledger.
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "q02_peak_month", "q08_period_compare",
     "q10_improvement_streaks", "q12_late_shipments",
@@ -354,10 +370,11 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "rollup_revenue_region_nation",
     "winnow_pairs", "decontaminate_report", "packing_bins",
     "incremental_dedup_report", "dedup_representative",
-    "text_profile", "quality_filter_report", "unigram_logprob_score",
+    "leakage_split_report", "quality_filter_report",
+    "unigram_logprob_score",
     "doc_repetition", "top_bigrams",
-    "tfidf_top_terms",
-    "media_features",
+    "token_length_histogram",
+    "chunk_documents",
     "embedding_quantize_int8", "cosine_topk", "label_centroids",
     "sq1_vs_baseline", "sq2_dominant_trend", "sq2c_stateful_trend",
     "sq3_top_users", "sq4_engagement_conversion", "sq5_rank_anomaly",

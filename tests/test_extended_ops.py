@@ -899,3 +899,32 @@ def test_pii_scrub_matches_duckdb(spark):
                 f"SELECT doc_id, {counts}, {red} AS redacted FROM t"
             ).fetchall()}
     assert duck == got
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Stride/overlap exactness on a hand-computed fixture: every token
+    covered, consecutive chunks share exactly `overlap` tokens, short
+    docs emit themselves as chunk 0, and the reassembled token stream
+    equals the original."""
+    from asvsp_spark.operators.chunking import chunk_documents
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)),      # 10 toks, chunk 4 overlap 1 -> stride 3
+         (2, "a b"),                # shorter than one chunk
+         (3, "x")],
+        "doc_id long, text string")
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.start_tok, r.n_tokens, r.chunk_text)
+         for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()))
+    d1 = [r for r in rows if r[0] == 1]
+    # ceil(max(10-1,1)/3) = 3 chunks at starts 0,3,6
+    assert [(c, s, n) for _, c, s, n, _ in d1] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4)]
+    assert d1[0][4] == "w0 w1 w2 w3" and d1[1][4] == "w3 w4 w5 w6"
+    assert d1[2][4] == "w6 w7 w8 w9"
+    # overlap: chunk i's last token == chunk i+1's first
+    assert d1[0][4].split()[-1] == d1[1][4].split()[0]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 0, 2, "a b")]
+    assert [r for r in rows if r[0] == 3] == [(3, 0, 0, 1, "x")]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
