@@ -114,6 +114,11 @@ def main(argv: list[str] | None = None) -> int:
     di.add_argument("--near", action="store_true",
                     help="MinHash near-dedup (signature store) instead "
                          "of exact (fingerprint store)")
+    di.add_argument("--semantic", action="store_true",
+                    help="embedding-cosine near-dedup (frozen-cell "
+                         "vector store); input parquet needs "
+                         "(vec_id, embedding); pair with a threshold "
+                         "like 0.95")
     di.add_argument("--threshold", type=float, default=0.5)
 
     sp = sub.add_parser("split",
@@ -238,7 +243,12 @@ def main(argv: list[str] | None = None) -> int:
                                                  incremental_minhash_dedup)
         spark = _session(args)
         delta = spark.read.parquet(args.delta)
-        if args.near:
+        if args.semantic:
+            from asvsp_spark.operators.similarity import (
+                incremental_semantic_dedup)
+            fresh, counts = incremental_semantic_dedup(
+                spark, delta, args.store, threshold=args.threshold)
+        elif args.near:
             fresh, counts = incremental_minhash_dedup(
                 spark, delta, args.store, threshold=args.threshold)
         else:

@@ -590,3 +590,145 @@ def semantic_dedup_report(embeddings: DataFrame, threshold: float = 0.95,
                     round_fixed(1 - F.col("n_keepers") / F.col("n_vectors"),
                                 6))
     )
+
+
+def assign_cells(df: DataFrame, centroids: DataFrame,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid cell assignment as a pure expression plan:
+    broadcast the (tiny) centroid table, squared-euclidean via
+    zip_with/aggregate, keep each vector's min-distance cell (ties to
+    the lower cell id — deterministic). Used where a frozen centroid
+    set must outlive the KMeans model object (the incremental store)."""
+    d2 = F.aggregate(
+        F.zip_with(as_double(F.col(vec_col)), F.col("c_vec"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cell"))
+    return (df.crossJoin(F.broadcast(centroids))
+            .withColumn("d2", d2)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col(id_col), F.col(vec_col), F.col("cell")))
+
+
+def incremental_semantic_dedup(spark, new_docs: DataFrame, store_path: str,
+                               threshold: float = 0.95,
+                               n_cells: int | None = None,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               seed: int = 42,
+                               max_keep_refs: int = 10_000):
+    """Embedding-space member of the incremental dedup family
+    (dedup.incremental_exact_dedup / incremental_minhash_dedup):
+    each arriving delta of vectors is semantically deduplicated within
+    itself AND against every vector ever kept, without rescanning prior
+    deltas. State = the kept raw embeddings plus the k-means centroids
+    FROZEN at bootstrap (store_path/centroids + store_path/vectors) —
+    the rolling-index cadence of a production vector store. Returns
+    ``(fresh_docs, counts)``.
+
+    Steps:
+      1. bootstrap (no store): run the SemDeDup blocking+greedy pass
+         (``semantic_dedup`` rule), persist the trained centroids and
+         the keepers' embeddings;
+      2. delta: assign to the FROZEN cells via ``assign_cells`` (same
+         expression metric every delta — a retrained quantizer would
+         silently re-shard the space and break the vs-store guarantee),
+         then one ``applyInPandas`` per cell over the side-tagged union
+         of stored + delta vectors: stored rows are immutable keepers;
+         delta rows in ascending id order are dropped iff cosine to
+         any kept reference (stored first, then newly kept delta rows)
+         reaches ``threshold`` — first-seen wins, min-id within the
+         delta, exactly the family convention;
+      3. append delta survivors' embeddings to the store.
+
+    Scale shape: centroid table is tiny and broadcast; the per-cell
+    pass shuffles each vector once on its cell id; stored cells grow
+    ~N/sqrt(N0) and ``max_keep_refs`` caps the reference matrix per
+    cell (hot-cell guard). Store existence via the Hadoop FileSystem
+    API — remote URIs resolve exactly as ``spark.read`` would.
+    """
+    import numpy as np
+    from asvsp_spark.operators.dedup import _store_exists
+
+    cent_path = store_path.rstrip("/") + "/centroids"
+    vec_path = store_path.rstrip("/") + "/vectors"
+
+    n_batch = new_docs.count()
+
+    if not _store_exists(spark, cent_path):
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        emb = new_docs.select(
+            F.col(id_col), F.col(vec_col),
+            array_to_vector(as_double(F.col(vec_col))).alias("_fv")).cache()
+        kc = n_cells or max(2, int(max(n_batch, 4) ** 0.5))
+        train = emb
+        target = 40 * kc
+        if n_batch > 2 * target:
+            denom = max(2, n_batch // target)
+            train = emb.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0)
+        model = KMeans(k=kc, seed=seed, featuresCol="_fv",
+                       maxIter=5).fit(train)
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c])
+             for i, c in enumerate(model.clusterCenters())],
+            schema="cell int, c_vec array<double>")
+        centroids.coalesce(1).write.parquet(cent_path)
+    else:
+        centroids = spark.read.parquet(cent_path)
+
+    assigned = assign_cells(
+        new_docs.select(id_col, vec_col), centroids, id_col, vec_col)
+
+    store_exists = _store_exists(spark, vec_path)
+    if store_exists:
+        stored = (spark.read.parquet(vec_path)
+                  .select(F.col(id_col), F.col(vec_col), F.col("cell"),
+                          F.lit(True).alias("is_store")))
+    else:
+        stored = None
+    delta_tag = assigned.withColumn("is_store", F.lit(False))
+    both = (delta_tag if stored is None
+            else stored.unionByName(delta_tag))
+
+    out_schema = f"{id_col} long, cell int"
+
+    def prune(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values([id_col])
+        store_mask = pdf["is_store"].to_numpy()
+        X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        X = X / norms[:, None]
+        kept_rows = list(np.flatnonzero(store_mask))
+        fresh_rows: list[int] = []
+        for i in np.flatnonzero(~store_mask):
+            if kept_rows:
+                refs = X[kept_rows[:max_keep_refs]]
+                if float(np.max(refs @ X[i])) >= threshold:
+                    continue
+            kept_rows.append(int(i))
+            fresh_rows.append(int(i))
+        out = pdf.iloc[fresh_rows]
+        return pd.DataFrame({id_col: out[id_col],
+                             "cell": out["cell"].astype("int32")})
+
+    fresh_ids = (both.groupBy("cell").applyInPandas(prune, out_schema)
+                 .localCheckpoint(eager=True))
+    n_fresh = fresh_ids.count()
+
+    (assigned.join(fresh_ids.select(id_col), id_col, "left_semi")
+     .select(id_col, vec_col, "cell")
+     .write.mode("append").parquet(vec_path))
+
+    fresh = new_docs.join(fresh_ids.select(id_col), id_col, "left_semi")
+    return fresh, {
+        "batch": n_batch,
+        "sem_dupes": n_batch - n_fresh,
+        "fresh": n_fresh,
+    }
