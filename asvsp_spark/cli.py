@@ -121,6 +121,14 @@ def main(argv: list[str] | None = None) -> int:
                          "like 0.95")
     di.add_argument("--threshold", type=float, default=0.5)
 
+    ch = sub.add_parser("chunk",
+                        help="split docs into overlapping token windows "
+                             "(embedding/pretraining chunking)")
+    ch.add_argument("src", help="parquet with (doc_id, text)")
+    ch.add_argument("out")
+    ch.add_argument("--chunk-tokens", type=int, default=64)
+    ch.add_argument("--overlap", type=int, default=16)
+
     sp = sub.add_parser("split",
                         help="leakage-safe train/valid/test split: every "
                              "duplicate cluster lands in one split")
@@ -257,6 +265,18 @@ def main(argv: list[str] | None = None) -> int:
             fresh.write.mode("overwrite").parquet(args.out)
         for stage, cnt in counts.items():
             print(f"{stage:24s} {cnt}")
+        return 0
+
+    if args.cmd == "chunk":
+        from asvsp_spark.operators.chunking import chunk_documents
+        spark = _session(args)
+        chunks = chunk_documents(spark.read.parquet(args.src),
+                                 chunk_tokens=args.chunk_tokens,
+                                 overlap=args.overlap)
+        chunks.write.mode("overwrite").parquet(args.out)
+        print(f"{args.src}: {spark.read.parquet(args.out).count()} chunks "
+              f"({args.chunk_tokens} tokens, {args.overlap} overlap) "
+              f"-> {args.out}")
         return 0
 
     if args.cmd == "split":

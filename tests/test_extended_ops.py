@@ -960,3 +960,20 @@ def test_incremental_semantic_dedup_across_batches(spark, tmp_path):
     assert {r.vec_id for r in stored.collect()} == {1, 3, 11}
     # centroids frozen at bootstrap: exactly one write
     assert spark.read.parquet(f"{store}/centroids").count() == 2
+
+
+def test_cli_chunk(spark, tmp_path, capsys):
+    """CLI chunk subcommand: writes one row per token window and covers
+    every document."""
+    from asvsp_spark.cli import main
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(5 + i))) for i in range(8)],
+        "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "chunks")
+    assert main(["chunk", src, out, "--chunk-tokens", "6",
+                 "--overlap", "2"]) == 0
+    got = spark.read.parquet(out)
+    assert got.select("doc_id").distinct().count() == 8
+    assert got.count() >= 8
+    assert "chunks" in capsys.readouterr().out
