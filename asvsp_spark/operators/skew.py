@@ -62,3 +62,36 @@ def two_phase_agg(df: DataFrame, keys: list[str],
         .groupBy(*keys)
         .agg(*p2)
     )
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
+                buckets: int = 16, how: str = "inner") -> DataFrame:
+    """Hot-key equi-join for when the small side is too large to
+    broadcast AND one join key dominates the big side: a plain shuffle
+    join sends every row of the hot key to ONE reducer (the classic
+    straggler), while AQE's skew split only helps sort-merge partitions
+    after the fact. Salting splits each hot key across ``buckets``
+    reducers up front:
+
+      big side:   one deterministic-per-row salt in [0, buckets)
+                  (spreads rows of the SAME key);
+      small side: replicated once per salt value (explode), so every
+                  (key, salt) shard sees the key's full small-side rows.
+
+    Join on (keys + salt) — each big row meets each matching small row
+    exactly once, so the result multiset is IDENTICAL to the direct
+    join (duplicate small-side keys included); ``how`` supports inner
+    and left (an unmatched big row survives with nulls exactly as in
+    the direct left join). Cost: small side shuffles buckets× its size
+    — the right trade when small × buckets << big's hot-key volume.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    big_s = salted(big, buckets=buckets)          # row-spread salt
+    small_r = (small
+               .withColumn("_salt",
+                           F.explode(F.sequence(F.lit(0),
+                                                F.lit(buckets - 1))))
+               .withColumn("_salt", F.col("_salt").cast("int")))
+    return big_s.join(small_r, keys + ["_salt"], how).drop("_salt")

@@ -66,3 +66,31 @@ def test_batch_chain_materializes_and_roundtrips(spark, tmp_path):
     pruned = layers["daily"].filter(F.col("event_type") == "click")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert pruned.count() > 0
+
+
+def test_salted_join_matches_direct_join(spark):
+    """The salted shuffle join must return the exact multiset of the
+    direct join under a pathologically hot key — inner and left, with
+    duplicate keys on the small side — while actually spreading the hot
+    key across salt buckets."""
+    from asvsp_spark.operators.skew import salted, salted_join
+    big = spark.createDataFrame(
+        [(("hot" if i % 10 else f"cold{i}"), i) for i in range(2000)],
+        "k string, payload long")
+    small = spark.createDataFrame(
+        [("hot", 1), ("hot", 2),          # duplicate small-side key
+         ("cold10", 3), ("missing", 4)],
+        "k string, tag long")
+
+    def canon(df):
+        return sorted((r.k, r.payload, r.tag) for r in df.collect())
+
+    for how in ("inner", "left"):
+        got = canon(salted_join(big, small, "k", buckets=8, how=how))
+        want = canon(big.join(small, "k", how))
+        assert got == want, how
+
+    # the hot key really spreads: >1 distinct salt bucket
+    spread = (salted(big, buckets=8).filter(F.col("k") == "hot")
+              .select("_salt").distinct().count())
+    assert spread > 1
