@@ -121,6 +121,13 @@ def main(argv: list[str] | None = None) -> int:
                          "like 0.95")
     di.add_argument("--threshold", type=float, default=0.5)
 
+    an = sub.add_parser("analyze",
+                        help="compute catalog statistics for a "
+                             "registered table (CBO input)")
+    an.add_argument("name")
+    an.add_argument("--columns", default="",
+                    help="comma-separated columns for NDV/min/max stats")
+
     ch = sub.add_parser("chunk",
                         help="split docs into overlapping token windows "
                              "(embedding/pretraining chunking)")
@@ -265,6 +272,14 @@ def main(argv: list[str] | None = None) -> int:
             fresh.write.mode("overwrite").parquet(args.out)
         for stage, cnt in counts.items():
             print(f"{stage:24s} {cnt}")
+        return 0
+
+    if args.cmd == "analyze":
+        from asvsp_spark.sources.catalog import analyze_table
+        cols = tuple(c for c in args.columns.split(",") if c)
+        stats = analyze_table(_session(args), args.name, columns=cols)
+        for k, v in stats.items():
+            print(f"{k}: {v}")
         return 0
 
     if args.cmd == "chunk":

@@ -70,3 +70,27 @@ def repair_table(spark: SparkSession, name: str) -> None:
     to the table location out-of-band (a landing job writing straight to
     the filesystem) and add them to the catalog. Idempotent."""
     spark.catalog.recoverPartitions(name)
+
+
+def analyze_table(spark: SparkSession, name: str,
+                  columns: tuple[str, ...] = ()) -> dict[str, str]:
+    """ANALYZE TABLE: compute table-level statistics (row count, size)
+    and, when ``columns`` is given, per-column NDV/min/max/null-count —
+    the inputs Spark's cost-based optimizer uses to choose join sides
+    and orders (`spark.sql.cbo.enabled`). At 100 TB, stats are what let
+    the planner broadcast a dimension it cannot see the size of at plan
+    time (AQE fixes sizes at runtime; CBO fixes join ORDER before the
+    first shuffle — they compose).
+
+    Returns the table-level statistics line parsed from DESCRIBE
+    EXTENDED, so callers (and tests) can assert the stats actually
+    landed in the catalog.
+    """
+    spark.sql(f"ANALYZE TABLE `{name}` COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(f"`{c}`" for c in columns)
+        spark.sql(f"ANALYZE TABLE `{name}` COMPUTE STATISTICS "
+                  f"FOR COLUMNS {cols}")
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED `{name}`").collect()
+    return {r["col_name"]: r["data_type"] for r in rows
+            if r["col_name"] in ("Statistics",)}

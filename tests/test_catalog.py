@@ -70,3 +70,17 @@ def test_register_unpartitioned_and_missing_partition_col(spark):
     with pytest.raises(ValueError, match="partition columns"):
         register_parquet_table(spark, "cat_bad", d,
                                partition_cols=("nope",), replace=True)
+
+
+def test_analyze_table_lands_statistics(spark, tmp_path):
+    """ANALYZE writes row-count/size stats into the catalog entry (the
+    CBO's planning input) and column stats are accepted."""
+    from asvsp_spark.sources.catalog import analyze_table, register_parquet_table
+    path = str(tmp_path / "t")
+    spark.range(123).selectExpr("id", "id % 7 AS grp") \
+        .write.parquet(path)
+    register_parquet_table(spark, "stats_t", path, replace=True)
+    stats = analyze_table(spark, "stats_t", columns=("grp",))
+    assert "Statistics" in stats
+    assert "123 rows" in stats["Statistics"]
+    spark.sql("DROP TABLE IF EXISTS stats_t")
