@@ -608,6 +608,7 @@ def assign_cells(df: DataFrame, centroids: DataFrame,
     higher-order array lambdas per element)."""
     import numpy as np
 
+    # driver-ok: bounded k x dim centroid table, not row-level data
     rows = sorted(centroids.collect(), key=lambda r: r["cell"])
     cell_ids = np.array([r["cell"] for r in rows], dtype=np.int32)
     C = np.asarray([r["c_vec"] for r in rows], dtype=np.float64)

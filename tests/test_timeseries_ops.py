@@ -220,8 +220,14 @@ def test_lsh_sketch_tolerates_null_and_ragged_embeddings(spark):
 
 def test_similarity_module_never_collects_to_driver():
     """r1 review: the dup-pair index must not be materialized on the
-    driver. Pin it at the source level."""
+    driver. Pin it at the source level: no toPandas anywhere, and every
+    .collect() must sit under an explicit `driver-ok:` annotation on
+    the preceding line stating why it is bounded metadata (today: the
+    k x dim centroid table of assign_cells), never row-level data."""
     import inspect
     from asvsp_spark.operators import similarity
-    src = inspect.getsource(similarity)
-    assert ".toPandas(" not in src and ".collect()" not in src
+    lines = inspect.getsource(similarity).splitlines()
+    assert not any(".toPandas(" in ln for ln in lines)
+    for i, ln in enumerate(lines):
+        if ".collect()" in ln:
+            assert "driver-ok:" in lines[i - 1], (i + 1, ln)
