@@ -344,3 +344,39 @@ def test_leakage_split_never_straddles(spark, n_docs, edge_pairs):
     for a, b in edge_pairs:
         if a < n_docs and b < n_docs:
             assert out[a] == out[b], (a, b, out[a], out[b])
+
+
+@given(
+    n_toks=st.lists(st.integers(1, 40), min_size=1, max_size=8),
+    chunk=st.integers(3, 12),
+    overlap=st.integers(0, 5),
+)
+@SET
+def test_chunk_documents_reconstruction(spark, n_toks, chunk, overlap):
+    """Random doc lengths / window sizes: chunk 0 plus every later
+    chunk's post-overlap tail reconstructs the document exactly, chunk
+    sizes never exceed the window, and starts advance by the stride."""
+    from asvsp_spark.operators.chunking import chunk_documents
+    overlap = min(overlap, chunk - 1)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j}" for j in range(n)))
+         for i, n in enumerate(n_toks)],
+        "doc_id long, text string")
+    rows = chunk_documents(docs, chunk_tokens=chunk,
+                           overlap=overlap).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted(by_doc) == list(range(len(n_toks)))
+    stride = chunk - overlap
+    for i, n in enumerate(n_toks):
+        cs = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        rebuilt = cs[0].chunk_text.split()
+        for prev, r in zip(cs, cs[1:]):
+            assert r.start_tok == prev.start_tok + stride
+            toks = r.chunk_text.split()
+            assert toks[:overlap] == rebuilt[r.start_tok:
+                                             r.start_tok + overlap]
+            rebuilt.extend(toks[overlap:])
+        assert all(r.n_tokens <= chunk for r in cs)
+        assert rebuilt == [f"d{i}w{j}" for j in range(n)]
