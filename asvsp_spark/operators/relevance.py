@@ -181,3 +181,74 @@ def unigram_logprob_score(docs: DataFrame,
     return scored.select(
         "doc_id", "lang", F.col("n_tokens").cast("int").alias("n_tokens"),
         round_fixed(F.col("avg_lp"), 6).alias("avg_logprob"))
+
+
+def bigram_backoff_score(docs: DataFrame, train_filter=None,
+                         alpha: float = 0.4,
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         lang_col: str = "lang") -> DataFrame:
+    """Per-document average bigram log-probability under Stupid Backoff
+    (Brants et al., "Large Language Models in Machine Translation",
+    EMNLP 2007 — the web-scale scoring rule that skips normalization):
+
+        S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})   if bigram seen
+                         = alpha * (c(w_i) + 1) / (N + V) otherwise
+                           (add-one-smoothed unigram backoff, so unseen
+                           tokens never hit log(0))
+
+    trained per language on the ``train_filter`` subset (default: even
+    doc_ids — a deterministic held-out split, so the backoff branch
+    genuinely fires for odd docs' unseen bigrams) and scored over ALL
+    documents with >= 1 bigram.
+
+    Shape: bigram extraction is shuffle-free (arrays_zip of two slices
+    of the token array, exploded — no per-doc sort window); model
+    counts partial-aggregate to vocabulary cardinality; scoring joins
+    shuffle on (lang, prev[, tok]) — vocabulary-distributed keys; the
+    per-lang (N, V) table broadcasts. Exact integer counts flow through
+    ln() with rounding only after the final average, the same
+    cross-engine contract as unigram_logprob_score.
+    """
+    from asvsp_spark.plans.base import round_fixed
+
+    if train_filter is None:
+        train_filter = F.col(id_col) % 2 == 0
+
+    base = docs.select(
+        F.col(id_col).alias("doc"), F.col(lang_col).alias("lang"),
+        TX.tokens(F.col(text_col)).alias("toks"), train_filter.alias("tr"))
+    pairs = (base
+             .withColumn("prevs", F.expr("slice(toks, 1, size(toks) - 1)"))
+             .withColumn("nexts", F.expr("slice(toks, 2, size(toks) - 1)"))
+             .withColumn("z", F.explode(F.arrays_zip("prevs", "nexts")))
+             .select("doc", "lang", "tr",
+                     F.col("z.prevs").alias("prev"),
+                     F.col("z.nexts").alias("tok")))
+    train_pairs = pairs.filter("tr")
+    c2 = (train_pairs.groupBy("lang", "prev", "tok")
+          .agg(F.count(F.lit(1)).alias("c2")))
+    train_toks = (base.filter("tr")
+                  .select("lang", F.explode("toks").alias("tok")))
+    c1 = train_toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("c1"))
+    nv = c1.groupBy("lang").agg(F.sum("c1").alias("n_l"),
+                                F.count(F.lit(1)).alias("v_l"))
+    c1_prev = c1.select("lang", F.col("tok").alias("prev"),
+                        F.col("c1").alias("c1_prev"))
+    s = (pairs
+         .join(c2, ["lang", "prev", "tok"], "left")
+         .join(c1_prev, ["lang", "prev"], "left")
+         .join(c1, ["lang", "tok"], "left")
+         .join(F.broadcast(nv), "lang")
+         .withColumn("s", F.when(
+             F.col("c2").isNotNull(),
+             F.col("c2") / F.col("c1_prev"))
+             .otherwise(F.lit(alpha) * (F.coalesce("c1", F.lit(0)) + 1)
+                        / (F.col("n_l") + F.col("v_l")))))
+    return (s.groupBy(F.col("doc").alias(id_col), "lang")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.avg(F.log("s")).alias("avg_lp"))
+            .select(id_col, "lang",
+                    F.col("n_bigrams").cast("int").alias("n_bigrams"),
+                    round_fixed(F.col("avg_lp"), 6).alias("avg_logprob")))

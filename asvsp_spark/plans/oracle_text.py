@@ -537,3 +537,41 @@ SELECT doc_id, chunk_id,
            AS chunk_text
 FROM c
 """
+
+# Spark side: operators/relevance.py bigram_backoff_score — Stupid
+# Backoff (alpha 0.4) trained on even doc_ids, scored over all docs
+# with >= 1 bigram. DuckDB zips the two shifted slices positionally
+# (multiple unnest in one SELECT).
+ORACLE_TEXT["bigram_backoff_score"] = r"""
+WITH t AS (
+    SELECT doc_id, lang, doc_id % 2 = 0 AS tr,
+           regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+pairs AS (
+    SELECT doc_id, lang, tr,
+           unnest(toks[1:len(toks)-1]) AS prev,
+           unnest(toks[2:len(toks)]) AS tok
+    FROM t
+),
+c2 AS (SELECT lang, prev, tok, count(*) AS c2 FROM pairs
+       WHERE tr GROUP BY 1, 2, 3),
+toks1 AS (SELECT lang, unnest(toks) AS tok FROM t WHERE tr),
+c1 AS (SELECT lang, tok, count(*) AS c1 FROM toks1 GROUP BY 1, 2),
+nv AS (SELECT lang, sum(c1) AS n_l, count(*) AS v_l FROM c1 GROUP BY 1),
+s AS (
+    SELECT p.doc_id, p.lang,
+           CASE WHEN b.c2 IS NOT NULL THEN b.c2 / cp.c1
+                ELSE 0.4 * (COALESCE(ct.c1, 0) + 1) / (nv.n_l + nv.v_l)
+           END AS s
+    FROM pairs p
+    LEFT JOIN c2 b ON b.lang = p.lang AND b.prev = p.prev
+                   AND b.tok = p.tok
+    LEFT JOIN c1 cp ON cp.lang = p.lang AND cp.tok = p.prev
+    LEFT JOIN c1 ct ON ct.lang = p.lang AND ct.tok = p.tok
+    JOIN nv ON nv.lang = p.lang
+)
+SELECT doc_id, lang, CAST(count(*) AS INT) AS n_bigrams,
+       round(avg(ln(s)) * 1000000) / 1000000.0 AS avg_logprob
+FROM s GROUP BY 1, 2
+"""

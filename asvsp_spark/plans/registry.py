@@ -194,6 +194,16 @@ def _doc_fingerprint(spark, sf):
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
+@register("bigram_backoff_score")
+def _bigram_backoff_score(spark, sf):
+    """Stupid-Backoff bigram LM quality score (Brants et al. 2007):
+    trained per language on even doc_ids (held-out split so backoff
+    genuinely fires), scored over all docs — the bigram upgrade of the
+    CCNet-style unigram perplexity proxy."""
+    from asvsp_spark.operators.relevance import bigram_backoff_score
+    return bigram_backoff_score(_t(spark, sf, "documents"))
+
+
 @register("chunk_documents")
 def _chunk_documents(spark, sf):
     """Fixed token windows (32 tokens, 8 overlap) per document — the
@@ -361,7 +371,9 @@ _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 # media_features (each driver-green in 2-3 prior rounds; the text
 # family keeps quality_filter_report/doc_repetition/top_bigrams rows,
 # relevance keeps unigram_logprob_score) so the newcomers don't reopen
-# the never-checked ledger.
+# the never-checked ledger. bigram_backoff_score (r4) takes
+# embedding_quantize_int8's slot (green r1+r3; the embedding family
+# keeps cosine_topk + label_centroids rows).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "q02_peak_month", "q08_period_compare",
     "q10_improvement_streaks", "q12_late_shipments",
@@ -375,7 +387,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "doc_repetition", "top_bigrams",
     "token_length_histogram",
     "chunk_documents",
-    "embedding_quantize_int8", "cosine_topk", "label_centroids",
+    "bigram_backoff_score", "cosine_topk", "label_centroids",
     "sq1_vs_baseline", "sq2_dominant_trend", "sq2c_stateful_trend",
     "sq3_top_users", "sq4_engagement_conversion", "sq5_rank_anomaly",
     "sq6_attribution_join", "sq6b_attribution_left",

@@ -977,3 +977,28 @@ def test_cli_chunk(spark, tmp_path, capsys):
     assert got.select("doc_id").distinct().count() == 8
     assert got.count() >= 8
     assert "chunks" in capsys.readouterr().out
+
+
+def test_bigram_backoff_branches(spark):
+    """Seen bigrams score c2/c1_prev; an unseen bigram (doc outside the
+    training split) takes the alpha-scaled smoothed-unigram backoff —
+    pinned on a hand-computed fixture."""
+    import math
+    from asvsp_spark.operators.relevance import bigram_backoff_score
+    docs = spark.createDataFrame(
+        [(0, "a b a b", "en"),     # train: bigrams ab, ba, ab
+         (2, "a b", "en"),         # train: ab
+         (1, "a b c", "en")],      # score: ab seen; bc unseen, c unseen
+        "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in bigram_backoff_score(docs).collect()}
+    # model (even ids): c2: ab=3, ba=1; c1: a=3, b=3; N=6, V=2
+    ab = 3 / 3
+    ba = 1 / 3
+    assert out[0].n_bigrams == 3
+    assert abs(out[0].avg_logprob
+               - round((2 * math.log(ab) + math.log(ba)) / 3, 6)) < 1e-6
+    assert out[2].avg_logprob == round(math.log(ab), 6)
+    bc = 0.4 * (0 + 1) / (6 + 2)          # c unseen -> add-one backoff
+    assert out[1].n_bigrams == 2
+    assert abs(out[1].avg_logprob
+               - round((math.log(ab) + math.log(bc)) / 2, 6)) < 1e-6
