@@ -298,9 +298,17 @@ def main(argv: list[str] | None = None) -> int:
         from asvsp_spark.operators.splits import leakage_safe_split
         spark = _session(args)
         weights = {}
-        for part in args.weights.split(","):
-            name, _, val = part.partition("=")
-            weights[name.strip()] = float(val)
+        try:
+            for part in args.weights.split(","):
+                name, _, val = part.partition("=")
+                if not name.strip() or not val:
+                    raise ValueError(part)
+                weights[name.strip()] = float(val)
+            if len(weights) < 2 or sum(weights.values()) <= 0:
+                raise ValueError(args.weights)
+        except ValueError:
+            p.error(f"--weights must be name=weight pairs like "
+                    f"train=0.8,valid=0.1,test=0.1 (got {args.weights!r})")
         edges = spark.read.parquet(args.edges) if args.edges else None
         assigned = leakage_safe_split(spark.read.parquet(args.src),
                                       edges=edges, weights=weights)

@@ -143,8 +143,12 @@ def lang_pick(score_cols: dict[str, Column]) -> Column:
 # exact same matches — redaction is auditable cross-engine, which
 # matters because a silent dialect divergence here IS a privacy bug.
 PII_PATTERNS: dict[str, str] = {
-    # ordering matters: emails before the bare-word patterns so an
-    # address is counted once as an email, not as its fragments
+    # ordering matters for pii_scrub (sequential replacement: an email
+    # is redacted whole before the digit patterns can see its
+    # fragments). pii_counts applies each pattern to the RAW text
+    # independently, so a PII-shaped fragment inside another match
+    # (an SSN-shaped run in an email local part) counts under both
+    # kinds — per-kind counts can overlap by design.
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}",

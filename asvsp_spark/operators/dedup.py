@@ -653,6 +653,18 @@ def incremental_minhash_dedup(spark, new_docs: DataFrame, store_path: str,
         store = spark.read.option("mergeSchema", "true").parquet(store_path)
         if "fp" not in store.columns:
             store = store.withColumn("fp", F.lit(None).cast("string"))
+        # loud guard: a store written at a different num_hashes would
+        # band-join on degenerate NULL-padded keys and estimate j <=
+        # stored_len/num_hashes — every replay would silently pass as
+        # fresh. Better to fail than to corrupt the dedup guarantee.
+        stored_len = (store.filter(F.col("sig").isNotNull())
+                      .select(F.size("sig").alias("n")).first())
+        if stored_len is not None and stored_len["n"] != num_hashes:
+            raise ValueError(
+                f"signature store at {store_path} holds "
+                f"{stored_len['n']}-hash signatures but num_hashes="
+                f"{num_hashes}; re-bootstrap the store or pass the "
+                "store's original num_hashes")
         old_b = band_rows(store.filter(F.col("sig").isNotNull()), "old_doc")
         if max_bucket is not None:
             cold = (old_b.groupBy("band_key")

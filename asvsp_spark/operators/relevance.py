@@ -199,8 +199,12 @@ def bigram_backoff_score(docs: DataFrame, train_filter=None,
 
     trained per language on the ``train_filter`` subset (default: even
     doc_ids — a deterministic held-out split, so the backoff branch
-    genuinely fires for odd docs' unseen bigrams) and scored over ALL
-    documents with >= 1 bigram.
+    genuinely fires for odd docs' unseen bigrams) and scored over all
+    documents with >= 1 bigram whose language HAS a trained model —
+    a language with zero training-split docs has no (N, V) row, and its
+    documents are excluded from the output (inner model join, mirrored
+    by the oracle) rather than scored against nothing; pick a
+    train_filter that covers every language you need scored.
 
     Shape: bigram extraction is shuffle-free (arrays_zip of two slices
     of the token array, exploded — no per-doc sort window); model

@@ -554,18 +554,24 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0.0] = 1.0          # zero vectors: cos 0 vs all
         X = X / norms[:, None]
-        kept_rows: list[int] = []
+        # preallocated keeper buffer: fancy-indexing the kept rows anew
+        # each iteration copies O(kept x dim) per row (O(n^2 d) per
+        # cell); appending into a fixed buffer and dotting against its
+        # filled VIEW does the same math copy-free
+        buf = np.empty((min(len(pdf), max_keep_refs), X.shape[1]))
+        n_ref = 0
         keep = np.zeros(len(pdf), dtype=bool)
         max_cos = np.full(len(pdf), np.nan)
         for i in range(len(pdf)):
-            if kept_rows:
-                refs = X[kept_rows[:max_keep_refs]]
-                c = float(np.max(refs @ X[i]))
+            if n_ref:
+                c = float(np.max(buf[:n_ref] @ X[i]))
                 max_cos[i] = round(c, 6)
                 if c >= threshold:
                     continue
             keep[i] = True
-            kept_rows.append(i)
+            if n_ref < buf.shape[0]:
+                buf[n_ref] = X[i]
+                n_ref += 1
         return pd.DataFrame({
             id_col: pdf[id_col], "cell": pdf["cell"].astype("int32"),
             "is_keeper": keep, "max_cos_kept": max_cos})
@@ -720,14 +726,22 @@ def incremental_semantic_dedup(spark, new_docs: DataFrame, store_path: str,
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0.0] = 1.0
         X = X / norms[:, None]
-        kept_rows = list(np.flatnonzero(store_mask))
+        # preallocated reference buffer (see semantic_dedup's prune):
+        # stored keepers pre-seed it in id order up to the cap, delta
+        # keepers append after — identical semantics, no per-row copy
+        buf = np.empty((min(len(pdf), max_keep_refs), X.shape[1]))
+        n_ref = 0
+        for i in np.flatnonzero(store_mask):
+            if n_ref < buf.shape[0]:
+                buf[n_ref] = X[i]
+                n_ref += 1
         fresh_rows: list[int] = []
         for i in np.flatnonzero(~store_mask):
-            if kept_rows:
-                refs = X[kept_rows[:max_keep_refs]]
-                if float(np.max(refs @ X[i])) >= threshold:
-                    continue
-            kept_rows.append(int(i))
+            if n_ref and float(np.max(buf[:n_ref] @ X[i])) >= threshold:
+                continue
+            if n_ref < buf.shape[0]:
+                buf[n_ref] = X[i]
+                n_ref += 1
             fresh_rows.append(int(i))
         out = pdf.iloc[fresh_rows]
         return pd.DataFrame({id_col: out[id_col],

@@ -65,7 +65,8 @@ def two_phase_agg(df: DataFrame, keys: list[str],
 
 
 def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
-                buckets: int = 16, how: str = "inner") -> DataFrame:
+                buckets: int = 16, how: str = "inner",
+                salt_by: str | None = None) -> DataFrame:
     """Hot-key equi-join for when the small side is too large to
     broadcast AND one join key dominates the big side: a plain shuffle
     join sends every row of the hot key to ONE reducer (the classic
@@ -73,8 +74,16 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
     after the fact. Salting splits each hot key across ``buckets``
     reducers up front:
 
-      big side:   one deterministic-per-row salt in [0, buckets)
-                  (spreads rows of the SAME key);
+      big side:   one salt in [0, buckets) spreading rows of the SAME
+                  key — DETERMINISTIC per row content: xxhash64 over
+                  ``salt_by`` when given (a unique row id gives perfect
+                  spread), else over every big-side column (identical
+                  duplicate rows then share a bucket — correct, just
+                  less spread on duplicate-heavy data). A
+                  nondeterministic salt (row number, rand) would
+                  re-route rows on task retry after a fetch failure —
+                  the SPARK-23207 class of silent row loss/duplication
+                  — so it is never used here;
       small side: replicated once per salt value (explode), so every
                   (key, salt) shard sees the key's full small-side rows.
 
@@ -88,7 +97,10 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    big_s = salted(big, buckets=buckets)          # row-spread salt
+    salt_src = (F.xxhash64(F.col(salt_by)) if salt_by
+                else F.xxhash64(*[F.col(c) for c in big.columns]))
+    big_s = big.withColumn(
+        "_salt", F.pmod(salt_src, F.lit(buckets)).cast("int"))
     small_r = (small
                .withColumn("_salt",
                            F.explode(F.sequence(F.lit(0),

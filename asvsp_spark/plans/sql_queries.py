@@ -63,6 +63,12 @@ _DIALECT_SHIMS = (
     # DuckDB regexp_replace needs the 'g' flag; Spark replaces all by
     # default and parses a 4th argument as a position
     (", ' ', 'g')", ", ' ')"),
+    # Spark SQL string literals treat backslash as an escape, so the
+    # fingerprint's '\s+' would parse as 's+' (deleting letter-s runs
+    # instead of collapsing whitespace) — double it, exactly as the
+    # regexp_split_to_array shim above does for token splits
+    (r"regexp_replace(trim(text), '\s+', ' ')",
+     r"regexp_replace(trim(text), '\\s+', ' ')"),
 )
 
 

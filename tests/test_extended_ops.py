@@ -1002,3 +1002,19 @@ def test_bigram_backoff_branches(spark):
     assert out[1].n_bigrams == 2
     assert abs(out[1].avg_logprob
                - round((math.log(ab) + math.log(bc)) / 2, 6)) < 1e-6
+
+
+def test_incremental_minhash_rejects_mismatched_store(spark, tmp_path):
+    """Regression (r4 review): a signature store written at a different
+    num_hashes must fail LOUDLY — NULL-padded band keys would otherwise
+    let every replay through as fresh, silently voiding the guarantee."""
+    from asvsp_spark.operators.dedup import incremental_minhash_dedup
+    store = str(tmp_path / "sig_store")
+    docs = spark.createDataFrame(
+        [(1, "spark engine shuffles data across the cluster while the "
+             "optimizer prunes columns and pushes filters down")],
+        "doc_id long, text string")
+    incremental_minhash_dedup(spark, docs, store,
+                              num_hashes=16, bands=8)
+    with pytest.raises(ValueError, match="16-hash"):
+        incremental_minhash_dedup(spark, docs, store)   # 64-hash default

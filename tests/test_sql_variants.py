@@ -22,3 +22,21 @@ def test_sql_variant_matches_dataframe(name, spark):
     sql_rows, sql_cols = _rowset(run_sql_variant(spark, SF_DIR, name))
     assert df_cols == sql_cols
     assert df_rows == sql_rows
+
+
+def test_leakage_split_sql_collapses_whitespace(spark):
+    """Regression (r4 review): the ported fingerprint SQL must collapse
+    whitespace, not delete letter-'s' runs — Spark SQL literals eat a
+    single backslash, so '\\s+' must arrive doubled. Pinned on a
+    crafted corpus where the two behaviors give different clusters."""
+    from asvsp_spark.plans.sql_queries import SPARK_SQL
+    sql = SPARK_SQL["leakage_split_report"]
+    assert r"'\\s+'" in sql
+    spark.createDataFrame(
+        [(1, "same text"), (2, "same  text"),   # whitespace variants
+         (3, "mass espresso")],                 # letter-s runs intact
+        "doc_id long, text string").createOrReplaceTempView("documents")
+    got = {r["split"]: (r["n_docs"], r["n_clusters"])
+           for r in spark.sql(sql).collect()}
+    assert sum(n for n, _ in got.values()) == 3
+    assert sum(c for _, c in got.values()) == 2   # 1+2 share a cluster
