@@ -151,7 +151,14 @@ PII_PATTERNS: dict[str, str] = {
     # kinds — per-kind counts can overlap by design.
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
-    "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}",
+    # \b guards keep the 3-3-4 shape from matching inside longer digit
+    # runs ('123-456-78901' / '...9123-456-7890'); the optional '+'
+    # sits BEFORE the leading \b because '+' is a non-word char (a \b
+    # ahead of it could never match after whitespace). RE2 has no
+    # lookbehind, so a '.'-separated run embedded in a longer dotted
+    # number ('1.234.567.8901') remains redactable — documented
+    # residual, over-redaction being the safe direction for PII.
+    "phone": r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
 

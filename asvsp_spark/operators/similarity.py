@@ -541,11 +541,18 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
         train = emb.filter(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0)
     model = KMeans(k=kc, seed=seed, featuresCol="_fv", maxIter=5).fit(train)
+    # materialize the assignment, then release the cached feature frame:
+    # without the unpersist every invocation leaks executor storage
+    # memory for the session's lifetime (bench/long-running sessions
+    # call this many times)
     assigned = (model.transform(emb)
                 .select(F.col(id_col), F.col(vec_col),
-                        F.col("prediction").alias("cell")))
+                        F.col("prediction").alias("cell"))
+                .localCheckpoint(eager=True))
+    emb.unpersist()
 
-    out_schema = (f"{id_col} long, cell int, is_keeper boolean, "
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = (f"{id_col} {id_type}, cell int, is_keeper boolean, "
                   "max_cos_kept double")
 
     def prune(pdf):
@@ -694,6 +701,7 @@ def incremental_semantic_dedup(spark, new_docs: DataFrame, store_path: str,
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0)
         model = KMeans(k=kc, seed=seed, featuresCol="_fv",
                        maxIter=5).fit(train)
+        emb.unpersist()   # trained; don't leak storage across batches
         centroids = spark.createDataFrame(
             [(i, [float(x) for x in c])
              for i, c in enumerate(model.clusterCenters())],
@@ -716,7 +724,8 @@ def incremental_semantic_dedup(spark, new_docs: DataFrame, store_path: str,
     both = (delta_tag if stored is None
             else stored.unionByName(delta_tag))
 
-    out_schema = f"{id_col} long, cell int"
+    id_type = new_docs.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, cell int"
 
     def prune(pdf):
         import pandas as pd

@@ -39,15 +39,33 @@ def split_expr(cluster_col: str, weights: dict[str, float] | None = None,
     names = list(w)
     if len(names) < 2:
         raise ValueError("need at least two splits")
+    bad = {k: v for k, v in w.items() if not v > 0}
+    if bad:
+        # a negative weight makes the cumulative boundaries
+        # non-monotonic (rows silently land in the preceding split);
+        # a zero weight silently empties the split — both are caller
+        # bugs, not resolvable policies
+        raise ValueError(f"split weights must be > 0, got {bad}")
     total = sum(w.values())
     h2 = F.substring(
         F.md5(F.concat(F.col(cluster_col).cast("string"), F.lit(salt))),
         1, 2)
     expr = None
     acc = 0.0
+    prev_bucket = 0
     for name in names[:-1]:
         acc += w[name] / total
-        bound = format(min(255, int(acc * 256)), "02x")
+        bucket = min(255, int(acc * 256))
+        if bucket <= prev_bucket:
+            # the 256-bucket resolution floor: a weight under ~1/256
+            # truncates onto the previous boundary and the split would
+            # be silently empty
+            raise ValueError(
+                f"split '{name}' resolves to an empty 1/256 bucket "
+                f"range (weight {w[name]} too small next to the "
+                "others); use coarser weights or fewer splits")
+        prev_bucket = bucket
+        bound = format(bucket, "02x")
         cond = h2 < F.lit(bound)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return expr.otherwise(names[-1])

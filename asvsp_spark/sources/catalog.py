@@ -24,6 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _quote_ident(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into DDL/utility
+    SQL, doubling embedded backticks (Spark's escape inside a quoted
+    identifier) so a hostile name cannot break out of the quoting."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def register_parquet_table(spark: SparkSession, name: str, path: str,
                            partition_cols: tuple[str, ...] = (),
                            replace: bool = False) -> DataFrame:
@@ -45,17 +52,17 @@ def register_parquet_table(spark: SparkSession, name: str, path: str,
             f"partition columns {missing} not present in parquet data at "
             f"{path} (found {sorted(by_name)})")
     data_cols = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
+        f"{_quote_ident(f.name)} {f.dataType.simpleString()}"
         for f in inferred.fields if f.name not in partition_cols)
     if replace:
-        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
-    ddl = f"CREATE TABLE `{name}` ({data_cols}"
+        spark.sql(f"DROP TABLE IF EXISTS {_quote_ident(name)}")
+    ddl = f"CREATE TABLE {_quote_ident(name)} ({data_cols}"
     if partition_cols:
         part_cols = ", ".join(
-            f"`{c}` {by_name[c].dataType.simpleString()}"
+            f"{_quote_ident(c)} {by_name[c].dataType.simpleString()}"
             for c in partition_cols)
         ddl += f", {part_cols}) USING PARQUET PARTITIONED BY " \
-               f"({', '.join(f'`{c}`' for c in partition_cols)})"
+               f"({', '.join(_quote_ident(c) for c in partition_cols)})"
     else:
         ddl += ") USING PARQUET"
     ddl += f" LOCATION '{path}'"
@@ -86,11 +93,15 @@ def analyze_table(spark: SparkSession, name: str,
     EXTENDED, so callers (and tests) can assert the stats actually
     landed in the catalog.
     """
-    spark.sql(f"ANALYZE TABLE `{name}` COMPUTE STATISTICS")
+    # embedded backticks double inside a quoted identifier — bare
+    # interpolation would let a hostile table/column name break out of
+    # the quoting (identifier injection into ANALYZE/DESCRIBE)
+    qname = _quote_ident(name)
+    spark.sql(f"ANALYZE TABLE {qname} COMPUTE STATISTICS")
     if columns:
-        cols = ", ".join(f"`{c}`" for c in columns)
-        spark.sql(f"ANALYZE TABLE `{name}` COMPUTE STATISTICS "
+        cols = ", ".join(_quote_ident(c) for c in columns)
+        spark.sql(f"ANALYZE TABLE {qname} COMPUTE STATISTICS "
                   f"FOR COLUMNS {cols}")
-    rows = spark.sql(f"DESCRIBE TABLE EXTENDED `{name}`").collect()
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {qname}").collect()
     return {r["col_name"]: r["data_type"] for r in rows
             if r["col_name"] in ("Statistics",)}
