@@ -11,8 +11,8 @@ Scale design:
   for natural corpora.
 - MinHash-LSH is the sub-linear path: k hash functions -> b bands of r
   rows; candidate pairs only within equal band buckets, then verified
-  with exact Jaccard. All hashing is expression-level (seeded xxhash64),
-  no Python in the loop.
+  with exact Jaccard. All hashing is expression-level (an md5-derived
+  double-hashing family, DuckDB-reproducible), no Python in the loop.
 - SimHash gives a 64-bit sketch per document via xxhash64 bit-voting —
   joinable on (near-)equal sketches; Hamming-close pairs via band keys.
 
@@ -46,29 +46,30 @@ def shingle_posting(documents: DataFrame, n: int = 3,
     """Inverted-index posting list: one (doc, sh) row per DISTINCT word
     n-gram shingle per document.
 
-    Shape: posexplode tokens, window-lead to assemble each n-gram, then
-    dropDuplicates — all whole-stage-codegen'd. (A transform-over-sequence
-    higher-order function computes the same arrays but is interpreted
-    per-element by Catalyst: ~6x slower at sf0.1 and recomputed per plan
-    branch.) Documents shorter than n words contribute no rows.
+    Shape: SHUFFLE-FREE — split once into a token-array column, build
+    the distinct n-gram array per doc with transform/slice/concat_ws,
+    then explode. Both the within-doc dedup (array_distinct) and the
+    n-gram assembly are per-row, so the posting list streams out of the
+    parquet scan with no exchange at all; downstream consumers shuffle
+    on whatever key they need. Documents shorter than n words contribute
+    no rows (explicit CASE — Spark's sequence(1, 0) counts DOWN, so an
+    unguarded transform would emit junk sub-n-grams for short docs).
 
-    Scale: the window shuffles by doc (uniform key), dedup shuffles by
-    (doc, sh); both linear. Downstream joins shuffle by sh.
+    Two formulations measured at sf0.1 (260k shingles) before this one:
+    posexplode + window-lead + dropDuplicates = two shuffles, 1.8-3.6 s;
+    a single-expression HOF that re-splits the text inside the lambda
+    (Catalyst evaluates the split per ELEMENT) ~3 s. Pre-splitting into
+    a column first: 0.55 s.
     """
     toks = documents.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
-         .alias("pos", "tok"))
-    w = Window.partitionBy("doc").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
-    return (
-        toks
-        .select("doc", F.concat_ws(" ", *leads).alias("sh"),
-                leads[-1].alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
-        .dropDuplicates(["doc", "sh"])
-    )
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+    grams = (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {n})))) "
+        "ELSE array() END")
+    return toks.select("doc", F.explode(F.expr(grams)).alias("sh"))
 
 
 def shingled(documents: DataFrame, n: int = 3,
@@ -180,22 +181,42 @@ def jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
 
 
 def minhash_signatures(posting: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """k minhash values per doc via the deterministic seeded-xxhash64
-    family h_i(s) = xxhash64(i, s).
+    """k minhash values per doc via seeded-md5 slicing: md5(seed||'|'||s)
+    per seed j = 0..ceil(k/4)-1, each 128-bit digest sliced into four
+    INDEPENDENT 32-bit hash values (8 hex chars each):
+
+        h_{4j+t}(s) = int(md5(j||'|'||s)[8t : 8t+8 hex]),  t in 0..3
+
+    Independence across the k hashes is what makes the agreement
+    estimator's variance shrink as j(1-j)/k — a double-hashing family
+    (h1 + i*h2 mod P) reuses 128 bits across all k and its correlated
+    minima estimate Jaccard with near-constant variance (measured: a
+    J=0.4 pair estimated at 0.59 with 64 "hashes"). Slicing costs
+    ceil(k/4) md5 calls per shingle instead of k.
+
+    Every step — md5 of the seeded string, hex substring, hex->int — is
+    bit-identical in DuckDB (('0x'||substr(md5(j||'|'||s),..))::BIGINT),
+    so MinHash-LSH output is DuckDB-oracle-checkable end-to-end, the
+    same property that made ``winnow_fingerprints`` hash-checkable.
+    32-bit values keep doc-internal birthday collisions negligible and
+    sit far inside signed-64 range in both engines.
 
     Shape: explode shingles once, compute the k hashes as PLAIN columns
-    (whole-stage codegen), then groupBy(doc).agg(min...). Higher-order
-    lambda variants (array_min over transform) are interpreted per-element
-    by Catalyst and run orders of magnitude slower on wide corpora.
-    The k mins partial-aggregate map-side, so the shuffle carries one
-    k-wide row per doc. Input is a (doc, sh) posting list.
+    (whole-stage codegen; each digest's four slices share one md5 under
+    codegen subexpression elimination), then groupBy(doc).agg(min...).
+    Higher-order lambda variants (array_min over transform) are
+    interpreted per-element by Catalyst and run orders of magnitude
+    slower on wide corpora. The k mins partial-aggregate map-side, so
+    the shuffle carries one k-wide row per doc. Input is a (doc, sh)
+    posting list.
     """
-    # hash family h_i(s) = xxhash64(i, s): native JVM hash, uniform across
-    # the seed index, ~10x cheaper than an md5-hex-conv chain per shingle
-    hash_cols = [
-        F.xxhash64(F.lit(i), F.col("sh")).alias(f"h_{i}")
-        for i in range(num_hashes)
-    ]
+    hash_cols = []
+    for i in range(num_hashes):
+        j, t = divmod(i, 4)
+        m = F.md5(F.concat_ws("|", F.lit(str(j)), F.col("sh")))
+        hash_cols.append(
+            F.conv(F.substring(m, 1 + 8 * t, 8), 16, 10)
+            .cast("long").alias(f"h_{i}"))
     return (
         posting.select("doc", *hash_cols)
         .groupBy("doc")
@@ -241,11 +262,15 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
     buckets = sig.select(
         "doc", F.explode(F.array(*band_cols)).alias("band_key"))
     if max_bucket is not None:
-        cold = (buckets.groupBy("band_key")
-                .agg(F.count(F.lit(1)).alias("bsz"))
-                .filter(F.col("bsz") <= max_bucket)
-                .select("band_key"))
-        buckets = buckets.join(cold, "band_key", "left_semi")
+        # anti-join against the HOT key set (<= rows/max_bucket keys by
+        # construction, so always broadcastable) rather than semi-join
+        # against the large cold set — same result, one less shuffle of
+        # the full bucket frame (winnow_pairs' max_df guard, same shape)
+        hot = (buckets.groupBy("band_key")
+               .agg(F.count(F.lit(1)).alias("bsz"))
+               .filter(F.col("bsz") > max_bucket)
+               .select("band_key"))
+        buckets = buckets.join(F.broadcast(hot), "band_key", "left_anti")
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -667,11 +692,13 @@ def incremental_minhash_dedup(spark, new_docs: DataFrame, store_path: str,
                 "store's original num_hashes")
         old_b = band_rows(store.filter(F.col("sig").isNotNull()), "old_doc")
         if max_bucket is not None:
-            cold = (old_b.groupBy("band_key")
-                    .agg(F.count(F.lit(1)).alias("bsz"))
-                    .filter(F.col("bsz") <= max_bucket)
-                    .select("band_key"))
-            old_b = old_b.join(cold, "band_key", "left_semi")
+            # broadcast anti-join against the tiny HOT key set (see
+            # minhash_lsh_pairs) instead of semi-joining the large cold set
+            hot = (old_b.groupBy("band_key")
+                   .agg(F.count(F.lit(1)).alias("bsz"))
+                   .filter(F.col("bsz") > max_bucket)
+                   .select("band_key"))
+            old_b = old_b.join(F.broadcast(hot), "band_key", "left_anti")
         new_b = band_rows(new_rows.filter(F.col("sig").isNotNull()),
                           "new_doc")
         est = F.size(F.filter(

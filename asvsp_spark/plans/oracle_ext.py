@@ -745,3 +745,37 @@ FROM events
 GROUP BY 1
 HAVING count(*) * 1000 >= (SELECT count(*) FROM events) * 7
 """
+
+# Spark side: registry _skew_join_demo (operators/skew.py salted_join).
+# One SQL serves both entries — salting is a physical rewrite, the
+# result multiset is identical by construction, and the bench delta
+# between the two entries is the skew measurement. The checksum mirrors
+# Spark's conv(substring(md5(key|cents|w),1,8),16,10) via DuckDB's
+# hex-cast; sum(BIGINT) is HUGEINT in DuckDB, cast back.
+_SKEW_JOIN_SQL = """
+WITH big AS (
+    SELECT CASE WHEN l_orderkey % 1000 < 950 THEN 0
+                ELSE l_orderkey % 1000 END AS skew_key,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem
+),
+dim AS (
+    SELECT i AS skew_key, i % 7 + 1 AS w FROM range(1000) t(i)
+    UNION ALL
+    SELECT 0, i + 100 FROM range(9) t(i)
+),
+j AS (SELECT b.skew_key, b.cents, d.w
+      FROM big b JOIN dim d ON b.skew_key = d.skew_key)
+SELECT skew_key,
+       count(*) AS n_rows,
+       CAST(sum(cents * w) AS BIGINT) AS weighted_cents,
+       CAST(sum(('0x' || substr(md5(skew_key || '|' || cents || '|' || w),
+                                1, 8))::BIGINT) AS BIGINT) AS checksum
+FROM j
+GROUP BY 1
+HAVING CAST(sum(('0x' || substr(md5(skew_key || '|' || cents || '|' || w),
+                                1, 8))::BIGINT) AS BIGINT) IS NOT NULL
+"""
+
+ORACLE_EXT["skew_join_plain"] = _SKEW_JOIN_SQL
+ORACLE_EXT["skew_join_salted"] = _SKEW_JOIN_SQL

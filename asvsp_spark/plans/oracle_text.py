@@ -190,6 +190,12 @@ r AS (
 SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= 5
 """
 
+# ivf_topk with n_probe >= n_centroids probes every cell, so its output
+# EQUALS brute-force cosine_topk (operators/similarity.py ivf_topk
+# docstring + unit test) — the full-probe registry entry shares the
+# brute-force oracle and earns the IVF machinery a hash row.
+ORACLE_TEXT["ivf_topk_full_probe"] = ORACLE_TEXT["cosine_topk"]
+
 # Spark side: functions/text.py repetition_features — pure array exprs.
 # DuckDB lists are 1-based (Spark subscripts 0-based; both build the same
 # trigram strings); integer-count divisions keep ratios bit-identical.
@@ -235,6 +241,74 @@ SELECT label, CAST(i - 1 AS INT) AS dim,
 FROM e
 GROUP BY 1, 2
 """
+
+# Spark side: operators/dedup.py minhash_signatures / minhash_lsh_pairs
+# (registry call: n=3, threshold=0.3, num_hashes=16, bands=8,
+# max_bucket=500). The seeded-md5 slicing family
+# h_{4j+t}(s) = int(md5(j||'|'||s)[8t:8t+8 hex]) is bit-identical here:
+# ('0x'||substr(md5(..),..))::BIGINT is DuckDB's hex->int, matching
+# Spark's conv(substring(md5(..),..),16,10). The banded candidate
+# generation (with the <=500 hot-bucket cap) and the exact full-set
+# Jaccard verification are both mirrored, so the LSH operator's OUTPUT
+# is deterministic and hash-checkable even though its recall vs
+# jaccard_pairs is < 1 by design.
+def _minhash_sql(num_hashes: int = 16, bands: int = 8,
+                 max_bucket: int = 500, threshold: float = 0.3) -> str:
+    rows = num_hashes // bands
+
+    def h(i: int) -> str:
+        j, t = divmod(i, 4)
+        return (f"('0x' || substr(md5('{j}|' || s), {1 + 8 * t}, 8))"
+                "::BIGINT")
+
+    mins = ",\n           ".join(
+        f"min({h(i)}) AS mh_{i}" for i in range(num_hashes))
+    keys = ",\n        ".join(
+        "'{b}_' || {parts}".format(
+            b=bi, parts=" || '_' || ".join(
+                f"mh_{bi * rows + r}" for r in range(rows)))
+        for bi in range(bands))
+    return f"""
+WITH sh AS ({_SHINGLES}),
+nonempty AS (SELECT doc, shingles FROM sh WHERE len(shingles) > 0),
+post AS (SELECT doc, unnest(shingles) AS s FROM nonempty),
+sig AS (
+    SELECT doc,
+           {mins}
+    FROM post GROUP BY doc
+),
+bands AS (
+    SELECT doc, unnest([
+        {keys}
+    ]) AS band_key
+    FROM sig
+),
+cold AS (SELECT band_key FROM bands GROUP BY 1
+         HAVING count(*) <= {max_bucket}),
+bk AS (SELECT doc, band_key FROM bands
+       WHERE band_key IN (SELECT band_key FROM cold)),
+cand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc < b.doc
+),
+sz AS (SELECT doc, len(shingles) AS n_sh FROM nonempty),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+    FROM post a JOIN post b ON a.s = b.s AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) * 1000000)
+           / 1000000.0 AS jaccard
+FROM cand c
+JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sz sa ON sa.doc = c.doc_a
+JOIN sz sb ON sb.doc = c.doc_b
+WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= {threshold}
+"""
+
+
+ORACLE_TEXT["minhash_lsh_pairs"] = _minhash_sql()
 
 # Spark side: operators/dedup.py winnow_fingerprints / winnow_pairs.
 # md5 hex strings compare lexicographically the same in both engines;

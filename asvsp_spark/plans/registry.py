@@ -154,7 +154,11 @@ def _jaccard_pairs(spark, sf):
 
 
 @register("minhash_lsh_pairs")
-def _minhash_lsh_pairs(spark, sf):  # rows-only: LSH recall < 1 by design
+def _minhash_lsh_pairs(spark, sf):
+    """Oracle-paired since r5: the md5-derived double-hashing family is
+    DuckDB-reproducible, so the WHOLE banded pipeline (signatures, band
+    buckets, hot-bucket cap, exact verification) hash-checks — recall vs
+    jaccard_pairs stays < 1 by design, but the output is deterministic."""
     return D.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.3)
 
 
@@ -374,20 +378,34 @@ _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 # the never-checked ledger. bigram_backoff_score (r4) takes
 # embedding_quantize_int8's slot (green r1+r3; the embedding family
 # keeps cosine_topk + label_centroids rows).
+#
+# r5 rotation: the round's four NEW oracle-paired entries earn slots —
+# minhash_lsh_pairs (md5-sliced hash family made the whole banded LSH
+# pipeline DuckDB-reproducible; the largest formerly-rows-only entry),
+# ivf_topk_full_probe (IVF machinery at full probe == brute cosine,
+# shares cosine_topk's oracle), skew_join_plain + skew_join_salted (the
+# Zipf-skew join pair whose bench delta measures the salting win).
+# Displaced, each driver-green in r4 and locally hash-pinned by
+# tests/test_oracle_parity.py, with the family keeping a current row:
+# winnow_pairs (banded-sketch dedup: minhash_lsh_pairs row arrives),
+# decontaminate_report (shingle family: minhash + incremental_dedup
+# rows remain), top_bigrams (text family keeps token_length_histogram /
+# doc_repetition / quality_filter_report), label_centroids (embedding
+# family keeps cosine_topk + the new ivf_topk_full_probe).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "q02_peak_month", "q08_period_compare",
     "q10_improvement_streaks", "q12_late_shipments",
     "q11_pricing_summary", "q13_supplier_margin_topk",
     "rollup_daily_events", "rollup_monthly_events",
     "rollup_revenue_region_nation",
-    "winnow_pairs", "decontaminate_report", "packing_bins",
+    "minhash_lsh_pairs", "ivf_topk_full_probe", "packing_bins",
     "incremental_dedup_report", "dedup_representative",
     "leakage_split_report", "quality_filter_report",
     "unigram_logprob_score",
-    "doc_repetition", "top_bigrams",
+    "doc_repetition", "skew_join_plain",
     "token_length_histogram",
     "chunk_documents",
-    "bigram_backoff_score", "cosine_topk", "label_centroids",
+    "bigram_backoff_score", "cosine_topk", "skew_join_salted",
     "sq1_vs_baseline", "sq2_dominant_trend", "sq2c_stateful_trend",
     "sq3_top_users", "sq4_engagement_conversion", "sq5_rank_anomaly",
     "sq6_attribution_join", "sq6b_attribution_left",
@@ -497,6 +515,17 @@ def _approx_users_daily(spark, sf):  # rows-only: HLL estimates have no
 @register("ivf_topk")
 def _ivf_topk(spark, sf):  # rows-only: partial-probe recall < 1 by design
     return SIM.ivf_topk(_t(spark, sf, "embeddings"))
+
+
+@register("ivf_topk_full_probe")
+def _ivf_topk_full_probe(spark, sf):
+    """The IVF machinery with EVERY cell probed: provably identical to
+    brute-force cosine_topk (pinned by unit test), so it shares
+    cosine_topk's DuckDB oracle — the cell assignment, probe-list
+    ranking, probed-cell union and final rank window all earn a hash
+    row, while the registered partial-probe ivf_topk stays the honest
+    rows-only approximation."""
+    return SIM.ivf_topk(_t(spark, sf, "embeddings"), n_probe=10**9)
 
 
 @register("embedding_quantize_int8")
@@ -1214,3 +1243,60 @@ def _incremental_dedup_report(spark, sf):
     return spark.createDataFrame(
         out, "phase int, n_batch long, within_batch_dupes long, "
              "known_dupes long, fresh long")
+
+
+# ---- skew-resilient join under bench (operators/skew.py) ----
+# A Zipf-skewed synthetic join: 95% of lineitem rows collapse onto one
+# hot key, and the dim side holds 10 rows for that key (join output
+# amplification — the hot reducer emits ~10x the hot rows). The same-key
+# aggregation right after the join PINS the join's output partitioning,
+# so AQE's skew-join split cannot apply (it would break the aggregate's
+# required distribution) — exactly the shape where up-front salting is
+# the only fix, at sf0.1 and at 100 TB alike. The two entries share one
+# oracle; the bench delta between them IS the measurement (r5: salted
+# ~2x faster at sf0.1 on local[32]).
+#
+# The md5-derived row checksum gives the reducer real per-row work (an
+# integrity-sum, computed AFTER the join in the reduce stage) and the
+# trailing filter references it so a bench-side count() cannot prune
+# the aggregate away (Catalyst drops unused aggregates under count).
+
+def _skew_join_demo(spark, sf: str, salted: bool):
+    from asvsp_spark.operators.skew import salted_join
+    li = _t(spark, sf, "lineitem")
+    r = F.pmod(F.col("l_orderkey"), F.lit(1000))
+    big = li.select(
+        F.when(r < 950, F.lit(0)).otherwise(r).cast("long")
+         .alias("skew_key"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    base = spark.range(1000).select(
+        F.col("id").alias("skew_key"),
+        (F.pmod(F.col("id"), F.lit(7)) + 1).cast("long").alias("w"))
+    hot = spark.range(9).select(
+        F.lit(0).cast("long").alias("skew_key"),
+        (F.col("id") + 100).cast("long").alias("w"))
+    dim = base.unionByName(hot).hint("merge")   # force the shuffle join
+    joined = (salted_join(big, dim, on="skew_key", buckets=32)
+              if salted else big.join(dim, "skew_key"))
+    digest = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "skew_key", "cents", "w")),
+                    1, 8), 16, 10).cast("long")
+    return (joined.groupBy("skew_key")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("cents") * F.col("w")).alias("weighted_cents"),
+                 F.sum(digest).alias("checksum"))
+            .filter(F.col("checksum").isNotNull()))
+
+
+@register("skew_join_plain")
+def _skew_join_plain(spark, sf):
+    """The straggler baseline: plain sort-merge join of the Zipf-skewed
+    key — one reducer handles 95% of the join output."""
+    return _skew_join_demo(spark, sf, salted=False)
+
+
+@register("skew_join_salted")
+def _skew_join_salted(spark, sf):
+    """The fix: salted_join spreads the hot key over 32 buckets before
+    the shuffle; result multiset identical (shared oracle)."""
+    return _skew_join_demo(spark, sf, salted=True)

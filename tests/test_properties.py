@@ -380,3 +380,63 @@ def test_chunk_documents_reconstruction(spark, n_toks, chunk, overlap):
             rebuilt.extend(toks[overlap:])
         assert all(r.n_tokens <= chunk for r in cs)
         assert rebuilt == [f"d{i}w{j}" for j in range(n)]
+
+
+@given(
+    n_shared=st.integers(0, 40),
+    n_only_a=st.integers(0, 25),
+    n_only_b=st.integers(0, 25),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_incremental_minhash_decision_matches_estimator(
+        spark, tmp_path_factory, n_shared, n_only_a, n_only_b):
+    """The store-side drop decision of incremental_minhash_dedup equals
+    the analytically-derived reference on RANDOM doc pairs with known
+    Jaccard: drop iff (some LSH band of the two signatures collides) AND
+    (the component-agreement estimate >= threshold). Both sides are
+    recomputed from minhash_signatures directly, so the property pins
+    the banding arithmetic and the estimator wiring deterministically —
+    no statistical tolerance involved. The raw estimate is additionally
+    bounded against true J at 6 sigma (binomial, 64 independent hashes),
+    which the r4-era correlated double-hashing family failed by a mile.
+    """
+    from asvsp_spark.operators.dedup import (
+        incremental_minhash_dedup, minhash_signatures, shingle_posting)
+
+    if n_shared + n_only_a == 0 or n_shared + n_only_b == 0:
+        return                      # a doc must have at least one word
+    a_words = [f"s{i:03d}" for i in range(n_shared)] \
+        + [f"a{i:03d}" for i in range(n_only_a)]
+    b_words = [f"s{i:03d}" for i in range(n_shared)] \
+        + [f"b{i:03d}" for i in range(n_only_b)]
+    true_j = n_shared / (n_shared + n_only_a + n_only_b)
+    num_hashes, bands, threshold = 64, 32, 0.5
+    rows = num_hashes // bands
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(b_words))],
+        "doc_id long, text string")
+    sig = {r.doc: [r[f"mh_{i}"] for i in range(num_hashes)]
+           for r in minhash_signatures(
+               shingle_posting(docs, n=1), num_hashes).collect()}
+    est = sum(x == y for x, y in zip(sig[1], sig[2])) / num_hashes
+    sigma = math.sqrt(max(true_j * (1 - true_j), 1e-9) / num_hashes)
+    assert abs(est - true_j) <= max(6 * sigma, 2.0 / num_hashes), \
+        (est, true_j)
+    band_hit = any(
+        sig[1][b * rows:(b + 1) * rows] == sig[2][b * rows:(b + 1) * rows]
+        for b in range(bands))
+    want_drop = band_hit and est >= threshold
+
+    store = str(tmp_path_factory.mktemp("mh_prop") / "sig_store")
+    _, c1 = incremental_minhash_dedup(
+        spark, docs.filter("doc_id = 1"), store, n=1, threshold=threshold,
+        num_hashes=num_hashes, bands=bands)
+    assert c1["fresh"] == 1
+    fresh2, c2 = incremental_minhash_dedup(
+        spark, docs.filter("doc_id = 2"), store, n=1, threshold=threshold,
+        num_hashes=num_hashes, bands=bands)
+    got_drop = c2["known_near_dupes"] == 1
+    assert got_drop == want_drop, (true_j, est, band_hit, c2)
