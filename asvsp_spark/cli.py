@@ -136,6 +136,18 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--chunk-tokens", type=int, default=64)
     ch.add_argument("--overlap", type=int, default=16)
 
+    sd = sub.add_parser("stream-drain",
+                        help="incrementally drain the events stream "
+                             "into an hourly rollup; re-invoke with the "
+                             "same --checkpoint to process only files "
+                             "added since the last run")
+    sd.add_argument("events_dir", help="directory of events parquet files")
+    sd.add_argument("out", help="partitioned parquet rollup sink")
+    sd.add_argument("--checkpoint", required=True,
+                    help="persistent checkpoint dir (file-source log + "
+                         "aggregation state; keep it between runs)")
+    sd.add_argument("--watermark", default="2 hours")
+
     sp = sub.add_parser("split",
                         help="leakage-safe train/valid/test split: every "
                              "duplicate cluster lands in one split")
@@ -272,6 +284,16 @@ def main(argv: list[str] | None = None) -> int:
             fresh.write.mode("overwrite").parquet(args.out)
         for stage, cnt in counts.items():
             print(f"{stage:24s} {cnt}")
+        return 0
+
+    if args.cmd == "stream-drain":
+        from asvsp_spark.streaming.queries import incremental_hourly_drain
+        spark = _session(args)
+        out = incremental_hourly_drain(spark, args.events_dir, args.out,
+                                       args.checkpoint,
+                                       watermark=args.watermark)
+        print(f"{args.events_dir}: hourly rollup now {out.count()} rows "
+              f"-> {args.out} (checkpoint {args.checkpoint})")
         return 0
 
     if args.cmd == "analyze":

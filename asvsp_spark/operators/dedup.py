@@ -64,24 +64,39 @@ def shingle_posting(documents: DataFrame, n: int = 3,
     toks = documents.select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
-    grams = (
+    return toks.select(
+        "doc", F.explode(F.expr(_shingle_array_expr(n))).alias("sh"))
+
+
+def _shingle_array_expr(n: int) -> str:
+    """SQL expression building the distinct n-gram array from a `toks`
+    column (shared by the posting and set forms)."""
+    return (
         f"CASE WHEN size(toks) >= {n} THEN "
         f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
         f"i -> concat_ws(' ', slice(toks, i, {n})))) "
         "ELSE array() END")
-    return toks.select("doc", F.explode(F.expr(grams)).alias("sh"))
 
 
 def shingled(documents: DataFrame, n: int = 3,
              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc, shingles array<string>) — collected form of shingle_posting
-    for operators that need whole-set ops (array_intersect verification).
-    Shingle order within the array is nondeterministic (set semantics)."""
-    return (
-        shingle_posting(documents, n, id_col, text_col)
-        .groupBy("doc")
-        .agg(F.collect_list("sh").alias("shingles"))
-    )
+    """(doc, shingles array<string>) — set form of shingle_posting for
+    operators that need whole-set ops (array_intersect verification).
+    Built directly in one shuffle-free projection (the same expression
+    shingle_posting explodes), NOT by re-grouping the posting list —
+    exploding and collect_list-ing back would add a full shuffle for
+    no semantic gain. Docs shorter than n words carry an EMPTY array
+    (one row per input doc): filtering them here would evaluate the
+    interpreted n-gram expression twice (once in the size() predicate,
+    once in the projection — no cross-operator CSE for non-codegen
+    exprs; measured 15x slower at sf0.1), and every consumer either
+    explodes (empty arrays vanish) or joins by doc id (empty arrays
+    cannot be candidates)."""
+    toks = documents.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+    return toks.select("doc",
+                       F.expr(_shingle_array_expr(n)).alias("shingles"))
 
 
 def df_capped_posting(posting: DataFrame, max_df: int | None) -> DataFrame:
@@ -248,11 +263,24 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
             f"({bands}): a remainder would silently drop hashes and "
             "change the advertised collision probability")
     rows = num_hashes // bands
-    # materialized once: both the signature path and the verification
-    # path read the posting list (see jaccard_pairs)
-    posting = shingle_posting(documents, n, id_col, text_col) \
-        .localCheckpoint(eager=False)
-    sig = minhash_signatures(posting, num_hashes)
+    # EAGER checkpoints on the small shared subtrees: the per-doc
+    # shingle ARRAY feeds the signature build AND the verification
+    # join; sig feeds the band explode THREE times (self-join a/b +
+    # the hot-bucket count); the candidate set feeds the final join
+    # twice. Left lazy, Catalyst re-executes each subtree per consumer
+    # (only identical Exchanges are reused) — measured 5.4 s vs ~3 s
+    # staged at sf0.1. Keeping the SET form (one array row per doc)
+    # instead of the exploded posting also lets verification join the
+    # arrays directly — no collect_list re-grouping shuffle. All
+    # checkpointed frames are one-row-per-doc (or smaller), so
+    # executor storage cost is negligible at any SF.
+    # sets is a LAZY checkpoint: the eager sig job below computes it
+    # once and persists it as a side effect (one fewer job), and the
+    # final verification join reads the persisted copy.
+    sets = (shingled(documents, n, id_col, text_col)
+            .localCheckpoint(eager=False))
+    posting = sets.select("doc", F.explode("shingles").alias("sh"))
+    sig = minhash_signatures(posting, num_hashes).localCheckpoint(eager=True)
     band_cols = [
         F.concat_ws("_", F.lit(bi),
                     *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])
@@ -277,28 +305,23 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
                & (F.col("a.doc") < F.col("b.doc")))
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    # exact verification on candidates only: collect shingle sets just for
-    # docs that appear in a candidate pair (semi-join keeps this tiny even
-    # when the corpus is huge), then exact set intersection
-    cand_docs = (
-        candidates
-        .select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
-        .distinct()
-    )
-    cand_shingles = (
-        posting.join(F.broadcast(cand_docs), "doc")
-        .groupBy("doc")
-        .agg(F.collect_list("sh").alias("shingles"))
-    )
-    sh_a = cand_shingles.select(F.col("doc").alias("doc_a"),
-                                F.col("shingles").alias("sh_a"))
-    sh_b = cand_shingles.select(F.col("doc").alias("doc_b"),
-                                F.col("shingles").alias("sh_b"))
+    # exact verification on candidates only: join the checkpointed
+    # per-doc shingle arrays straight onto the (tiny) candidate pair
+    # list — only candidate docs' arrays move, and there is no
+    # re-grouping shuffle because the set form was never exploded
+    sh_a = sets.select(F.col("doc").alias("doc_a"),
+                       F.col("shingles").alias("sh_a"))
+    sh_b = sets.select(F.col("doc").alias("doc_b"),
+                       F.col("shingles").alias("sh_b"))
     return (
         candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
+        # arrays are distinct sets, so |A u B| = |A| + |B| - |A n B| —
+        # one set-hash pass instead of array_union's second
+        .withColumn("n_union",
+                    F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
         .withColumn("jaccard", F.col("n_inter") / F.col("n_union"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", round_fixed(F.col("jaccard"), 6).alias("jaccard"))

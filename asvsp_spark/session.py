@@ -38,6 +38,20 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.ui.enabled": "false",
 }
 
+# Cost-based optimization: off by default (it needs ANALYZE TABLE stats
+# to do anything and silently no-ops without them), opt in with
+# SPARK_GRAFT_CBO=1 or sources.catalog.enable_cbo(spark). With stats in
+# the catalog, CBO fixes the JOIN ORDER before the first shuffle —
+# complementary to AQE, which can only resize/convert what was already
+# planned. The 100 TB payoff: a mis-ordered 3-way join shuffles the
+# full fact table through an early join it should have seen last.
+if os.environ.get("SPARK_GRAFT_CBO") == "1":
+    DEFAULT_CONF.update({
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+        "spark.sql.statistics.histogram.enabled": "true",
+    })
+
 
 def get_session(app_name: str = "asvsp_spark", master: str | None = None,
                 extra_conf: dict[str, str] | None = None) -> SparkSession:

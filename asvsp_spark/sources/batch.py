@@ -95,6 +95,67 @@ def foreach_batch_jdbc(url: str, table: str,
     return _sink
 
 
+def foreach_batch_jdbc_exactly_once(url: str, table: str,
+                                    properties: dict[str, str] | None = None,
+                                    batch_id_col: str = "_batch_id",
+                                    delete_fn=None):
+    """Exactly-once JDBC streaming sink: batch-id-keyed upsert.
+
+    The plain ``foreach_batch_jdbc`` append duplicates rows whenever
+    Structured Streaming replays a micro-batch (checkpoint recovery,
+    task retry after the write partially landed) — the reference papers
+    over this with a truncate-and-append ritual per run
+    (streaming_pipeline_dag.py:42-43), which is exactly-once only if
+    nothing else writes the table. This sink instead keys every row
+    with foreachBatch's epoch id (``batch_id_col``) and makes the batch
+    write idempotent:
+
+      1. DELETE FROM table WHERE batch_id = <epoch>   -- clears any
+         rows a previous (partial or complete) attempt of THIS batch
+         landed; a first attempt deletes nothing;
+      2. append the batch tagged with the epoch id.
+
+    Re-running a micro-batch therefore converges to the same table
+    state (delete wipes the earlier attempt, the re-append writes the
+    identical rows — epoch ids are stable across restarts from the same
+    checkpoint). Readers that do not care about lineage just ignore the
+    extra column; a unique index on (batch_id, natural key) is NOT
+    required.
+
+    ``delete_fn(batch_id)`` is injectable for tests and for dialects
+    whose delete needs quoting beyond the default; the default executes
+    the DELETE through java.sql.DriverManager on the driver (the JDBC
+    driver jar must be on the classpath, same requirement as
+    ``jdbc_write``). The DELETE interpolates only ``int(batch_id)`` —
+    no string interpolation of user data.
+    """
+    def _default_delete(spark: SparkSession, batch_id: int) -> None:
+        jvm = spark._jvm
+        props = jvm.java.util.Properties()
+        for k, v in (properties or {}).items():
+            props.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(url, props)
+        try:
+            st = conn.createStatement()
+            st.executeUpdate(
+                f"DELETE FROM {table} WHERE {batch_id_col} = "
+                f"{int(batch_id)}")
+            st.close()
+        finally:
+            conn.close()
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if delete_fn is not None:
+            delete_fn(batch_id)
+        else:
+            _default_delete(batch_df.sparkSession, batch_id)
+        tagged = batch_df.withColumn(batch_id_col, F.lit(int(batch_id)))
+        jdbc_write(tagged, url, table, properties, mode="append")
+    return _sink
+
+
 def overwrite_window_partitions(df: DataFrame, path: str,
                                 partition_by: list[str]) -> None:
     """Idempotent materialization: dynamic partition overwrite replaces

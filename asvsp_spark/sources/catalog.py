@@ -105,3 +105,30 @@ def analyze_table(spark: SparkSession, name: str,
     rows = spark.sql(f"DESCRIBE TABLE EXTENDED {qname}").collect()
     return {r["col_name"]: r["data_type"] for r in rows
             if r["col_name"] in ("Statistics",)}
+
+
+def enable_cbo(spark: SparkSession, join_reorder: bool = True) -> None:
+    """Turn on Spark's cost-based optimizer for this session. CBO reads
+    the ANALYZE TABLE statistics (``analyze_table`` above) from the
+    catalog to estimate cardinalities; ``join_reorder`` additionally
+    lets it re-order consecutive INNER joins by estimated cost — the
+    at-scale win: the optimizer pushes the most selective dimension
+    join first so the fact table is pruned before the expensive
+    shuffles, regardless of how the SQL was written. No-ops (silently)
+    on tables without stats, so enabling it is always safe.
+
+    Requires catalog tables (not path-based reads): stats live in the
+    metastore entry, and ANALYZE must have run after the last data
+    change. Pair with ``analyze_table(spark, t, columns=join_keys)`` —
+    join-key NDV is what the reorder cost model feeds on.
+    """
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled",
+                   "true" if join_reorder else "false")
+
+
+def disable_cbo(spark: SparkSession) -> None:
+    """Restore the default cost-model-free planning (tests use this to
+    compare plans with and without statistics)."""
+    spark.conf.set("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")

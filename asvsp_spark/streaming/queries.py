@@ -792,3 +792,44 @@ def sq11_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("event_id").alias("late_id_sum"))
         .select(_fmt_window_start(), "n_late", "late_id_sum")
     )
+
+
+# ------------------------------------------- incremental drain cadence
+
+def incremental_hourly_drain(spark: SparkSession, events_dir: str,
+                             out_path: str, checkpoint_dir: str,
+                             watermark: str = WATERMARK) -> DataFrame:
+    """The production drain cadence as ONE resumable operation: an
+    hourly per-type rollup of every events parquet file under
+    ``events_dir``, drained with ``availableNow`` against a PERSISTENT
+    checkpoint. Each invocation processes only files the checkpoint has
+    not seen (Spark's file-source log) and carries the aggregation
+    state forward, so a window spanning two invocations converges to
+    the same totals a single one-shot run over all files would produce
+    — re-running with no new files is a no-op. Wired to the CLI as
+    ``stream-drain`` (reference analogue: the Airflow-scheduled
+    consumer runs, streaming_pipeline_dag.py:57-81, collapsed into a
+    cron-able command).
+
+    Sink contract: update output mode + overwrite-partitions keyed by
+    (window_start, event_type) — an updated key re-emits its complete
+    aggregate from the state store and fully owns its partition, so
+    re-emits converge instead of duplicating (SURVEY §7.3 idempotency).
+    Returns the DataFrame reading the sink.
+    """
+    stream = (events_stream_reader(spark, events_dir)
+              .withWatermark("ts", watermark))
+    agg = (
+        stream
+        .groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+        .agg(F.sum(value_centi(F.col("value"))).alias("v_sum_centi"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(_fmt_window_start(), "event_type", "n_events",
+                "v_sum_centi",
+                centi_avg(F.col("v_sum_centi"),
+                          F.col("n_events")).alias("avg_value"))
+    )
+    return drain_to_parquet(
+        agg, spark, partition_by=["window_start", "event_type"],
+        path=out_path, output_mode="update",
+        checkpoint_dir=checkpoint_dir)

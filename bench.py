@@ -28,6 +28,27 @@ from asvsp_spark.plans.registry import all_queries  # noqa: E402
 from asvsp_spark.session import get_session  # noqa: E402
 
 
+def _load_budgets() -> dict[str, float]:
+    """Per-query budget seconds parsed from BASELINE.md's results table
+    (the single source of truth: r1 medians for the original 50 queries,
+    frozen r4/r5 medians for the rest). Missing file or rows -> empty —
+    budgets are a regression tripwire, never a reason bench can't run."""
+    import re
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE.md")
+    budgets: dict[str, float] = {}
+    try:
+        with open(path) as fh:
+            for line in fh:
+                m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*0\.1\s*\|"
+                             r"\s*([0-9.]+)\s*\|", line)
+                if m:
+                    budgets[m.group(1)] = float(m.group(2))
+    except OSError:
+        pass
+    return budgets
+
+
 def _warm_streaming(spark) -> None:
     import tempfile
 
@@ -86,6 +107,15 @@ def main() -> None:
     }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # regression gate vs the frozen per-query budgets in BASELINE.md:
+    # a query breaches at >2x its budget (the driver's own 2x rule
+    # applied per-query); vs_budget_total is suite-level signal
+    budgets = _load_budgets() if sf == "0.1" else {}   # budgets are sf0.1
+    common = [n for n, t in timings.items() if t >= 0 and n in budgets]
+    breaches = {
+        n: {"sec": timings[n], "budget": budgets[n]}
+        for n in common if timings[n] > 2.0 * budgets[n]
+    }
     result = {
         "metric": "asvsp_spark_query_suite",
         "value": round(sum(t for t in timings.values() if t >= 0), 3),
@@ -93,6 +123,12 @@ def main() -> None:
         "queries": timings,
         "runs": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "budgeted_queries": len(common),
+        "vs_budget_total": (
+            round(sum(timings[n] for n in common)
+                  / max(sum(budgets[n] for n in common), 1e-9), 3)
+            if common else None),
+        "budget_breaches": breaches,
     }
     # The driver keeps only a bounded TAIL of this process's output, and
     # round 2's artifact lost the head of the (long) per-query line to

@@ -241,3 +241,55 @@ def test_merge_upsert_rejects_schema_mismatch(spark):
     upd = spark.createDataFrame([(1, 5.0)], "id long, other double")
     with _pytest.raises(ValueError, match="must match"):
         merge_upsert(spark, d, upd, ["id"])
+
+
+def test_foreach_batch_jdbc_exactly_once_replay_converges(spark, monkeypatch):
+    """Replay-convergence contract for the batch-id-keyed upsert sink
+    (no DB in the sandbox — an in-memory table stands in for JDBC):
+    a replayed micro-batch, including one whose first attempt landed
+    PARTIALLY, leaves the table exactly as a single clean run would."""
+    from asvsp_spark.sources import batch as B
+
+    table: list[tuple] = []        # (batch_id, a)
+    fail_once = {"armed": False}
+
+    def fake_jdbc_write(df, url, tbl, properties=None, mode="overwrite"):
+        assert mode == "append"
+        rows = [(r["_batch_id"], r["a"]) for r in df.collect()]
+        if fail_once["armed"]:
+            fail_once["armed"] = False
+            table.extend(rows[:1])          # partial landing, then crash
+            raise RuntimeError("connection reset mid-append")
+        table.extend(rows)
+
+    def delete_fn(batch_id):
+        table[:] = [r for r in table if r[0] != int(batch_id)]
+
+    monkeypatch.setattr(B, "jdbc_write", fake_jdbc_write)
+    sink = B.foreach_batch_jdbc_exactly_once(
+        "jdbc:postgresql://h/db", "t", delete_fn=delete_fn)
+
+    b7 = spark.createDataFrame([(1,), (2,)], "a int")
+    b8 = spark.createDataFrame([(3,)], "a int")
+
+    # batch 7: first attempt lands partially and dies
+    fail_once["armed"] = True
+    try:
+        sink(b7, 7)
+    except RuntimeError:
+        pass
+    assert table == [(7, 1)]               # the partial debris is visible
+    # streaming engine replays batch 7 -> delete wipes the partial rows,
+    # re-append lands the full batch exactly once
+    sink(b7, 7)
+    assert sorted(table) == [(7, 1), (7, 2)]
+    # a THIRD replay of the same completed batch changes nothing
+    sink(b7, 7)
+    assert sorted(table) == [(7, 1), (7, 2)]
+    # the next batch appends alongside
+    sink(b8, 8)
+    assert sorted(table) == [(7, 1), (7, 2), (8, 3)]
+    # empty batches still short-circuit (no delete, no write)
+    before = list(table)
+    sink(spark.createDataFrame([], "a int"), 9)
+    assert table == before

@@ -617,3 +617,52 @@ def test_sq8_never_collects_row_level_sessions(spark, monkeypatch):
     assert out.count() > 0
     assert set(out.columns) == {"user_id", "session_start", "n_events",
                                 "avg_value", "dwell_us"}
+
+
+def test_cli_stream_drain_incremental_roundtrip(spark, tmp_path, capsys):
+    """CLI production cadence: `stream-drain --checkpoint` twice against
+    a growing events directory. The second invocation reads ONLY the new
+    file and carries the aggregation state forward — a window spanning
+    both files converges to the one-shot totals (no double count of the
+    first file), and a third run with no new files changes nothing."""
+    from asvsp_spark.cli import main
+    from asvsp_spark.streaming.source import write_event_rows
+
+    events = tmp_path / "events_dir"
+    events.mkdir()
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    h = 1_700_000_000_000_000 - (1_700_000_000_000_000 % 3_600_000_000)
+    # file A: 2 clicks in hour H
+    write_event_rows(str(events / "a.parquet"), [
+        (1, h + 60_000_000, 10, "click", 1.0, "{}"),
+        (2, h + 120_000_000, 11, "click", 3.0, "{}"),
+    ])
+    rc = main(["stream-drain", str(events), out, "--checkpoint", ckpt])
+    assert rc == 0
+    r1 = {(r.window_start, r.event_type): (r.n_events, r.avg_value)
+          for r in spark.read.parquet(out).collect()}
+    assert list(r1.values()) == [(2, 2.0)]
+
+    # file B arrives: 3 more clicks in the SAME hour + 1 view next hour
+    write_event_rows(str(events / "b.parquet"), [
+        (3, h + 180_000_000, 12, "click", 5.0, "{}"),
+        (4, h + 240_000_000, 13, "click", 7.0, "{}"),
+        (5, h + 300_000_000, 14, "click", 9.0, "{}"),
+        (6, h + 3_660_000_000, 15, "view", 4.0, "{}"),
+    ])
+    rc = main(["stream-drain", str(events), out, "--checkpoint", ckpt])
+    assert rc == 0
+    r2 = {(r.event_type): (r.n_events, r.avg_value)
+          for r in spark.read.parquet(out).collect()}
+    # 2 (state) + 3 (new) = 5, avg (1+3+5+7+9)/5 — NOT 8 (double count
+    # of file A) and NOT 3 (file B alone)
+    assert r2["click"] == (5, 5.0), r2
+    assert r2["view"] == (1, 4.0)
+
+    # no new files: a replay leaves the sink unchanged
+    rc = main(["stream-drain", str(events), out, "--checkpoint", ckpt])
+    assert rc == 0
+    r3 = {(r.event_type): (r.n_events, r.avg_value)
+          for r in spark.read.parquet(out).collect()}
+    assert r3 == r2
