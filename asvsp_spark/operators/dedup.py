@@ -330,29 +330,41 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
 
 def simhash64(documents: DataFrame,
               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document: xxhash64 each token, vote per bit,
-    pack the sign vector. Expression-level fold (aggregate + transform);
-    no Python in the loop.
+    """64-bit SimHash per document: md5 each token, vote per bit of the
+    digest's first 64 bits, pack the sign vector. Expression-level fold
+    (conditional-sum aggregates); no Python in the loop.
+
+    The token hash is the digest's two leading 32-bit hex slices
+    (h_lo = hex[0:8], h_hi = hex[8:16]) — the same DuckDB-reproducible
+    construction as ``minhash_signatures`` (('0x'||substr)::BIGINT is
+    bit-identical to conv(substring(...),16,10)), which makes the WHOLE
+    simhash + Hamming-band pipeline oracle-checkable; xxhash64 (the
+    previous family) has no DuckDB twin.
 
     Output: (doc_id, simhash long). Near-dups have small Hamming
     distance; pair generation joins on 4x16-bit band keys (any equal
     band => candidate), the standard <=3-bit-error trick scaled to 64
     bits.
     """
-    # Shape: explode tokens, hash each ONCE, aggregate 64 conditional-sum
-    # vote columns (plain codegen'd expressions, map-side partial agg),
-    # then pack the sign vector. The lambda/HOF formulation (aggregate +
-    # zip_with over a 64-element array per token) is interpreted by
-    # Catalyst and ~100x slower.
+    # Shape: explode tokens, hash each ONCE (md5 shared across the two
+    # slices by codegen CSE), aggregate 64 conditional-sum vote columns
+    # (plain codegen'd expressions, map-side partial agg), then pack
+    # the sign vector. The lambda/HOF formulation (aggregate + zip_with
+    # over a 64-element array per token) is interpreted by Catalyst and
+    # ~100x slower.
+    m = F.md5(F.col("t"))
     tokens = (
         documents
         .select(F.col(id_col).alias("doc"),
                 F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"))
-        .select("doc", F.xxhash64("t").alias("h"))
+        .select("doc",
+                F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h_lo"),
+                F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h_hi"))
     )
     vote_cols = [
         F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+            F.when(F.shiftright(F.col("h_lo" if b < 32 else "h_hi"),
+                                b % 32).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
         ).alias(f"v_{b}")
         for b in range(64)

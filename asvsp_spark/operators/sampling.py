@@ -36,14 +36,22 @@ def hash_stratified_sample(documents: DataFrame,
                            strat_col: str = "lang", id_col: str = "doc_id",
                            salt: int = 42) -> DataFrame:
     """Deterministic stratified sample: row kept iff
-    ``xxhash64(id, salt) mod 10^6 < fraction * 10^6`` for its stratum —
-    membership depends only on the row id, so the sample is identical
-    across runs, retries, repartitions, and engines that share the hash.
-    The price is hash-uniformity instead of true randomness (fine for
-    mixture construction, not for statistical bootstrap).
+    ``int(md5(id|salt)[0:8 hex]) mod 10^6 < fraction * 10^6`` for its
+    stratum — membership depends only on the row id, so the sample is
+    identical across runs, retries, repartitions, AND engines: the
+    md5-slice bucket (same construction as minhash_signatures) is
+    bit-identical in DuckDB, so the exact sampled row set is
+    oracle-checkable. The price is hash-uniformity instead of true
+    randomness (fine for mixture construction, not for statistical
+    bootstrap).
     """
     fr = fractions or DEFAULT_FRACTIONS
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(1_000_000))
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat_ws("|", F.col(id_col).cast("string"),
+                              F.lit(str(salt)))), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(1_000_000))
     keep = F.lit(False)
     for stratum, frac in fr.items():
         keep = keep | ((F.col(strat_col) == stratum)

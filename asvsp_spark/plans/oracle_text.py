@@ -310,6 +310,71 @@ WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= {threshold}
 
 ORACLE_TEXT["minhash_lsh_pairs"] = _minhash_sql()
 
+
+# Spark side: operators/dedup.py simhash64 / simhash_pairs (registry
+# call: max_hamming=3, 4x16-bit bands). Token hash = first two 32-bit
+# slices of md5 hex (same construction as _minhash_sql); per-bit
+# conditional-sum votes, sign-packed into one BIGINT. Bit gymnastics
+# proven equivalent to the JVM: DuckDB's >> on a negative BIGINT
+# sign-extends exactly like Java's >> (the & 65535 mask makes both
+# logical), bit 63 is the precomputed Long.MIN literal (1<<63 overflows
+# DuckDB's checked shift), and bit_count/xor agree with
+# java.lang.Long.bitCount / ^.
+def _simhash_sql(max_hamming: int = 3) -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h_{'lo' if b < 32 else 'hi'} >> {b % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(64))
+    packs = []
+    for b in range(64):
+        bit = ("(-9223372036854775807 - 1)" if b == 63
+               else f"(1::BIGINT << {b})")
+        packs.append(f"CASE WHEN v_{b} > 0 THEN {bit} ELSE 0::BIGINT END")
+    pack = "\n             | ".join(packs)
+    keys = ",\n        ".join(
+        f"'{i}_' || ((simhash >> {i * 16}) & 65535)" for i in range(4))
+    return rf"""
+WITH toks AS (
+    SELECT doc_id AS doc,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    FROM documents
+),
+h AS (
+    SELECT doc,
+           ('0x' || substr(md5(t), 1, 8))::BIGINT AS h_lo,
+           ('0x' || substr(md5(t), 9, 8))::BIGINT AS h_hi
+    FROM toks
+),
+votes AS (
+    SELECT doc,
+           {votes}
+    FROM h GROUP BY doc
+),
+sig AS (
+    SELECT doc,
+           ({pack}) AS simhash
+    FROM votes
+),
+bands AS (
+    SELECT doc, simhash, unnest([
+        {keys}
+    ]) AS band_key
+    FROM sig
+),
+pairs AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                    a.simhash AS sim_a, b.simhash AS sim_b
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc < b.doc
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+"""
+
+
+ORACLE_TEXT["simhash_pairs"] = _simhash_sql()
+
 # Spark side: operators/dedup.py winnow_fingerprints / winnow_pairs.
 # md5 hex strings compare lexicographically the same in both engines;
 # DuckDB list slicing is 1-based inclusive (hs[i+1:i+w] = w elements).
@@ -354,6 +419,25 @@ FROM shared
 JOIN sz sa ON sa.doc = doc_a
 JOIN sz sb ON sb.doc = doc_b
 WHERE n_shared / least(sa.n_fp, sb.n_fp) >= 0.5
+"""
+
+# Spark side: operators/sampling.py hash_stratified_sample (registry
+# stratified_sample_docs; salt=42, DEFAULT_FRACTIONS). The md5-slice
+# bucket makes the EXACT sampled row set cross-engine — int(frac*1e6)
+# mirrors Spark's truncation.
+ORACLE_TEXT["stratified_sample_docs"] = """
+WITH d AS (
+    SELECT doc_id, lang, source,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8))
+               ::BIGINT % 1000000 AS bucket
+    FROM documents
+),
+fr(lang, thresh) AS (VALUES
+    ('en', 500000), ('de', 300000), ('fr', 300000),
+    ('es', 300000), ('it', 300000))
+SELECT doc_id, d.lang, source
+FROM d JOIN fr ON d.lang = fr.lang
+WHERE bucket < thresh
 """
 
 # Spark side: operators/sampling.py mixture_rebalance (md5-rank quotas).

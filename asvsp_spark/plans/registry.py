@@ -163,7 +163,10 @@ def _minhash_lsh_pairs(spark, sf):
 
 
 @register("simhash_pairs")
-def _simhash_pairs(spark, sf):  # rows-only: xxhash64 has no DuckDB twin
+def _simhash_pairs(spark, sf):
+    """Oracle-paired since r5: the md5-sliced token hash (same family
+    as minhash) made the vote/pack/band/hamming pipeline
+    DuckDB-reproducible end-to-end."""
     return D.simhash_pairs(_t(spark, sf, "documents"))
 
 
@@ -725,9 +728,11 @@ def _sample_k_per_group(spark, sf):
 # ---- stratified sampling ----
 
 @register("stratified_sample_docs")
-def _stratified_sample_docs(spark, sf):  # rows-only: sample membership has
-    """Deterministic hash-stratified document sample (reproducible across
-    runs/partitionings; per-stratum fractions unit-tested)."""
+def _stratified_sample_docs(spark, sf):
+    """Deterministic hash-stratified document sample. Oracle-paired
+    since r5: the md5-slice bucket (minhash's hash construction) makes
+    the EXACT sampled row set reproducible in DuckDB — previously
+    rows-only under xxhash64. Per-stratum fractions also unit-tested."""
     from asvsp_spark.operators.sampling import hash_stratified_sample
     return hash_stratified_sample(_t(spark, sf, "documents")).select(
         "doc_id", "lang", "source")
