@@ -290,14 +290,19 @@ def _hyperplane_band_keys(vec_col_name: str, bands: int, rows_per_band: int,
     return band_keys(F.col(vec_col_name))
 
 
-def _hyperplane_sketch(vec_col_name: str, n_planes: int = 8,
-                       seed: int = 7) -> F.Column:
+def _hyperplane_sketch(vec_col_name: str, n_planes: int = 8) -> F.Column:
     """Random-hyperplane sign sketch as one LONG, Arrow-vectorized: each
     batch is one (n, dim) x (dim, n_planes) matrix multiply in numpy,
-    sign bits packed into the result long. The +-1 plane matrix is
-    regenerated per batch from a fixed seed (dim x n_planes floats —
-    negligible), so the sketch is deterministic across batches,
-    executors and runs with no stored model.
+    sign bits packed into the result long. The +-1 Rademacher plane
+    matrix is derived per entry from md5(plane|dim)'s low bit (the
+    dedup family's md5-slice construction), regenerated per batch
+    (dim x n_planes hashes — negligible): deterministic across batches,
+    executors, runs AND engines — DuckDB reproduces the identical
+    sketch with ('0x'||substr(md5(j||'|'||d),1,8))::BIGINT & 1, which
+    is what makes lsh_topk oracle-checkable. Rademacher signs satisfy
+    the same sign-LSH collision bound as Gaussian planes
+    (P[collision] = 1 - angle/pi holds approximately; Achlioptas 2001
+    for the projection quality).
 
     An expression-level formulation (aggregate/zip_with/transform with a
     per-element hash) computes the same thing but is interpreted
@@ -324,10 +329,12 @@ def _hyperplane_sketch(vec_col_name: str, n_planes: int = 8,
                      if a is not None and a.ndim == 1 and a.shape[0] == dim
                      and np.isfinite(a).all()]
             if valid:
+                import hashlib
                 m = np.stack([arrs[i] for i in valid])
-                planes = (np.random.default_rng(seed)
-                          .choice(np.array([-1.0, 1.0]),
-                                  size=(dim, n_planes)))
+                planes = np.array(
+                    [[1.0 if int(hashlib.md5(f"{j}|{d}".encode())
+                                 .hexdigest()[:8], 16) & 1 else -1.0
+                      for j in range(n_planes)] for d in range(dim)])
                 bits = (m @ planes) > 0.0
                 vv = (bits.astype(np.int64)
                       << np.arange(n_planes, dtype=np.int64)).sum(axis=1)

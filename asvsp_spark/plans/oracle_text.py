@@ -375,6 +375,69 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
 
 ORACLE_TEXT["simhash_pairs"] = _simhash_sql()
 
+
+# Spark side: operators/similarity.py lsh_bucketed_topk (registry
+# lsh_topk: k=5, n_queries=10, n_planes=8). The Rademacher plane signs
+# are md5-derived per (plane, dim) entry, so DuckDB rebuilds the exact
+# sign sketch; the multi-probe (exact bucket + all Hamming-1 flips),
+# cosine scoring and rank window are all mirrored. Sign decisions use
+# strict > 0 on a sum of products — float addition order differs
+# between numpy matmul and list_sum, but a sign flip needs |proj|
+# within accumulated ULP error (~1e-13 relative), vanishingly rare on
+# real embeddings.
+def _lsh_topk_sql(k: int = 5, n_queries: int = 10,
+                  n_planes: int = 8) -> str:
+    def proj(j: int) -> str:
+        sign = (f"CASE WHEN (('0x' || substr(md5('{j}|' || (d - 1)), 1, 8))"
+                "::BIGINT & 1) = 1 THEN 1.0 ELSE -1.0 END")
+        return (f"list_sum(list_transform(range(1, len(e) + 1), "
+                f"d -> e[d] * {sign}))")
+
+    bucket = "\n             + ".join(
+        f"CASE WHEN {proj(j)} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(n_planes))
+    flips = ", ".join(f"xor(bucket, {1 << j})" for j in range(n_planes))
+    return f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+b AS (
+    SELECT vec_id, e,
+           ({bucket}) AS bucket
+    FROM v
+),
+probes AS (
+    SELECT vec_id AS query_id,
+           unnest([bucket, {flips}]) AS bucket
+    FROM b WHERE vec_id < {n_queries}
+),
+cand AS (
+    SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+    FROM probes p JOIN b c ON c.bucket = p.bucket
+    WHERE c.vec_id <> p.query_id
+),
+s AS (
+    SELECT query_id, neighbor_id,
+           round(list_dot_product(q.e, c.e)
+                 / sqrt(list_dot_product(q.e, q.e))
+                 / sqrt(list_dot_product(c.e, c.e)) * 1000000)
+               / 1000000.0 AS cos_sim
+    FROM cand
+    JOIN v q ON q.vec_id = cand.query_id
+    JOIN v c ON c.vec_id = cand.neighbor_id
+),
+r AS (
+    SELECT *, CAST(rank() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id)
+                   AS INT) AS rnk
+    FROM s
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= {k}
+"""
+
+
+ORACLE_TEXT["lsh_topk"] = _lsh_topk_sql()
+
 # Spark side: operators/dedup.py winnow_fingerprints / winnow_pairs.
 # md5 hex strings compare lexicographically the same in both engines;
 # DuckDB list slicing is 1-based inclusive (hs[i+1:i+w] = w elements).

@@ -295,7 +295,11 @@ def _cosine_dup_pairs(spark, sf):
 
 
 @register("lsh_topk")
-def _lsh_topk(spark, sf):  # rows-only: approximate by design
+def _lsh_topk(spark, sf):
+    """Oracle-paired since r5: md5-derived Rademacher plane signs make
+    the sign sketch engine-portable, so the bucketed candidates, the
+    Hamming-1 multi-probe and the final rank are DuckDB-reproducible —
+    recall vs brute force stays < 1 by design, output deterministic."""
     return SIM.lsh_bucketed_topk(_t(spark, sf, "embeddings"))
 
 
