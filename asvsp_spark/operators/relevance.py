@@ -256,3 +256,118 @@ def bigram_backoff_score(docs: DataFrame, train_filter=None,
             .select(id_col, "lang",
                     F.col("n_bigrams").cast("int").alias("n_bigrams"),
                     round_fixed(F.col("avg_lp"), 6).alias("avg_logprob")))
+
+
+# ----------------------------------------------------------- DSIR
+
+def _md5_bucket(col: F.Column, n_buckets: int, salt: str = "") -> F.Column:
+    """Deterministic feature-hash bucket: first 32 bits of md5, mod
+    n_buckets — the dedup family's md5-slice construction, bit-identical
+    in DuckDB (('0x'||substr(md5(..),1,8))::BIGINT % B), which is what
+    keeps every DSIR stage oracle-checkable."""
+    src = F.concat(col, F.lit(salt)) if salt else col
+    return F.pmod(
+        F.conv(F.substring(F.md5(src), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets))
+
+
+def dsir_weights(docs: DataFrame, target_filter: F.Column | None = None,
+                 n: int = 2, n_buckets: int = 10_000,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023 — public method):
+    score every RAW document by how target-like its hashed n-gram
+    profile is,
+
+        log w(x) = sum over n-gram instances g of x:
+                   ln p_target(h(g)) - ln q_raw(h(g))
+
+    with h = md5-bucket into ``n_buckets`` and both models add-1
+    smoothed bucket unigrams. ``target_filter`` marks the target-domain
+    rows INSIDE ``docs`` (default: lang = 'en'); the raw model is the
+    whole corpus. Output: (doc_id, n_grams, log_weight) for every doc,
+    n_grams counting instances (not distinct — DSIR is a bag-of-features
+    statistic).
+
+    Scale shape: one token explode (embarrassingly parallel), two
+    bounded groupBys onto the n_buckets feature space, one broadcast
+    join of the (n_buckets)-row model table onto the gram stream, and a
+    map-side-combining per-doc sum. Nothing shuffles at corpus
+    cardinality except the per-doc aggregate keyed by doc id. The
+    model table is ~n_buckets rows regardless of corpus size — at
+    100 TB the models are still a broadcast.
+    """
+    from asvsp_spark.plans.base import round_fixed
+    if target_filter is None:
+        target_filter = F.col("lang") == "en"
+    toks = docs.select(
+        F.col(id_col).alias("doc"), target_filter.alias("is_target"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+    grams = toks.select(
+        "doc", "is_target",
+        F.explode(TX.token_ngrams("toks", n)).alias("g"))
+    feats = grams.select(
+        "doc", "is_target", _md5_bucket(F.col("g"), n_buckets).alias("b"))
+
+    # add-1-smoothed bucket models; a single pass computes both counts
+    counts = (feats.groupBy("b")
+              .agg(F.count(F.lit(1)).alias("c_raw"),
+                   F.sum(F.col("is_target").cast("long")).alias("c_tgt")))
+    totals = counts.agg(F.sum("c_raw").alias("t_raw"),
+                        F.sum("c_tgt").alias("t_tgt"))
+    model = (counts.crossJoin(F.broadcast(totals))
+             .select("b",
+                     (F.log((F.col("c_tgt") + 1)
+                            / (F.col("t_tgt") + n_buckets))
+                      - F.log((F.col("c_raw") + 1)
+                              / (F.col("t_raw") + n_buckets))).alias("lr")))
+    return (feats.join(F.broadcast(model), "b")
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum("lr").alias("lw"))
+            .select(F.col("doc").alias(id_col),
+                    F.col("n_grams").cast("int").alias("n_grams"),
+                    round_fixed(F.col("lw"), 6).alias("log_weight")))
+
+
+def dsir_resample(docs: DataFrame, keep_frac: float = 0.4,
+                  target_filter: F.Column | None = None,
+                  n: int = 2, n_buckets: int = 10_000,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  salt: str = "dsir42") -> DataFrame:
+    """The resampling half of DSIR: keep ``keep_frac`` of the scored
+    corpus by Gumbel-top-k over the importance weights — sampling
+    WITHOUT replacement proportional to w(x) (Vieira 2014's Gumbel-max
+    trick), which is DSIR's selection rule. The Gumbel noise is
+    DETERMINISTIC: u = (md5-bucket(doc_id|salt) + 0.5) / 1e6,
+    g = -ln(-ln(u)) — reproducible across runs, retries and engines,
+    so the EXACT kept set is oracle-checkable (same stance as
+    mixture_rebalance's md5-rank membership).
+
+    Output: the kept documents' (doc_id, n_grams, log_weight, rk) with
+    rk the 1-based Gumbel-perturbed rank. Quota = floor(keep_frac * N)
+    over scored docs (docs with zero n-grams score no weight and are
+    never kept — they carry no evidence either way).
+
+    Scale note: the exact Gumbel-top-k needs ONE global rank over the
+    scored corpus (an unpartitioned row_number — a single-reducer sort
+    of (key, id) pairs, ~16 bytes/doc; fine to ~1e9 docs, and the
+    exactness is what makes the kept set oracle-checkable). Past that,
+    select by THRESHOLD instead: approxQuantile(k, 1 - keep_frac) and
+    filter — same distribution, no global sort, rows-only check.
+    """
+    from asvsp_spark.plans.base import round_fixed
+    w = dsir_weights(docs, target_filter, n, n_buckets, id_col, text_col)
+    u = (_md5_bucket(F.col(id_col).cast("string"), 1_000_000,
+                     salt="|" + salt) + 0.5) / 1_000_000.0
+    key = F.col("log_weight") + (-F.log(-F.log(u)))
+    win = Window.orderBy(F.desc("k"), F.asc(id_col))
+    scored = w.withColumn("k", round_fixed(key, 6))
+    total = scored.agg(F.count(F.lit(1)).alias("n_scored"))
+    return (scored
+            .withColumn("rk", F.row_number().over(win))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("rk")
+                    <= F.floor(F.lit(keep_frac) * F.col("n_scored")))
+            .select(id_col, "n_grams", "log_weight",
+                    F.col("rk").cast("int").alias("rk")))

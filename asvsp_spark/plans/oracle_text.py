@@ -796,3 +796,66 @@ SELECT doc_id, lang, CAST(count(*) AS INT) AS n_bigrams,
        round(avg(ln(s)) * 1000000) / 1000000.0 AS avg_logprob
 FROM s GROUP BY 1, 2
 """
+
+# Spark side: operators/relevance.py dsir_weights / dsir_resample
+# (registry: n=2 bigrams, n_buckets=10000, target = lang 'en',
+# keep_frac=0.4, salt 'dsir42'). Feature hash and Gumbel uniform both
+# use the md5-slice construction; DuckDB's integer '/' returns DOUBLE,
+# matching Spark's always-double '/'.
+_DSIR_W = r"""
+WITH toks AS (
+    SELECT doc_id AS doc, lang = 'en' AS is_target,
+           regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT doc, is_target,
+           unnest(CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])
+           ELSE [] END) AS g
+    FROM toks
+),
+feats AS (
+    SELECT doc, is_target,
+           ('0x' || substr(md5(g), 1, 8))::BIGINT % 10000 AS b
+    FROM grams
+),
+counts AS (
+    SELECT b, count(*) AS c_raw,
+           sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt
+    FROM feats GROUP BY 1
+),
+totals AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM counts),
+model AS (
+    SELECT b, ln((c_tgt + 1) / (t_tgt + 10000))
+              - ln((c_raw + 1) / (t_raw + 10000)) AS lr
+    FROM counts CROSS JOIN totals
+),
+w AS (
+    SELECT doc AS doc_id, CAST(count(*) AS INT) AS n_grams,
+           round(sum(lr) * 1000000) / 1000000.0 AS log_weight
+    FROM feats JOIN model USING (b)
+    GROUP BY 1
+)
+"""
+
+ORACLE_TEXT["dsir_weights"] = _DSIR_W + "SELECT * FROM w"
+
+ORACLE_TEXT["dsir_sample"] = _DSIR_W + """,
+g AS (
+    SELECT *,
+           round((log_weight + (-ln(-ln(
+               ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|dsir42'),
+                  1, 8))::BIGINT % 1000000) + 0.5) / 1000000.0
+           )))) * 1000000) / 1000000.0 AS k
+    FROM w
+),
+r AS (
+    SELECT *, row_number() OVER (ORDER BY k DESC, doc_id) AS rk FROM g
+),
+n AS (SELECT count(*) AS n_scored FROM g)
+SELECT doc_id, n_grams, log_weight, CAST(rk AS INT) AS rk
+FROM r CROSS JOIN n
+WHERE rk <= floor(0.4 * n_scored)
+"""

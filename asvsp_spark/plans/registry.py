@@ -1309,3 +1309,23 @@ def _skew_join_salted(spark, sf):
     """The fix: salted_join spreads the hot key over 32 buckets before
     the shuffle; result multiset identical (shared oracle)."""
     return _skew_join_demo(spark, sf, salted=True)
+
+
+# ---- DSIR data selection (operators/relevance.py, Xie et al. 2023) ----
+
+@register("dsir_weights")
+def _dsir_weights(spark, sf):
+    """Hashed-bigram importance weight of every document against the
+    English-subset target model — DSIR's scoring stage, md5-bucket
+    feature hashing so the whole statistic is oracle-checkable."""
+    from asvsp_spark.operators.relevance import dsir_weights
+    return dsir_weights(_t(spark, sf, "documents"))
+
+
+@register("dsir_sample")
+def _dsir_sample(spark, sf):
+    """DSIR's selection stage: Gumbel-top-k resampling (40% quota) with
+    deterministic md5-uniform Gumbel noise — the EXACT kept set is
+    cross-engine reproducible."""
+    from asvsp_spark.operators.relevance import dsir_resample
+    return dsir_resample(_t(spark, sf, "documents"))

@@ -1021,3 +1021,43 @@ def test_incremental_minhash_rejects_mismatched_store(spark, tmp_path):
                               num_hashes=16, bands=8)
     with pytest.raises(ValueError, match="16-hash"):
         incremental_minhash_dedup(spark, docs, store)   # 64-hash default
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR sanity on a constructed corpus: documents sharing the target
+    domain's bigrams must outscore documents made of raw-only bigrams,
+    and the resample keeps exactly floor(keep_frac * N) docs, highest
+    perturbed keys first (deterministic across calls)."""
+    from asvsp_spark.operators.relevance import dsir_resample, dsir_weights
+    target_text = "the quick brown fox jumps over the lazy dog again and again"
+    noise_text = "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10 zz11 zz12"
+    rows = [(i, target_text, "en") for i in range(5)]          # target
+    rows += [(10 + i, target_text, "de") for i in range(3)]    # target-like raw
+    rows += [(20 + i, noise_text, "de") for i in range(3)]     # off-domain raw
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    w = {r.doc_id: r.log_weight for r in dsir_weights(docs).collect()}
+    assert len(w) == 11
+    # every target-like doc outscores every off-domain doc
+    assert min(w[i] for i in (10, 11, 12)) > max(w[i] for i in (20, 21, 22))
+
+    kept = dsir_resample(docs, keep_frac=0.5).collect()
+    assert len(kept) == 5                       # floor(0.5 * 11)
+    assert [r.rk for r in sorted(kept, key=lambda r: r.rk)] == [1, 2, 3, 4, 5]
+    # deterministic: same call, same kept set
+    again = {r.doc_id for r in dsir_resample(docs, keep_frac=0.5).collect()}
+    assert again == {r.doc_id for r in kept}
+
+
+def test_dsir_short_docs_carry_no_weight(spark):
+    """Docs shorter than one bigram are absent from the weight table
+    (no evidence) and never sampled."""
+    from asvsp_spark.operators.relevance import dsir_resample, dsir_weights
+    docs = spark.createDataFrame(
+        [(1, "one", "en"), (2, "two words here", "en"),
+         (3, "more words again", "de")],
+        "doc_id long, text string, lang string")
+    w = {r.doc_id for r in dsir_weights(docs).collect()}
+    assert w == {2, 3}
+    kept = {r.doc_id for r in dsir_resample(docs, keep_frac=0.5).collect()}
+    assert kept <= {2, 3} and len(kept) == 1    # floor(0.5 * 2)
