@@ -399,10 +399,23 @@ _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 # rows remain), top_bigrams (text family keeps token_length_histogram /
 # doc_repetition / quality_filter_report), label_centroids (embedding
 # family keeps cosine_topk + the new ivf_topk_full_probe).
+#
+# r5 late additions: five MORE entries became oracle-paired after the
+# rotation above was written and have never earned a driver row —
+# simhash_pairs + lsh_topk + stratified_sample_docs (md5-slice hashing
+# made the sketches DuckDB-reproducible) and dsir_weights + dsir_sample
+# (new DSIR data-selection operator). They take the slots of five
+# r4-green entries, each locally hash-pinned with family rows kept:
+# dedup_components_star (components family keeps dedup_components,
+# green r1-r4), nation_revenue_distribution (distribution family keeps
+# rollup_revenue_region_nation + cube_revenue_nation_year),
+# mixture_rebalance (sampling family's row moves to the new
+# stratified_sample_docs), q12_late_shipments + q13_supplier_margin_topk
+# (batch suite keeps q01/q02/q08/q10/q11 rows).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "q02_peak_month", "q08_period_compare",
-    "q10_improvement_streaks", "q12_late_shipments",
-    "q11_pricing_summary", "q13_supplier_margin_topk",
+    "q10_improvement_streaks", "dsir_weights",
+    "q11_pricing_summary", "dsir_sample",
     "rollup_daily_events", "rollup_monthly_events",
     "rollup_revenue_region_nation",
     "minhash_lsh_pairs", "ivf_topk_full_probe", "packing_bins",
@@ -421,12 +434,12 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "sq9_hourly_daily_chain", "sq10_funnel_hourly",
     "asof_last_order", "user_day_bookends",
     "distinct_users_daily",
-    "cube_revenue_nation_year", "nation_revenue_distribution",
-    "dedup_components", "dedup_components_star",
+    "cube_revenue_nation_year", "lsh_topk",
+    "dedup_components", "simhash_pairs",
     "heavy_hitters_users",
     "customer_retention_setops",
     "funnel_daily", "scd2_user_state",
-    "mixture_rebalance",
+    "stratified_sample_docs",
 )
 
 
