@@ -768,3 +768,77 @@ def incremental_minhash_dedup(spark, new_docs: DataFrame, store_path: str,
         "known_near_dupes": n_within - n_fresh,
         "fresh": n_fresh,
     }
+
+
+def dup_spans(documents: DataFrame, window: int = 8, min_docs: int = 2,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-substring duplicate spans (the windowed formulation of Lee
+    et al., "Deduplicating Training Data Makes Language Models Better",
+    ACL'22): every ``window``-token span whose exact text occurs in at
+    least ``min_docs`` DISTINCT documents is flagged, and overlapping /
+    abutting flagged windows are merged into maximal spans per document.
+    Output: (doc_id, span_start, span_end, n_windows) with 1-based
+    token positions, span_end inclusive — the removal plan a trainer
+    applies before tokenization. The suffix-array construction in the
+    paper is a single-machine algorithm; the Spark-first equivalent is
+    this hashed-window inverted index: same guarantee for duplicated
+    substrings of length >= ``window`` tokens, embarrassingly parallel.
+
+    Shape, at 100 TB:
+    - One projection builds, per doc, the array of (position, 64-bit
+      md5-slice window hash) structs — HOF kept in a single projection
+      (interpreted lambdas get no cross-operator CSE), then one explode.
+      ~n_tokens rows per doc, 16-byte keys: the same order of stream
+      the shingle posting already produces.
+    - The hot-window set is a partial-aggregatable groupBy on the hash
+      with a distinct-doc count: (hash, doc) dedup first, then count —
+      both map-side combining.
+    - Membership join back is a LEFT SEMI on the hash: output is
+      bounded by the input positions (no fan-out, no df^2 term — unlike
+      pair generation, span flagging never multiplies by document
+      frequency, so boilerplate needs no max_df cap here).
+    - The window-hash stream feeds both the aggregate and the
+      semi-join; recomputing it (lineage) is the scale-correct choice —
+      it is corpus-sized, and re-scanning beats materializing it.
+    - Span merge is gaps-and-islands PER DOC (window-function over
+      doc-partitioned positions — parallel, no global sort): a new
+      island starts when the next flagged position exceeds the previous
+      by more than ``window`` (strictly more than the span it covers),
+      i.e. overlapping and directly-abutting windows merge.
+
+    Every step (md5 hex slice, group-having, lag/sum islands) is
+    bit-identical in DuckDB, so the full span report is
+    oracle-checkable.
+    """
+    w = int(window)
+    toks = documents.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+    wins = toks.select("doc", F.explode(F.expr(
+        f"CASE WHEN size(toks) >= {w} THEN "
+        f"transform(sequence(1, size(toks) - {w} + 1), "
+        f"i -> struct(i AS p, "
+        f"substring(md5(concat_ws(' ', slice(toks, i, {w}))), 1, 16) AS h)) "
+        f"ELSE array() END")).alias("win"))
+    wins = wins.select("doc", F.col("win.p").alias("p"),
+                       F.col("win.h").alias("h"))
+    hot = (wins.select("h", "doc").distinct()
+           .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+           .filter(F.col("nd") >= int(min_docs))
+           .select("h"))
+    pos = wins.join(hot, "h", "left_semi").select("doc", "p").distinct()
+    by_pos = Window.partitionBy("doc").orderBy("p")
+    isl = pos.withColumn(
+        "brk",
+        F.when(F.col("p") - F.lag("p").over(by_pos) <= w, F.lit(0))
+         .otherwise(F.lit(1)))
+    grp = isl.withColumn(
+        "g", F.sum("brk").over(by_pos.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+    return (grp.groupBy("doc", "g")
+            .agg(F.min("p").alias("mn"), F.max("p").alias("mx"),
+                 F.count(F.lit(1)).alias("nw"))
+            .select(F.col("doc").alias(id_col),
+                    F.col("mn").cast("int").alias("span_start"),
+                    (F.col("mx") + w - 1).cast("int").alias("span_end"),
+                    F.col("nw").cast("int").alias("n_windows")))

@@ -859,3 +859,84 @@ SELECT doc_id, n_grams, log_weight, CAST(rk AS INT) AS rk
 FROM r CROSS JOIN n
 WHERE rk <= floor(0.4 * n_scored)
 """
+
+# Spark side: operators/dedup.py dup_spans (registry: window=8,
+# min_docs=2). Window hashes are 64-bit md5-hex slices of the joined
+# 8-token window; islands merge flagged positions whose gap <= window.
+ORACLE_TEXT["dup_spans"] = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    FROM documents
+),
+wins AS (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        list_transform(range(1, len(t) - 8 + 2),
+            i -> {'p': i,
+                  'h': substr(md5(list_aggregate(t[i:i+7],
+                                                 'string_agg', ' ')),
+                              1, 16)})
+    ELSE [] END, recursive := true)
+    FROM toks
+),
+hot AS (
+    SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
+    GROUP BY h HAVING count(*) >= 2
+),
+pos AS (SELECT DISTINCT doc_id, p FROM wins JOIN hot USING (h)),
+isl AS (
+    SELECT doc_id, p,
+           CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+                THEN 0 ELSE 1 END AS brk
+    FROM pos
+),
+grp AS (
+    SELECT doc_id, p,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+    FROM isl
+)
+SELECT doc_id, CAST(min(p) AS INT) AS span_start,
+       CAST(max(p) + 8 - 1 AS INT) AS span_end,
+       CAST(count(*) AS INT) AS n_windows
+FROM grp GROUP BY doc_id, g
+"""
+
+# Spark side: operators/sharding.py shard_assignments / shard_manifest
+# (registry: n_shards=16, salt 'shard42'; manifest entry uses the
+# token-balanced LPT mode). pk is the 64-bit md5-hex permutation key,
+# compared lexicographically in both engines.
+ORACLE_TEXT["shard_assignments"] = r"""
+WITH d AS (
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           substr(md5(CAST(doc_id AS VARCHAR) || '|shard42'), 1, 16) AS pk
+    FROM documents
+),
+s AS (
+    SELECT doc_id, n_tokens, pk,
+           CAST(('0x' || substr(pk, 1, 8))::BIGINT % 16 AS INT) AS shard
+    FROM d
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY pk, doc_id)
+            AS INT) AS pos_in_shard,
+       CAST(n_tokens AS INT) AS n_tokens
+FROM s
+"""
+
+ORACLE_TEXT["shard_manifest_lpt"] = r"""
+WITH d AS (
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+    FROM documents
+),
+r AS (
+    SELECT doc_id, n_tokens,
+           row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+    FROM d
+),
+a AS (SELECT CAST((rk - 1) % 16 AS INT) AS shard, n_tokens FROM r)
+SELECT shard, CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(max(n_tokens) AS INT) AS max_doc_tokens
+FROM a GROUP BY shard
+"""

@@ -1342,3 +1342,31 @@ def _dsir_sample(spark, sf):
     cross-engine reproducible."""
     from asvsp_spark.operators.relevance import dsir_resample
     return dsir_resample(_t(spark, sf, "documents"))
+
+
+# ---- exact-substring spans + shard planning (new r5) ----
+
+@register("dup_spans")
+def _dup_spans(spark, sf):
+    """Lee-et-al-style duplicate-substring removal plan: maximal spans
+    of 8-token windows shared verbatim across >= 2 documents, merged
+    per doc via gaps-and-islands — fully oracle-checkable."""
+    from asvsp_spark.operators.dedup import dup_spans
+    return dup_spans(_t(spark, sf, "documents"))
+
+
+@register("shard_assignments")
+def _shard_assignments(spark, sf):
+    """Deterministic global shuffle-and-shard plan (hash mode): shard
+    and intra-shard position are pure md5 functions of the doc id, so
+    the exact training-data layout is reproducible and auditable."""
+    from asvsp_spark.operators.sharding import shard_assignments
+    return shard_assignments(_t(spark, sf, "documents"))
+
+
+@register("shard_manifest_lpt")
+def _shard_manifest_lpt(spark, sf):
+    """Token-balanced (LPT round-robin) shard manifest: the 16-row
+    per-shard doc/token totals a data-loader config consumes."""
+    from asvsp_spark.operators.sharding import shard_manifest
+    return shard_manifest(_t(spark, sf, "documents"), by_tokens=True)

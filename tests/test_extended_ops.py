@@ -1061,3 +1061,77 @@ def test_dsir_short_docs_carry_no_weight(spark):
     assert w == {2, 3}
     kept = {r.doc_id for r in dsir_resample(docs, keep_frac=0.5).collect()}
     assert kept <= {2, 3} and len(kept) == 1    # floor(0.5 * 2)
+
+
+def test_dup_spans_flags_shared_runs_and_merges_windows(spark):
+    """Two docs sharing an exact 10-token run produce one merged span
+    each covering exactly that run; the unrelated doc is absent; a
+    window repeated only WITHIN one doc does not count toward
+    min_docs=2."""
+    from asvsp_spark.operators.dedup import dup_spans
+    shared = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"          # 10 tokens
+    d1 = "x1 x2 " + shared + " y1 y2"                   # run at tokens 3..12
+    d2 = shared + " z1 z2 z3"                           # run at tokens 1..10
+    d3 = "w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4 w5 w6 w7 w8"  # self-repeat only
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in dup_spans(docs, window=8).collect()}
+    assert set(rows) == {1, 2}
+    # 10-token run -> 3 overlapping 8-token windows, merged to one span
+    assert (rows[1].span_start, rows[1].span_end, rows[1].n_windows) == (3, 12, 3)
+    assert (rows[2].span_start, rows[2].span_end, rows[2].n_windows) == (1, 10, 3)
+
+
+def test_dup_spans_distant_runs_stay_separate_islands(spark):
+    """Two shared 8-token runs separated by a long unique gap in one
+    doc yield two distinct spans for it (the island break fires when
+    the position gap exceeds the window)."""
+    from asvsp_spark.operators.dedup import dup_spans
+    run_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    run_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    gap = " ".join(f"u{i}" for i in range(12))
+    d1 = run_a + " " + gap + " " + run_b     # runs at 1..8 and 21..28
+    docs = spark.createDataFrame(
+        [(1, d1), (2, run_a), (3, run_b)], "doc_id long, text string")
+    spans = sorted(
+        ((r.span_start, r.span_end) for r in
+         dup_spans(docs, window=8).collect() if r.doc_id == 1))
+    assert spans == [(1, 8), (21, 28)]
+
+
+def test_shard_assignments_partition_and_determinism(spark):
+    """Hash mode: every doc lands in exactly one shard, pos_in_shard is
+    contiguous from 1 within each shard, and the layout is identical
+    across invocations (pure function of the id)."""
+    from asvsp_spark.operators.sharding import shard_assignments
+    docs = spark.createDataFrame(
+        [(i, f"t{i} " * (5 + i % 7)) for i in range(97)],
+        "doc_id long, text string")
+    plan = shard_assignments(docs, n_shards=8).collect()
+    assert len(plan) == 97 and len({r.doc_id for r in plan}) == 97
+    assert {r.shard for r in plan} <= set(range(8))
+    by_shard = {}
+    for r in plan:
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = shard_assignments(docs, n_shards=8).collect()
+    assert {(r.doc_id, r.shard, r.pos_in_shard) for r in again} == \
+           {(r.doc_id, r.shard, r.pos_in_shard) for r in plan}
+
+
+def test_shard_manifest_lpt_balances_tokens(spark):
+    """LPT round-robin mode: shard token totals spread by at most one
+    max-length document, and doc counts differ by at most one."""
+    from asvsp_spark.operators.sharding import shard_manifest
+    docs = spark.createDataFrame(
+        [(i, "w " * (10 + (i * 37) % 90)) for i in range(64)],
+        "doc_id long, text string")
+    man = shard_manifest(docs, n_shards=4, by_tokens=True).collect()
+    assert len(man) == 4
+    tok = [r.n_tokens for r in man]
+    mx_doc = max(r.max_doc_tokens for r in man)
+    assert max(tok) - min(tok) <= mx_doc
+    nd = [r.n_docs for r in man]
+    assert max(nd) - min(nd) <= 1
+    assert sum(nd) == 64
