@@ -787,24 +787,28 @@ def dup_spans(documents: DataFrame, window: int = 8, min_docs: int = 2,
     Shape, at 100 TB:
     - One projection builds, per doc, the array of (position, 64-bit
       md5-slice window hash) structs — HOF kept in a single projection
-      (interpreted lambdas get no cross-operator CSE), then one explode.
-      ~n_tokens rows per doc, 16-byte keys: the same order of stream
-      the shingle posting already produces.
-    - The hot-window set is a partial-aggregatable groupBy on the hash
-      with a distinct-doc count: (hash, doc) dedup first, then count —
-      both map-side combining.
+      (interpreted lambdas get no cross-operator CSE). The per-doc
+      ARRAY frame is what gets checkpointed and shared (the
+      minhash_lsh_pairs staging lesson: one row per doc, never the
+      exploded stream), feeding both consumers below.
+    - The hot-window set needs count(DISTINCT doc) per hash; the
+      within-doc dedup happens NARROWLY via array_distinct over the
+      per-doc hash array before the explode, so the aggregate is a
+      plain partial-aggregatable count — no (hash, doc) dedup shuffle.
     - Membership join back is a LEFT SEMI on the hash: output is
       bounded by the input positions (no fan-out, no df^2 term — unlike
       pair generation, span flagging never multiplies by document
-      frequency, so boilerplate needs no max_df cap here).
-    - The window-hash stream feeds both the aggregate and the
-      semi-join; recomputing it (lineage) is the scale-correct choice —
-      it is corpus-sized, and re-scanning beats materializing it.
+      frequency, so boilerplate needs no max_df cap here). AQE turns
+      it into a broadcast join when the hot set is small at runtime.
     - Span merge is gaps-and-islands PER DOC (window-function over
       doc-partitioned positions — parallel, no global sort): a new
       island starts when the next flagged position exceeds the previous
       by more than ``window`` (strictly more than the span it covers),
-      i.e. overlapping and directly-abutting windows merge.
+      i.e. overlapping and directly-abutting windows merge. Positions
+      are unique per doc by construction, so no distinct is needed,
+      and the final (doc, island) aggregate reuses the doc partitioning
+      the window function installed — zero extra exchanges after the
+      semi-join.
 
     Every step (md5 hex slice, group-having, lag/sum islands) is
     bit-identical in DuckDB, so the full span report is
@@ -814,19 +818,22 @@ def dup_spans(documents: DataFrame, window: int = 8, min_docs: int = 2,
     toks = documents.select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
-    wins = toks.select("doc", F.explode(F.expr(
+    wins_arr = toks.select("doc", F.expr(
         f"CASE WHEN size(toks) >= {w} THEN "
         f"transform(sequence(1, size(toks) - {w} + 1), "
         f"i -> struct(i AS p, "
         f"substring(md5(concat_ws(' ', slice(toks, i, {w}))), 1, 16) AS h)) "
-        f"ELSE array() END")).alias("win"))
-    wins = wins.select("doc", F.col("win.p").alias("p"),
-                       F.col("win.h").alias("h"))
-    hot = (wins.select("h", "doc").distinct()
+        f"ELSE array() END").alias("wins")).localCheckpoint(eager=True)
+    hot = (wins_arr
+           .select(F.explode(F.expr("array_distinct(transform(wins, x -> x.h))"))
+                   .alias("h"))
            .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
            .filter(F.col("nd") >= int(min_docs))
            .select("h"))
-    pos = wins.join(hot, "h", "left_semi").select("doc", "p").distinct()
+    wins = (wins_arr.select("doc", F.explode("wins").alias("win"))
+            .select("doc", F.col("win.p").alias("p"),
+                    F.col("win.h").alias("h")))
+    pos = wins.join(hot, "h", "left_semi").select("doc", "p")
     by_pos = Window.partitionBy("doc").orderBy("p")
     isl = pos.withColumn(
         "brk",
