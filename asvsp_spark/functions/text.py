@@ -39,6 +39,30 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer, restricted to the Java/RE2 regex
+# intersection (no lookahead — the original's \s+(?!\S) tail branch is
+# RE2-illegal and only matters for trailing-space tokens, which a
+# counter can ignore): contractions first so they win the leftmost-
+# first alternation in BOTH engines, then space-prefixed letter runs,
+# digit runs, and punctuation runs.
+BPE_PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def subword_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokens (GPT-2 pre-tokenizer classes). Real BPE then
+    only SPLITS these further, so this count is a lower bound on (and
+    in practice within ~25-40% of) a trained tokenizer's token count —
+    the standard cheap token-budget estimator when the tokenizer model
+    is not shippable into the engine. Pure regexp_extract_all: one
+    projection, whole-stage codegen, identical matches in DuckDB (RE2
+    and java.util.regex are both leftmost-first here)."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
+def subword_token_count(text: Column) -> Column:
+    return F.size(subword_tokens(text))
+
+
 def stopword_count(toks_col_name: str, words: tuple[str, ...] = STOPWORDS) -> Column:
     wordlist = ", ".join(f"'{w}'" for w in words)
     return F.expr(f"size(filter({toks_col_name}, t -> t IN ({wordlist})))")

@@ -849,3 +849,39 @@ def dup_spans(documents: DataFrame, window: int = 8, min_docs: int = 2,
                     F.col("mn").cast("int").alias("span_start"),
                     (F.col("mx") + w - 1).cast("int").alias("span_end"),
                     F.col("nw").cast("int").alias("n_windows")))
+
+
+def remove_dup_spans(documents: DataFrame, spans: DataFrame,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Apply a ``dup_spans`` report: rebuild each document's text with
+    every flagged token span dropped. Output: (doc_id, text,
+    n_tokens_removed); unflagged documents pass through byte-identical
+    with n_tokens_removed = 0. Removing EVERY occurrence (rather than
+    keeping one canonical copy) is the conservative boilerplate-strip
+    policy; keep-one-copy requires attributing spans to duplicate
+    clusters, which is ``dedup_components``' job on the pair graph.
+
+    Shape: the span report holds only flagged docs (a small fraction of
+    any sane corpus), so the collect_list re-grouping and the LEFT join
+    back to the corpus leave AQE a broadcast-sized build side; the
+    token filtering is one array expression per row — no explode, no
+    extra shuffle. The whole transform is oracle-checkable (DuckDB
+    list comprehension over the same 1-based positions).
+    """
+    sp = (spans.groupBy(id_col)
+          .agg(F.collect_list(F.struct("span_start", "span_end"))
+               .alias("_spans")))
+    joined = documents.join(sp, id_col, "left")
+    kept = (
+        "filter(transform(split(trim({text}), '\\\\s+'), "
+        "(t, i) -> struct(t AS t, i + 1 AS p)), "
+        "x -> _spans IS NULL OR NOT exists(_spans, "
+        "s -> x.p >= s.span_start AND x.p <= s.span_end))"
+    ).format(text=text_col)
+    return joined.select(
+        F.col(id_col),
+        F.expr(f"concat_ws(' ', transform({kept}, x -> x.t))")
+         .alias(text_col),
+        (F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+         - F.expr(f"size({kept})")).cast("int").alias("n_tokens_removed"))

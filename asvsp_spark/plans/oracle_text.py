@@ -863,7 +863,8 @@ WHERE rk <= floor(0.4 * n_scored)
 # Spark side: operators/dedup.py dup_spans (registry: window=8,
 # min_docs=2). Window hashes are 64-bit md5-hex slices of the joined
 # 8-token window; islands merge flagged positions whose gap <= window.
-ORACLE_TEXT["dup_spans"] = r"""
+# Kept as a WITH-prefix constant so dedup_spans_removed can extend it.
+_DUP_SPANS_CTE = r"""
 WITH toks AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
     FROM documents
@@ -893,11 +894,39 @@ grp AS (
     SELECT doc_id, p,
            sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
     FROM isl
+),
+spans AS (
+    SELECT doc_id, CAST(min(p) AS INT) AS span_start,
+           CAST(max(p) + 8 - 1 AS INT) AS span_end,
+           CAST(count(*) AS INT) AS n_windows
+    FROM grp GROUP BY doc_id, g
 )
-SELECT doc_id, CAST(min(p) AS INT) AS span_start,
-       CAST(max(p) + 8 - 1 AS INT) AS span_end,
-       CAST(count(*) AS INT) AS n_windows
-FROM grp GROUP BY doc_id, g
+"""
+
+ORACLE_TEXT["dup_spans"] = _DUP_SPANS_CTE + "SELECT * FROM spans"
+
+# Spark side: operators/dedup.py remove_dup_spans applied to the
+# dup_spans report — every flagged 1-based token position is dropped,
+# unflagged docs pass through with 0 removed.
+ORACLE_TEXT["dedup_spans_removed"] = _DUP_SPANS_CTE + r""",
+sp AS (
+    SELECT doc_id,
+           list({'s': span_start, 'e': span_end}) AS spans
+    FROM spans GROUP BY doc_id
+),
+kept AS (
+    SELECT t.doc_id,
+           [t.t[i] FOR i IN range(1, len(t.t) + 1)
+            IF sp.doc_id IS NULL OR len(list_filter(sp.spans,
+                s -> i >= s.s AND i <= s.e)) = 0] AS kt,
+           len(t.t) AS n_all
+    FROM toks t LEFT JOIN sp ON t.doc_id = sp.doc_id
+)
+SELECT doc_id,
+       -- DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
+       coalesce(array_to_string(kt, ' '), '') AS text,
+       CAST(n_all - len(kt) AS INT) AS n_tokens_removed
+FROM kept
 """
 
 # Spark side: operators/sharding.py shard_assignments / shard_manifest
@@ -939,4 +968,21 @@ SELECT shard, CAST(count(*) AS INT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        CAST(max(n_tokens) AS INT) AS max_doc_tokens
 FROM a GROUP BY shard
+"""
+
+# Spark side: functions/text.py subword_tokens (GPT-2-style pre-token
+# classes, Java/RE2-intersection pattern — leftmost-first alternation
+# matches identically) via the token_budget_stats registry entry.
+ORACLE_TEXT["token_budget_stats"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+           AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+           AS INT) AS n_subword_tokens,
+       round(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+           / len(regexp_split_to_array(trim(text), '\s+'))
+           * 1000000) / 1000000.0 AS subword_per_ws
+FROM documents
 """

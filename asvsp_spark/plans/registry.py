@@ -1370,3 +1370,28 @@ def _shard_manifest_lpt(spark, sf):
     per-shard doc/token totals a data-loader config consumes."""
     from asvsp_spark.operators.sharding import shard_manifest
     return shard_manifest(_t(spark, sf, "documents"), by_tokens=True)
+
+
+@register("dedup_spans_removed")
+def _dedup_spans_removed(spark, sf):
+    """dup_spans made actionable: the corpus with every duplicated
+    8-token span stripped — full cleaned text hash-checked."""
+    from asvsp_spark.operators.dedup import dup_spans, remove_dup_spans
+    docs = _t(spark, sf, "documents")
+    return remove_dup_spans(docs, dup_spans(docs))
+
+
+@register("token_budget_stats")
+def _token_budget_stats(spark, sf):
+    """Whitespace vs BPE-ish pre-token counts per doc — the cheap
+    token-budget estimator (GPT-2 pre-tokenizer classes, lower bound
+    on a trained tokenizer's count)."""
+    from asvsp_spark.functions.text import subword_token_count, token_count
+    docs = _t(spark, sf, "documents")
+    n_sub = subword_token_count(F.col("text"))
+    n_ws = token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_ws.cast("int").alias("n_ws_tokens"),
+        n_sub.cast("int").alias("n_subword_tokens"),
+        round_fixed(n_sub / n_ws, 6).alias("subword_per_ws"))

@@ -1135,3 +1135,39 @@ def test_shard_manifest_lpt_balances_tokens(spark):
     nd = [r.n_docs for r in man]
     assert max(nd) - min(nd) <= 1
     assert sum(nd) == 64
+
+
+def test_remove_dup_spans_strips_flagged_tokens_only(spark):
+    """Flagged spans vanish, surrounding text is preserved verbatim,
+    unflagged docs pass through untouched, and a fully-covered doc
+    becomes the empty string (not NULL)."""
+    from asvsp_spark.operators.dedup import dup_spans, remove_dup_spans
+    shared = " ".join(f"a{i}" for i in range(1, 11))          # 10 tokens
+    d1 = "x1 x2 " + shared + " y1 y2"
+    d2 = shared                                               # fully covered
+    d3 = "u1 u2 u3 u4 u5 u6 u7 u8 u9"                         # untouched
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_dup_spans(docs, dup_spans(docs, window=8)).collect()}
+    assert out[1].text == "x1 x2 y1 y2" and out[1].n_tokens_removed == 10
+    assert out[2].text == "" and out[2].n_tokens_removed == 10
+    assert out[3].text == d3 and out[3].n_tokens_removed == 0
+
+
+def test_subword_token_count_pretokenizer_classes(spark):
+    """GPT-2-style classes: contractions split, punctuation runs
+    separate, digits split from letters; count >= whitespace count."""
+    from asvsp_spark.functions.text import subword_token_count, token_count
+    import pyspark.sql.functions as F
+    docs = spark.createDataFrame(
+        [(1, "it's a well-known fact"), (2, "costs $1,234.56 today!")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in docs.select(
+        "doc_id",
+        subword_token_count(F.col("text")).alias("n_sub"),
+        token_count(F.col("text")).alias("n_ws")).collect()}
+    # "it's a well-known fact" -> it, 's, a, well, -, known, fact
+    assert rows[1].n_sub == 7 and rows[1].n_ws == 4
+    # costs, " $", 1, ",", 234, ".", 56, " today", "!"
+    assert rows[2].n_sub == 9 and rows[2].n_ws == 3
