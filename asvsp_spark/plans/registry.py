@@ -412,19 +412,30 @@ _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 # mixture_rebalance (sampling family's row moves to the new
 # stratified_sample_docs), q12_late_shipments + q13_supplier_margin_topk
 # (batch suite keeps q01/q02/q08/q10/q11 rows).
+#
+# r5 new-operator slots: the round's five brand-new oracle-paired
+# operators (dup_spans + dedup_spans_removed exact-substring family,
+# shard_assignments + shard_manifest_lpt output planning, and
+# token_budget_stats) displace five r4-green single-row entries whose
+# families keep current rows: doc_repetition + token_length_histogram
+# (text family keeps quality_filter_report + the new token_budget),
+# chunk_documents (windowing semantics now also pinned by dup_spans'
+# island math), packing_bins (output family's rows move to the shard
+# planner pair), leakage_split_report (split membership stays pinned
+# locally; the sampling family keeps stratified_sample_docs).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "q02_peak_month", "q08_period_compare",
     "q10_improvement_streaks", "dsir_weights",
     "q11_pricing_summary", "dsir_sample",
     "rollup_daily_events", "rollup_monthly_events",
     "rollup_revenue_region_nation",
-    "minhash_lsh_pairs", "ivf_topk_full_probe", "packing_bins",
+    "minhash_lsh_pairs", "ivf_topk_full_probe", "shard_assignments",
     "incremental_dedup_report", "dedup_representative",
-    "leakage_split_report", "quality_filter_report",
+    "shard_manifest_lpt", "quality_filter_report",
     "unigram_logprob_score",
-    "doc_repetition", "skew_join_plain",
-    "token_length_histogram",
-    "chunk_documents",
+    "dup_spans", "skew_join_plain",
+    "token_budget_stats",
+    "dedup_spans_removed",
     "bigram_backoff_score", "cosine_topk", "skew_join_salted",
     "sq1_vs_baseline", "sq2_dominant_trend", "sq2c_stateful_trend",
     "sq3_top_users", "sq4_engagement_conversion", "sq5_rank_anomaly",
