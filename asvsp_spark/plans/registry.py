@@ -1389,7 +1389,10 @@ def _dedup_spans_removed(spark, sf):
     8-token span stripped — full cleaned text hash-checked."""
     from asvsp_spark.operators.dedup import dup_spans, remove_dup_spans
     docs = _t(spark, sf, "documents")
-    return remove_dup_spans(docs, dup_spans(docs))
+    # reference the rebuilt text through a filter so bench's .count()
+    # cannot prune the removal projection (the skew_join entries' trick)
+    return (remove_dup_spans(docs, dup_spans(docs))
+            .filter(F.length("text") >= 0))
 
 
 @register("token_budget_stats")
@@ -1401,8 +1404,10 @@ def _token_budget_stats(spark, sf):
     docs = _t(spark, sf, "documents")
     n_sub = subword_token_count(F.col("text"))
     n_ws = token_count(F.col("text"))
-    return docs.select(
+    return (docs.select(
         "doc_id",
         n_ws.cast("int").alias("n_ws_tokens"),
         n_sub.cast("int").alias("n_subword_tokens"),
         round_fixed(n_sub / n_ws, 6).alias("subword_per_ws"))
+        # keep the regexp work visible to bench's .count() (no pruning)
+        .filter(F.col("n_subword_tokens") >= 0))
