@@ -225,13 +225,12 @@ def minhash_signatures(posting: DataFrame, num_hashes: int = 16) -> DataFrame:
     the shuffle carries one k-wide row per doc. Input is a (doc, sh)
     posting list.
     """
+    from asvsp_spark.plans.base import md5_slice_long
     hash_cols = []
     for i in range(num_hashes):
         j, t = divmod(i, 4)
-        m = F.md5(F.concat_ws("|", F.lit(str(j)), F.col("sh")))
-        hash_cols.append(
-            F.conv(F.substring(m, 1 + 8 * t, 8), 16, 10)
-            .cast("long").alias(f"h_{i}"))
+        seeded = F.concat_ws("|", F.lit(str(j)), F.col("sh"))
+        hash_cols.append(md5_slice_long(seeded, t).alias(f"h_{i}"))
     return (
         posting.select("doc", *hash_cols)
         .groupBy("doc")
@@ -273,7 +272,13 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
     # instead of the exploded posting also lets verification join the
     # arrays directly — no collect_list re-grouping shuffle. All
     # checkpointed frames are one-row-per-doc (or smaller), so
-    # executor storage cost is negligible at any SF.
+    # executor storage cost is negligible at any SF. Two tradeoffs,
+    # deliberate: CONSTRUCTING this DataFrame runs the staging jobs
+    # eagerly (this is a terminal pipeline stage, not a composable
+    # view — call it when you mean to run it), and localCheckpoint
+    # truncates lineage, so losing an executor mid-invocation fails
+    # the query instead of recomputing — the standard re-run-the-stage
+    # answer for batch pipelines, not for jobs needing lineage HA.
     # sets is a LAZY checkpoint: the eager sig job below computes it
     # once and persists it as a side effect (one fewer job), and the
     # final verification join reads the persisted copy.
@@ -291,14 +296,18 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
         "doc", F.explode(F.array(*band_cols)).alias("band_key"))
     if max_bucket is not None:
         # anti-join against the HOT key set (<= rows/max_bucket keys by
-        # construction, so always broadcastable) rather than semi-join
-        # against the large cold set — same result, one less shuffle of
-        # the full bucket frame (winnow_pairs' max_df guard, same shape)
+        # construction) rather than semi-join against the large cold
+        # set. No forced broadcast hint: rows/max_bucket is SMALL
+        # relative to the corpus but still grows linearly with it
+        # (~16M keys at 1e9 docs x 8 bands / 500) — a hard F.broadcast
+        # would bypass autoBroadcastJoinThreshold and OOM exactly at
+        # scale; AQE picks broadcast at runtime whenever the set
+        # actually fits, which is every sane corpus size below that.
         hot = (buckets.groupBy("band_key")
                .agg(F.count(F.lit(1)).alias("bsz"))
                .filter(F.col("bsz") > max_bucket)
                .select("band_key"))
-        buckets = buckets.join(F.broadcast(hot), "band_key", "left_anti")
+        buckets = buckets.join(hot, "band_key", "left_anti")
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -352,14 +361,14 @@ def simhash64(documents: DataFrame,
     # the sign vector. The lambda/HOF formulation (aggregate + zip_with
     # over a 64-element array per token) is interpreted by Catalyst and
     # ~100x slower.
-    m = F.md5(F.col("t"))
+    from asvsp_spark.plans.base import md5_slice_long
     tokens = (
         documents
         .select(F.col(id_col).alias("doc"),
                 F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"))
         .select("doc",
-                F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h_lo"),
-                F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h_hi"))
+                md5_slice_long(F.col("t"), 0).alias("h_lo"),
+                md5_slice_long(F.col("t"), 1).alias("h_hi"))
     )
     vote_cols = [
         F.sum(
@@ -727,13 +736,15 @@ def incremental_minhash_dedup(spark, new_docs: DataFrame, store_path: str,
                 "store's original num_hashes")
         old_b = band_rows(store.filter(F.col("sig").isNotNull()), "old_doc")
         if max_bucket is not None:
-            # broadcast anti-join against the tiny HOT key set (see
-            # minhash_lsh_pairs) instead of semi-joining the large cold set
+            # anti-join against the HOT key set (see minhash_lsh_pairs)
+            # instead of semi-joining the large cold set; no forced
+            # broadcast — the hot set grows with the store, AQE
+            # broadcasts at runtime while it fits
             hot = (old_b.groupBy("band_key")
                    .agg(F.count(F.lit(1)).alias("bsz"))
                    .filter(F.col("bsz") > max_bucket)
                    .select("band_key"))
-            old_b = old_b.join(F.broadcast(hot), "band_key", "left_anti")
+            old_b = old_b.join(hot, "band_key", "left_anti")
         new_b = band_rows(new_rows.filter(F.col("sig").isNotNull()),
                           "new_doc")
         est = F.size(F.filter(
@@ -790,7 +801,10 @@ def dup_spans(documents: DataFrame, window: int = 8, min_docs: int = 2,
       (interpreted lambdas get no cross-operator CSE). The per-doc
       ARRAY frame is what gets checkpointed and shared (the
       minhash_lsh_pairs staging lesson: one row per doc, never the
-      exploded stream), feeding both consumers below.
+      exploded stream), feeding both consumers below. Same tradeoffs
+      as there: construction runs the staging job eagerly, and the
+      truncated lineage means an executor loss fails the invocation
+      instead of recomputing (re-run the stage).
     - The hot-window set needs count(DISTINCT doc) per hash; the
       within-doc dedup happens NARROWLY via array_distinct over the
       per-doc hash array before the explode, so the aggregate is a
@@ -856,11 +870,15 @@ def remove_dup_spans(documents: DataFrame, spans: DataFrame,
                      text_col: str = "text") -> DataFrame:
     """Apply a ``dup_spans`` report: rebuild each document's text with
     every flagged token span dropped. Output: (doc_id, text,
-    n_tokens_removed); unflagged documents pass through byte-identical
-    with n_tokens_removed = 0. Removing EVERY occurrence (rather than
-    keeping one canonical copy) is the conservative boilerplate-strip
-    policy; keep-one-copy requires attributing spans to duplicate
-    clusters, which is ``dedup_components``' job on the pair graph.
+    n_tokens_removed); unflagged documents pass through BYTE-IDENTICAL
+    (original column value, never re-tokenized) with n_tokens_removed =
+    0 — only flagged documents are rebuilt, and their rebuild joins
+    surviving tokens with single spaces (token-level surgery cannot
+    preserve the original inter-token whitespace around a removed
+    span). Removing EVERY occurrence (rather than keeping one canonical
+    copy) is the conservative boilerplate-strip policy; keep-one-copy
+    requires attributing spans to duplicate clusters, which is
+    ``dedup_components``' job on the pair graph.
 
     Shape: the span report holds only flagged docs (a small fraction of
     any sane corpus), so the collect_list re-grouping and the LEFT join
@@ -881,7 +899,10 @@ def remove_dup_spans(documents: DataFrame, spans: DataFrame,
     ).format(text=text_col)
     return joined.select(
         F.col(id_col),
-        F.expr(f"concat_ws(' ', transform({kept}, x -> x.t))")
+        F.when(F.col("_spans").isNull(), F.col(text_col))
+         .otherwise(F.expr(f"concat_ws(' ', transform({kept}, x -> x.t))"))
          .alias(text_col),
-        (F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-         - F.expr(f"size({kept})")).cast("int").alias("n_tokens_removed"))
+        F.when(F.col("_spans").isNull(), F.lit(0))
+         .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+                    - F.expr(f"size({kept})"))
+         .cast("int").alias("n_tokens_removed"))

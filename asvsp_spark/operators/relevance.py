@@ -265,10 +265,9 @@ def _md5_bucket(col: F.Column, n_buckets: int, salt: str = "") -> F.Column:
     n_buckets — the dedup family's md5-slice construction, bit-identical
     in DuckDB (('0x'||substr(md5(..),1,8))::BIGINT % B), which is what
     keeps every DSIR stage oracle-checkable."""
+    from asvsp_spark.plans.base import md5_slice_long
     src = F.concat(col, F.lit(salt)) if salt else col
-    return F.pmod(
-        F.conv(F.substring(F.md5(src), 1, 8), 16, 10).cast("long"),
-        F.lit(n_buckets))
+    return F.pmod(md5_slice_long(src), F.lit(n_buckets))
 
 
 def dsir_weights(docs: DataFrame, target_filter: F.Column | None = None,

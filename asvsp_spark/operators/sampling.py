@@ -46,11 +46,10 @@ def hash_stratified_sample(documents: DataFrame,
     bootstrap).
     """
     fr = fractions or DEFAULT_FRACTIONS
+    from asvsp_spark.plans.base import md5_slice_long
     bucket = F.pmod(
-        F.conv(F.substring(
-            F.md5(F.concat_ws("|", F.col(id_col).cast("string"),
-                              F.lit(str(salt)))), 1, 8), 16, 10)
-        .cast("long"),
+        md5_slice_long(F.concat_ws("|", F.col(id_col).cast("string"),
+                                   F.lit(str(salt)))),
         F.lit(1_000_000))
     keep = F.lit(False)
     for stratum, frac in fr.items():

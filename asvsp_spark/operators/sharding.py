@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from asvsp_spark.plans.base import hex_slice_long
+
 
 def _perm_key(id_col: str, salt: str) -> F.Column:
     """64-bit md5-slice permutation key of the doc id — deterministic,
@@ -76,9 +78,8 @@ def shard_assignments(documents: DataFrame, n_shards: int = 16,
             ((F.col("rk") - 1 - F.pmod(F.col("rk") - 1, F.lit(n_shards)))
              / n_shards + 1).cast("int").alias("pos_in_shard"),
             F.col("n_tokens").cast("int").alias("n_tokens"))
-    shard = F.pmod(
-        F.conv(F.substring(F.col("pk"), 1, 8), 16, 10).cast("long"),
-        F.lit(n_shards)).cast("int")
+    shard = F.pmod(hex_slice_long(F.col("pk"), 1, 8),
+                   F.lit(n_shards)).cast("int")
     with_shard = docs.withColumn("shard", shard)
     pos = F.row_number().over(
         Window.partitionBy("shard").orderBy(F.asc("pk"), F.asc(id_col)))

@@ -459,9 +459,15 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
         train = emb.filter(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0)
     model = KMeans(k=kc, seed=seed, featuresCol="_fv", maxIter=5).fit(train)
+    # materialize the assignment, then release the cached feature frame
+    # (same leak fix as semantic_dedup: without the unpersist every
+    # invocation pins the vectorized corpus in executor storage for the
+    # session's lifetime)
     assigned = (model.transform(emb)
                 .select(F.col(id_col), F.col(vec_col),
-                        F.col("prediction").alias("cell")))
+                        F.col("prediction").alias("cell"))
+                .localCheckpoint(eager=True))
+    emb.unpersist()
 
     centers = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],

@@ -42,6 +42,28 @@ def round_fixed(col: Column, d: int) -> Column:
     return F.round(col * scale, 0) / float(scale)
 
 
+def hex_slice_long(hex_col: Column, pos: int = 1, width: int = 8) -> Column:
+    """``width`` hex chars of a hex string starting at 1-based ``pos``
+    as a non-negative BIGINT. This is ONE HALF of the engine's
+    cross-engine hash contract (see md5_slice_long); DuckDB twin:
+    ``('0x' || substr(h, pos, width))::BIGINT``. Keep width <= 15 so
+    the value stays inside signed-64 in both engines."""
+    return F.conv(F.substring(hex_col, pos, width), 16, 10).cast("long")
+
+
+def md5_slice_long(col: Column, slot: int = 0) -> Column:
+    """The engine's cross-engine hash primitive, single-sourced: 32-bit
+    slice ``slot`` (0..3) of md5(col) as BIGINT. Every deterministic
+    hash decision (minhash signatures, simhash token hashes, sampling
+    membership, shard assignment, DSIR feature buckets, bench
+    checksums) derives from this one construction so the Spark/DuckDB
+    bit-identity is maintained in exactly one place. DuckDB twin:
+    ``('0x' || substr(md5(x), 1 + 8*slot, 8))::BIGINT``. Multiple slots
+    of the same input share one md5 under whole-stage codegen
+    subexpression elimination."""
+    return hex_slice_long(F.md5(col), 1 + 8 * slot, 8)
+
+
 def sql_round_fixed(expr: str, d: int) -> str:
     """DuckDB twin of round_fixed for oracle SQL strings."""
     scale = 10 ** d

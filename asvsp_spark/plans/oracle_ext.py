@@ -751,7 +751,9 @@ HAVING count(*) * 1000 >= (SELECT count(*) FROM events) * 7
 # result multiset is identical by construction, and the bench delta
 # between the two entries is the skew measurement. The checksum mirrors
 # Spark's conv(substring(md5(key|cents|w),1,8),16,10) via DuckDB's
-# hex-cast; sum(BIGINT) is HUGEINT in DuckDB, cast back.
+# hex-cast, reduced mod 1000003 before summing so the hot group's
+# checksum stays inside signed-64 at any SF (a raw digest sum
+# crosses 2^63 around sf75).
 _SKEW_JOIN_SQL = """
 WITH big AS (
     SELECT CASE WHEN l_orderkey % 1000 < 950 THEN 0
@@ -770,11 +772,11 @@ SELECT skew_key,
        count(*) AS n_rows,
        CAST(sum(cents * w) AS BIGINT) AS weighted_cents,
        CAST(sum(('0x' || substr(md5(skew_key || '|' || cents || '|' || w),
-                                1, 8))::BIGINT) AS BIGINT) AS checksum
+                                1, 8))::BIGINT % 1000003) AS BIGINT) AS checksum
 FROM j
 GROUP BY 1
 HAVING CAST(sum(('0x' || substr(md5(skew_key || '|' || cents || '|' || w),
-                                1, 8))::BIGINT) AS BIGINT) IS NOT NULL
+                                1, 8))::BIGINT % 1000003) AS BIGINT) IS NOT NULL
 """
 
 ORACLE_EXT["skew_join_plain"] = _SKEW_JOIN_SQL

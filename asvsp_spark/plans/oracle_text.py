@@ -915,17 +915,22 @@ sp AS (
     FROM spans GROUP BY doc_id
 ),
 kept AS (
-    SELECT t.doc_id,
+    SELECT t.doc_id, sp.doc_id IS NULL AS untouched, d.text AS orig,
            [t.t[i] FOR i IN range(1, len(t.t) + 1)
             IF sp.doc_id IS NULL OR len(list_filter(sp.spans,
                 s -> i >= s.s AND i <= s.e)) = 0] AS kt,
            len(t.t) AS n_all
-    FROM toks t LEFT JOIN sp ON t.doc_id = sp.doc_id
+    FROM toks t
+    LEFT JOIN sp ON t.doc_id = sp.doc_id
+    JOIN documents d ON d.doc_id = t.doc_id
 )
 SELECT doc_id,
-       -- DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
-       coalesce(array_to_string(kt, ' '), '') AS text,
-       CAST(n_all - len(kt) AS INT) AS n_tokens_removed
+       -- unflagged docs pass through byte-identical; flagged docs are
+       -- rebuilt (DuckDB array_to_string([]) is NULL; Spark concat_ws '')
+       CASE WHEN untouched THEN orig
+            ELSE coalesce(array_to_string(kt, ' '), '') END AS text,
+       CAST(CASE WHEN untouched THEN 0
+            ELSE n_all - len(kt) END AS INT) AS n_tokens_removed
 FROM kept
 """
 

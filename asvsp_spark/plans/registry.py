@@ -1311,13 +1311,18 @@ def _skew_join_demo(spark, sf: str, salted: bool):
     dim = base.unionByName(hot).hint("merge")   # force the shuffle join
     joined = (salted_join(big, dim, on="skew_key", buckets=32)
               if salted else big.join(dim, "skew_key"))
-    digest = F.conv(
-        F.substring(F.md5(F.concat_ws("|", "skew_key", "cents", "w")),
-                    1, 8), 16, 10).cast("long")
+    from asvsp_spark.plans.base import md5_slice_long
+    digest = md5_slice_long(F.concat_ws("|", "skew_key", "cents", "w"))
+    # checksum sums the digest REDUCED mod a prime, not the raw 32-bit
+    # digest: the hot group's raw sum crosses 2^63 around sf75 (Spark
+    # wraps silently, DuckDB HUGEINTs — the parity the entry proves
+    # would diverge); the mod-bounded sum stays in range past sf1e5
+    # and costs nothing (bit_xor, the other overflow-free choice,
+    # measured 1.8x slower through the hash aggregate)
     return (joined.groupBy("skew_key")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum(F.col("cents") * F.col("w")).alias("weighted_cents"),
-                 F.sum(digest).alias("checksum"))
+                 F.sum(F.pmod(digest, F.lit(1_000_003))).alias("checksum"))
             .filter(F.col("checksum").isNotNull()))
 
 

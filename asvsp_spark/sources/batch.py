@@ -136,6 +136,26 @@ def foreach_batch_jdbc_exactly_once(url: str, table: str,
             props.setProperty(k, v)
         conn = jvm.java.sql.DriverManager.getConnection(url, props)
         try:
+            # batch 0 against a fresh database: the table is created by
+            # the first append below, so there is nothing to delete yet
+            # — probing metadata (identifier-cased variants: as-is plus
+            # the upper/lower folds dialects apply to unquoted names)
+            # instead of letting DELETE raise keeps real delete failures
+            # (permissions, locks) loud, which the idempotency contract
+            # depends on
+            bare = table.rsplit(".", 1)[-1]
+            meta = conn.getMetaData()
+            exists = False
+            for cand in dict.fromkeys((bare, bare.upper(), bare.lower())):
+                rs = meta.getTables(None, None, cand, None)
+                try:
+                    if rs.next():
+                        exists = True
+                        break
+                finally:
+                    rs.close()
+            if not exists:
+                return
             st = conn.createStatement()
             st.executeUpdate(
                 f"DELETE FROM {table} WHERE {batch_id_col} = "

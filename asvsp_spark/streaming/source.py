@@ -29,6 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.errors import AnalysisException
 
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
@@ -72,12 +73,14 @@ def events_stream_reader(spark: SparkSession, path: str, *,
     helpers below guarantee that for composed stream directories."""
     if glob_filter:
         probe = os.path.join(path, glob_filter)
+        flavor = _ts_flavor(probe)
     else:
         files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
-        if not files:
-            raise FileNotFoundError(f"no parquet files under {path}")
-        probe = files[0]
-    flavor = _ts_flavor(probe)
+        # a resumable drain may fire before any producer wrote a file:
+        # default to the production on-disk flavor (tz-aware ts) so the
+        # availableNow run completes with zero batches instead of
+        # crashing the cadence; the next firing re-sniffs real files
+        flavor = _ts_flavor(files[0]) if files else "utc"
     if flavor == "nanos":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ts_type: T.DataType = T.LongType()
@@ -395,7 +398,15 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession,
             # it); only the one-shot checkpoint is ephemeral
             import shutil
             shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.read.parquet(sink_path)
+    try:
+        return spark.read.parquet(sink_path)
+    except AnalysisException:
+        # zero micro-batches (e.g. the first cron firing of a resumable
+        # drain before any producer wrote a file, or a re-run with no
+        # new files on a still-empty sink): no batch created the sink,
+        # so report 0 rows with the stream's schema instead of crashing
+        # the cadence the checkpoint exists to support
+        return spark.createDataFrame([], stream_df.schema)
 
 
 def copy_events_split(src: str, dest: str, mod: int, rem: int,

@@ -1146,13 +1146,16 @@ def test_remove_dup_spans_strips_flagged_tokens_only(spark):
     d1 = "x1 x2 " + shared + " y1 y2"
     d2 = shared                                               # fully covered
     d3 = "u1 u2 u3 u4 u5 u6 u7 u8 u9"                         # untouched
+    d4 = "v1  v2\tv3\nv4   v5"           # untouched, irregular whitespace
     docs = spark.createDataFrame(
-        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string")
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string")
     out = {r.doc_id: r for r in
            remove_dup_spans(docs, dup_spans(docs, window=8)).collect()}
     assert out[1].text == "x1 x2 y1 y2" and out[1].n_tokens_removed == 10
     assert out[2].text == "" and out[2].n_tokens_removed == 10
     assert out[3].text == d3 and out[3].n_tokens_removed == 0
+    # byte-identical passthrough: tabs/newlines/space runs preserved
+    assert out[4].text == d4 and out[4].n_tokens_removed == 0
 
 
 def test_subword_token_count_pretokenizer_classes(spark):

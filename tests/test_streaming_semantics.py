@@ -666,3 +666,18 @@ def test_cli_stream_drain_incremental_roundtrip(spark, tmp_path, capsys):
     r3 = {(r.event_type): (r.n_events, r.avg_value)
           for r in spark.read.parquet(out).collect()}
     assert r3 == r2
+
+
+def test_incremental_drain_zero_batches_reports_empty(spark, tmp_path):
+    """First cron firing before any producer wrote a file: availableNow
+    completes with zero micro-batches, no sink directory is ever
+    created, and the drain must report 0 rows with the stream's schema
+    instead of crashing on the missing sink path."""
+    from asvsp_spark.streaming.queries import incremental_hourly_drain
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    out = incremental_hourly_drain(
+        spark, str(events_dir), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"))
+    assert out.count() == 0
+    assert "window_start" in out.columns and "event_type" in out.columns
