@@ -370,3 +370,61 @@ def dsir_resample(docs: DataFrame, keep_frac: float = 0.4,
                     <= F.floor(F.lit(keep_frac) * F.col("n_scored")))
             .select(id_col, "n_grams", "log_weight",
                     F.col("rk").cast("int").alias("rk")))
+
+
+# --------------------------------------------------- PMI collocations
+
+def pmi_collocations(docs: DataFrame, min_pair_count: int = 5,
+                     top_k: int = 50,
+                     text_col: str = "text") -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks, "Word Association Norms, Mutual Information, and
+    Lexicography", CL 1990):
+
+        pmi(a, b) = ln( (n_ab / N_pairs) / ((n_a / N) * (n_b / N)) )
+
+    over adjacent-token pairs, with ``min_pair_count`` suppressing the
+    low-count pairs whose PMI estimates are noise (the standard guard —
+    PMI diverges for hapax pairs). Output: (w1, w2, n_pair, pmi, rk).
+
+    Shape at 100 TB: two corpus explodes (tokens, bigrams) feed two
+    partial-aggregating counts keyed by VOCABULARY (bounded, tiny
+    relative to the corpus); the pair table joins the unigram table
+    twice on a word key — vocabulary-sized shuffles, never
+    corpus-sized, and the min-count filter runs BEFORE the joins so
+    only plausible collocations move. Top-k is orderBy+limit
+    (TakeOrdered, no global sort of the pair vocabulary).
+    """
+    from asvsp_spark.plans.base import round_fixed
+    toks = docs.select(F.explode(TX.tokens(F.col(text_col))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    n_uni = uni.agg(F.sum("n_w").alias("n_tokens"))
+    pairs = (docs.select(F.explode(bigrams(F.col(text_col))).alias("bg"))
+             .groupBy("bg").agg(F.count(F.lit(1)).alias("n_pair"))
+             .filter(F.col("n_pair") >= int(min_pair_count))
+             .select(F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+                     F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+                     "n_pair"))
+    # N_pairs needs no extra corpus pass: every doc with t tokens has
+    # t - 1 adjacent pairs, so N_pairs = N_tokens - N_docs exactly
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (pairs
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("n_w").alias("n_w1")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("n_w").alias("n_w2")), "w2")
+              .crossJoin(F.broadcast(n_uni))
+              .crossJoin(F.broadcast(n_docs))
+              .select("w1", "w2", "n_pair",
+                      round_fixed(
+                          F.log((F.col("n_pair")
+                                 / (F.col("n_tokens") - F.col("n_docs")))
+                                / ((F.col("n_w1") / F.col("n_tokens"))
+                                   * (F.col("n_w2") / F.col("n_tokens")))),
+                          6).alias("pmi")))
+    top = (scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+           .limit(int(top_k)))
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (top.withColumn("rk", F.row_number().over(w))
+            .select("w1", "w2", F.col("n_pair").cast("int").alias("n_pair"),
+                    "pmi", F.col("rk").cast("int").alias("rk")))

@@ -991,3 +991,50 @@ SELECT doc_id,
            * 1000000) / 1000000.0 AS subword_per_ws
 FROM documents
 """
+
+# Spark side: operators/relevance.py pmi_collocations (registry:
+# min_pair_count=5, top_k=50). N_pairs = N_tokens - N_docs (each doc
+# with t tokens has t-1 adjacent pairs); PMI in nats, round_fixed(6).
+ORACLE_TEXT["pmi_collocations"] = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    FROM documents
+),
+uni AS (
+    SELECT w, count(*) AS n_w
+    FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+),
+tot AS (SELECT sum(n_w) AS n_tokens,
+               (SELECT count(*) FROM documents) AS n_docs
+        FROM uni),
+pairs AS (
+    SELECT bg, count(*) AS n_pair
+    FROM (
+        SELECT unnest(CASE WHEN len(t) >= 2 THEN
+            list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        ELSE [] END) AS bg
+        FROM toks)
+    GROUP BY 1 HAVING count(*) >= 5
+),
+sc AS (
+    SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+           n_pair
+    FROM pairs
+),
+scored AS (
+    SELECT w1, w2, CAST(n_pair AS INT) AS n_pair,
+           round(ln((n_pair / (t.n_tokens - t.n_docs))
+                    / ((u1.n_w / t.n_tokens) * (u2.n_w / t.n_tokens)))
+                 * 1000000) / 1000000.0 AS pmi
+    FROM sc
+    JOIN uni u1 ON u1.w = sc.w1
+    JOIN uni u2 ON u2.w = sc.w2
+    CROSS JOIN tot t
+),
+r AS (
+    SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT)
+              AS rk
+    FROM scored
+)
+SELECT w1, w2, n_pair, pmi, rk FROM r WHERE rk <= 50
+"""

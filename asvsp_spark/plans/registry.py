@@ -411,7 +411,9 @@ _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 # rollup_revenue_region_nation + cube_revenue_nation_year),
 # mixture_rebalance (sampling family's row moves to the new
 # stratified_sample_docs), q12_late_shipments + q13_supplier_margin_topk
-# (batch suite keeps q01/q02/q08/q10/q11 rows).
+# (batch suite keeps q01/q02/q08/q10/q11 rows). pmi_collocations
+# (newest) takes user_day_bookends' slot (green r4; the asof/bookends
+# family keeps asof_last_order, green r1-r4).
 #
 # r5 new-operator slots: the round's five brand-new oracle-paired
 # operators (dup_spans + dedup_spans_removed exact-substring family,
@@ -443,7 +445,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "sq7b_dedup_within_watermark", "sq8_session_windows",
     "sq11_late_audit",
     "sq9_hourly_daily_chain", "sq10_funnel_hourly",
-    "asof_last_order", "user_day_bookends",
+    "asof_last_order", "pmi_collocations",
     "distinct_users_daily",
     "cube_revenue_nation_year", "lsh_topk",
     "dedup_components", "simhash_pairs",
@@ -1416,3 +1418,11 @@ def _token_budget_stats(spark, sf):
         round_fixed(n_sub / n_ws, 6).alias("subword_per_ws"))
         # keep the regexp work visible to bench's .count() (no pruning)
         .filter(F.col("n_subword_tokens") >= 0))
+
+
+@register("pmi_collocations")
+def _pmi_collocations(spark, sf):
+    """Top-50 adjacent-token collocations by PMI (Church & Hanks 1990)
+    with a min-count-5 noise guard — vocabulary-keyed shuffles only."""
+    from asvsp_spark.operators.relevance import pmi_collocations
+    return pmi_collocations(_t(spark, sf, "documents"))

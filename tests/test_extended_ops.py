@@ -1174,3 +1174,21 @@ def test_subword_token_count_pretokenizer_classes(spark):
     assert rows[1].n_sub == 7 and rows[1].n_ws == 4
     # costs, " $", 1, ",", 234, ".", 56, " today", "!"
     assert rows[2].n_sub == 9 and rows[2].n_ws == 3
+
+
+def test_pmi_collocations_rank_fixed_pairs(spark):
+    """A pair that always co-occurs outranks a frequent-but-independent
+    pair; min_pair_count suppresses rare pairs entirely."""
+    from asvsp_spark.operators.relevance import pmi_collocations
+    rows = [(i, "alpha beta common common") for i in range(6)]   # locked pair
+    rows += [(10 + i, "common gamma common delta") for i in range(6)]
+    rows += [(20, "rare pair")]                                  # below min
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(docs, min_pair_count=3, top_k=10).collect()
+    pairs = {(r.w1, r.w2): r for r in out}
+    assert ("rare", "pair") not in pairs
+    assert ("alpha", "beta") in pairs
+    # alpha/beta occur ONLY together -> higher pmi than common-common
+    assert pairs[("alpha", "beta")].pmi > pairs[("common", "common")].pmi
+    rks = sorted(r.rk for r in out)
+    assert rks == list(range(1, len(out) + 1))

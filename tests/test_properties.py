@@ -440,3 +440,44 @@ def test_incremental_minhash_decision_matches_estimator(
         num_hashes=num_hashes, bands=bands)
     got_drop = c2["known_near_dupes"] == 1
     assert got_drop == want_drop, (true_j, est, band_hit, c2)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14),
+        min_size=1, max_size=6),
+    window=st.integers(2, 4),
+)
+@SET
+def test_dup_spans_matches_bruteforce_reference(spark, docs, window):
+    """dup_spans == a pure-Python reference over a tiny alphabet (which
+    generates plenty of cross-doc window collisions): flag every
+    position whose window text occurs in >= 2 distinct docs, merge
+    positions whose gap <= window into islands, report (start, end =
+    max_pos + w - 1, n_windows) per island."""
+    from collections import defaultdict
+
+    from asvsp_spark.operators.dedup import dup_spans
+    w = window
+    texts = [" ".join(toks) for toks in docs]
+    # reference
+    owners = defaultdict(set)
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - w + 1):
+            owners[tuple(toks[p:p + w])].add(i)
+    expected = set()
+    for i, toks in enumerate(docs):
+        flagged = sorted(p + 1 for p in range(len(toks) - w + 1)
+                         if len(owners[tuple(toks[p:p + w])]) >= 2)
+        island: list[int] = []
+        for p in flagged + [None]:
+            if island and (p is None or p - island[-1] > w):
+                expected.add((i, island[0], island[-1] + w - 1, len(island)))
+                island = []
+            if p is not None:
+                island.append(p)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_windows)
+           for r in dup_spans(df, window=w).collect()}
+    assert got == expected
