@@ -87,6 +87,10 @@ def main(argv: list[str] | None = None) -> int:
     cpip.add_argument("--scrub-pii", action="store_true",
                       help="redact emails/phones/IPs/SSNs to typed "
                            "placeholders before the final write")
+    cpip.add_argument("--shards", type=int, default=None,
+                      help="write the corpus as N deterministic training "
+                           "shards (+ loader manifest) instead of lang "
+                           "partitions")
 
     mg = sub.add_parser("merge", help="MERGE updates parquet into a base dataset by key")
     mg.add_argument("base")
@@ -239,7 +243,8 @@ def main(argv: list[str] | None = None) -> int:
         counts = run_corpus_pipeline(spark, args.sf_dir, args.out_dir,
                                      near_dedup=args.near_dedup,
                                      benchmark=bench,
-                                     scrub_pii=args.scrub_pii)
+                                     scrub_pii=args.scrub_pii,
+                                     n_shards=args.shards)
         for stage, n in counts.items():
             print(f"{stage:16s} {n}")
         return 0

@@ -51,6 +51,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                         near_dedup: str = "minhash",
                         benchmark: DataFrame | None = None,
                         scrub_pii: bool = False,
+                        n_shards: int | None = None,
                         ) -> dict[str, int]:
     """The LLM training-data preparation chain, end to end — what a user
     of this engine actually runs over a raw corpus:
@@ -81,7 +82,12 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                      pii_scrub — emails/phones/IPs/SSNs to typed
                      placeholders, cross-engine-pinned patterns),
       7. write     — the cleaned corpus partitioned by lang, via the
-                     idempotent partitioned writer.
+                     idempotent partitioned writer; with ``n_shards``
+                     set, partitioned instead by the deterministic
+                     shuffle-shard plan (operators/sharding.py — shard
+                     and intra-shard order are pure md5 functions of
+                     the doc id) with the per-shard loader manifest
+                     written beside it — the training-ready layout.
 
     Every stage is the already-oracle-checked operator — this function
     only composes them — and each materializes a narrow id set, so the
@@ -167,7 +173,18 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     if scrub_pii:
         final = final.withColumn("text", TX.pii_scrub(F.col("text")))
 
-    # 7: durable, partition-pruned layout
-    write_partitioned(final, f"{out_dir}/corpus", ["lang"])
+    # 7: durable, partition-pruned layout — analytics partitions by
+    # default; deterministic training shards + loader manifest on demand
+    if n_shards:
+        from asvsp_spark.operators.sharding import (shard_assignments,
+                                                    shard_manifest)
+        plan = shard_assignments(final, n_shards)
+        sharded = final.join(
+            plan.select("doc_id", "shard", "pos_in_shard"), "doc_id")
+        write_partitioned(sharded, f"{out_dir}/corpus", ["shard"])
+        shard_manifest(final, n_shards).write.mode("overwrite") \
+            .parquet(f"{out_dir}/manifest")
+    else:
+        write_partitioned(final, f"{out_dir}/corpus", ["lang"])
     counts["written"] = spark.read.parquet(f"{out_dir}/corpus").count()
     return counts

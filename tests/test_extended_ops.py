@@ -1192,3 +1192,25 @@ def test_pmi_collocations_rank_fixed_pairs(spark):
     assert pairs[("alpha", "beta")].pmi > pairs[("common", "common")].pmi
     rks = sorted(r.rk for r in out)
     assert rks == list(range(1, len(out) + 1))
+
+
+def test_corpus_pipeline_sharded_output(spark, tmp_path):
+    """With n_shards set, the corpus lands partitioned by deterministic
+    shard (not lang), every surviving doc carries its shard + in-shard
+    position, and the loader manifest's totals reconcile with the
+    written corpus."""
+    import glob
+    from asvsp_spark.pipeline import run_corpus_pipeline
+    from tests.conftest import SF_DIR
+    out = str(tmp_path / "sharded")
+    counts = run_corpus_pipeline(spark, SF_DIR, out, n_shards=4)
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert glob.glob(f"{out}/corpus/shard=*"), "must partition by shard"
+    assert not glob.glob(f"{out}/corpus/lang=*")
+    assert {"shard", "pos_in_shard"} <= set(corpus.columns)
+    assert corpus.count() == counts["written"] == counts["rebalanced"]
+    man = spark.read.parquet(f"{out}/manifest")
+    by_shard = {r.shard: r.n_docs for r in man.collect()}
+    got = {r.shard: r.cnt for r in
+           corpus.groupBy("shard").agg(F.count("*").alias("cnt")).collect()}
+    assert {int(k): v for k, v in got.items()} == by_shard
