@@ -47,8 +47,8 @@ def shingle_posting(documents: DataFrame, n: int = 3,
     n-gram shingle per document.
 
     Shape: SHUFFLE-FREE — split once into a token-array column, build
-    the distinct n-gram array per doc with transform/slice/concat_ws,
-    then explode. Both the within-doc dedup (array_distinct) and the
+    the distinct n-gram array per doc (TX.token_ngrams direct-subscript
+    transform + array_distinct), then explode. Both the within-doc dedup (array_distinct) and the
     n-gram assembly are per-row, so the posting list streams out of the
     parquet scan with no exchange at all; downstream consumers shuffle
     on whatever key they need. Documents shorter than n words contribute
@@ -65,22 +65,16 @@ def shingle_posting(documents: DataFrame, n: int = 3,
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
     return toks.select(
-        "doc", F.explode(F.expr(_shingle_array_expr(n))).alias("sh"))
+        "doc", F.explode(_shingle_array(n)).alias("sh"))
 
 
-def _shingle_array_expr(n: int) -> str:
-    """SQL expression building the distinct n-gram array from a `toks`
-    column (shared by the posting and set forms). Direct 0-based
-    subscripts, not slice-in-lambda: slice(toks, i, n) inside the
-    transform copies n elements PER POSITION (O(n^2)-ish per doc in an
-    interpreted lambda; subscripting measured ~20% faster at sf0.1 and
-    the gap widens with n)."""
-    parts = " || ' ' || ".join(f"toks[i + {k}]" for k in range(n))
-    return (
-        f"CASE WHEN size(toks) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size(toks) - {n}), "
-        f"i -> {parts})) "
-        "ELSE array() END")
+def _shingle_array(n: int) -> F.Column:
+    """Distinct n-gram array from a `toks` column — TX.token_ngrams
+    (the single direct-subscript n-gram spelling: slice-in-lambda
+    copies n elements PER POSITION, measured ~20% slower at sf0.1)
+    wrapped in the within-doc dedup."""
+    from asvsp_spark.functions.text import token_ngrams
+    return F.array_distinct(token_ngrams("toks", n))
 
 
 def shingled(documents: DataFrame, n: int = 3,
@@ -100,8 +94,7 @@ def shingled(documents: DataFrame, n: int = 3,
     toks = documents.select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
-    return toks.select("doc",
-                       F.expr(_shingle_array_expr(n)).alias("shingles"))
+    return toks.select("doc", _shingle_array(n).alias("shingles"))
 
 
 def df_capped_posting(posting: DataFrame, max_df: int | None) -> DataFrame:
@@ -841,14 +834,14 @@ def dup_spans(documents: DataFrame, window: int = 8, min_docs: int = 2,
     toks = documents.select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
-    # direct subscripts, not slice-in-lambda (see _shingle_array_expr)
-    parts = " || ' ' || ".join(f"toks[i + {k}]" for k in range(w))
-    wins_arr = toks.select("doc", F.expr(
-        f"CASE WHEN size(toks) >= {w} THEN "
-        f"transform(sequence(0, size(toks) - {w}), "
-        f"i -> struct(i + 1 AS p, "
-        f"substring(md5({parts}), 1, 16) AS h)) "
-        f"ELSE array() END").alias("wins")).localCheckpoint(eager=True)
+    # windows = TX.token_ngrams (the one direct-subscript n-gram
+    # spelling) mapped to (1-based position, md5-slice hash) structs
+    from asvsp_spark.functions.text import token_ngrams
+    wins_arr = toks.select("doc", F.transform(
+        token_ngrams("toks", w),
+        lambda g, i: F.struct((i + 1).alias("p"),
+                              F.substring(F.md5(g), 1, 16).alias("h"))
+    ).alias("wins")).localCheckpoint(eager=True)
     hot = (wins_arr
            .select(F.explode(F.expr("array_distinct(transform(wins, x -> x.h))"))
                    .alias("h"))

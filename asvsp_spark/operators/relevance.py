@@ -396,18 +396,25 @@ def pmi_collocations(docs: DataFrame, min_pair_count: int = 5,
     (TakeOrdered, no global sort of the pair vocabulary).
     """
     from asvsp_spark.plans.base import round_fixed
-    toks = docs.select(F.explode(TX.tokens(F.col(text_col))).alias("w"))
+    split_docs = docs.select(TX.tokens(F.col(text_col)).alias("toks"))
+    toks = split_docs.select(F.explode("toks").alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
     n_uni = uni.agg(F.sum("n_w").alias("n_tokens"))
-    pairs = (docs.select(F.explode(bigrams(F.col(text_col))).alias("bg"))
+    # token_ngrams, not the zip_with/slice bigrams() helper: the
+    # direct-subscript form is the measured-faster spelling for the
+    # corpus-dominant explode (see dedup._shingle_array_expr)
+    pairs = (split_docs.select(
+                 F.explode(TX.token_ngrams("toks", 2)).alias("bg"))
              .groupBy("bg").agg(F.count(F.lit(1)).alias("n_pair"))
              .filter(F.col("n_pair") >= int(min_pair_count))
              .select(F.split(F.col("bg"), " ").getItem(0).alias("w1"),
                      F.split(F.col("bg"), " ").getItem(1).alias("w2"),
                      "n_pair"))
     # N_pairs needs no extra corpus pass: every doc with t tokens has
-    # t - 1 adjacent pairs, so N_pairs = N_tokens - N_docs exactly
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # t - 1 adjacent pairs, so N_pairs = N_tokens - N_docs. count(text)
+    # (not count(*)) so NULL-text docs — zero tokens, zero pairs — do
+    # not deflate N_pairs and bias every PMI upward.
+    n_docs = docs.agg(F.count(F.col(text_col)).alias("n_docs"))
     scored = (pairs
               .join(uni.select(F.col("w").alias("w1"),
                                F.col("n_w").alias("n_w1")), "w1")

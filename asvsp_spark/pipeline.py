@@ -175,15 +175,20 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
 
     # 7: durable, partition-pruned layout — analytics partitions by
     # default; deterministic training shards + loader manifest on demand
-    if n_shards:
-        from asvsp_spark.operators.sharding import (shard_assignments,
-                                                    shard_manifest)
+    if n_shards is not None:     # `is not None`: --shards 0 must error
+        from asvsp_spark.operators.sharding import shard_assignments
         plan = shard_assignments(final, n_shards)
         sharded = final.join(
             plan.select("doc_id", "shard", "pos_in_shard"), "doc_id")
         write_partitioned(sharded, f"{out_dir}/corpus", ["shard"])
-        shard_manifest(final, n_shards).write.mode("overwrite") \
-            .parquet(f"{out_dir}/manifest")
+        # manifest aggregated from the plan already built — NOT
+        # shard_manifest(final, ...), which would re-scan and re-rank
+        # the whole corpus a second time for the same 16 rows
+        (plan.groupBy("shard")
+         .agg(F.count(F.lit(1)).cast("int").alias("n_docs"),
+              F.sum("n_tokens").cast("long").alias("n_tokens"),
+              F.max("n_tokens").cast("int").alias("max_doc_tokens"))
+         .write.mode("overwrite").parquet(f"{out_dir}/manifest"))
     else:
         write_partitioned(final, f"{out_dir}/corpus", ["lang"])
     counts["written"] = spark.read.parquet(f"{out_dir}/corpus").count()

@@ -1005,7 +1005,8 @@ uni AS (
     FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
 ),
 tot AS (SELECT sum(n_w) AS n_tokens,
-               (SELECT count(*) FROM documents) AS n_docs
+               -- count(text): NULL-text docs carry no pairs
+               (SELECT count(text) FROM documents) AS n_docs
         FROM uni),
 pairs AS (
     SELECT bg, count(*) AS n_pair
