@@ -1039,3 +1039,67 @@ r AS (
 )
 SELECT w1, w2, n_pair, pmi, rk FROM r WHERE rk <= 50
 """
+
+# Spark side: operators/packing.py pack_whole_docs(method='best_fit')
+# via packing_stats (registry: budget=256, n_shards=4, shard=doc_id%4).
+# Best-fit-decreasing is sequential within a shard (each placement
+# depends on all prior ones) — no plain SQL expression reproduces it,
+# but a RECURSIVE CTE carries the per-shard remaining-capacity list
+# step by step: one recursion level per placement, all shards advancing
+# in lockstep. Tie rule matches numpy argmin (first/lowest bin among
+# equally tight fits) via list_position of the min. Recursion depth =
+# max docs per shard — fine at the driver's sf0.01 oracle scale.
+ORACLE_TEXT["packing_best_fit_bins"] = r"""
+WITH RECURSIVE d AS (
+    SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS tok
+    FROM documents
+),
+ordered AS (
+    SELECT *, row_number() OVER (PARTITION BY shard
+                                 ORDER BY tok DESC, doc_id) AS rn
+    FROM d
+),
+state AS (
+    SELECT shard, CAST(0 AS BIGINT) AS i,
+           CAST([] AS BIGINT[]) AS rem,
+           CAST([] AS STRUCT(doc BIGINT, tok BIGINT, bin BIGINT)[])
+               AS placed
+    FROM (SELECT DISTINCT shard FROM ordered)
+    UNION ALL
+    SELECT s.shard, s.i + 1,
+        CASE
+          WHEN o.tok >= 256 THEN list_append(s.rem, CAST(0 AS BIGINT))
+          WHEN list_min(list_filter(s.rem, r -> r >= o.tok)) IS NULL
+            THEN list_append(s.rem, 256 - o.tok)
+          ELSE list_transform(range(1, len(s.rem) + 1),
+               k -> CASE WHEN k = list_position(s.rem,
+                        list_min(list_filter(s.rem, r -> r >= o.tok)))
+                    THEN s.rem[k] - o.tok ELSE s.rem[k] END)
+        END AS rem,
+        list_append(s.placed, {'doc': o.doc_id, 'tok': o.tok,
+            'bin': CASE
+               WHEN o.tok >= 256 THEN len(s.rem)
+               WHEN list_min(list_filter(s.rem, r -> r >= o.tok)) IS NULL
+                 THEN len(s.rem)
+               ELSE list_position(s.rem,
+                    list_min(list_filter(s.rem, r -> r >= o.tok))) - 1
+            END}) AS placed
+    FROM state s JOIN ordered o ON o.shard = s.shard AND o.rn = s.i + 1
+),
+final AS (
+    SELECT shard, placed FROM state s
+    WHERE i = (SELECT max(rn) FROM ordered o WHERE o.shard = s.shard)
+),
+rows_ AS (
+    SELECT shard, u.p.doc AS doc_id, u.p.tok AS n_tokens,
+           u.p.bin AS bin_id
+    FROM final, unnest(final.placed) AS u(p)
+)
+SELECT CAST(shard AS INT) AS shard, CAST(bin_id AS BIGINT) AS bin_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       round(sum(n_tokens) / 256 * 1000000) / 1000000.0 AS utilization
+FROM rows_ GROUP BY 1, 2
+"""

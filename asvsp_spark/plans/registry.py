@@ -425,6 +425,9 @@ _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 # island math), packing_bins (output family's rows move to the shard
 # planner pair), leakage_split_report (split membership stays pinned
 # locally; the sampling family keeps stratified_sample_docs).
+# packing_best_fit_bins (oracle-paired late in r5 via the recursive-CTE
+# replay of sequential best-fit state) takes funnel_daily's slot (green
+# r3+r4; the funnel family keeps sq10_funnel_hourly's row).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "q02_peak_month", "q08_period_compare",
     "q10_improvement_streaks", "dsir_weights",
@@ -451,7 +454,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "dedup_components", "simhash_pairs",
     "heavy_hitters_users",
     "customer_retention_setops",
-    "funnel_daily", "scd2_user_state",
+    "packing_best_fit_bins", "scd2_user_state",
     "stratified_sample_docs",
 )
 
@@ -1196,9 +1199,11 @@ def _packing_bins(spark, sf):
 def _packing_best_fit_bins(spark, sf):
     """Whole-doc best-fit-decreasing packing report per (shard, bin):
     no straddling, so utilization <= 1 measures padding waste directly.
-    Rows-only by design: the bin chosen for each doc depends on every
-    earlier placement in its shard, which no SQL expression reproduces;
-    the unit suite pins capacity-respect, determinism, and the >= bin
+    Oracle-paired since r5: the placement is sequential within a shard
+    (no plain SQL expression reproduces it) but a DuckDB RECURSIVE CTE
+    replays the per-shard capacity list one placement per level —
+    tie-handling proven equal to numpy argmin; the unit suite
+    additionally pins capacity-respect, determinism, and the >= bin
     utilization vs sequential first-fit."""
     from asvsp_spark.operators.packing import packing_stats
     return packing_stats(
