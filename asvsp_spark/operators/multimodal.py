@@ -164,39 +164,49 @@ RAW_AUDIO_MAGIC = b"RAWA"   # RAWA | rate:u32 | n:u32 | n int8 samples
 RAW_VIDEO_MAGIC = b"RAWV"   # RAWV | frames:u16 | w:u16 | h:u16 | frames*w*h
 
 
+def _det_bytes(doc_id: int, tag: str, n: int) -> bytes:
+    """n deterministic pseudo-random bytes from chained md5 digests of
+    (doc_id, tag, block) — the engine's standard md5-derivation stance,
+    so the EXACT payload bytes are reproducible in DuckDB (string_agg
+    of md5 hex blocks), which is what lets the media decode queries be
+    oracle-paired despite parsing binary."""
+    out = bytearray()
+    k = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{doc_id}|{tag}|{k}".encode()).digest()
+        k += 1
+    return bytes(out[:n])
+
+
 def attach_synthetic_media(documents: DataFrame) -> DataFrame:
     """Deterministic RAWI/RAWA/RAWV payloads generated per doc_id inside
-    mapInPandas (numpy PRNG seeded by doc_id — identical across runs,
-    partitionings and executors). Same round-robin media_type assignment
-    as attach_fake_media, but the payloads PARSE."""
+    mapInPandas (md5-chained byte streams — identical across runs,
+    partitionings, executors AND engines; see _det_bytes). Same
+    round-robin media_type assignment as attach_fake_media, but the
+    payloads PARSE."""
     def gen(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
         import struct
         for pdf in batches:
             payloads = []
             mtypes = []
             for doc_id in pdf["doc_id"]:
-                rng = np.random.default_rng(int(doc_id))
                 kind = MEDIA_TYPES[int(doc_id) % len(MEDIA_TYPES)]
                 mtypes.append(kind)
                 if kind == "image":
                     w, h = 8 + int(doc_id) % 25, 6 + int(doc_id) % 19
-                    px = rng.integers(0, 256, size=w * h,
-                                      dtype=np.uint8).tobytes()
+                    px = _det_bytes(int(doc_id), "px", w * h)
                     payloads.append(RAW_IMAGE_MAGIC
                                     + struct.pack(">HH", w, h) + px)
                 elif kind == "audio":
                     rate = 8000
                     n = 1000 + int(doc_id) % 3000
-                    smp = rng.integers(-128, 128, size=n,
-                                       dtype=np.int8).tobytes()
+                    smp = _det_bytes(int(doc_id), "au", n)
                     payloads.append(RAW_AUDIO_MAGIC
                                     + struct.pack(">II", rate, n) + smp)
                 else:
                     nf, w, h = 4 + int(doc_id) % 13, 8, 6
-                    px = rng.integers(0, 256, size=nf * w * h,
-                                      dtype=np.uint8).tobytes()
+                    px = _det_bytes(int(doc_id), "vx", nf * w * h)
                     payloads.append(RAW_VIDEO_MAGIC
                                     + struct.pack(">HHH", nf, w, h) + px)
             yield pd.DataFrame({
@@ -325,9 +335,15 @@ def frame_sample_raw(media: DataFrame, every_n: int = 2) -> DataFrame:
                     dtype=np.uint8).reshape(nf, h, w)
                 for idx in range(0, nf, every_n):
                     fr = frames[idx]
+                    # digest over the frame's lowercase HEX, not raw
+                    # bytes: equally content-addressing, and DuckDB md5
+                    # is VARCHAR-only — this keeps the whole frame
+                    # stream oracle-checkable
                     rows.append((int(doc_id), idx,
                                  round(float(fr.mean()), 6),
-                                 hashlib.md5(fr.tobytes()).hexdigest()))
+                                 hashlib.md5(
+                                     fr.tobytes().hex().encode()
+                                 ).hexdigest()))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "frame_mean",
                                "frame_digest"])

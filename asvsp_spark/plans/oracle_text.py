@@ -1103,3 +1103,73 @@ SELECT CAST(shard AS INT) AS shard, CAST(bin_id AS BIGINT) AS bin_id,
        round(sum(n_tokens) / 256 * 1000000) / 1000000.0 AS utilization
 FROM rows_ GROUP BY 1, 2
 """
+
+# Spark side: operators/multimodal.py attach_synthetic_media +
+# decode_image_raw (registry: max_side=16). The RAWI payload's pixel
+# bytes are md5-chained (_det_bytes), so DuckDB regenerates the exact
+# byte stream as concatenated md5 hex blocks and reproduces the binary
+# decode: dims from the header arithmetic, nearest-neighbor decimation
+# counts, and the full-image mean — binary parsing, oracle-paired.
+ORACLE_TEXT["media_image_decode"] = r"""
+WITH img AS (
+    SELECT doc_id, 8 + doc_id % 25 AS w, 6 + doc_id % 19 AS h
+    FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+    SELECT doc_id, w, h,
+           substr(list_aggregate(
+               list_transform(
+                   range(0, CAST(ceil(w * h / 16.0) AS BIGINT)),
+                   k -> md5(doc_id || '|px|' || k)),
+               'string_agg', ''), 1, w * h * 2) AS hx
+    FROM img
+),
+m AS (
+    SELECT doc_id, w, h,
+           list_sum(list_transform(range(0, w * h),
+               i -> ('0x' || substr(hx, 1 + 2 * i, 2))::BIGINT))
+           / (w * h) AS mean_raw
+    FROM px
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(ceil(w / ceil(w / 16.0)) AS INT) AS out_width,
+       CAST(ceil(h / ceil(h / 16.0)) AS INT) AS out_height,
+       round(mean_raw * 1000000) / 1000000.0 AS mean_intensity
+FROM m
+"""
+
+# Spark side: operators/multimodal.py frame_sample_raw (registry:
+# every_n=4). Same md5-chained regeneration; frame digest is md5 of
+# the frame's lowercase hex (DuckDB md5 is VARCHAR-only).
+ORACLE_TEXT["media_frame_sample"] = r"""
+WITH vid AS (
+    SELECT doc_id, 4 + doc_id % 13 AS nf, 8 AS w, 6 AS h
+    FROM documents WHERE doc_id % 3 = 2
+),
+px AS (
+    SELECT doc_id, nf, w, h,
+           substr(list_aggregate(
+               list_transform(
+                   range(0, CAST(ceil(nf * w * h / 16.0) AS BIGINT)),
+                   k -> md5(doc_id || '|vx|' || k)),
+               'string_agg', ''), 1, nf * w * h * 2) AS hx
+    FROM vid
+),
+fr AS (
+    SELECT doc_id, w, h, hx,
+           unnest(list_transform(range(0, nf, 4), f -> f)) AS idx
+    FROM px
+),
+fx AS (
+    SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+           substr(hx, 1 + idx * w * h * 2, w * h * 2) AS fhx,
+           w * h AS n
+    FROM fr
+)
+SELECT doc_id, frame_idx,
+       round(list_sum(list_transform(range(0, n),
+             i -> ('0x' || substr(fhx, 1 + 2 * i, 2))::BIGINT)) / n
+             * 1000000) / 1000000.0 AS frame_mean,
+       md5(fhx) AS frame_digest
+FROM fx
+"""

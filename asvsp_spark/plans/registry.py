@@ -428,6 +428,11 @@ _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 # packing_best_fit_bins (oracle-paired late in r5 via the recursive-CTE
 # replay of sequential best-fit state) takes funnel_daily's slot (green
 # r3+r4; the funnel family keeps sq10_funnel_hourly's row).
+# media_image_decode + media_frame_sample (oracle-paired late in r5:
+# the synthetic codec's bytes became md5-chained, so the whole binary
+# decode is DuckDB-reproducible) take the slots of scd2_user_state and
+# heavy_hitters_users (each green r3+r4, locally hash-pinned; the
+# sketch family's approx entries are rows-only by design regardless).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "q02_peak_month", "q08_period_compare",
     "q10_improvement_streaks", "dsir_weights",
@@ -452,9 +457,9 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "distinct_users_daily",
     "cube_revenue_nation_year", "lsh_topk",
     "dedup_components", "simhash_pairs",
-    "heavy_hitters_users",
+    "media_frame_sample",
     "customer_retention_setops",
-    "packing_best_fit_bins", "scd2_user_state",
+    "packing_best_fit_bins", "media_image_decode",
     "stratified_sample_docs",
 )
 
@@ -1147,7 +1152,7 @@ def _scd2_user_state(spark, sf):
 # ---- multimodal decode pipelines over the synthetic raw codec ----
 
 @register("media_image_decode")
-def _media_image_decode(spark, sf):  # rows-only: binary parsing has no SQL twin
+def _media_image_decode(spark, sf):  # oracle since late r5 (md5-chained bytes)
     """Decode + resize the RAWI image payloads end-to-end (synthetic
     deterministic codec; production swaps PIL into the identical
     mapInPandas contract — operators/multimodal.py)."""
@@ -1158,7 +1163,7 @@ def _media_image_decode(spark, sf):  # rows-only: binary parsing has no SQL twin
 
 
 @register("media_frame_sample")
-def _media_frame_sample(spark, sf):  # rows-only: Python-side explode
+def _media_frame_sample(spark, sf):  # oracle since late r5 (md5-chained bytes)
     """RAWV frame sampling: one row per sampled frame — the Python-side
     explode shape for video pipelines (operators/multimodal.py)."""
     from asvsp_spark.operators.multimodal import (attach_synthetic_media,
