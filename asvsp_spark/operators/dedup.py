@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from asvsp_spark.functions.text import fingerprint
-from asvsp_spark.plans.base import round_fixed
+from asvsp_spark.plans.base import fanout, round_fixed
 
 
 def exact_dedup(documents: DataFrame,
@@ -59,8 +59,11 @@ def shingle_posting(documents: DataFrame, n: int = 3,
     posexplode + window-lead + dropDuplicates = two shuffles, 1.8-3.6 s;
     a single-expression HOF that re-splits the text inside the lambda
     (Catalyst evaluates the split per ELEMENT) ~3 s. Pre-splitting into
-    a column first: 0.55 s.
+    a column first: 0.55 s. fanout() spreads the interpreted n-gram
+    projection across all cores when the scan arrives under-split
+    (plans/base.py — no-op at production partition counts).
     """
+    documents = fanout(documents)
     toks = documents.select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
@@ -90,7 +93,9 @@ def shingled(documents: DataFrame, n: int = 3,
     once in the projection — no cross-operator CSE for non-codegen
     exprs; measured 15x slower at sf0.1), and every consumer either
     explodes (empty arrays vanish) or joins by doc id (empty arrays
-    cannot be candidates)."""
+    cannot be candidates). fanout() spreads the interpreted n-gram
+    build across cores when the scan arrives under-split."""
+    documents = fanout(documents)
     toks = documents.select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
@@ -831,7 +836,7 @@ def dup_spans(documents: DataFrame, window: int = 8, min_docs: int = 2,
     oracle-checkable.
     """
     w = int(window)
-    toks = documents.select(
+    toks = fanout(documents).select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
     # windows = TX.token_ngrams (the one direct-subscript n-gram
@@ -894,7 +899,7 @@ def remove_dup_spans(documents: DataFrame, spans: DataFrame,
     sp = (spans.groupBy(id_col)
           .agg(F.collect_list(F.struct("span_start", "span_end"))
                .alias("_spans")))
-    joined = documents.join(sp, id_col, "left")
+    joined = fanout(documents).join(sp, id_col, "left")
     kept = (
         "filter(transform(split(trim({text}), '\\\\s+'), "
         "(t, i) -> struct(t AS t, i + 1 AS p)), "

