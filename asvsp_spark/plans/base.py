@@ -47,6 +47,10 @@ def fanout(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     on nothing, so no skew and no semantic effect on any deterministic
     per-row + keyed-aggregation pipeline.
     """
+    if df.isStreaming:
+        # streaming frames have no static partition count to inspect
+        # (.rdd raises); micro-batch parallelism is the source's job
+        return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
