@@ -222,3 +222,20 @@ def test_pack_whole_docs_single_shard_shuffle(spark):
     plan = _plan(pack_whole_docs(tables.load(spark, SF_DIR, "documents")))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_fanout_spreads_only_undersplit_input(spark):
+    """fanout(): repartitions a 1-partition frame up to the session's
+    default parallelism, leaves an already-wide frame UNTOUCHED (same
+    plan object — it must never add an Exchange at production partition
+    counts), and is a no-op passthrough for streaming frames."""
+    from asvsp_spark.plans.base import fanout
+    docs = tables.load(spark, SF_DIR, "documents")
+    target = spark.sparkContext.defaultParallelism
+    narrow = docs.coalesce(1)
+    assert fanout(narrow).rdd.getNumPartitions() == target
+    wide = docs.repartition(target + 4)
+    assert fanout(wide) is wide
+    stream = (spark.readStream.format("rate").option("rowsPerSecond", 1)
+              .load())
+    assert fanout(stream) is stream
