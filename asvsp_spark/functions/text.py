@@ -133,6 +133,36 @@ def repetition_features(toks_col_name: str) -> dict[str, Column]:
     }
 
 
+def token_entropy(toks_col_name: str) -> Column:
+    """Shannon entropy (nats) of the within-document unigram
+    distribution — the standard low-information / template-spam signal
+    (near-zero entropy = one token repeated; ln(n) = all distinct).
+
+    Computed SHUFFLE-FREE from the token array alone: sort the array,
+    then one ``aggregate`` fold accumulates run lengths and
+    sum(c * ln c) over the runs, so H = ln(N) - sum(c ln c)/N comes out
+    of a single projection at parquet-scan speed — no explode, no
+    (doc_id, token) shuffle, however large the corpus. The DuckDB
+    oracle uses the classic unnest + GROUP BY formulation; both compute
+    the identical formula and round after all float math.
+    """
+    # fold state: (prev token, current run length, sum of c*ln(c) over
+    # closed runs). array_sort puts equal tokens adjacent; the finish
+    # lambda closes the last run.
+    run_sum = F.expr(
+        f"aggregate(array_sort({toks_col_name}), "
+        "struct(CAST(NULL AS STRING) AS prev, 0L AS run, "
+        "CAST(0.0 AS DOUBLE) AS acc), "
+        "(s, x) -> IF(x <=> s.prev, "
+        "struct(x AS prev, s.run + 1L AS run, s.acc AS acc), "
+        "struct(x AS prev, 1L AS run, "
+        "s.acc + IF(s.run > 0, s.run * ln(s.run), 0.0D) AS acc)), "
+        "s -> s.acc + IF(s.run > 0, s.run * ln(s.run), 0.0D))")
+    n = F.size(F.col(toks_col_name))
+    return F.when(n > 0, F.log(n.cast("double")) - run_sum / n) \
+            .otherwise(F.lit(0.0))
+
+
 def fingerprint(text: Column) -> Column:
     """Canonical-form content fingerprint: lowercase, collapse whitespace,
     md5. Identical in DuckDB (md5 of the same normalized string)."""

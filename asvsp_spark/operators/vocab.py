@@ -1,0 +1,160 @@
+"""Byte-pair-encoding vocabulary learning — the tokenizer-training step
+of an LLM data pipeline (Sennrich et al., "Neural Machine Translation of
+Rare Words with Subword Units", ACL'16). Beyond-parity extension in the
+SURVEY §7.5 family (the reference has no text surface at all).
+
+The decomposition is the classical one and is what makes BPE tractable
+at 100 TB: ONE corpus-scale pass aggregates (word, freq) — explode +
+map-side-combining groupBy, corpus-sized shuffle of vocabulary-sized
+output — and every merge iteration after that runs on the vocabulary
+table only (unique words × frequency), which is corpus-BOUNDED, not
+corpus-sized (web-scale corpora plateau around 10^7-10^8 unique
+pre-tokens however many PB of text they hold). Each iteration is one
+vocabulary-sized explode + partial-aggregating count + a single-row
+argmax collect (the same bounded-metadata pattern as
+operators/components.py's convergence check), then a pure array-fold
+projection rewrites the symbol sequences — no Python in any per-row
+path.
+
+Determinism: the argmax tie-breaks (count DESC, left ASC, right ASC),
+and the within-word merge is the standard greedy left-to-right
+non-overlapping scan, expressed as an ``aggregate`` fold whose
+replacement can never re-trigger on its own output (the merged symbol
+equals the left symbol only if the right were empty). The whole learner
+is therefore deterministic and DuckDB-oracle-checkable: the oracle
+replays the identical iterations with a single-row recursive CTE over
+the vocabulary list (plans/oracle_text.py ``bpe_merge_table``).
+
+Applying a learned merge table to new text (``bpe_apply``) is the one
+place Python is the right tool: real tokenizers apply merges with a
+rank-priority scan per word, which is data-dependent branching no fixed
+SQL expression tree reproduces for an arbitrary merge table — it runs
+as an Arrow-batched mapInPandas with the merge table broadcast by
+closure (tiny: num_merges rows), one pass, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from asvsp_spark.functions import text as TX
+from asvsp_spark.plans.base import fanout
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over whitespace tokens — the single corpus-scale
+    pass; everything downstream is vocabulary-sized."""
+    return (
+        fanout(docs.select(F.explode(TX.tokens(F.col(text_col)))
+                           .alias("word")))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _merge_fold(left: str, right: str) -> F.Column:
+    """Greedy left-to-right non-overlapping merge of the adjacent symbol
+    pair (left, right) in the ``syms`` array, as a pure fold: append
+    each symbol, but when the running tail is `left` and the incoming
+    symbol is `right`, replace the tail with the merged symbol. The
+    merged symbol can never equal `left` (right is non-empty), so a
+    replacement never re-triggers on itself — exactly the textbook
+    scan."""
+    merged = F.lit(left + right)
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        hit = ((F.size(acc) > 0)
+               & (F.element_at(acc, -1) == F.lit(left))
+               & (x == F.lit(right)))
+        return (F.when(hit,
+                       F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                                F.array(merged)))
+                .otherwise(F.concat(acc, F.array(x))))
+
+    return F.aggregate("syms", F.array().cast("array<string>"), step)
+
+
+def bpe_merge_table(docs: DataFrame, num_merges: int = 16,
+                    min_pair_count: int = 2,
+                    text_col: str = "text") -> DataFrame:
+    """Learn the top ``num_merges`` BPE merges over the corpus; returns
+    (rank, left, right, merged, pair_count), rank 1 = first merge.
+
+    Stops early when no adjacent pair reaches ``min_pair_count``.
+    Driver involvement per iteration is ONE single-row collect (the
+    argmax), same bounded-metadata contract as the components fixpoint
+    check; the vocabulary frame is localCheckpoint-ed each round so the
+    plan stays O(1) deep instead of accumulating one fold per merge."""
+    spark = docs.sparkSession
+    vocab = (word_frequencies(docs, text_col)
+             .select(F.split("word", "").alias("syms"), "freq")
+             .localCheckpoint(eager=False))
+
+    pair_struct = F.expr(
+        "transform(sequence(0, size(syms) - 2), "
+        "i -> struct(syms[i] AS l, syms[i + 1] AS r))")
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        best = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(F.explode(pair_struct).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .filter(F.col("cnt") >= min_pair_count)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect())
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((rank, l, r, l + r, cnt))
+        vocab = (vocab.withColumn("syms", _merge_fold(l, r))
+                 .localCheckpoint(eager=False))
+
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, "
+                "pair_count bigint")
+
+
+def bpe_apply(docs: DataFrame, merges: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Segment each document with a learned merge table: returns
+    (id_col, n_words, n_bpe_tokens). Rank-priority application (always
+    merge the lowest-rank applicable pair first), matching how trained
+    BPE tokenizers run — NOT the same as replaying merges in order on a
+    single word, when later merges enable earlier ones.
+
+    The merge table is num_merges rows — collected once and shipped by
+    closure into an Arrow-batched mapInPandas (see module docstring for
+    why this application step is the one justified Python boundary)."""
+    ranks = {(row["left"], row["right"]): int(row["rank"])
+             for row in merges.collect()}
+
+    def segment(word: str) -> int:
+        syms = list(word)
+        while len(syms) >= 2:
+            cand = [(ranks.get((a, b)), i)
+                    for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                    if (a, b) in ranks]
+            if not cand:
+                break
+            _, i = min(cand)
+            syms[i:i + 2] = [syms[i] + syms[i + 1]]
+        return len(syms)
+
+    out_schema = f"{id_col} long, n_words int, n_bpe_tokens int"
+
+    def run(batches):
+        for pdf in batches:
+            words = pdf[text_col].fillna("").str.split()
+            yield type(pdf)({
+                id_col: pdf[id_col],
+                "n_words": words.str.len().astype("int32"),
+                "n_bpe_tokens": words.map(
+                    lambda ws: sum(segment(w) for w in ws)
+                ).astype("int32"),
+            })
+
+    return fanout(docs.select(id_col, text_col)).mapInPandas(
+        run, schema=out_schema)

@@ -484,6 +484,35 @@ SELECT cluster_id, doc_id AS rep_doc_id, cluster_size,
 FROM rk WHERE rn = 1
 """
 
+# Spark side: registry cohort_retention — distinct (customer, month),
+# min-month cohort, join back, matrix groupBy + window denominator.
+# midx = year*12 + month - 1 keeps offsets calendar-correct across
+# year boundaries; both engines do the identical integer arithmetic.
+ORACLE_EXT["cohort_retention"] = """
+WITH act AS (
+    SELECT DISTINCT o_custkey AS c,
+           year(o_orderdate) * 12 + month(o_orderdate) - 1 AS midx
+    FROM orders
+),
+first AS (
+    SELECT c, min(midx) AS first_midx FROM act GROUP BY 1
+),
+mat AS (
+    SELECT f.first_midx, a.midx - f.first_midx AS months_since,
+           count(*) AS n_active
+    FROM act a JOIN first f ON a.c = f.c
+    GROUP BY 1, 2
+)
+SELECT CAST(first_midx // 12 * 100 + first_midx % 12 + 1 AS INT)
+           AS cohort_ym,
+       CAST(months_since AS INT) AS months_since,
+       n_active,
+       round(n_active / (max(CASE WHEN months_since = 0 THEN n_active END)
+                         OVER (PARTITION BY first_midx)) * 1000000)
+           / 1000000.0 AS retention
+FROM mat
+"""
+
 ORACLE_EXT["customer_retention_setops"] = """
 WITH y0 AS (SELECT DISTINCT o_custkey FROM orders
             WHERE year(o_orderdate) = 2000),

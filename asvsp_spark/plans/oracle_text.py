@@ -226,6 +226,103 @@ SELECT doc_id,
 FROM g
 """
 
+# Spark side: operators/vocab.py bpe_merge_table (registry: 16 merges,
+# min_pair_count=2). The oracle replays the identical deterministic
+# iterations with a SINGLE-ROW recursive CTE: the whole vocabulary rides
+# in one list-of-structs column, each recursion level computes the
+# argmax pair via a LATERAL unnest + GROUP BY (tab-joined pair string:
+# tab < every symbol char, so ORDER BY the joined string == ORDER BY
+# (l, r) tuple — the same tie-break Spark's orderBy(l, r) applies), and
+# the greedy left-to-right non-overlapping within-word merge is the
+# doubled-space replace trick: double every separator, replace
+# ' l  r ' -> ' lr ' (replace() scans left-to-right, and each match
+# leaves the neighbouring single separators intact), then collapse.
+ORACLE_TEXT["bpe_merge_table"] = r"""
+WITH RECURSIVE uni AS (
+    SELECT w, count(*) AS f
+    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents)
+    WHERE w <> ''
+    GROUP BY 1
+),
+st AS (
+    SELECT 0 AS iter,
+           list({'s': rtrim(regexp_replace(w, '(.)', '\1 ', 'g')),
+                 'f': f}) AS words,
+           CAST([] AS STRUCT(l VARCHAR, r VARCHAR, cnt BIGINT)[]) AS merges
+    FROM uni
+    UNION ALL
+    SELECT st.iter + 1,
+           list_transform(st.words, w -> {'s': trim(replace(replace(
+               ' ' || replace(w.s, ' ', '  ') || ' ',
+               ' ' || b.l || '  ' || b.r || ' ',
+               ' ' || b.l || b.r || ' '), '  ', ' ')), 'f': w.f}),
+           list_append(st.merges, b)
+    FROM st, LATERAL (
+        SELECT {'l': split_part(bg, chr(9), 1),
+                'r': split_part(bg, chr(9), 2), 'cnt': cnt} AS b
+        FROM (
+            SELECT bg, sum(f) AS cnt
+            FROM (
+                SELECT unnest(CASE WHEN len(t) >= 2 THEN
+                        list_transform(range(1, len(t)),
+                                       i -> t[i] || chr(9) || t[i+1])
+                    ELSE [] END) AS bg, f
+                FROM (SELECT string_split(w.s, ' ') AS t, w.f AS f
+                      FROM unnest(st.words) AS u(w))
+            ) GROUP BY bg
+        ) ORDER BY cnt DESC, bg LIMIT 1
+    ) AS lat(b)
+    WHERE st.iter < 16 AND b.cnt >= 2
+),
+final AS (
+    SELECT merges FROM st
+    WHERE iter = (SELECT max(iter) FROM st)
+)
+SELECT CAST(u.m['rank'] AS INT) AS rank,
+       u.m.l AS "left", u.m.r AS "right",
+       u.m.l || u.m.r AS merged,
+       u.m.cnt AS pair_count
+FROM final,
+     unnest(list_transform(range(1, len(final.merges) + 1),
+            k -> {'rank': k, 'l': final.merges[k].l,
+                  'r': final.merges[k].r,
+                  'cnt': final.merges[k].cnt})) AS u(m)
+"""
+
+# Spark side: functions/text.py token_entropy — a shuffle-free
+# array_sort + aggregate fold computing H = ln(N) - sum(c ln c)/N. The
+# oracle uses the classic unnest + GROUP BY counts; identical formula,
+# both engines round to 6 decimals after all float math (the float sum
+# runs over <= a few dozen O(1) terms, so cross-engine summation-order
+# error ~1e-15 sits far from the 5e-7 rounding boundary).
+ORACLE_TEXT["token_entropy"] = r"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+c AS (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    GROUP BY 1, 2
+),
+s AS (
+    SELECT doc_id, sum(c * ln(c)) AS run_sum
+    FROM c GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(t.toks)) AS INT) AS n_unique_tokens,
+       round((CASE WHEN len(t.toks) > 0
+              THEN ln(len(t.toks)) - s.run_sum / len(t.toks)
+              ELSE 0.0 END) * 1000000) / 1000000.0 AS token_entropy,
+       round((CASE WHEN len(list_distinct(t.toks)) > 1
+              THEN (ln(len(t.toks)) - s.run_sum / len(t.toks))
+                   / ln(len(list_distinct(t.toks)))
+              ELSE 0.0 END) * 1000000) / 1000000.0 AS norm_entropy
+FROM t JOIN s ON s.doc_id = t.doc_id
+"""
+
 # Spark side: registry label_centroids — posexplode + groupBy(label, dim).
 # unnest() calls zip in DuckDB, giving (value, 1-based ordinal) pairs.
 ORACLE_TEXT["label_centroids"] = """

@@ -857,6 +857,42 @@ def _customer_retention_setops(spark, sf):
             .unionByName(count_as(y1.subtract(y0), "new")))
 
 
+@register("cohort_retention")
+def _cohort_retention(spark, sf):
+    """Classic cohort-retention matrix over orders: customers grouped by
+    first-order month (the cohort), then distinct-active counts at each
+    month offset, with retention as a fraction of cohort size.
+
+    Plan shape: distinct on (customer, month) partial-aggregates before
+    any join; the first-month groupBy and the join back both key on
+    customer, so AQE reuses one customer-keyed exchange; the final
+    matrix aggregation shuffles only (cohort, offset) pairs — O(months²)
+    rows regardless of corpus size. The cohort-size denominator comes
+    from a window over the tiny matrix, not a rescan of orders."""
+    from pyspark.sql import Window
+    orders = _t(spark, sf, "orders")
+    act = (orders.select(
+            F.col("o_custkey").alias("c"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .alias("midx"))
+           .distinct())
+    first = act.groupBy("c").agg(F.min("midx").alias("first_midx"))
+    mat = (act.join(first, "c")
+           .groupBy(F.col("first_midx"),
+                    (F.col("midx") - F.col("first_midx"))
+                    .alias("months_since"))
+           .agg(F.count(F.lit(1)).alias("n_active")))
+    w = Window.partitionBy("first_midx")
+    cohort_n = F.max(
+        F.when(F.col("months_since") == 0, F.col("n_active"))).over(w)
+    return (mat.select(
+        (F.floor(F.col("first_midx") / 12) * 100
+         + F.col("first_midx") % 12 + 1).cast("int").alias("cohort_ym"),
+        F.col("months_since").cast("int").alias("months_since"),
+        F.col("n_active"),
+        round_fixed(F.col("n_active") / cohort_n, 6).alias("retention")))
+
+
 # ---- hierarchical ROLLUP (region -> nation) ----
 
 @register("rollup_revenue_region_nation")
@@ -987,6 +1023,41 @@ def _doc_repetition(spark, sf):
         feats["n_unique_trigrams"].cast("int").alias("n_unique_trigrams"),
         round_fixed(feats["dup_token_ratio"], 6).alias("dup_token_ratio"),
         round_fixed(feats["dup_trigram_ratio"], 6).alias("dup_trigram_ratio"),
+    )
+
+
+@register("bpe_merge_table")
+def _bpe_merge_table(spark, sf):
+    """BPE vocabulary learning (operators/vocab.py): one corpus-scale
+    (word, freq) pass, then 16 vocabulary-sized merge iterations, each
+    a partial-aggregating pair count + single-row argmax collect + pure
+    array-fold rewrite. Deterministic (count DESC, left, right
+    tie-break), so the DuckDB oracle replays the identical iterations
+    with a single-row recursive CTE over the vocabulary list."""
+    from asvsp_spark.operators.vocab import bpe_merge_table
+    return bpe_merge_table(_t(spark, sf, "documents"),
+                           num_merges=16, min_pair_count=2)
+
+
+@register("token_entropy")
+def _token_entropy(spark, sf):
+    """Within-document unigram Shannon entropy (functions/text.py
+    token_entropy) — the low-information/template-spam quality signal.
+    Shuffle-free: array_sort + one aggregate fold per row, so the whole
+    corpus pass is a single projection at parquet-scan speed; norm_entropy
+    (H / ln(n_unique)) makes docs of different lengths comparable."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks"))
+    h = TX.token_entropy("toks")
+    n_uniq = F.size(F.array_distinct(F.col("toks")))
+    return docs.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        n_uniq.cast("int").alias("n_unique_tokens"),
+        round_fixed(h, 6).alias("token_entropy"),
+        round_fixed(
+            F.when(n_uniq > 1, h / F.log(n_uniq.cast("double")))
+             .otherwise(F.lit(0.0)), 6).alias("norm_entropy"),
     )
 
 
