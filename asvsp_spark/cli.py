@@ -140,6 +140,20 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--chunk-tokens", type=int, default=64)
     ch.add_argument("--overlap", type=int, default=16)
 
+    bp = sub.add_parser("bpe",
+                        help="learn a BPE merge table over a corpus "
+                             "(tokenizer-training vocabulary step); "
+                             "optionally apply it back for per-doc "
+                             "subword token counts")
+    bp.add_argument("src", help="parquet with (doc_id, text)")
+    bp.add_argument("out", help="merge-table parquet "
+                                "(rank, left, right, merged, pair_count)")
+    bp.add_argument("--num-merges", type=int, default=64)
+    bp.add_argument("--min-pair-count", type=int, default=2)
+    bp.add_argument("--apply-out", default=None,
+                    help="also segment src with the learned table and "
+                         "write (doc_id, n_words, n_bpe_tokens) here")
+
     sd = sub.add_parser("stream-drain",
                         help="incrementally drain the events stream "
                              "into an hourly rollup; re-invoke with the "
@@ -319,6 +333,23 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{args.src}: {spark.read.parquet(args.out).count()} chunks "
               f"({args.chunk_tokens} tokens, {args.overlap} overlap) "
               f"-> {args.out}")
+        return 0
+
+    if args.cmd == "bpe":
+        from asvsp_spark.operators.vocab import bpe_apply, bpe_merge_table
+        spark = _session(args)
+        docs = spark.read.parquet(args.src)
+        merges = bpe_merge_table(docs, num_merges=args.num_merges,
+                                 min_pair_count=args.min_pair_count)
+        merges.write.mode("overwrite").parquet(args.out)
+        learned = spark.read.parquet(args.out)
+        print(f"{args.src}: learned {learned.count()} merges "
+              f"(requested {args.num_merges}, min pair count "
+              f"{args.min_pair_count}) -> {args.out}")
+        if args.apply_out:
+            bpe_apply(docs, learned).write.mode("overwrite") \
+                .parquet(args.apply_out)
+            print(f"segmented counts -> {args.apply_out}")
         return 0
 
     if args.cmd == "split":

@@ -76,16 +76,22 @@ def _merge_fold(left: str, right: str) -> F.Column:
 
 
 def bpe_merge_table(docs: DataFrame, num_merges: int = 16,
-                    min_pair_count: int = 2,
-                    text_col: str = "text") -> DataFrame:
+                    min_pair_count: int = 2, text_col: str = "text",
+                    checkpoint_every: int = 8) -> DataFrame:
     """Learn the top ``num_merges`` BPE merges over the corpus; returns
     (rank, left, right, merged, pair_count), rank 1 = first merge.
 
     Stops early when no adjacent pair reaches ``min_pair_count``.
     Driver involvement per iteration is ONE single-row collect (the
     argmax), same bounded-metadata contract as the components fixpoint
-    check; the vocabulary frame is localCheckpoint-ed each round so the
-    plan stays O(1) deep instead of accumulating one fold per merge."""
+    check. Wall-clock is per-iteration job latency × num_merges —
+    inherent to textbook BPE's strictly sequential merges, and
+    independent of corpus size once the (word, freq) pass is done. The
+    vocabulary frame is localCheckpoint-ed every ``checkpoint_every``
+    merges: between checkpoints each argmax recomputes a few pure
+    array folds over the vocabulary-sized frame (cheap), while every
+    checkpoint costs a materialization — 8 balanced best locally and
+    bounds plan depth for the analyzer either way."""
     spark = docs.sparkSession
     vocab = (word_frequencies(docs, text_col)
              .select(F.split("word", "").alias("syms"), "freq")
@@ -95,6 +101,7 @@ def bpe_merge_table(docs: DataFrame, num_merges: int = 16,
         "transform(sequence(0, size(syms) - 2), "
         "i -> struct(syms[i] AS l, syms[i + 1] AS r))")
     merges: list[tuple[int, str, str, str, int]] = []
+    pending = 0
     for rank in range(1, num_merges + 1):
         best = (
             vocab.filter(F.size("syms") >= 2)
@@ -109,8 +116,11 @@ def bpe_merge_table(docs: DataFrame, num_merges: int = 16,
             break
         l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
         merges.append((rank, l, r, l + r, cnt))
-        vocab = (vocab.withColumn("syms", _merge_fold(l, r))
-                 .localCheckpoint(eager=False))
+        vocab = vocab.withColumn("syms", _merge_fold(l, r))
+        pending += 1
+        if pending >= checkpoint_every:
+            vocab = vocab.localCheckpoint(eager=False)
+            pending = 0
 
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, "

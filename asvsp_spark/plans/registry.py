@@ -433,11 +433,16 @@ _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 # decode is DuckDB-reproducible) take the slots of scd2_user_state and
 # heavy_hitters_users (each green r3+r4, locally hash-pinned; the
 # sketch family's approx entries are rows-only by design regardless).
+# bpe_merge_table + token_entropy + cohort_retention (new in r5) take
+# the slots of q08_period_compare, rollup_daily_events and
+# asof_last_order (each green in 2+ rounds, locally hash-pinned; their
+# families keep q01/q02/q10/q11, rollup_monthly/rollup_revenue, and the
+# sq8/sq10 streaming twins respectively).
 DRIVER_CHECKED: tuple[str, ...] = (
-    "q01_yearly_rank_yoy", "q02_peak_month", "q08_period_compare",
+    "q01_yearly_rank_yoy", "q02_peak_month", "bpe_merge_table",
     "q10_improvement_streaks", "dsir_weights",
     "q11_pricing_summary", "dsir_sample",
-    "rollup_daily_events", "rollup_monthly_events",
+    "token_entropy", "rollup_monthly_events",
     "rollup_revenue_region_nation",
     "minhash_lsh_pairs", "ivf_topk_full_probe", "shard_assignments",
     "incremental_dedup_report", "dedup_representative",
@@ -453,7 +458,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "sq7b_dedup_within_watermark", "sq8_session_windows",
     "sq11_late_audit",
     "sq9_hourly_daily_chain", "sq10_funnel_hourly",
-    "asof_last_order", "pmi_collocations",
+    "cohort_retention", "pmi_collocations",
     "distinct_users_daily",
     "cube_revenue_nation_year", "lsh_topk",
     "dedup_components", "simhash_pairs",

@@ -109,6 +109,29 @@ def test_token_entropy_matches_reference(spark, toks):
     assert abs(got - exp) < 1e-9
 
 
+def test_cli_bpe_learn_and_apply(spark, tmp_path, capsys):
+    """CLI round-trip: learn a merge table, apply it back, and check the
+    segmented counts agree with bpe_apply on the learned table."""
+    from asvsp_spark.cli import main
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "lowest lowest newest widest" if i % 2 else "low new wide")
+         for i in range(8)],
+        "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "merges")
+    seg = str(tmp_path / "seg")
+    assert main(["bpe", src, out, "--num-merges", "6",
+                 "--apply-out", seg]) == 0
+    assert "learned" in capsys.readouterr().out
+    merges = spark.read.parquet(out)
+    assert 0 < merges.count() <= 6
+    got = spark.read.parquet(seg)
+    assert got.count() == 8
+    exp = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_apply(
+        spark.read.parquet(src), merges).collect()}
+    assert {r["doc_id"]: r["n_bpe_tokens"] for r in got.collect()} == exp
+
+
 def test_cohort_retention_first_month_is_one(spark):
     """Every cohort's months_since=0 row has retention exactly 1.0, and
     a customer ordering in months 0 and 2 lands in offsets {0, 2}."""
