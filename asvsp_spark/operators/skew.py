@@ -107,3 +107,54 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
                                                 F.lit(buckets - 1))))
                .withColumn("_salt", F.col("_salt").cast("int")))
     return big_s.join(small_r, keys + ["_salt"], how).drop("_salt")
+
+
+def key_skew_report(df: DataFrame, key_col: str,
+                    top_k: int = 10) -> DataFrame:
+    """Pre-shuffle skew diagnostics for a join/group key: the top-k
+    hottest keys with their share of all rows and their ratio to the
+    median key's row count — the numbers that decide whether a plain
+    shuffle is safe, AQE's skew split suffices, or ``salted_join`` /
+    ``two_phase_agg`` is warranted (rule of thumb: skew_vs_median in
+    the hundreds means the hot key's reducer IS the job's wall-clock).
+
+    Plan shape: ONE corpus-scale map-side-combining groupBy(key); the
+    per-key count table (key-cardinality-sized, not corpus-sized) is
+    then aggregated to a single global stats row that broadcasts back
+    onto the top-k survivors — no second corpus scan, no driver
+    collect. Output: (rank, key, n_rows, share, cum_share, n_keys,
+    median_key_rows, skew_vs_median).
+    """
+    from pyspark.sql import Window
+
+    from asvsp_spark.plans.base import round_fixed
+
+    # localCheckpoint pins the key-cardinality-sized count table so the
+    # two consumers below (global stats, top-k) reuse ONE corpus scan —
+    # without it Spark recomputes the shared aggregate subtree and reads
+    # the fact table twice (plan-shape-tested)
+    counts = (df.select(F.col(key_col).cast("string").alias("key"))
+              .groupBy("key")
+              .agg(F.count(F.lit(1)).alias("n_rows"))
+              .localCheckpoint(eager=False))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("total_rows"),
+        F.expr("percentile(n_rows, 0.5)").alias("median_key_rows"))
+    top = (counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
+           .crossJoin(F.broadcast(stats)))
+    w = (Window.orderBy(F.desc("n_rows"), F.asc("key"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return top.select(
+        F.row_number().over(
+            Window.orderBy(F.desc("n_rows"), F.asc("key"))).alias("rank"),
+        "key", "n_rows",
+        round_fixed(F.col("n_rows") / F.col("total_rows"), 6)
+        .alias("share"),
+        round_fixed(F.sum("n_rows").over(w) / F.col("total_rows"), 6)
+        .alias("cum_share"),
+        "n_keys",
+        round_fixed(F.col("median_key_rows"), 6).alias("median_key_rows"),
+        round_fixed(F.col("n_rows") / F.col("median_key_rows"), 6)
+        .alias("skew_vs_median"),
+    )

@@ -484,6 +484,65 @@ SELECT cluster_id, doc_id AS rep_doc_id, cluster_size,
 FROM rk WHERE rn = 1
 """
 
+# Spark side: operators/skew.py key_skew_report (registry: events
+# .user_id, top_k=10). Keys are string-cast in BOTH engines so the
+# rank tie-break is the same lexicographic order; the median is the
+# exact interpolated percentile over integer per-key counts
+# (quantile_cont <-> Spark percentile — the proven
+# priority_percentiles pairing), rounded after all float math.
+ORACLE_EXT["key_skew_report"] = """
+WITH c AS (
+    SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+    FROM events GROUP BY 1
+),
+s AS (
+    SELECT count(*) AS n_keys, sum(n_rows) AS total_rows,
+           quantile_cont(n_rows, 0.5) AS med
+    FROM c
+),
+t AS (
+    SELECT key, n_rows,
+           row_number() OVER (ORDER BY n_rows DESC, key) AS rank,
+           sum(n_rows) OVER (ORDER BY n_rows DESC, key
+                             ROWS UNBOUNDED PRECEDING) AS cum
+    FROM c
+)
+SELECT CAST(rank AS INT) AS rank, key, n_rows,
+       round(n_rows / s.total_rows * 1000000) / 1000000.0 AS share,
+       round(cum / s.total_rows * 1000000) / 1000000.0 AS cum_share,
+       s.n_keys,
+       round(s.med * 1000000) / 1000000.0 AS median_key_rows,
+       round(n_rows / s.med * 1000000) / 1000000.0 AS skew_vs_median
+FROM t, s WHERE rank <= 10
+"""
+
+# Spark side: operators/drift.py distribution_drift (registry: events,
+# event_type per day). Same share tables, same KL/TVD formulas; the
+# absent-category mass enters TVD as 1 - sum(q_present), so no dense
+# grid is built in either engine.
+ORACLE_EXT["distribution_drift_daily"] = """
+WITH c AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(event_type AS VARCHAR) AS key,
+           count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT key, sum(c) AS cb FROM c GROUP BY 1),
+t AS (SELECT sum(cb) AS ct FROM b),
+j AS (
+    SELECT c.day, c.c, b.cb, t.ct,
+           sum(c.c) OVER (PARTITION BY c.day) AS day_tot
+    FROM c JOIN b USING (key) CROSS JOIN t
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(count(*) AS INT) AS n_types,
+       round(sum((c / day_tot) * ln((c / day_tot) / (cb / ct)))
+             * 1000000) / 1000000.0 AS kl_nats,
+       round((sum(abs(c / day_tot - cb / ct)) + 1.0 - sum(cb / ct)) / 2.0
+             * 1000000) / 1000000.0 AS tvd
+FROM j GROUP BY 1
+"""
+
 # Spark side: registry cohort_retention — distinct (customer, month),
 # min-month cohort, join back, matrix groupBy + window denominator.
 # midx = year*12 + month - 1 keeps offsets calendar-correct across

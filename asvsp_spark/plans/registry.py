@@ -437,12 +437,15 @@ _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 # the slots of q08_period_compare, rollup_daily_events and
 # asof_last_order (each green in 2+ rounds, locally hash-pinned; their
 # families keep q01/q02/q10/q11, rollup_monthly/rollup_revenue, and the
-# sq8/sq10 streaming twins respectively).
+# sq8/sq10 streaming twins respectively). key_skew_report +
+# distribution_drift_daily (also new in r5) take q02_peak_month and
+# rollup_monthly_events (green r1-r4; q01/q10/q11 and
+# rollup_revenue_region_nation keep those families' rows).
 DRIVER_CHECKED: tuple[str, ...] = (
-    "q01_yearly_rank_yoy", "q02_peak_month", "bpe_merge_table",
+    "q01_yearly_rank_yoy", "key_skew_report", "bpe_merge_table",
     "q10_improvement_streaks", "dsir_weights",
     "q11_pricing_summary", "dsir_sample",
-    "token_entropy", "rollup_monthly_events",
+    "token_entropy", "distribution_drift_daily",
     "rollup_revenue_region_nation",
     "minhash_lsh_pairs", "ivf_topk_full_probe", "shard_assignments",
     "incremental_dedup_report", "dedup_representative",
@@ -1426,6 +1429,28 @@ def _skew_join_salted(spark, sf):
     """The fix: salted_join spreads the hot key over 32 buckets before
     the shuffle; result multiset identical (shared oracle)."""
     return _skew_join_demo(spark, sf, salted=True)
+
+
+@register("key_skew_report")
+def _key_skew_report(spark, sf):
+    """Join/group-key skew diagnostics over events.user_id: top-10
+    hottest keys with row share, cumulative share and ratio to the
+    median key — the pre-shuffle numbers that decide between a plain
+    shuffle, AQE skew split, or salted_join/two_phase_agg. One
+    corpus-scale map-side-combining groupBy; stats broadcast back onto
+    the k survivors."""
+    from asvsp_spark.operators.skew import key_skew_report
+    return key_skew_report(_t(spark, sf, "events"), "user_id", top_k=10)
+
+
+@register("distribution_drift_daily")
+def _distribution_drift_daily(spark, sf):
+    """Per-day event_type mix drift vs the full-period baseline
+    (operators/drift.py): KL(day || baseline) + total variation
+    distance — the data-quality gate before a day's partition enters
+    the corpus."""
+    from asvsp_spark.operators.drift import distribution_drift
+    return distribution_drift(_t(spark, sf, "events"))
 
 
 # ---- DSIR data selection (operators/relevance.py, Xie et al. 2023) ----

@@ -1,0 +1,72 @@
+"""Hand-computed fixtures for the skew diagnostics and drift monitor —
+the algebra the oracle can't pin on edge cases the testdata never hits
+(absent categories, exact interpolated median, top-k truncation)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from asvsp_spark.operators.drift import distribution_drift
+from asvsp_spark.operators.skew import key_skew_report
+
+
+def test_key_skew_report_hand_computed(spark):
+    """a×6, b×2, c×1, d×1: median key rows = (1+2)/2 = 1.5; the hot key
+    holds 60% of rows at 4× the median."""
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 2 + [("c",)] + [("d",)], "k string")
+    rows = {r["rank"]: r for r in key_skew_report(df, "k").collect()}
+    assert [rows[i]["key"] for i in (1, 2, 3, 4)] == ["a", "b", "c", "d"]
+    top = rows[1]
+    assert top["n_rows"] == 6 and top["n_keys"] == 4
+    assert top["share"] == 0.6 and top["cum_share"] == 0.6
+    assert top["median_key_rows"] == 1.5
+    assert top["skew_vs_median"] == 4.0
+    assert rows[2]["cum_share"] == 0.8
+    assert rows[4]["cum_share"] == 1.0
+
+
+def test_key_skew_report_top_k_truncates(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(20)], "k string")
+    out = key_skew_report(df, "k", top_k=5).collect()
+    assert len(out) == 5
+    assert all(r["n_keys"] == 20 for r in out)
+
+
+def test_distribution_drift_hand_computed(spark):
+    """Day 1: 3×x + 1×y; day 2: 4×y (x absent). Baseline: x=3/8, y=5/8.
+    KL and TVD computed by hand; the absent category's baseline mass
+    (3/8) must flow into day 2's TVD."""
+    rows = ([(f"2024-01-01 0{i}:00:00", "x") for i in range(3)]
+            + [("2024-01-01 03:00:00", "y")]
+            + [(f"2024-01-02 0{i}:00:00", "y") for i in range(4)])
+    df = spark.createDataFrame(rows, "ts string, event_type string") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    got = {r["day"]: r for r in distribution_drift(df).collect()}
+
+    d1 = got["2024-01-01"]
+    kl1 = 0.75 * math.log(0.75 / (3 / 8)) + 0.25 * math.log(0.25 / (5 / 8))
+    tvd1 = 0.5 * (abs(0.75 - 3 / 8) + abs(0.25 - 5 / 8))
+    assert d1["n_events"] == 4 and d1["n_types"] == 2
+    assert abs(d1["kl_nats"] - kl1) < 1e-6
+    assert abs(d1["tvd"] - tvd1) < 1e-6
+
+    d2 = got["2024-01-02"]
+    kl2 = 1.0 * math.log(1.0 / (5 / 8))
+    tvd2 = 0.5 * (abs(1.0 - 5 / 8) + 3 / 8)  # + absent x's baseline mass
+    assert d2["n_events"] == 4 and d2["n_types"] == 1
+    assert abs(d2["kl_nats"] - kl2) < 1e-6
+    assert abs(d2["tvd"] - tvd2) < 1e-6
+
+
+def test_distribution_drift_identical_mix_is_zero(spark):
+    """Every day matching the baseline mix exactly -> KL = TVD = 0."""
+    rows = []
+    for day in ("2024-01-01", "2024-01-02"):
+        rows += [(f"{day} 00:00:00", "x")] * 2 + [(f"{day} 01:00:00", "y")]
+    df = spark.createDataFrame(rows, "ts string, event_type string") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    for r in distribution_drift(df).collect():
+        assert r["kl_nats"] == 0.0 and r["tvd"] == 0.0

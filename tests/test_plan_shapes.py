@@ -239,3 +239,24 @@ def test_fanout_spreads_only_undersplit_input(spark):
     stream = (spark.readStream.format("rate").option("rowsPerSecond", 1)
               .load())
     assert fanout(stream) is stream
+
+
+def test_token_entropy_is_shuffle_free(spark):
+    """The entropy quality signal must stay a single projection over the
+    scan — zero Exchange nodes — or the 'parquet-scan-speed corpus pass'
+    claim is gone."""
+    from asvsp_spark.plans.registry import all_queries
+    plan = _plan(all_queries()["token_entropy"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_key_skew_report_single_corpus_pass(spark):
+    """key_skew_report must scan events ONCE: the per-key count table is
+    key-cardinality-sized, so everything downstream (global stats, top-k)
+    must hang off that aggregate, not rescan the fact parquet."""
+    from asvsp_spark.plans.registry import all_queries
+    plan = _plan(all_queries()["key_skew_report"](spark, SF_DIR))
+    assert plan.count("events.parquet") <= 1
+    # the map-side combine before the key shuffle
+    partial, exchange = plan.find("partial_"), plan.find("Exchange")
+    assert partial != -1 and exchange != -1 and partial > exchange
