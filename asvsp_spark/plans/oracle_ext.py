@@ -516,6 +516,32 @@ SELECT CAST(rank AS INT) AS rank, key, n_rows,
 FROM t, s WHERE rank <= 10
 """
 
+# Spark side: streaming/queries.py sq12_drift_hourly — tumbling-hour
+# mix vs the static full-period baseline. Single-batch drain semantics:
+# the 1h window is date_trunc('hour', ts) and the 2h watermark drops
+# nothing, so the oracle is the plain full-history per-hour formula.
+ORACLE_EXT["sq12_drift_hourly"] = """
+WITH c AS (
+    SELECT date_trunc('hour', ts) AS ws, event_type AS key, count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT event_type AS key, count(*) AS cb FROM events GROUP BY 1),
+t AS (SELECT count(*) AS ct FROM events),
+j AS (
+    SELECT c.ws, c.c, b.cb, t.ct,
+           sum(c.c) OVER (PARTITION BY c.ws) AS w_tot
+    FROM c JOIN b USING (key) CROSS JOIN t
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(count(*) AS INT) AS n_types,
+       round(sum((c / w_tot) * ln((c / w_tot) / (cb / ct)))
+             * 1000000) / 1000000.0 AS kl_nats,
+       round((sum(abs(c / w_tot - cb / ct)) + 1.0 - sum(cb / ct)) / 2.0
+             * 1000000) / 1000000.0 AS tvd
+FROM j GROUP BY 1
+"""
+
 # Spark side: operators/drift.py distribution_drift (registry: events,
 # event_type per day). Same share tables, same KL/TVD formulas; the
 # absent-category mass enters TVD as 1 - sum(q_present), so no dense

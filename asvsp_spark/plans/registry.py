@@ -330,6 +330,7 @@ _REGISTRY["sq7_dedup_hourly"] = SQ.sq7_dedup_hourly
 _REGISTRY["sq7b_dedup_within_watermark"] = SQ.sq7b_dedup_within_watermark
 _REGISTRY["sq8_session_windows"] = SQ.sq8_session_windows
 _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
+_REGISTRY["sq12_drift_hourly"] = SQ.sq12_drift_hourly
 
 
 # The driver's correctness pass records rows for exactly the FIRST 50
@@ -441,6 +442,9 @@ _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 # distribution_drift_daily (also new in r5) take q02_peak_month and
 # rollup_monthly_events (green r1-r4; q01/q10/q11 and
 # rollup_revenue_region_nation keep those families' rows).
+# sq12_drift_hourly (streaming drift twin, new r5) takes
+# sq2_dominant_trend's slot (green r1-r4; the sliding-window family
+# keeps sq2c_stateful_trend's row).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "key_skew_report", "bpe_merge_table",
     "q10_improvement_streaks", "dsir_weights",
@@ -455,7 +459,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "token_budget_stats",
     "dedup_spans_removed",
     "bigram_backoff_score", "cosine_topk", "skew_join_salted",
-    "sq1_vs_baseline", "sq2_dominant_trend", "sq2c_stateful_trend",
+    "sq1_vs_baseline", "sq12_drift_hourly", "sq2c_stateful_trend",
     "sq3_top_users", "sq4_engagement_conversion", "sq5_rank_anomaly",
     "sq6_attribution_join", "sq6b_attribution_left",
     "sq7b_dedup_within_watermark", "sq8_session_windows",

@@ -794,6 +794,57 @@ def sq11_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- SQ12
+
+def sq12_drift_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators/drift.py distribution_drift: per
+    tumbling hour, the event_type mix's KL divergence and total
+    variation distance against the STATIC full-period baseline share
+    table — the live "did the traffic mix just change?" monitor, same
+    stream-vs-static-reference shape as sq1 (J4/T7).
+
+    The stateful layer is ONE tumbling-window count per (window, type)
+    — (window × 5 types) state, watermark-bounded; the divergence math
+    runs on the drained (already aggregated, windows × types-sized)
+    rows: a broadcast join against the tiny baseline share table, a
+    per-window total from a window function, and one final groupBy —
+    nothing corpus-sized moves after the streaming agg. Absent
+    categories contribute their baseline mass to TVD via
+    1 − Σ q_present (no dense grid), and KL stays finite because the
+    baseline covers every type the stream can carry.
+    """
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream
+        .groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(_fmt_window_start(), "event_type", "c")
+    )
+    batch = drain(agg, spark)
+
+    base = (tables.load(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cb")))
+    tot = base.agg(F.sum("cb").alias("ct"))
+    joined = (batch
+              .join(F.broadcast(base), "event_type")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("w_tot", F.sum("c").over(
+                  Window.partitionBy("window_start"))))
+    p = F.col("c") / F.col("w_tot")
+    q = F.col("cb") / F.col("ct")
+    return (joined.groupBy("window_start")
+            .agg(F.sum("c").alias("n_events"),
+                 F.count(F.lit(1)).cast("int").alias("n_types"),
+                 F.sum(p * F.log(p / q)).alias("_kl"),
+                 F.sum(F.abs(p - q)).alias("_l1"),
+                 F.sum(q).alias("_q_present"))
+            .select("window_start", "n_events", "n_types",
+                    round_fixed(F.col("_kl"), 6).alias("kl_nats"),
+                    round_fixed((F.col("_l1") + 1.0 - F.col("_q_present"))
+                                / 2.0, 6).alias("tvd")))
+
+
 # ------------------------------------------- incremental drain cadence
 
 def incremental_hourly_drain(spark: SparkSession, events_dir: str,
