@@ -320,8 +320,11 @@ SELECT t.doc_id,
               THEN (ln(len(t.toks)) - s.run_sum / len(t.toks))
                    / ln(len(list_distinct(t.toks)))
               ELSE 0.0 END) * 1000000) / 1000000.0 AS norm_entropy
-FROM t JOIN s ON s.doc_id = t.doc_id
+FROM t LEFT JOIN s ON s.doc_id = t.doc_id
 """
+# ^ a NULL-text doc has no unnested rows, so the LEFT join (not inner)
+# keeps it with entropy 0.0 exactly as the Spark side does; the current
+# testdata carries no NULL texts — shape-robustness only.
 
 # Spark side: registry label_centroids — posexplode + groupBy(label, dim).
 # unnest() calls zip in DuckDB, giving (value, 1-based ordinal) pairs.
