@@ -129,18 +129,23 @@ def key_skew_report(df: DataFrame, key_col: str,
 
     from asvsp_spark.plans.base import round_fixed
 
+    from asvsp_spark.operators.drift import sentinel_key
+
     # localCheckpoint pins the key-cardinality-sized count table so the
     # two consumers below (global stats, top-k) reuse ONE corpus scan —
     # without it Spark recomputes the shared aggregate subtree and reads
-    # the fact table twice (plan-shape-tested)
-    counts = (df.select(F.col(key_col).cast("string").alias("key"))
+    # the fact table twice (plan-shape-tested). NULL keys — routinely
+    # the hottest join key in real data — fold into the '<null>'
+    # sentinel so they show up as a diagnosed group instead of
+    # diverging on NULLS FIRST/LAST sort order across engines.
+    counts = (df.select(sentinel_key(F.col(key_col)).alias("key"))
               .groupBy("key")
               .agg(F.count(F.lit(1)).alias("n_rows"))
               .localCheckpoint(eager=False))
     stats = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n_rows").alias("total_rows"),
-        F.expr("percentile(n_rows, 0.5)").alias("median_key_rows"))
+        F.percentile(F.col("n_rows"), 0.5).alias("median_key_rows"))
     top = (counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
            .crossJoin(F.broadcast(stats)))
     w = (Window.orderBy(F.desc("n_rows"), F.asc("key"))

@@ -492,7 +492,8 @@ FROM rk WHERE rn = 1
 # priority_percentiles pairing), rounded after all float math.
 ORACLE_EXT["key_skew_report"] = """
 WITH c AS (
-    SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+    SELECT COALESCE(CAST(user_id AS VARCHAR), '<null>') AS key,
+           count(*) AS n_rows
     FROM events GROUP BY 1
 ),
 s AS (
@@ -522,10 +523,13 @@ FROM t, s WHERE rank <= 10
 # nothing, so the oracle is the plain full-history per-hour formula.
 ORACLE_EXT["sq12_drift_hourly"] = """
 WITH c AS (
-    SELECT date_trunc('hour', ts) AS ws, event_type AS key, count(*) AS c
+    SELECT date_trunc('hour', ts) AS ws,
+           COALESCE(CAST(event_type AS VARCHAR), '<null>') AS key,
+           count(*) AS c
     FROM events GROUP BY 1, 2
 ),
-b AS (SELECT event_type AS key, count(*) AS cb FROM events GROUP BY 1),
+b AS (SELECT COALESCE(CAST(event_type AS VARCHAR), '<null>') AS key,
+             count(*) AS cb FROM events GROUP BY 1),
 t AS (SELECT count(*) AS ct FROM events),
 j AS (
     SELECT c.ws, c.c, b.cb, t.ct,
@@ -548,7 +552,8 @@ FROM j GROUP BY 1
 # grid is built in either engine.
 ORACLE_EXT["distribution_drift_daily"] = """
 WITH c AS (
-    SELECT CAST(ts AS DATE) AS day, CAST(event_type AS VARCHAR) AS key,
+    SELECT CAST(ts AS DATE) AS day,
+           COALESCE(CAST(event_type AS VARCHAR), '<null>') AS key,
            count(*) AS c
     FROM events GROUP BY 1, 2
 ),

@@ -230,9 +230,10 @@ FROM g
 # min_pair_count=2). The oracle replays the identical deterministic
 # iterations with a SINGLE-ROW recursive CTE: the whole vocabulary rides
 # in one list-of-structs column, each recursion level computes the
-# argmax pair via a LATERAL unnest + GROUP BY (tab-joined pair string:
-# tab < every symbol char, so ORDER BY the joined string == ORDER BY
-# (l, r) tuple — the same tie-break Spark's orderBy(l, r) applies), and
+# argmax pair via a LATERAL unnest + GROUP BY (pairs ride tab-joined
+# for the count, but the tie-break ORDERs BY the split-out (l, r)
+# columns — the same tuple order Spark's orderBy(l, r) applies, immune
+# to symbols carrying sub-tab control characters), and
 # the greedy left-to-right non-overlapping within-word merge is the
 # doubled-space replace trick: double every separator, replace
 # ' l  r ' -> ' lr ' (replace() scans left-to-right, and each match
@@ -271,7 +272,8 @@ st AS (
                 FROM (SELECT string_split(w.s, ' ') AS t, w.f AS f
                       FROM unnest(st.words) AS u(w))
             ) GROUP BY bg
-        ) ORDER BY cnt DESC, bg LIMIT 1
+        ) ORDER BY cnt DESC, split_part(bg, chr(9), 1),
+                   split_part(bg, chr(9), 2) LIMIT 1
     ) AS lat(b)
     WHERE st.iter < 16 AND b.cnt >= 2
 ),

@@ -806,43 +806,29 @@ def sq12_drift_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     The stateful layer is ONE tumbling-window count per (window, type)
     — (window × 5 types) state, watermark-bounded; the divergence math
     runs on the drained (already aggregated, windows × types-sized)
-    rows: a broadcast join against the tiny baseline share table, a
-    per-window total from a window function, and one final groupBy —
-    nothing corpus-sized moves after the streaming agg. Absent
+    rows through the SAME divergence_by_bucket helper as the batch
+    monitor (operators/drift.py — one implementation, two cadences),
+    with the tiny static baseline share table broadcast in. Absent
     categories contribute their baseline mass to TVD via
     1 − Σ q_present (no dense grid), and KL stays finite because the
-    baseline covers every type the stream can carry.
+    baseline covers every type the stream can carry; NULL keys fold
+    into the '<null>' sentinel category on both sides.
     """
+    from asvsp_spark.operators.drift import divergence_by_bucket, \
+        sentinel_key
     stream = events_stream(spark, sf_dir)
     agg = (
         stream
-        .groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+        .groupBy(F.window("ts", "1 hour").alias("window"),
+                 sentinel_key(F.col("event_type")).alias("key"))
         .agg(F.count(F.lit(1)).alias("c"))
-        .select(_fmt_window_start(), "event_type", "c")
+        .select(_fmt_window_start(), "key", "c")
     )
     batch = drain(agg, spark)
-
     base = (tables.load(spark, sf_dir, "events")
-            .groupBy("event_type")
+            .groupBy(sentinel_key(F.col("event_type")).alias("key"))
             .agg(F.count(F.lit(1)).alias("cb")))
-    tot = base.agg(F.sum("cb").alias("ct"))
-    joined = (batch
-              .join(F.broadcast(base), "event_type")
-              .crossJoin(F.broadcast(tot))
-              .withColumn("w_tot", F.sum("c").over(
-                  Window.partitionBy("window_start"))))
-    p = F.col("c") / F.col("w_tot")
-    q = F.col("cb") / F.col("ct")
-    return (joined.groupBy("window_start")
-            .agg(F.sum("c").alias("n_events"),
-                 F.count(F.lit(1)).cast("int").alias("n_types"),
-                 F.sum(p * F.log(p / q)).alias("_kl"),
-                 F.sum(F.abs(p - q)).alias("_l1"),
-                 F.sum(q).alias("_q_present"))
-            .select("window_start", "n_events", "n_types",
-                    round_fixed(F.col("_kl"), 6).alias("kl_nats"),
-                    round_fixed((F.col("_l1") + 1.0 - F.col("_q_present"))
-                                / 2.0, 6).alias("tvd")))
+    return divergence_by_bucket(batch, "window_start", base=base)
 
 
 # ------------------------------------------- incremental drain cadence

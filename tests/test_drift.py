@@ -70,3 +70,36 @@ def test_distribution_drift_identical_mix_is_zero(spark):
         .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
     for r in distribution_drift(df).collect():
         assert r["kl_nats"] == 0.0 and r["tvd"] == 0.0
+
+
+def test_key_skew_report_null_keys_are_a_category(spark):
+    """NULL join keys — routinely the hottest key in real data — must
+    surface as the '<null>' group, not vanish or reorder."""
+    df = spark.createDataFrame(
+        [(None,)] * 3 + [("a",)], "k string")
+    top = key_skew_report(df, "k").collect()[0]
+    assert top["key"] == "<null>" and top["n_rows"] == 3
+    assert top["share"] == 0.75
+
+
+def test_distribution_drift_null_keys_counted(spark):
+    """NULL categories fold into '<null>' and keep contributing mass:
+    n_events counts them and an all-identical mix still reports 0."""
+    rows = []
+    for day in ("2024-01-01", "2024-01-02"):
+        rows += [(f"{day} 00:00:00", "x"), (f"{day} 01:00:00", None)]
+    df = spark.createDataFrame(rows, "ts string, event_type string") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = distribution_drift(df).collect()
+    assert all(r["n_events"] == 2 and r["n_types"] == 2 for r in out)
+    assert all(r["kl_nats"] == 0.0 and r["tvd"] == 0.0 for r in out)
+
+
+def test_distribution_drift_single_corpus_scan(spark):
+    """The baseline must derive from the pinned count table — one fact
+    scan total, or the drift gate triples its most expensive stage."""
+    from asvsp_spark.plans.registry import all_queries
+    df = all_queries()["distribution_drift_daily"](
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("events.parquet") <= 1
