@@ -91,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
                       help="write the corpus as N deterministic training "
                            "shards (+ loader manifest) instead of lang "
                            "partitions")
+    cpip.add_argument("--min-entropy", type=float, default=None,
+                      help="drop template-spam docs whose normalized "
+                           "token entropy is below this cutoff (0..1)")
+    cpip.add_argument("--bpe-merges", type=int, default=None,
+                      help="after the write, learn N BPE merges over "
+                           "the shipped corpus and land the merge "
+                           "table at OUT_DIR/bpe_merges")
 
     mg = sub.add_parser("merge", help="MERGE updates parquet into a base dataset by key")
     mg.add_argument("base")
@@ -258,7 +265,9 @@ def main(argv: list[str] | None = None) -> int:
                                      near_dedup=args.near_dedup,
                                      benchmark=bench,
                                      scrub_pii=args.scrub_pii,
-                                     n_shards=args.shards)
+                                     n_shards=args.shards,
+                                     min_norm_entropy=args.min_entropy,
+                                     bpe_merges=args.bpe_merges)
         for stage, n in counts.items():
             print(f"{stage:16s} {n}")
         return 0

@@ -52,6 +52,8 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                         benchmark: DataFrame | None = None,
                         scrub_pii: bool = False,
                         n_shards: int | None = None,
+                        min_norm_entropy: float | None = None,
+                        bpe_merges: int | None = None,
                         ) -> dict[str, int]:
     """The LLM training-data preparation chain, end to end — what a user
     of this engine actually runs over a raw corpus:
@@ -59,7 +61,11 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
       1. profile   — per-doc quality score + language (one scan,
                      functions/text.py expressions),
       2. gate      — drop each language's bottom ``quality_pct`` by exact
-                     percentile threshold (broadcast thresholds),
+                     percentile threshold (broadcast thresholds); with
+                     ``min_norm_entropy`` set, also drop template-spam
+                     docs whose normalized token entropy
+                     (functions/text.py token_entropy, shuffle-free)
+                     falls below the absolute cutoff,
       3. exact dedup — keep the smallest doc_id per canonical-text
                      fingerprint,
       4. near dedup — candidate pairs from the ``near_dedup`` generator
@@ -87,14 +93,20 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                      shuffle-shard plan (operators/sharding.py — shard
                      and intra-shard order are pure md5 functions of
                      the doc id) with the per-shard loader manifest
-                     written beside it — the training-ready layout.
+                     written beside it — the training-ready layout,
+      8. tokenize  — with ``bpe_merges`` set, learn that many BPE
+                     merges over the WRITTEN corpus (the tokenizer
+                     trains on exactly the data that ships,
+                     operators/vocab.py) and land the merge table at
+                     ``{out_dir}/bpe_merges``.
 
     Every stage is the already-oracle-checked operator — this function
     only composes them — and each materializes a narrow id set, so the
     full text travels exactly twice (profile scan + final write-out
     semi-join). Returns per-stage surviving counts (monotone
     non-increasing; pinned in tests under both the minhash and jaccard
-    generators).
+    generators), plus — when requested — the learned-artifact count
+    ``bpe_merges`` (a vocabulary size, outside the monotone funnel).
     """
     from pyspark.sql import functions as F
 
@@ -128,6 +140,14 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                   (F.least(F.col("n_tokens"), F.lit(500)) / 500.0
                    + F.col("n_stop") / F.col("n_tokens")) / 2, 6))
               .drop("toks"))
+    if min_norm_entropy is not None:
+        n_uniq = F.size(F.array_distinct(F.col("toks")))
+        norm_h = F.when(
+            n_uniq > 1,
+            TX.token_entropy("toks") / F.log(n_uniq.cast("double"))
+        ).otherwise(F.lit(0.0))
+        scored = scored.withColumn("toks", TX.tokens(F.col("text"))) \
+            .filter(norm_h >= F.lit(min_norm_entropy)).drop("toks")
     th = scored.groupBy("lang").agg(
         F.percentile("q", quality_pct).alias("q_min"))
     gated = (scored.join(F.broadcast(th), "lang")
@@ -192,4 +212,14 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     else:
         write_partitioned(final, f"{out_dir}/corpus", ["lang"])
     counts["written"] = spark.read.parquet(f"{out_dir}/corpus").count()
+
+    # 8: tokenizer training on the shipped corpus (opt-in)
+    if bpe_merges is not None:
+        from asvsp_spark.operators.vocab import bpe_merge_table
+        merges = bpe_merge_table(
+            spark.read.parquet(f"{out_dir}/corpus"),
+            num_merges=bpe_merges)
+        merges.write.mode("overwrite").parquet(f"{out_dir}/bpe_merges")
+        counts["bpe_merges"] = (
+            spark.read.parquet(f"{out_dir}/bpe_merges").count())
     return counts

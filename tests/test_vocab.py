@@ -132,6 +132,24 @@ def test_cli_bpe_learn_and_apply(spark, tmp_path, capsys):
     assert {r["doc_id"]: r["n_bpe_tokens"] for r in got.collect()} == exp
 
 
+def test_corpus_pipeline_entropy_gate_and_bpe_stage(spark, tmp_path):
+    """min_norm_entropy drops low-entropy docs before the quality gate
+    (funnel stays monotone) and bpe_merges lands a learned merge table
+    beside the corpus, trained on exactly the written survivors."""
+    from asvsp_spark.pipeline import run_corpus_pipeline
+    from tests.conftest import SF_DIR
+    out = str(tmp_path / "clean")
+    counts = run_corpus_pipeline(spark, SF_DIR, out,
+                                 min_norm_entropy=0.2, bpe_merges=4)
+    assert counts["raw"] >= counts["quality_gated"] >= counts["written"] > 0
+    merges = spark.read.parquet(f"{out}/bpe_merges")
+    assert counts["bpe_merges"] == merges.count() <= 4
+    exp = bpe_merge_table(spark.read.parquet(f"{out}/corpus"),
+                          num_merges=4)
+    assert sorted(map(tuple, merges.collect())) == \
+        sorted(map(tuple, exp.collect()))
+
+
 def test_cohort_retention_first_month_is_one(spark):
     """Every cohort's months_since=0 row has retention exactly 1.0, and
     a customer ordering in months 0 and 2 lands in offsets {0, 2}."""
