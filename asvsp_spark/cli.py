@@ -161,6 +161,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="also segment src with the learned table and "
                          "write (doc_id, n_words, n_bpe_tokens) here")
 
+    ab = sub.add_parser("ann-build",
+                        help="train and persist an IVF ANN index: "
+                             "centroids + vectors partitioned by cell "
+                             "(partition pruning IS the inverted file)")
+    ab.add_argument("src", help="parquet with (vec_id, embedding)")
+    ab.add_argument("index", help="index directory to write")
+    ab.add_argument("--centroids", type=int, default=None,
+                    help="cell count (default sqrt(N))")
+
+    aq = sub.add_parser("ann-query",
+                        help="top-k cosine neighbors from a persisted "
+                             "IVF index, reading only the probed cells")
+    aq.add_argument("index", help="index directory from ann-build")
+    aq.add_argument("queries", help="parquet with (vec_id, embedding)")
+    aq.add_argument("out", help="result parquet "
+                                "(query_id, neighbor_id, cos_sim, rnk)")
+    aq.add_argument("--k", type=int, default=5)
+    aq.add_argument("--n-probe", type=int, default=4)
+
     sd = sub.add_parser("stream-drain",
                         help="incrementally drain the events stream "
                              "into an hourly rollup; re-invoke with the "
@@ -341,6 +360,27 @@ def main(argv: list[str] | None = None) -> int:
         chunks.write.mode("overwrite").parquet(args.out)
         print(f"{args.src}: {spark.read.parquet(args.out).count()} chunks "
               f"({args.chunk_tokens} tokens, {args.overlap} overlap) "
+              f"-> {args.out}")
+        return 0
+
+    if args.cmd == "ann-build":
+        from asvsp_spark.operators.similarity import build_ivf_index
+        spark = _session(args)
+        meta = build_ivf_index(spark.read.parquet(args.src), args.index,
+                               n_centroids=args.centroids)
+        print(f"{args.src}: {meta['n_vectors']} vectors -> "
+              f"{meta['n_centroids']} cells at {args.index}")
+        return 0
+
+    if args.cmd == "ann-query":
+        from asvsp_spark.operators.similarity import query_ivf_index
+        spark = _session(args)
+        res = query_ivf_index(spark, args.index,
+                              spark.read.parquet(args.queries),
+                              k=args.k, n_probe=args.n_probe)
+        res.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"{n} neighbor rows (k={args.k}, n_probe={args.n_probe}) "
               f"-> {args.out}")
         return 0
 

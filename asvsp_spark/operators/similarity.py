@@ -783,3 +783,100 @@ def incremental_semantic_dedup(spark, new_docs: DataFrame, store_path: str,
         "sem_dupes": n_batch - n_fresh,
         "fresh": n_fresh,
     }
+
+
+# ---- persistent IVF index: build once, query by partition pruning ----
+
+def build_ivf_index(embeddings: DataFrame, index_path: str,
+                    n_centroids: int | None = None,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42) -> dict[str, int]:
+    """Train the IVF coarse quantizer ONCE and persist the index on
+    disk: ``{index_path}/centroids`` (tiny parquet) plus
+    ``{index_path}/vectors`` partitioned BY CELL — Hive partition
+    pruning then IS the inverted file: a query that probes 4 of 1000
+    cells reads 4/1000ths of the corpus bytes, no search structure
+    beyond the directory layout.
+
+    Same training recipe as ``ivf_topk`` (sqrt(N) cells, 5 Lloyd
+    iterations over a deterministic hash-sample), but the trained
+    layout is reusable across queries/sessions/engines instead of
+    per-call. Returns {'n_vectors', 'n_centroids'}.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = embeddings.sparkSession
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(as_double(F.col(vec_col))).alias("_fv")).cache()
+    n = emb.count()
+    kc = n_centroids or max(2, int(n ** 0.5))
+    train = emb
+    target = 40 * kc
+    if n > 2 * target:
+        denom = max(2, n // target)
+        train = emb.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0)
+    model = KMeans(k=kc, seed=seed, featuresCol="_fv", maxIter=5).fit(train)
+    assigned = (model.transform(emb)
+                .select(F.col(id_col), F.col(vec_col),
+                        F.col("prediction").alias("cell")))
+    assigned.write.mode("overwrite").partitionBy("cell") \
+        .parquet(f"{index_path}/vectors")
+    emb.unpersist()
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(model.clusterCenters())],
+        schema="cell int, c_vec array<double>")
+    centers.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    return {"n_vectors": n, "n_centroids": kc}
+
+
+def query_ivf_index(spark, index_path: str, queries: DataFrame, k: int = 5,
+                    n_probe: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Top-k cosine neighbors from a persisted IVF index: per query,
+    rank the stored centroids (tiny table, driver-collected probe set),
+    then scan ONLY the probed cells' partitions — the `cell IN (...)`
+    filter is a static partition predicate, so pruning happens at file
+    listing, before any byte of the unprobed cells is read.
+
+    The probe-cell collect is bounded metadata (≤ queries × n_probe
+    ints, deduplicated), the same contract as the components
+    convergence check. With n_probe ≥ n_centroids the result is exactly
+    brute force (tested against cosine_topk). Ties broken (cos_sim
+    DESC, neighbor id ASC) like every other top-k in the engine.
+    """
+    centers = F.broadcast(spark.read.parquet(f"{index_path}/centroids"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    sq_dist = F.aggregate(
+        F.zip_with(as_double(F.col("q_vec")), F.col("c_vec"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("cell"))
+    probes = (q.crossJoin(centers)
+              .withColumn("d2", sq_dist)
+              .withColumn("pr", F.rank().over(w_probe))
+              .filter(F.col("pr") <= n_probe)
+              .select("query_id", "q_vec", "cell")
+              .localCheckpoint(eager=False))
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+
+    vectors = (spark.read.parquet(f"{index_path}/vectors")
+               .filter(F.col("cell").isin(cells)))
+    scored = (
+        vectors.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos_sim",
+                    round_fixed(cosine(as_double(F.col("q_vec")),
+                                       as_double(F.col(vec_col))), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col))
+    return (scored.withColumn("rnk", F.rank().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", F.col(id_col).alias("neighbor_id"),
+                    "cos_sim", "rnk"))

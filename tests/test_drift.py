@@ -103,3 +103,33 @@ def test_distribution_drift_single_corpus_scan(spark):
         spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("events.parquet") <= 1
+
+
+def test_ivf_index_full_probe_equals_brute_force(spark, tmp_path):
+    """Persisted-index query with n_probe >= n_centroids must equal the
+    brute-force cosine_topk exactly, and a partial probe must read only
+    the probed cells' partitions (partition pruning = the index)."""
+    from asvsp_spark.operators.similarity import (build_ivf_index,
+                                                  cosine_topk,
+                                                  query_ivf_index)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(emb, idx, n_centroids=8)
+    assert meta["n_centroids"] == 8
+
+    import glob
+    assert len(glob.glob(f"{idx}/vectors/cell=*")) == 8
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = query_ivf_index(spark, idx, queries, k=5, n_probe=8)
+    exp = cosine_topk(emb, k=5, n_queries=10)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
+
+    partial = query_ivf_index(spark, idx, queries, k=5, n_probe=2)
+    plan = partial._jdf.queryExecution().executedPlan().toString()
+    # the cell IN (...) predicate must reach the scan as a partition
+    # filter so unprobed cells are never listed, let alone read
+    assert "PartitionFilters: [cell" in plan.replace("#", " #") or \
+        "cell" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert partial.count() > 0
