@@ -161,6 +161,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="also segment src with the learned table and "
                          "write (doc_id, n_words, n_bpe_tokens) here")
 
+    dc = sub.add_parser("drift-check",
+                        help="score an arriving events delta against "
+                             "the accumulated baseline mix (KL/TVD per "
+                             "day), then fold the delta into the store")
+    dc.add_argument("src", help="delta parquet with (ts, <key>) columns")
+    dc.add_argument("--store", required=True,
+                    help="append-only per-key count store (parquet)")
+    dc.add_argument("--key", default="event_type")
+    dc.add_argument("--out", default=None,
+                    help="also write the per-day report here")
+
     ab = sub.add_parser("ann-build",
                         help="train and persist an IVF ANN index: "
                              "centroids + vectors partitioned by cell "
@@ -361,6 +372,24 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{args.src}: {spark.read.parquet(args.out).count()} chunks "
               f"({args.chunk_tokens} tokens, {args.overlap} overlap) "
               f"-> {args.out}")
+        return 0
+
+    if args.cmd == "drift-check":
+        from asvsp_spark.operators.drift import incremental_drift_check
+        spark = _session(args)
+        report, stats = incremental_drift_check(
+            spark, spark.read.parquet(args.src), args.store,
+            key_col=args.key)
+        tag = "bootstrap" if stats["bootstrapped"] else "delta"
+        print(f"{tag}: {stats['delta_events']} events, "
+              f"{stats['delta_keys']} keys vs {args.store}")
+        if args.out:
+            report.write.mode("overwrite").parquet(args.out)
+            print(f"report -> {args.out}")
+        else:
+            for r in report.orderBy("day").collect():
+                print(f"{r['day']}  n={r['n_events']:<8} "
+                      f"kl={r['kl_nats']:.6f}  tvd={r['tvd']:.6f}")
         return 0
 
     if args.cmd == "ann-build":

@@ -95,3 +95,66 @@ def distribution_drift(df: DataFrame, key_col: str = "event_type",
     # DuckDB DATEs into midnight Timestamps otherwise
     return out.select(F.date_format("day", "yyyy-MM-dd").alias("day"),
                       "n_events", "n_types", "kl_nats", "tvd")
+
+
+def incremental_drift_check(spark, new_events: DataFrame, store_path: str,
+                            key_col: str = "event_type",
+                            ts_col: str = "ts"):
+    """Production-cadence drift gate: score an arriving DELTA (today's
+    ingest) against the ACCUMULATED baseline distribution instead of
+    re-scanning history — the incremental twin of distribution_drift,
+    same shape as dedup's incremental stores. Returns
+    ``(report, counts)``: the per-day KL/TVD report for the delta's
+    buckets vs the stored baseline, and a funnel dict.
+
+    Store contract: an append-only parquet log of per-key counts; the
+    effective baseline is the groupBy-sum at read (compact_parquet is
+    the maintenance step, as for the fingerprint stores). First call
+    bootstraps the store from the delta and scores it against itself
+    (self-baseline — the report is then the within-period mix
+    variation). Each call appends the delta's counts, so the baseline
+    is exactly "everything ingested so far"; re-ingesting the same
+    delta double-weights it — the single-writer daily cadence owns
+    that, same as any metrics accumulation.
+
+    Scale: the delta scans once (map-side-combining groupBy); the store
+    carries |keys| × runs rows, key-cardinality-sized, never events.
+    """
+    from asvsp_spark.operators.dedup import _store_exists
+
+    counts_df = (new_events
+                 .select(F.to_date(F.col(ts_col)).alias("day"),
+                         sentinel_key(F.col(key_col)).alias("key"))
+                 .groupBy("day", "key")
+                 .agg(F.count(F.lit(1)).alias("c"))
+                 .localCheckpoint(eager=False))
+    delta_base = counts_df.groupBy("key").agg(F.sum("c").alias("cb"))
+
+    bootstrapped = not _store_exists(spark, store_path)
+    if bootstrapped:
+        delta_base.write.mode("overwrite").parquet(store_path)
+        base = spark.read.parquet(store_path)
+    else:
+        stored = (spark.read.parquet(store_path)
+                  .groupBy("key").agg(F.sum("cb").alias("cb")))
+        # KL needs q > 0 for every delta key: a never-seen category gets
+        # the standard add-one floor so it SCREAMS in the report (huge
+        # p*ln(p/q) term) instead of crashing or silently dropping.
+        # The stored keys ABSENT from the delta stay in the baseline —
+        # their mass is exactly what the TVD absent-category term
+        # (1 − Σ q_present) measures.
+        novel = (delta_base.join(stored, "key", "left_anti")
+                 .select("key", F.lit(1).cast("long").alias("cb")))
+        base = stored.unionByName(novel)
+
+    report = (divergence_by_bucket(counts_df, "day", base=base)
+              .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                      "n_events", "n_types", "kl_nats", "tvd"))
+    stats = {
+        "delta_events": int(counts_df.agg(F.sum("c")).collect()[0][0]),
+        "delta_keys": delta_base.count(),
+        "bootstrapped": bootstrapped,
+    }
+    if not bootstrapped:
+        delta_base.write.mode("append").parquet(store_path)
+    return report, stats

@@ -133,3 +133,44 @@ def test_ivf_index_full_probe_equals_brute_force(spark, tmp_path):
     assert "PartitionFilters: [cell" in plan.replace("#", " #") or \
         "cell" in plan.split("PartitionFilters:")[1].splitlines()[0]
     assert partial.count() > 0
+
+
+def test_incremental_drift_check_two_batches(spark, tmp_path):
+    """Bootstrap on an x-heavy day, then a flipped-mix delta must score
+    high drift vs the stored baseline; a novel category gets the add-one
+    floor (reported, not crashed) and stored-only categories keep their
+    absent-mass contribution in TVD."""
+    import math
+    from asvsp_spark.operators.drift import incremental_drift_check
+    store = str(tmp_path / "store")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "ts string, event_type string") \
+            .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+
+    d1 = frame([("2024-01-01 00:00:00", "x")] * 3
+               + [("2024-01-01 01:00:00", "y")])
+    r1, s1 = incremental_drift_check(spark, d1, store)
+    assert s1["bootstrapped"] and s1["delta_events"] == 4
+    # self-baseline bootstrap: single day == overall mix -> zero drift
+    row1 = r1.collect()[0]
+    assert row1["kl_nats"] == 0.0 and row1["tvd"] == 0.0
+
+    # delta 2: y-heavy + novel category z; baseline is d1's {x:3, y:1}
+    d2 = frame([("2024-01-02 00:00:00", "y")] * 3
+               + [("2024-01-02 01:00:00", "z")])
+    r2, s2 = incremental_drift_check(spark, d2, store)
+    assert not s2["bootstrapped"]
+    row2 = r2.collect()[0]
+    # baseline with add-one floor for z: {x:3, y:1, z:1}, ct=5
+    kl = 0.75 * math.log(0.75 / (1 / 5)) + 0.25 * math.log(0.25 / (1 / 5))
+    tvd = 0.5 * (abs(0.75 - 1 / 5) + abs(0.25 - 1 / 5) + 3 / 5)  # + absent x
+    assert abs(row2["kl_nats"] - kl) < 1e-6
+    assert abs(row2["tvd"] - tvd) < 1e-6
+
+    # the store accreted delta 2's counts: y now 1+3, z floor replaced
+    # by its real count 1, x unchanged
+    stored = {r["key"]: r["cb"] for r in
+              spark.read.parquet(store).groupBy("key")
+              .agg(F.sum("cb").alias("cb")).collect()}
+    assert stored == {"x": 3, "y": 4, "z": 1}
