@@ -174,3 +174,38 @@ def test_incremental_drift_check_two_batches(spark, tmp_path):
               spark.read.parquet(store).groupBy("key")
               .agg(F.sum("cb").alias("cb")).collect()}
     assert stored == {"x": 3, "y": 4, "z": 1}
+
+
+def test_pq_encode_decode_shapes_and_determinism(spark):
+    from asvsp_spark.operators.similarity import pq_encode, pq_train
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_train(emb, m=8, k_codes=16)
+    assert cb.count() == 8 * 16
+    codes = pq_encode(emb, cb, m=8)
+    assert codes.count() == emb.count()
+    assert codes.select(F.size("codes")).distinct().collect()[0][0] == 8
+    again = pq_encode(emb, cb, m=8)
+    assert sorted(map(tuple, codes.collect())) == \
+        sorted(map(tuple, again.collect()))
+
+
+def test_pq_rerank_recall_bound(spark):
+    """ADC shortlist + exact rerank must recover >= 80% of the exact
+    top-5 (measured 98% at these params); raw ADC >= 20% (measured
+    36%) — the gap is why production PQ always reranks."""
+    from asvsp_spark.operators.similarity import (cosine_topk, pq_encode,
+                                                  pq_topk, pq_topk_rerank,
+                                                  pq_train)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, k=5, n_queries=10).collect()}
+    cb = pq_train(emb, m=8, k_codes=128)
+    codes = pq_encode(emb, cb, m=8)
+    raw = {(r["query_id"], r["neighbor_id"])
+           for r in pq_topk(codes, cb, q, k=5).collect()}
+    assert len(raw & exact) / len(exact) >= 0.2
+    rr = {(r["query_id"], r["neighbor_id"])
+          for r in pq_topk_rerank(codes, cb, q, emb, k=5,
+                                  shortlist=50).collect()}
+    assert len(rr & exact) / len(exact) >= 0.8
