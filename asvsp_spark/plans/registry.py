@@ -1435,6 +1435,22 @@ def _skew_join_salted(spark, sf):
     return _skew_join_demo(spark, sf, salted=True)
 
 
+@register("pq_rerank_topk")
+def _pq_rerank_topk(spark, sf):   # rows-only: per-subspace k-means
+    """Product-quantized ANN with exact reranking (similarity.py
+    pq_train/encode/topk_rerank, m=8 × 128 codes): the 8-byte-code scan
+    shortlists 50, exact cosine reranks — FAISS IVFPQ+refine shape.
+    Deterministic (seeded k-means, lower-code ties) but no DuckDB twin
+    for the trained codebooks; recall bounds pinned in unit tests."""
+    from asvsp_spark.operators.similarity import (pq_encode, pq_topk_rerank,
+                                                  pq_train)
+    emb = _t(spark, sf, "embeddings")
+    cb = pq_train(emb, m=8, k_codes=128)
+    codes = pq_encode(emb, cb, m=8)
+    return pq_topk_rerank(codes, cb, emb.filter(F.col("vec_id") < 10),
+                          emb, k=5, shortlist=50)
+
+
 @register("key_skew_report")
 def _key_skew_report(spark, sf):
     """Join/group-key skew diagnostics over events.user_id: top-10

@@ -209,3 +209,42 @@ def test_pq_rerank_recall_bound(spark):
           for r in pq_topk_rerank(codes, cb, q, emb, k=5,
                                   shortlist=50).collect()}
     assert len(rr & exact) / len(exact) >= 0.8
+
+
+def test_divergence_matches_python_reference(spark):
+    """divergence_by_bucket against a pure-Python KL/TVD reference on
+    randomized count tables (hypothesis) — including buckets missing
+    categories the baseline carries."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+    from asvsp_spark.operators.drift import divergence_by_bucket
+
+    @given(data=st.dictionaries(
+        st.tuples(st.integers(0, 2), st.sampled_from("abcd")),
+        st.integers(1, 9), min_size=1, max_size=10))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    def check(data):
+        import math
+        rows = [(b, k, c) for (b, k), c in data.items()]
+        df = spark.createDataFrame(rows, "bucket int, key string, c long")
+        got = {r["bucket"]: r for r in
+               divergence_by_bucket(df, "bucket").collect()}
+        base: dict = {}
+        for b, k, c in rows:
+            base[k] = base.get(k, 0) + c
+        ct = sum(base.values())
+        buckets = {b for b, _, _ in rows}
+        for b in buckets:
+            present = {k: c for bb, k, c in rows if bb == b}
+            bt = sum(present.values())
+            kl = sum((c / bt) * math.log((c / bt) / (base[k] / ct))
+                     for k, c in present.items())
+            tvd = 0.5 * (
+                sum(abs(c / bt - base[k] / ct) for k, c in present.items())
+                + sum(base[k] / ct for k in base if k not in present))
+            assert abs(got[b]["kl_nats"] - kl) < 2e-6
+            assert abs(got[b]["tvd"] - tvd) < 2e-6
+            assert got[b]["n_events"] == bt
+
+    check()
