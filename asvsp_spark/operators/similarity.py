@@ -902,29 +902,50 @@ def pq_train(embeddings: DataFrame, m: int = 8, k_codes: int = 16,
     Normalization first makes PQ's L2 distances rank identically to
     cosine (||a-b||² = 2 - 2·cos for unit vectors), so pq_topk is
     directly comparable to cosine_topk.
+
+    Training runs driver-side over a capped deterministic hash-sample
+    (``max_train`` vectors) with seeded numpy Lloyd iterations — the
+    FAISS practice: codebooks are always trained on a bounded sample
+    (quantization quality saturates around 100–1000 points per code),
+    so training cost is INDEPENDENT of corpus size; only encode and
+    search are distributed. Per-cluster means are the only state, and
+    empty clusters re-seed deterministically from the farthest points.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     dim = len(embeddings.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
+    max_train = max(200 * k_codes, 4096)
     spark = embeddings.sparkSession
     unit = embeddings.select(
-        F.col(id_col),
-        _l2_normalize(as_double(F.col(vec_col))).alias("_u")).cache()
+        F.col(id_col), _l2_normalize(as_double(F.col(vec_col))).alias("_u"))
+    n = unit.count()
+    if n > max_train:
+        denom = max(2, n // max_train)
+        unit = unit.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0)
+    # FAISS-style: PQ codebooks always train on a bounded sample.
+    # driver-ok: capped sample by construction (≤ ~200·k_codes vectors)
+    sample = np.array([r["_u"] for r in unit.select("_u").collect()])
 
     rows = []
     for sub in range(m):
-        sl = unit.select(
-            array_to_vector(F.slice("_u", sub * d_sub + 1, d_sub))
-            .alias("_fv"))
-        model = KMeans(k=k_codes, seed=seed + sub, featuresCol="_fv",
-                       maxIter=5).fit(sl)
-        rows += [(sub, i, [float(x) for x in c])
-                 for i, c in enumerate(model.clusterCenters())]
-    unit.unpersist()
+        x = sample[:, sub * d_sub:(sub + 1) * d_sub]
+        rng = np.random.default_rng(seed + sub)
+        cent = x[rng.choice(len(x), size=k_codes, replace=False)].copy()
+        for _ in range(8):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_codes):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(axis=0)
+                else:   # re-seed dead codes from the worst-served point
+                    cent[c] = x[d2.min(axis=1).argmax()]
+        rows += [(sub, i, [float(v) for v in cent[i]])
+                 for i in range(k_codes)]
     return spark.createDataFrame(
         rows, schema="sub int, code int, c_vec array<double>")
 
@@ -943,35 +964,43 @@ def pq_encode(embeddings: DataFrame, codebooks: DataFrame, m: int = 8,
               id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
     """(id, codes array<int>): each subvector snapped to its nearest
-    codebook centroid. One explode to (id, sub, subvec) — m× rows, all
-    narrow — a broadcast join against the tiny codebook, an argmin
-    window per (id, sub), and one groupBy(id) to re-assemble the code
-    array in subspace order. Ties break toward the lower code id, so
-    encoding is deterministic."""
-    d_sub_df = codebooks.select(F.size("c_vec").alias("d")).first()
-    d_sub = int(d_sub_df["d"])
-    exploded = (
-        embeddings.select(
-            F.col(id_col),
-            _l2_normalize(as_double(F.col(vec_col))).alias("_u"))
-        .select(F.col(id_col), F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: F.struct(
-                s.alias("sub"),
-                F.slice("_u", s * d_sub + 1, d_sub).alias("sv"))))
-            .alias("e"))
-        .select(id_col, F.col("e.sub").alias("sub"),
-                F.col("e.sv").alias("sv")))
-    w = Window.partitionBy(id_col, "sub").orderBy(
-        F.asc("d2"), F.asc("code"))
-    assigned = (exploded.join(F.broadcast(codebooks), "sub")
-                .withColumn("d2", _sub_sq_dist(F.col("sv"), F.col("c_vec")))
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1))
-    return (assigned.groupBy(id_col)
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "code"))),
-                lambda s: s["code"]).alias("codes")))
+    codebook centroid — the PQ hot path, so it runs as an Arrow-batched
+    mapInPandas with the (m × k × d_sub) codebook tensor shipped by
+    closure and the argmin done as one numpy matmul per batch (the same
+    measured-BLAS justification as semantic_dedup's cell assignment;
+    the expression-tree formulation pays k× the distance evaluations in
+    interpreted codegen). No shuffle: encode is row-local. numpy argmin
+    takes the FIRST minimum, so ties break toward the lower code id —
+    deterministic."""
+    import numpy as np
+
+    # driver-ok: bounded metadata — the m×k codebook rows
+    cb_rows = sorted(codebooks.collect(),
+                     key=lambda r: (r["sub"], r["code"]))
+    k_codes = max(r["code"] for r in cb_rows) + 1
+    d_sub = len(cb_rows[0]["c_vec"])
+    cent = np.array([r["c_vec"] for r in cb_rows]) \
+        .reshape(m, k_codes, d_sub)
+
+    out_schema = f"{id_col} long, codes array<int>"
+
+    def run(batches):
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sv = v.reshape(len(v), m, d_sub)
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for sub in range(m):
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin needs only
+                # the last two terms — one matmul per subspace
+                d2 = (-2.0 * sv[:, sub, :] @ cent[sub].T
+                      + (cent[sub] ** 2).sum(axis=1)[None, :])
+                codes[:, sub] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "codes": list(codes)})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        run, schema=out_schema)
 
 
 def pq_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
