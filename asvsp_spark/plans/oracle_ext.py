@@ -900,3 +900,128 @@ HAVING CAST(sum(('0x' || substr(md5(skew_key || '|' || cents || '|' || w),
 
 ORACLE_EXT["skew_join_plain"] = _SKEW_JOIN_SQL
 ORACLE_EXT["skew_join_salted"] = _SKEW_JOIN_SQL
+
+# Spark side: operators/validate.py check_suite (registry
+# data_quality_report — orders/lineitem/documents/events + two FK
+# checks). Every metric is round(ratio-of-exact-counts * 1e6) / 1e6
+# with a COALESCE(0) on empty denominators, mirroring _frac; the FK
+# orphan fraction left-joins non-null child keys against distinct
+# non-null parent keys in both engines.
+_DQ_FRAC = "round(COALESCE(CAST({v} AS DOUBLE) / NULLIF(CAST({d} AS DOUBLE), 0), 0) * 1000000) / 1000000.0"
+
+
+def _dq_frac(v: str, d: str) -> str:
+    return _DQ_FRAC.format(v=v, d=d)
+
+
+ORACLE_EXT["data_quality_report"] = f"""
+WITH o AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS cust_null,
+           count(o_orderkey) AS ok_nn,
+           count(DISTINCT o_orderkey) AS ok_d,
+           count(o_orderstatus) AS st_nn,
+           sum(CASE WHEN o_orderstatus IS NOT NULL
+                    AND o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END) AS st_bad,
+           count(o_totalprice) AS tp_nn,
+           sum(CASE WHEN o_totalprice IS NOT NULL
+                    AND (o_totalprice < 0.0 OR o_totalprice > 10000000.0)
+                    THEN 1 ELSE 0 END) AS tp_bad
+    FROM orders
+),
+ofk AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS orphans
+    FROM (SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL) c
+    LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer
+               WHERE c_custkey IS NOT NULL) p USING (k)
+),
+l AS (
+    SELECT count(l_quantity) AS q_nn,
+           sum(CASE WHEN l_quantity IS NOT NULL
+                    AND (l_quantity < 1.0 OR l_quantity > 50.0)
+                    THEN 1 ELSE 0 END) AS q_bad,
+           count(l_returnflag) AS rf_nn,
+           sum(CASE WHEN l_returnflag IS NOT NULL
+                    AND l_returnflag NOT IN ('A', 'N', 'R')
+                    THEN 1 ELSE 0 END) AS rf_bad
+    FROM lineitem
+),
+lfk AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS orphans
+    FROM (SELECT l_orderkey AS k FROM lineitem
+          WHERE l_orderkey IS NOT NULL) c
+    LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders
+               WHERE o_orderkey IS NOT NULL) p USING (k)
+),
+d AS (
+    SELECT count(*) AS n,
+           count(doc_id) AS id_nn,
+           count(DISTINCT doc_id) AS id_d,
+           count(lang) AS lg_nn,
+           sum(CASE WHEN lang IS NOT NULL
+                    AND NOT regexp_matches(lang, '^[a-z]{{2}}$')
+                    THEN 1 ELSE 0 END) AS lg_bad,
+           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS tx_null
+    FROM documents
+),
+e AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS uid_null,
+           count(event_type) AS et_nn,
+           sum(CASE WHEN event_type IS NOT NULL
+                    AND event_type NOT IN ('click', 'signup', 'error',
+                                           'view', 'purchase')
+                    THEN 1 ELSE 0 END) AS et_bad
+    FROM events
+),
+rows_out AS (
+    SELECT 'orders' AS "table", 'not_null(o_custkey)' AS "check",
+           'o_custkey' AS "column",
+           {_dq_frac('cust_null', 'n')} AS metric, 0.0 AS threshold FROM o
+    UNION ALL
+    SELECT 'orders', 'unique(o_orderkey)', 'o_orderkey',
+           {_dq_frac('ok_nn - ok_d', 'ok_nn')}, 0.0 FROM o
+    UNION ALL
+    SELECT 'orders', 'in_set(o_orderstatus)', 'o_orderstatus',
+           {_dq_frac('st_bad', 'st_nn')}, 0.0 FROM o
+    UNION ALL
+    SELECT 'orders', 'in_range(o_totalprice,0.0,10000000.0)',
+           'o_totalprice', {_dq_frac('tp_bad', 'tp_nn')}, 0.0 FROM o
+    UNION ALL
+    SELECT 'orders', 'min_rows', '', CAST(n AS DOUBLE), 1.0 FROM o
+    UNION ALL
+    SELECT 'orders', 'foreign_key(o_custkey->c_custkey)', 'o_custkey',
+           {_dq_frac('orphans', 'n')}, 0.0 FROM ofk
+    UNION ALL
+    SELECT 'lineitem', 'in_range(l_quantity,1.0,50.0)', 'l_quantity',
+           {_dq_frac('q_bad', 'q_nn')}, 0.0 FROM l
+    UNION ALL
+    SELECT 'lineitem', 'in_set(l_returnflag)', 'l_returnflag',
+           {_dq_frac('rf_bad', 'rf_nn')}, 0.0 FROM l
+    UNION ALL
+    SELECT 'lineitem', 'foreign_key(l_orderkey->o_orderkey)',
+           'l_orderkey', {_dq_frac('orphans', 'n')}, 0.0 FROM lfk
+    UNION ALL
+    SELECT 'documents', 'unique(doc_id)', 'doc_id',
+           {_dq_frac('id_nn - id_d', 'id_nn')}, 0.0 FROM d
+    UNION ALL
+    SELECT 'documents', 'matches(lang)', 'lang',
+           {_dq_frac('lg_bad', 'lg_nn')}, 0.0 FROM d
+    UNION ALL
+    SELECT 'documents', 'not_null(text)', 'text',
+           {_dq_frac('tx_null', 'n')}, 0.0 FROM d
+    UNION ALL
+    SELECT 'events', 'not_null(user_id)', 'user_id',
+           {_dq_frac('uid_null', 'n')}, 0.0 FROM e
+    UNION ALL
+    SELECT 'events', 'in_set(event_type)', 'event_type',
+           {_dq_frac('et_bad', 'et_nn')}, 0.0 FROM e
+)
+SELECT "table", "check", "column", metric, threshold,
+       CASE WHEN "check" = 'min_rows' THEN metric >= threshold
+            ELSE metric <= threshold END AS passed
+FROM rows_out
+"""

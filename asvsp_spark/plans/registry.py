@@ -1557,3 +1557,48 @@ def _pmi_collocations(spark, sf):
     with a min-count-5 noise guard — vocabulary-keyed shuffles only."""
     from asvsp_spark.operators.relevance import pmi_collocations
     return pmi_collocations(_t(spark, sf, "documents"))
+
+
+@register("data_quality_report")
+def _data_quality_report(spark, sf):
+    """Deequ-style declarative contract suite (operators/validate.py)
+    over four tables: completeness, key uniqueness, value domains,
+    ranges, row-count floor and two referential-integrity checks —
+    every scan check rides ONE aggregate per table; the FK checks
+    left-join child keys against distinct parent keys (AQE broadcast).
+    All metrics are exact count ratios, so the whole report is
+    oracle-checkable."""
+    from asvsp_spark.operators.validate import check_suite
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    lineitem = _t(spark, sf, "lineitem")
+    documents = _t(spark, sf, "documents")
+    events = _t(spark, sf, "events")
+    rep = check_suite(orders, "orders", [
+        {"check": "not_null", "column": "o_custkey"},
+        {"check": "unique", "column": "o_orderkey"},
+        {"check": "in_set", "column": "o_orderstatus",
+         "allowed": ["O", "F", "P"]},
+        {"check": "in_range", "column": "o_totalprice",
+         "lo": 0.0, "hi": 10000000.0},
+        {"check": "min_rows", "threshold": 1},
+        {"check": "foreign_key", "column": "o_custkey",
+         "ref": customer, "ref_column": "c_custkey"},
+    ]).unionByName(check_suite(lineitem, "lineitem", [
+        {"check": "in_range", "column": "l_quantity",
+         "lo": 1.0, "hi": 50.0},
+        {"check": "in_set", "column": "l_returnflag",
+         "allowed": ["A", "N", "R"]},
+        {"check": "foreign_key", "column": "l_orderkey",
+         "ref": orders, "ref_column": "o_orderkey"},
+    ])).unionByName(check_suite(documents, "documents", [
+        {"check": "unique", "column": "doc_id"},
+        {"check": "matches", "column": "lang",
+         "pattern": "^[a-z]{2}$"},
+        {"check": "not_null", "column": "text"},
+    ])).unionByName(check_suite(events, "events", [
+        {"check": "not_null", "column": "user_id"},
+        {"check": "in_set", "column": "event_type",
+         "allowed": ["click", "signup", "error", "view", "purchase"]},
+    ]))
+    return rep.orderBy("table", "check")

@@ -1,0 +1,106 @@
+"""Unit tests for the declarative data-quality suite
+(operators/validate.py) — constructed frames with known violation
+counts, covering every check kind, threshold semantics, FK NULL
+handling and the error paths."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from asvsp_spark.operators.validate import check_suite
+
+
+def _report(df, table, checks):
+    rows = check_suite(df, table, checks).collect()
+    return {r["check"]: r for r in rows}
+
+
+def test_scan_checks_metrics_and_pass(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, v="a", x=5.0),
+         Row(k=2, v="b", x=50.0),
+         Row(k=2, v="zz", x=None),
+         Row(k=None, v=None, x=-1.0)])
+    rep = _report(df, "t", [
+        {"check": "not_null", "column": "k"},
+        {"check": "unique", "column": "k"},
+        {"check": "in_set", "column": "v", "allowed": ["a", "b"]},
+        {"check": "in_range", "column": "x", "lo": 0.0, "hi": 10.0},
+        {"check": "matches", "column": "v", "pattern": "^[a-z]$"},
+        {"check": "min_rows", "threshold": 5},
+    ])
+    # 1 null k of 4 rows
+    assert rep["not_null(k)"]["metric"] == pytest.approx(0.25)
+    assert not rep["not_null(k)"]["passed"]
+    # 3 non-null k, 2 distinct -> dup fraction 1/3
+    assert rep["unique(k)"]["metric"] == pytest.approx(1 / 3, abs=1e-6)
+    # 'zz' among 3 non-null v
+    assert rep["in_set(v)"]["metric"] == pytest.approx(1 / 3, abs=1e-6)
+    # 50.0 and -1.0 out of range among 3 non-null x
+    assert rep["in_range(x,0.0,10.0)"]["metric"] == pytest.approx(
+        2 / 3, abs=1e-6)
+    assert rep["matches(v)"]["metric"] == pytest.approx(1 / 3, abs=1e-6)
+    # 4 rows < floor of 5
+    assert rep["min_rows"]["metric"] == 4.0
+    assert not rep["min_rows"]["passed"]
+
+
+def test_max_frac_threshold_allows_tolerated_violations(spark):
+    df = spark.createDataFrame([Row(k=i if i else None) for i in range(10)])
+    rep = _report(df, "t", [
+        {"check": "not_null", "column": "k", "max_frac": 0.2},
+    ])
+    assert rep["not_null(k)"]["metric"] == pytest.approx(0.1)
+    assert rep["not_null(k)"]["passed"]
+    assert rep["not_null(k)"]["threshold"] == pytest.approx(0.2)
+
+
+def test_foreign_key_orphans_and_null_children(spark):
+    child = spark.createDataFrame(
+        [Row(fk=1), Row(fk=1), Row(fk=9), Row(fk=None)])
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=1), Row(pk=2)])
+    rep = _report(child, "c", [
+        {"check": "foreign_key", "column": "fk",
+         "ref": parent, "ref_column": "pk"},
+    ])
+    row = rep["foreign_key(fk->pk)"]
+    # NULL child key is not an orphan; duplicate parents don't
+    # duplicate children (distinct parent side): 1 orphan of 3
+    assert row["metric"] == pytest.approx(1 / 3, abs=1e-6)
+    assert not row["passed"]
+
+
+def test_empty_table_violates_nothing_but_min_rows(spark):
+    df = spark.createDataFrame([], "k int, v string")
+    rep = _report(df, "t", [
+        {"check": "not_null", "column": "k"},
+        {"check": "unique", "column": "k"},
+        {"check": "min_rows", "threshold": 1},
+    ])
+    assert rep["not_null(k)"]["metric"] == 0.0 and rep["not_null(k)"]["passed"]
+    assert rep["unique(k)"]["passed"]
+    assert rep["min_rows"]["metric"] == 0.0 and not rep["min_rows"]["passed"]
+
+
+def test_report_shape_and_errors(spark):
+    df = spark.createDataFrame([Row(k=1)])
+    out = check_suite(df, "t", [{"check": "min_rows", "threshold": 1}])
+    assert out.columns == ["table", "check", "column", "metric",
+                           "threshold", "passed"]
+    with pytest.raises(ValueError, match="at least one check"):
+        check_suite(df, "t", [])
+    with pytest.raises(ValueError, match="unknown check kind"):
+        check_suite(df, "t", [{"check": "bogus", "column": "k"}])
+
+
+def test_single_scan_plan_one_aggregate(spark):
+    """All scan-shaped checks must compile into ONE aggregation over
+    one pass — the plan may not scan the table once per check."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    out = check_suite(df, "t", [
+        {"check": "not_null", "column": "k"},
+        {"check": "in_range", "column": "v", "lo": 0, "hi": 6},
+        {"check": "min_rows", "threshold": 1},
+    ])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("range (0, 100") == 1
