@@ -930,6 +930,10 @@ def pq_train(embeddings: DataFrame, m: int = 8, k_codes: int = 16,
     # driver-ok: capped sample by construction (≤ ~200·k_codes vectors)
     sample = np.array([r["_u"] for r in unit.select("_u").collect()])
 
+    if len(sample) < k_codes:
+        raise ValueError(
+            f"pq_train needs at least k_codes={k_codes} vectors to seed "
+            f"the codebooks, got {len(sample)}")
     rows = []
     for sub in range(m):
         x = sample[:, sub * d_sub:(sub + 1) * d_sub]
@@ -982,12 +986,15 @@ def pq_encode(embeddings: DataFrame, codebooks: DataFrame, m: int = 8,
     cent = np.array([r["c_vec"] for r in cb_rows]) \
         .reshape(m, k_codes, d_sub)
 
-    out_schema = f"{id_col} long, codes array<int>"
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, codes array<int>"
 
     def run(batches):
         for pdf in batches:
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0   # zero vectors: code the origin
+            v = v / norms
             sv = v.reshape(len(v), m, d_sub)
             codes = np.empty((len(v), m), dtype=np.int32)
             for sub in range(m):
@@ -1060,10 +1067,11 @@ def pq_topk_rerank(codes: DataFrame, codebooks: DataFrame,
         .select("query_id", "neighbor_id")
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
-    cand = (short
-            .join(corpus.select(F.col(id_col).alias("neighbor_id"),
-                                F.col(vec_col).alias("n_vec")),
-                  "neighbor_id")
+    # the shortlist is provably queries×shortlist rows — broadcast it so
+    # the corpus-side vector fetch never shuffles the corpus
+    cand = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("n_vec"))
+            .join(F.broadcast(short), "neighbor_id")
             .join(F.broadcast(q), "query_id")
             .withColumn("cos_sim",
                         round_fixed(cosine(as_double(F.col("q_vec")),

@@ -466,7 +466,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "sq11_late_audit",
     "sq9_hourly_daily_chain", "sq10_funnel_hourly",
     "cohort_retention", "pmi_collocations",
-    "distinct_users_daily",
+    "data_quality_report",
     "cube_revenue_nation_year", "lsh_topk",
     "dedup_components", "simhash_pairs",
     "media_frame_sample",
