@@ -172,6 +172,21 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--out", default=None,
                     help="also write the per-day report here")
 
+    dq = sub.add_parser("dq-check",
+                        help="evaluate a declarative data-quality "
+                             "contract suite against a dataset and gate "
+                             "on it (exit 1 if any check fails)")
+    dq.add_argument("src", help="parquet dataset to validate")
+    dq.add_argument("--checks", required=True,
+                    help="JSON file: list of check specs (see "
+                         "operators/validate.py check_suite); a "
+                         "foreign_key spec's 'ref' is a parquet path")
+    dq.add_argument("--table", default=None,
+                    help="table label in the report (default: src "
+                         "basename)")
+    dq.add_argument("--out", default=None,
+                    help="also write the report parquet here")
+
     ab = sub.add_parser("ann-build",
                         help="train and persist an IVF ANN index: "
                              "centroids + vectors partitioned by cell "
@@ -391,6 +406,35 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{r['day']}  n={r['n_events']:<8} "
                       f"kl={r['kl_nats']:.6f}  tvd={r['tvd']:.6f}")
         return 0
+
+    if args.cmd == "dq-check":
+        import json as _json
+        import os as _os
+        from asvsp_spark.operators.validate import check_suite
+        spark = _session(args)
+        with open(args.checks) as fh:
+            specs = _json.load(fh)
+        if not isinstance(specs, list):
+            print("--checks must be a JSON list of check specs",
+                  file=sys.stderr)
+            return 2
+        for spec in specs:
+            if spec.get("check") == "foreign_key":
+                # the JSON carries a parquet path; the operator wants a frame
+                spec["ref"] = spark.read.parquet(spec["ref"])
+        table = args.table or _os.path.basename(args.src.rstrip("/"))
+        report = check_suite(spark.read.parquet(args.src), table, specs)
+        rows = report.collect()
+        if args.out:
+            report.write.mode("overwrite").parquet(args.out)
+        failed = 0
+        for r in rows:
+            mark = "ok " if r["passed"] else "FAIL"
+            failed += 0 if r["passed"] else 1
+            print(f"{mark} {r['table']}.{r['check']:<40s} "
+                  f"metric={r['metric']:.6f} threshold={r['threshold']}")
+        print(f"{len(rows) - failed}/{len(rows)} checks passed")
+        return 1 if failed else 0
 
     if args.cmd == "ann-build":
         from asvsp_spark.operators.similarity import build_ivf_index

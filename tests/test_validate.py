@@ -104,3 +104,33 @@ def test_single_scan_plan_one_aggregate(spark):
     ])
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("range (0, 100") == 1
+
+
+def test_cli_dq_check_gate(spark, tmp_path, capsys):
+    """CLI dq-check: evaluates a JSON contract suite against a parquet
+    dataset, writes the report, and exits 1 when any check fails —
+    the ingest-gate contract."""
+    import json
+    from asvsp_spark.cli import main
+    src = str(tmp_path / "orders")
+    ref = str(tmp_path / "cust")
+    spark.createDataFrame(
+        [Row(ok=1, ck=1), Row(ok=2, ck=1), Row(ok=3, ck=99)]
+    ).write.parquet(src)
+    spark.createDataFrame([Row(c=1), Row(c=2)]).write.parquet(ref)
+    good = str(tmp_path / "good.json")
+    with open(good, "w") as fh:
+        json.dump([{"check": "unique", "column": "ok"},
+                   {"check": "min_rows", "threshold": 1}], fh)
+    out = str(tmp_path / "report")
+    assert main(["dq-check", src, "--checks", good, "--out", out]) == 0
+    assert "2/2 checks passed" in capsys.readouterr().out
+    rep = spark.read.parquet(out)
+    assert rep.count() == 2 and rep.filter(~F.col("passed")).count() == 0
+
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as fh:
+        json.dump([{"check": "foreign_key", "column": "ck",
+                    "ref": ref, "ref_column": "c"}], fh)
+    assert main(["dq-check", src, "--checks", bad, "--table", "o"]) == 1
+    assert "FAIL o.foreign_key(ck->c)" in capsys.readouterr().out
