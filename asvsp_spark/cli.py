@@ -98,6 +98,11 @@ def main(argv: list[str] | None = None) -> int:
                       help="after the write, learn N BPE merges over "
                            "the shipped corpus and land the merge "
                            "table at OUT_DIR/bpe_merges")
+    cpip.add_argument("--contract", default=None,
+                      help="JSON file of data-quality check specs "
+                           "(operators/validate.py) evaluated against "
+                           "the raw documents first; any failure aborts "
+                           "the pipeline before it spends a corpus scan")
 
     mg = sub.add_parser("merge", help="MERGE updates parquet into a base dataset by key")
     mg.add_argument("base")
@@ -306,13 +311,19 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session(args)
         bench = (spark.read.parquet(args.benchmark)
                  if args.benchmark else None)
+        contract = None
+        if args.contract:
+            import json as _json
+            with open(args.contract) as fh:
+                contract = _json.load(fh)
         counts = run_corpus_pipeline(spark, args.sf_dir, args.out_dir,
                                      near_dedup=args.near_dedup,
                                      benchmark=bench,
                                      scrub_pii=args.scrub_pii,
                                      n_shards=args.shards,
                                      min_norm_entropy=args.min_entropy,
-                                     bpe_merges=args.bpe_merges)
+                                     bpe_merges=args.bpe_merges,
+                                     contract=contract)
         for stage, n in counts.items():
             print(f"{stage:16s} {n}")
         return 0

@@ -913,7 +913,9 @@ def pq_train(embeddings: DataFrame, m: int = 8, k_codes: int = 16,
     """
     import numpy as np
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    # one metadata job for both facts (vs separate first() + count())
+    n, dim = embeddings.agg(
+        F.count(F.lit(1)), F.max(F.size(vec_col))).first()
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
@@ -921,7 +923,6 @@ def pq_train(embeddings: DataFrame, m: int = 8, k_codes: int = 16,
     spark = embeddings.sparkSession
     unit = embeddings.select(
         F.col(id_col), _l2_normalize(as_double(F.col(vec_col))).alias("_u"))
-    n = unit.count()
     if n > max_train:
         denom = max(2, n // max_train)
         unit = unit.filter(
@@ -940,14 +941,20 @@ def pq_train(embeddings: DataFrame, m: int = 8, k_codes: int = 16,
         rng = np.random.default_rng(seed + sub)
         cent = x[rng.choice(len(x), size=k_codes, replace=False)].copy()
         for _ in range(8):
-            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # same matmul identity as pq_encode: argmin over
+            # ||x||² - 2x·c + ||c||² needs only the last two terms —
+            # one (n,k) GEMM instead of an (n,k,d) broadcast-subtract
+            d2 = (-2.0 * x @ cent.T + (cent ** 2).sum(axis=1)[None, :])
             assign = d2.argmin(axis=1)
             for c in range(k_codes):
                 mask = assign == c
                 if mask.any():
                     cent[c] = x[mask].mean(axis=0)
                 else:   # re-seed dead codes from the worst-served point
-                    cent[c] = x[d2.min(axis=1).argmax()]
+                    # restore the per-row ||x||² the argmin could drop:
+                    # across-row comparison needs true distances
+                    true_min = d2.min(axis=1) + (x ** 2).sum(axis=1)
+                    cent[c] = x[true_min.argmax()]
         rows += [(sub, i, [float(v) for v in cent[i]])
                  for i in range(k_codes)]
     return spark.createDataFrame(
@@ -1023,8 +1030,9 @@ def pq_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
     Output (query_id, neighbor_id, approx_dist, rnk), ascending
     distance (= descending cosine for unit vectors, up to quantization
     error — recall vs cosine_topk is bounded in tests)."""
-    m = int(codebooks.agg(F.max("sub")).first()[0]) + 1
-    d_sub = int(codebooks.select(F.size("c_vec")).first()[0])
+    # one tiny job over the m×k codebook frame (vs two separate ones)
+    m, d_sub = (int(v) for v in codebooks.agg(
+        F.max("sub") + 1, F.max(F.size("c_vec"))).first())
     lut = (queries.select(
             F.col(id_col).alias("query_id"),
             _l2_normalize(as_double(F.col(vec_col))).alias("_u"))

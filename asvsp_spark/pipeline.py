@@ -54,10 +54,16 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                         n_shards: int | None = None,
                         min_norm_entropy: float | None = None,
                         bpe_merges: int | None = None,
+                        contract: list[dict] | None = None,
                         ) -> dict[str, int]:
     """The LLM training-data preparation chain, end to end — what a user
     of this engine actually runs over a raw corpus:
 
+      0. contract  — with ``contract`` set (a list of validate.py check
+                     specs), the raw documents must pass the declarative
+                     data-quality suite first; any failing check aborts
+                     the whole build before a single corpus scan is
+                     spent (the gate itself is one aggregate pass),
       1. profile   — per-doc quality score + language (one scan,
                      functions/text.py expressions),
       2. gate      — drop each language's bottom ``quality_pct`` by exact
@@ -130,6 +136,19 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
 
     docs = tables.load(spark, sf_dir, "documents")
     counts: dict[str, int] = {"raw": docs.count()}
+
+    # 0: optional declarative contract gate (operators/validate.py) —
+    # fail fast on garbage input BEFORE spending the corpus scans below;
+    # one aggregate pass per non-FK suite, so the gate costs one scan
+    if contract:
+        from asvsp_spark.operators.validate import check_suite
+        report = check_suite(docs, "documents", contract).collect()
+        failed = [r["check"] for r in report if not r["passed"]]
+        if failed:
+            raise ValueError(
+                "input contract violated, refusing to build the corpus: "
+                + ", ".join(failed))
+        counts["contract_checks"] = len(report)
 
     # 1-2: score and gate (same formula as the quality_filter_report query)
     scored = (docs

@@ -134,3 +134,25 @@ def test_cli_dq_check_gate(spark, tmp_path, capsys):
                     "ref": ref, "ref_column": "c"}], fh)
     assert main(["dq-check", src, "--checks", bad, "--table", "o"]) == 1
     assert "FAIL o.foreign_key(ck->c)" in capsys.readouterr().out
+
+
+def test_corpus_pipeline_contract_gate(spark, tmp_path):
+    """The pipeline's contract pre-gate: a passing suite records its
+    check count and the build proceeds; a failing suite aborts before
+    any output is written."""
+    import glob
+    from asvsp_spark.pipeline import run_corpus_pipeline
+    from tests.conftest import SF_DIR
+    out = str(tmp_path / "gated")
+    counts = run_corpus_pipeline(spark, SF_DIR, out, contract=[
+        {"check": "unique", "column": "doc_id"},
+        {"check": "min_rows", "threshold": 1},
+    ])
+    assert counts["contract_checks"] == 2 and counts["written"] > 0
+
+    bad_out = str(tmp_path / "refused")
+    with pytest.raises(ValueError, match="contract violated.*min_rows"):
+        run_corpus_pipeline(spark, SF_DIR, bad_out, contract=[
+            {"check": "min_rows", "threshold": 10**12},
+        ])
+    assert not glob.glob(f"{bad_out}/corpus/*"), "must abort before write"
