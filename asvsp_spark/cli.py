@@ -177,6 +177,23 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--out", default=None,
                     help="also write the per-day report here")
 
+    qs = sub.add_parser("quality-score",
+                        help="model-based quality filtering: train the "
+                             "hashed-n-gram logistic gate and score "
+                             "every document (GPT-3/RefinedWeb shape)")
+    qs.add_argument("src", help="parquet with (doc_id, text[, lang])")
+    qs.add_argument("out", help="scores parquet (doc_id, p_good, "
+                                "predicted)")
+    qs.add_argument("--labeled", default=None,
+                    help="curated parquet with (doc_id, text, label); "
+                         "omit to bootstrap labels from the heuristic "
+                         "extremes")
+    qs.add_argument("--tau", type=float, default=None,
+                    help="also report how many docs pass p_good >= tau")
+    qs.add_argument("--features", type=int, default=1 << 16,
+                    help="hashed feature-space width")
+    qs.add_argument("--max-iter", type=int, default=10)
+
     dq = sub.add_parser("dq-check",
                         help="evaluate a declarative data-quality "
                              "contract suite against a dataset and gate "
@@ -416,6 +433,27 @@ def main(argv: list[str] | None = None) -> int:
             for r in report.orderBy("day").collect():
                 print(f"{r['day']}  n={r['n_events']:<8} "
                       f"kl={r['kl_nats']:.6f}  tvd={r['tvd']:.6f}")
+        return 0
+
+    if args.cmd == "quality-score":
+        from pyspark.sql import functions as F
+        from asvsp_spark.operators.classify import (
+            heuristic_labels, score_quality, train_quality_classifier)
+        spark = _session(args)
+        docs = spark.read.parquet(args.src)
+        labeled = (spark.read.parquet(args.labeled) if args.labeled
+                   else heuristic_labels(docs))
+        model = train_quality_classifier(labeled,
+                                         n_features=args.features,
+                                         max_iter=args.max_iter)
+        scores = score_quality(docs, model)
+        scores.write.mode("overwrite").parquet(args.out)
+        scores = spark.read.parquet(args.out)
+        n = scores.count()
+        print(f"{args.src}: {n} docs scored -> {args.out}")
+        if args.tau is not None:
+            kept = scores.filter(F.col("p_good") >= args.tau).count()
+            print(f"gate p_good >= {args.tau}: {kept}/{n} pass")
         return 0
 
     if args.cmd == "dq-check":

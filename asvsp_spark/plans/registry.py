@@ -1602,3 +1602,28 @@ def _data_quality_report(spark, sf):
          "allowed": ["click", "signup", "error", "view", "purchase"]},
     ]))
     return rep.orderBy("table", "check")
+
+
+@register("quality_classifier_scores")
+def _quality_classifier_scores(spark, sf):   # rows-only: learned floats
+    """Model-based quality filtering (operators/classify.py — the
+    GPT-3/RefinedWeb linear-classifier gate): bootstrap labels from the
+    per-language heuristic extremes, fit hashed unigram+bigram logistic
+    regression on that labeled slice, then score EVERY document with the
+    broadcast 2MB weight vector — one corpus scan, row-local, JVM-side.
+    No DuckDB twin for L-BFGS coefficients; separation, determinism and
+    heuristic-agreement bounds are pinned in unit tests."""
+    from asvsp_spark.operators.classify import (
+        heuristic_labels, score_quality, train_quality_classifier)
+    docs = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    labeled = heuristic_labels(docs)
+    # 2^16 features ample for this vocabulary; the L-BFGS gradient is a
+    # dense n_features vector per partition per iteration, so the hash
+    # width is the training-cost knob (the library default stays 2^18
+    # for web-scale vocabularies)
+    # 10 iterations measured at 0.980 heuristic agreement vs 0.986 at
+    # 20 on sf0.1, at half the fit cost
+    model = train_quality_classifier(labeled, n_features=1 << 16,
+                                     max_iter=10)
+    return (score_quality(docs, model, keep_cols=("lang",))
+            .orderBy("doc_id"))
