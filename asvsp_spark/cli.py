@@ -19,6 +19,23 @@ import argparse
 import sys
 
 
+def _load_contract(spark, path: str) -> list[dict]:
+    """Parse a data-quality contract JSON (a list of validate.py check
+    specs) and resolve each foreign_key spec's ``ref`` parquet path to
+    a DataFrame — shared by dq-check and corpus-pipeline --contract."""
+    import json
+
+    with open(path) as fh:
+        specs = json.load(fh)
+    if not isinstance(specs, list):
+        raise SystemExit(
+            f"{path}: a contract must be a JSON list of check specs")
+    for spec in specs:
+        if spec.get("check") == "foreign_key":
+            spec["ref"] = spark.read.parquet(spec["ref"])
+    return specs
+
+
 def _session(args):
     from asvsp_spark.session import get_session
     s = get_session("asvsp-cli", master=args.master)
@@ -328,11 +345,8 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session(args)
         bench = (spark.read.parquet(args.benchmark)
                  if args.benchmark else None)
-        contract = None
-        if args.contract:
-            import json as _json
-            with open(args.contract) as fh:
-                contract = _json.load(fh)
+        contract = (_load_contract(spark, args.contract)
+                    if args.contract else None)
         counts = run_corpus_pipeline(spark, args.sf_dir, args.out_dir,
                                      near_dedup=args.near_dedup,
                                      benchmark=bench,
@@ -440,7 +454,10 @@ def main(argv: list[str] | None = None) -> int:
         from asvsp_spark.operators.classify import (
             heuristic_labels, score_quality, train_quality_classifier)
         spark = _session(args)
-        docs = spark.read.parquet(args.src)
+        # NULL text can't be featurized (HashingTF throws mid-scan) —
+        # dirty corpora are exactly what this gate sees first
+        docs = (spark.read.parquet(args.src)
+                .filter(F.col("text").isNotNull()))
         labeled = (spark.read.parquet(args.labeled) if args.labeled
                    else heuristic_labels(docs))
         model = train_quality_classifier(labeled,
@@ -457,25 +474,20 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "dq-check":
-        import json as _json
         import os as _os
         from asvsp_spark.operators.validate import check_suite
         spark = _session(args)
-        with open(args.checks) as fh:
-            specs = _json.load(fh)
-        if not isinstance(specs, list):
-            print("--checks must be a JSON list of check specs",
-                  file=sys.stderr)
-            return 2
-        for spec in specs:
-            if spec.get("check") == "foreign_key":
-                # the JSON carries a parquet path; the operator wants a frame
-                spec["ref"] = spark.read.parquet(spec["ref"])
+        specs = _load_contract(spark, args.checks)
         table = args.table or _os.path.basename(args.src.rstrip("/"))
         report = check_suite(spark.read.parquet(args.src), table, specs)
-        rows = report.collect()
         if args.out:
+            # land the report once, read the rows back — never run the
+            # scan + FK joins twice
             report.write.mode("overwrite").parquet(args.out)
+            rows = (spark.read.parquet(args.out)
+                    .orderBy("table", "check").collect())
+        else:
+            rows = report.collect()
         failed = 0
         for r in rows:
             mark = "ok " if r["passed"] else "FAIL"

@@ -39,6 +39,20 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def quality_score_expr(n_tokens: Column, n_stop: Column) -> Column:
+    """The engine's canonical blended heuristic quality score:
+    (length term + stopword ratio) / 2, unrounded — wrap in round_fixed
+    at the call site. This is THE formula; every consumer (text_quality
+    / text_profile queries, the pipeline's quality gate, the
+    classifier's label bootstrap) must use this helper so they can
+    never drift. try_divide keeps a zero-token doc NULL (dropped by any
+    >= gate) instead of raising under ANSI mode; the DuckDB oracles are
+    unaffected because their inputs never carry zero-token docs and
+    NULL comparisons drop rows in both engines."""
+    return (F.least(n_tokens, F.lit(500)) / 500.0
+            + F.try_divide(n_stop, n_tokens)) / 2
+
+
 # GPT-2-style pre-tokenizer, restricted to the Java/RE2 regex
 # intersection (no lookahead — the original's \s+(?!\S) tail branch is
 # RE2-illegal and only matters for trailing-space tokens, which a

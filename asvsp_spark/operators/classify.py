@@ -96,18 +96,18 @@ def heuristic_labels(docs: DataFrame, text_col: str = "text",
     and the worst ``frac`` 0, leave the ambiguous middle out of
     training). Uses the same quality score as the heuristic gate, so
     the classifier learns to generalize the heuristic beyond its
-    hand-picked features. One scan + per-language exact percentiles
-    (broadcast thresholds). A corpus without a ``lang`` column is
-    treated as one language."""
+    hand-picked features (the exact shared formula —
+    functions/text.py quality_score_expr — so gate and bootstrap can
+    never drift). One scan + per-language exact percentiles (broadcast
+    thresholds). A corpus without a ``lang`` column is treated as one
+    language; zero-token docs score NULL and are left unlabeled."""
     if "lang" not in docs.columns:
         docs = docs.withColumn("lang", F.lit("all"))
     scored = (docs
               .withColumn("_toks", TX.tokens(F.col(text_col)))
               .withColumn("_n", F.size("_toks"))
-              .withColumn("_q", round_fixed(
-                  (F.least(F.col("_n"), F.lit(500)) / 500.0
-                   + TX.stopword_count("_toks") /
-                   F.greatest(F.col("_n"), F.lit(1))) / 2, 6))
+              .withColumn("_q", round_fixed(TX.quality_score_expr(
+                  F.col("_n"), TX.stopword_count("_toks")), 6))
               .drop("_toks"))
     th = scored.groupBy("lang").agg(
         F.percentile("_q", frac).alias("_lo"),

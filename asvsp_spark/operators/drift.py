@@ -130,6 +130,19 @@ def incremental_drift_check(spark, new_events: DataFrame, store_path: str,
                  .localCheckpoint(eager=False))
     delta_base = counts_df.groupBy("key").agg(F.sum("c").alias("cb"))
 
+    total = int(counts_df.agg(
+        F.coalesce(F.sum("c"), F.lit(0))).first()[0])
+    if total == 0:
+        # nothing to score and nothing to learn: leave the store
+        # untouched (a bootstrap from an empty delta would persist an
+        # empty baseline and every later run would silently score
+        # against the fabricated add-one-uniform floor)
+        report = spark.createDataFrame(
+            [], "day string, n_events long, n_types int, "
+                "kl_nats double, tvd double")
+        return report, {"delta_events": 0, "delta_keys": 0,
+                        "bootstrapped": False}
+
     bootstrapped = not _store_exists(spark, store_path)
     if bootstrapped:
         delta_base.write.mode("overwrite").parquet(store_path)
@@ -151,7 +164,7 @@ def incremental_drift_check(spark, new_events: DataFrame, store_path: str,
               .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
                       "n_events", "n_types", "kl_nats", "tvd"))
     stats = {
-        "delta_events": int(counts_df.agg(F.sum("c")).collect()[0][0]),
+        "delta_events": total,
         "delta_keys": delta_base.count(),
         "bootstrapped": bootstrapped,
     }

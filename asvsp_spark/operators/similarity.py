@@ -962,8 +962,12 @@ def pq_train(embeddings: DataFrame, m: int = 8, k_codes: int = 16,
 
 
 def _l2_normalize(vec: F.Column) -> F.Column:
+    # zero vectors stay the zero vector ("code the origin" — matching
+    # pq_encode's numpy guard) instead of raising DIVIDE_BY_ZERO under
+    # default ANSI mode
     n = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
-    return F.transform(vec, lambda x: x / n)
+    safe = F.coalesce(F.nullif(n, F.lit(0.0)), F.lit(1.0))
+    return F.transform(vec, lambda x: x / safe)
 
 
 def _sub_sq_dist(a: F.Column, b: F.Column) -> F.Column:
@@ -1030,9 +1034,9 @@ def pq_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
     Output (query_id, neighbor_id, approx_dist, rnk), ascending
     distance (= descending cosine for unit vectors, up to quantization
     error — recall vs cosine_topk is bounded in tests)."""
-    # one tiny job over the m×k codebook frame (vs two separate ones)
-    m, d_sub = (int(v) for v in codebooks.agg(
-        F.max("sub") + 1, F.max(F.size("c_vec"))).first())
+    # one tiny job over the m×k codebook frame; only the subvector
+    # width is needed (the slice below indexes by the sub column)
+    d_sub = int(codebooks.agg(F.max(F.size("c_vec"))).first()[0])
     lut = (queries.select(
             F.col(id_col).alias("query_id"),
             _l2_normalize(as_double(F.col(vec_col))).alias("_u"))

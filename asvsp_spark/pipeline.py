@@ -150,23 +150,23 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                 + ", ".join(failed))
         counts["contract_checks"] = len(report)
 
-    # 1-2: score and gate (same formula as the quality_filter_report query)
+    # 1-2: score and gate (the canonical shared formula)
     scored = (docs
               .withColumn("toks", TX.tokens(F.col("text")))
               .withColumn("n_tokens", F.size("toks"))
               .withColumn("n_stop", TX.stopword_count("toks"))
-              .withColumn("q", round_fixed(
-                  (F.least(F.col("n_tokens"), F.lit(500)) / 500.0
-                   + F.col("n_stop") / F.col("n_tokens")) / 2, 6))
-              .drop("toks"))
+              .withColumn("q", round_fixed(TX.quality_score_expr(
+                  F.col("n_tokens"), F.col("n_stop")), 6)))
     if min_norm_entropy is not None:
+        # reuse the toks column from the scoring projection — the
+        # entropy gate must not pay a second corpus-wide tokenization
         n_uniq = F.size(F.array_distinct(F.col("toks")))
         norm_h = F.when(
             n_uniq > 1,
             TX.token_entropy("toks") / F.log(n_uniq.cast("double"))
         ).otherwise(F.lit(0.0))
-        scored = scored.withColumn("toks", TX.tokens(F.col("text"))) \
-            .filter(norm_h >= F.lit(min_norm_entropy)).drop("toks")
+        scored = scored.filter(norm_h >= F.lit(min_norm_entropy))
+    scored = scored.drop("toks")
     th = scored.groupBy("lang").agg(
         F.percentile("q", quality_pct).alias("q_min"))
     gated = (scored.join(F.broadcast(th), "lang")

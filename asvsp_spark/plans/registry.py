@@ -183,8 +183,8 @@ def _text_quality(spark, sf):
     return d.select(
         "doc_id", "n_chars", "n_tokens", "n_stop",
         round_fixed(F.col("n_stop") / F.col("n_tokens"), 6).alias("stopword_ratio"),
-        round_fixed((F.least(F.col("n_tokens"), F.lit(500)) / 500.0
-                     + F.col("n_stop") / F.col("n_tokens")) / 2, 6).alias("quality_score"),
+        round_fixed(TX.quality_score_expr(
+            F.col("n_tokens"), F.col("n_stop")), 6).alias("quality_score"),
     )
 
 
@@ -266,8 +266,8 @@ def _text_profile(spark, sf):
     return d.select(
         "doc_id", "n_chars", "n_tokens", "n_stop",
         round_fixed(F.col("n_stop") / F.col("n_tokens"), 6).alias("stopword_ratio"),
-        round_fixed((F.least(F.col("n_tokens"), F.lit(500)) / 500.0
-                     + F.col("n_stop") / F.col("n_tokens")) / 2, 6).alias("quality_score"),
+        round_fixed(TX.quality_score_expr(
+            F.col("n_tokens"), F.col("n_stop")), 6).alias("quality_score"),
         TX.lang_pick(scores).alias("lang_pred"),
         TX.fingerprint(F.col("text")).alias("fp"),
     )
@@ -1174,9 +1174,8 @@ def _quality_filter_report(spark, sf):
          .withColumn("n_stop", TX.stopword_count("toks")))
     scored = d.select(
         "doc_id", "lang",
-        round_fixed((F.least(F.col("n_tokens"), F.lit(500)) / 500.0
-                     + F.col("n_stop") / F.col("n_tokens")) / 2, 6)
-        .alias("q"))
+        round_fixed(TX.quality_score_expr(
+            F.col("n_tokens"), F.col("n_stop")), 6).alias("q"))
     th = scored.groupBy("lang").agg(
         F.percentile("q", 0.25).alias("p25_raw"))
     return (

@@ -107,3 +107,100 @@ def test_incremental_semantic_dedup_string_ids(spark, tmp_path):
     fresh2, c2 = incremental_semantic_dedup(spark, b2, store, threshold=0.95)
     got = {r.vec_id for r in fresh2.collect()}
     assert got == {"d"} and c2["sem_dupes"] == 1
+
+
+# ---- second r5 review round ----
+
+
+def test_drift_empty_delta_no_store_corruption(spark, tmp_path):
+    """An empty delta must not crash, must not bootstrap an empty
+    baseline store, and a later real bootstrap must work normally."""
+    from asvsp_spark.operators.drift import incremental_drift_check
+    store = str(tmp_path / "mixbase")
+    empty = spark.createDataFrame([], "ts timestamp, event_type string")
+    report, stats = incremental_drift_check(spark, empty, store)
+    assert report.count() == 0
+    assert stats == {"delta_events": 0, "delta_keys": 0,
+                     "bootstrapped": False}
+    import glob
+    assert not glob.glob(f"{store}/*"), "store must stay untouched"
+    real = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "click")] * 4
+        + [("2024-01-01 01:00:00", "view")] * 4,
+        "ts string, event_type string").selectExpr(
+            "cast(ts as timestamp) ts", "event_type")
+    report2, stats2 = incremental_drift_check(spark, real, store)
+    assert stats2["bootstrapped"] and stats2["delta_events"] == 8
+    # self-baseline bootstrap: zero drift
+    assert all(r.kl_nats == 0.0 for r in report2.collect())
+
+
+def test_pq_paths_tolerate_zero_vectors(spark):
+    """A zero embedding anywhere (training sample, corpus, query) must
+    not raise under ANSI mode; the zero query ranks by centroid norms
+    and still returns exactly k neighbors."""
+    from asvsp_spark.operators.similarity import (pq_encode, pq_topk,
+                                                  pq_train)
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)]
+    rows.append((99, [0.0] * 8))   # the zero vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(emb, m=4, k_codes=4)
+    codes = pq_encode(emb, cb, m=4)
+    assert codes.count() == 41
+    out = pq_topk(codes, cb, emb.filter("vec_id in (0, 99)"), k=3)
+    got = out.groupBy("query_id").count().collect()
+    assert {r["query_id"]: r["count"] for r in got} == {0: 3, 99: 3}
+
+
+def test_cli_quality_score_null_text(spark, tmp_path, capsys):
+    """quality-score must skip NULL-text rows instead of crashing
+    HashingTF mid-scan."""
+    from asvsp_spark.cli import main
+    src = str(tmp_path / "docs")
+    good = "the history of science is a story about careful evidence"
+    bad = "click here free winner claim your prize now now now"
+    rows = ([(2 * i, f"{good} {i}") for i in range(8)]
+            + [(2 * i + 1, f"{bad} {i}") for i in range(8)]
+            + [(100, None)])
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+    out = str(tmp_path / "scores")
+    assert main(["quality-score", src, out,
+                 "--features", "4096", "--max-iter", "5"]) == 0
+    assert "16 docs scored" in capsys.readouterr().out
+
+
+def test_corpus_pipeline_contract_fk_ref_path(spark, tmp_path, capsys):
+    """--contract foreign_key specs carry a parquet path; the CLI must
+    resolve it to a frame before the pipeline evaluates the suite."""
+    import json
+    from asvsp_spark.cli import main
+    from tests.conftest import SF_DIR
+    parent = str(tmp_path / "langs")
+    spark.createDataFrame([("xx",)], "lang string").write.parquet(parent)
+    contract = str(tmp_path / "contract.json")
+    with open(contract, "w") as fh:
+        json.dump([{"check": "foreign_key", "column": "lang",
+                    "ref": parent, "ref_column": "lang"}], fh)
+    out = str(tmp_path / "clean")
+    # the ref path must resolve to a frame (no AttributeError), then
+    # every document's lang is an orphan vs the xx-only parent -> abort
+    with pytest.raises(ValueError, match="contract violated"):
+        main(["corpus-pipeline", "--sf-dir", SF_DIR,
+              "--out-dir", out, "--contract", contract])
+
+
+def test_heuristic_labels_degenerate_docs(spark):
+    """Whitespace-only docs don't crash the shared formula (the
+    tokenizer yields [''] so n_tokens >= 1 always) and land at the
+    bottom of the quality ranking — labeled bad, never good."""
+    from asvsp_spark.operators.classify import heuristic_labels
+    docs = spark.createDataFrame(
+        [(i, " ".join(["the quick brown fox jumps"] * (1 + i)), "en")
+         for i in range(8)] + [(100, "   ", "en")],
+        "doc_id long, text string, lang string")
+    got = {r.doc_id: r.label for r in heuristic_labels(docs).collect()}
+    assert got.get(100, 0) == 0 and 1 in got.values()
