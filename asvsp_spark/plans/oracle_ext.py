@@ -1025,3 +1025,38 @@ SELECT "table", "check", "column", metric, threshold,
             ELSE metric <= threshold END AS passed
 FROM rows_out
 """
+
+# Spark side: streaming/queries.py sq13_contract_hourly — per-hour
+# contract-violation fractions with a pass verdict. Single-batch drain
+# semantics: 1h tumbling window == date_trunc('hour', ts), the 2h
+# watermark drops nothing, denominators are per-window counts (>= 1 by
+# construction). Same round(x*1e6)/1e6 contract as the batch suite.
+ORACLE_EXT["sq13_contract_hourly"] = """
+WITH w AS (
+    SELECT date_trunc('hour', ts) AS ws,
+           count(*) AS n_events,
+           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nu,
+           sum(CASE WHEN event_type IS NOT NULL
+                    AND event_type NOT IN ('click', 'error', 'purchase',
+                                           'signup', 'view')
+                    THEN 1 ELSE 0 END) AS bt,
+           sum(CASE WHEN value > 200.0 THEN 1 ELSE 0 END) AS hi
+    FROM events GROUP BY 1
+),
+f AS (
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           n_events,
+           round(CAST(nu AS DOUBLE) / n_events * 1000000) / 1000000.0
+               AS null_user_frac,
+           round(CAST(bt AS DOUBLE) / n_events * 1000000) / 1000000.0
+               AS bad_type_frac,
+           round(CAST(hi AS DOUBLE) / n_events * 1000000) / 1000000.0
+               AS outlier_frac
+    FROM w
+)
+SELECT window_start, CAST(n_events AS BIGINT) AS n_events,
+       null_user_frac, bad_type_frac, outlier_frac,
+       (null_user_frac <= 0.0 AND bad_type_frac <= 0.0
+        AND outlier_frac <= 0.05) AS passed
+FROM f
+"""

@@ -331,6 +331,7 @@ _REGISTRY["sq7b_dedup_within_watermark"] = SQ.sq7b_dedup_within_watermark
 _REGISTRY["sq8_session_windows"] = SQ.sq8_session_windows
 _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 _REGISTRY["sq12_drift_hourly"] = SQ.sq12_drift_hourly
+_REGISTRY["sq13_contract_hourly"] = SQ.sq13_contract_hourly
 
 
 # The driver's correctness pass records rows for exactly the FIRST 50
@@ -444,7 +445,11 @@ _REGISTRY["sq12_drift_hourly"] = SQ.sq12_drift_hourly
 # rollup_revenue_region_nation keep those families' rows).
 # sq12_drift_hourly (streaming drift twin, new r5) takes
 # sq2_dominant_trend's slot (green r1-r4; the sliding-window family
-# keeps sq2c_stateful_trend's row).
+# keeps sq2c_stateful_trend's row). Late-r5 additions:
+# data_quality_report takes distinct_users_daily's slot (green r4) and
+# sq13_contract_hourly (its streaming twin) takes
+# cube_revenue_nation_year's (green r4) — both displaced entries stay
+# pinned by the identical local DuckDB hash in test_oracle_parity.
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "key_skew_report", "bpe_merge_table",
     "q10_improvement_streaks", "dsir_weights",
@@ -467,7 +472,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "sq9_hourly_daily_chain", "sq10_funnel_hourly",
     "cohort_retention", "pmi_collocations",
     "data_quality_report",
-    "cube_revenue_nation_year", "lsh_topk",
+    "sq13_contract_hourly", "lsh_topk",
     "dedup_components", "simhash_pairs",
     "media_frame_sample",
     "customer_retention_setops",

@@ -831,6 +831,50 @@ def sq12_drift_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return divergence_by_bucket(batch, "window_start", base=base)
 
 
+# ---------------------------------------------------------------- SQ13
+
+def sq13_contract_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators/validate.py check_suite: per
+    tumbling hour, the event stream's contract-violation fractions —
+    null user_id, out-of-domain event_type, and an outlier-rate SLO
+    (value > 200) — with a per-window pass/fail verdict. The live
+    "is the producer still honoring its schema?" monitor that pairs
+    with the batch dq-check gate (one semantics, two cadences).
+
+    Like the batch suite, every check is a conditional sum riding ONE
+    stateful tumbling-window aggregate — (windows × 1) state,
+    watermark-bounded; adding checks adds aggregate columns, never
+    state keys or corpus passes. A window only exists once an event
+    lands in it, so the fraction denominators are never zero.
+    """
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream
+        .groupBy(F.window("ts", "1 hour").alias("window"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+             .alias("_nu"),
+             F.sum(F.when(F.col("event_type").isNotNull()
+                          & ~F.col("event_type").isin(*EVENT_TYPES), 1)
+                   .otherwise(0)).alias("_bt"),
+             F.sum(F.when(F.col("value") > 200.0, 1).otherwise(0))
+             .alias("_hi"))
+        .select(
+            _fmt_window_start(), "n_events",
+            round_fixed(F.col("_nu") / F.col("n_events"), 6)
+            .alias("null_user_frac"),
+            round_fixed(F.col("_bt") / F.col("n_events"), 6)
+            .alias("bad_type_frac"),
+            round_fixed(F.col("_hi") / F.col("n_events"), 6)
+            .alias("outlier_frac"))
+        .withColumn("passed",
+                    (F.col("null_user_frac") <= 0.0)
+                    & (F.col("bad_type_frac") <= 0.0)
+                    & (F.col("outlier_frac") <= F.lit(0.05)))
+    )
+    return drain(agg, spark)
+
+
 # ------------------------------------------- incremental drain cadence
 
 def incremental_hourly_drain(spark: SparkSession, events_dir: str,

@@ -260,3 +260,33 @@ def test_key_skew_report_single_corpus_pass(spark):
     # the map-side combine before the key shuffle
     partial, exchange = plan.find("partial_"), plan.find("Exchange")
     assert partial != -1 and exchange != -1 and partial > exchange
+
+
+def test_check_suite_partial_agg_and_fk_broadcast(spark):
+    """The data-quality suite's scale posture: all scan checks ride one
+    partially-aggregated pass (HashAggregate before AND after the
+    single-row exchange), and the FK parent side broadcasts — the
+    child fact table is never shuffled for referential integrity."""
+    from asvsp_spark.operators.validate import check_suite
+    orders = tables.load(spark, SF_DIR, "orders")
+    customer = tables.load(spark, SF_DIR, "customer")
+    rep = check_suite(orders, "orders", [
+        {"check": "not_null", "column": "o_custkey"},
+        {"check": "in_set", "column": "o_orderstatus",
+         "allowed": ["O", "F", "P"]},
+        {"check": "min_rows", "threshold": 1},
+        {"check": "foreign_key", "column": "o_custkey",
+         "ref": customer, "ref_column": "c_custkey"},
+    ])
+    rep.collect()   # AQE: finalize the adaptive plan before asserting
+    # an executed AdaptiveSparkPlan prints Final AND Initial sections;
+    # count scans only in the final one
+    plan = _plan(rep).split("== Initial Plan ==")[0]
+    # scan checks: partial -> final aggregation, one orders scan for
+    # the whole scan-check suite (the FK child select is a second,
+    # single-column scan)
+    assert "partial_" in plan or "partial" in plan.lower()
+    assert plan.count("FileScan parquet") <= 3
+    # FK join: distinct parent keys broadcast onto the child stream
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
