@@ -481,3 +481,70 @@ def test_dup_spans_matches_bruteforce_reference(spark, docs, window):
     got = {(r.doc_id, r.span_start, r.span_end, r.n_windows)
            for r in dup_spans(df, window=w).collect()}
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 5)),     # k: dup-prone
+            st.one_of(st.none(), st.integers(-20, 20)),  # x: range check
+        ),
+        min_size=0, max_size=25),
+    lo=st.integers(-10, 0), hi=st.integers(1, 10),
+)
+@SET
+def test_check_suite_matches_python_reference(spark, rows, lo, hi):
+    """check_suite's metrics equal a pure-Python reference on random
+    frames — nulls, duplicates, empty tables, boundary values. The
+    fraction semantics under test: not_null over ALL rows; unique and
+    in_range over NON-NULL values only; range bounds inclusive."""
+    from asvsp_spark.operators.validate import check_suite
+    df = spark.createDataFrame(rows, "k int, x int") if rows else \
+        spark.createDataFrame([], "k int, x int")
+    rep = {r["check"]: r["metric"] for r in check_suite(df, "t", [
+        {"check": "not_null", "column": "k"},
+        {"check": "unique", "column": "k"},
+        {"check": "in_range", "column": "x", "lo": lo, "hi": hi},
+        {"check": "min_rows", "threshold": 1},
+    ]).collect()}
+
+    ks = [k for k, _ in rows]
+    xs = [x for _, x in rows if x is not None]
+    nn = [k for k in ks if k is not None]
+
+    def frac(v, d):
+        return round(v / d, 6) if d else 0.0
+
+    assert rep["not_null(k)"] == frac(sum(k is None for k in ks),
+                                      len(rows))
+    assert rep["unique(k)"] == frac(len(nn) - len(set(nn)), len(nn))
+    assert rep[f"in_range(x,{lo},{hi})"] == frac(
+        sum(x < lo or x > hi for x in xs), len(xs))
+    assert rep["min_rows"] == float(len(rows))
+
+
+@given(
+    children=st.lists(st.one_of(st.none(), st.integers(0, 8)),
+                      min_size=0, max_size=20),
+    parents=st.lists(st.integers(0, 8), min_size=0, max_size=10),
+)
+@SET
+def test_foreign_key_check_matches_python_reference(spark, children,
+                                                    parents):
+    """FK orphan fraction == python reference: NULL children excluded,
+    duplicate parents collapse, empty child side -> 0.0 (min_rows is
+    the emptiness check)."""
+    from asvsp_spark.operators.validate import check_suite
+    child = (spark.createDataFrame([(c,) for c in children], "fk int")
+             if children else spark.createDataFrame([], "fk int"))
+    parent = (spark.createDataFrame([(p,) for p in parents], "pk int")
+              if parents else spark.createDataFrame([], "pk int"))
+    rep = check_suite(child, "c", [
+        {"check": "foreign_key", "column": "fk",
+         "ref": parent, "ref_column": "pk"},
+    ]).collect()[0]
+    nn = [c for c in children if c is not None]
+    pset = set(parents)
+    expect = round(sum(c not in pset for c in nn) / len(nn), 6) \
+        if nn else 0.0
+    assert rep["metric"] == expect
