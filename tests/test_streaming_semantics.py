@@ -681,3 +681,49 @@ def test_incremental_drain_zero_batches_reports_empty(spark, tmp_path):
         str(tmp_path / "ckpt"))
     assert out.count() == 0
     assert "window_start" in out.columns and "event_type" in out.columns
+
+
+def test_sq13_contract_violation_fractions(spark, tmp_path):
+    """sq13 on a constructed dirty stream: per-hour violation fractions
+    and the pass verdict match hand computation — null user_id and
+    out-of-domain event_type trip their zero-tolerance checks, the
+    outlier SLO tolerates up to 5%."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from asvsp_spark.streaming.queries import sq13_contract_hourly
+
+    rows = []
+    # hour 00: 4 clean events, one 250.0 outlier among them -> 25% > 5%
+    for i, val in enumerate([1.0, 2.0, 250.0, 3.0]):
+        rows.append((i, "2024-01-01 00:%02d:00" % (i * 5), 1, "click", val))
+    # hour 01: 5 events, one NULL user, one bogus type, no outliers
+    rows.append((10, "2024-01-01 01:00:00", None, "click", 1.0))
+    rows.append((11, "2024-01-01 01:05:00", 2, "bogus", 1.0))
+    for i in range(3):
+        rows.append((12 + i, "2024-01-01 01:%02d:00" % (10 + i), 3,
+                     "view", 1.0))
+    # hour 02: 20 clean events, exactly one outlier -> 5% passes
+    for i in range(20):
+        rows.append((30 + i, "2024-01-01 02:%02d:00" % i, 4, "view",
+                     250.0 if i == 0 else 1.0))
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["props"] = "{}"
+    pdf = pdf.astype({"event_id": "int64", "value": "float64",
+                      "user_id": "Int64"})   # nullable int, not float
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = {r["window_start"]: r for r in
+           sq13_contract_hourly(spark, str(tmp_path)).collect()}
+    h0 = got["2024-01-01 00:00:00"]
+    assert (h0["n_events"], h0["outlier_frac"], h0["passed"]) \
+        == (4, 0.25, False)
+    h1 = got["2024-01-01 01:00:00"]
+    assert h1["null_user_frac"] == 0.2 and h1["bad_type_frac"] == 0.2
+    assert not h1["passed"]
+    h2 = got["2024-01-01 02:00:00"]
+    assert h2["outlier_frac"] == 0.05 and h2["passed"]
