@@ -234,6 +234,15 @@ def main(argv: list[str] | None = None) -> int:
     ab.add_argument("index", help="index directory to write")
     ab.add_argument("--centroids", type=int, default=None,
                     help="cell count (default sqrt(N))")
+    ab.add_argument("--pq", action="store_true",
+                    help="also train a product quantizer and store PQ "
+                         "codes beside each vector (FAISS-IVFPQ shape: "
+                         "queries ADC-scan the 8-byte codes of the "
+                         "probed cells, then rerank exactly)")
+    ab.add_argument("--pq-m", type=int, default=8,
+                    help="PQ subspaces (with --pq)")
+    ab.add_argument("--pq-codes", type=int, default=16,
+                    help="codes per subspace (with --pq)")
 
     aq = sub.add_parser("ann-query",
                         help="top-k cosine neighbors from a persisted "
@@ -244,6 +253,10 @@ def main(argv: list[str] | None = None) -> int:
                                 "(query_id, neighbor_id, cos_sim, rnk)")
     aq.add_argument("--k", type=int, default=5)
     aq.add_argument("--n-probe", type=int, default=4)
+    aq.add_argument("--shortlist", type=int, default=50,
+                    help="ADC shortlist size before the exact rerank "
+                         "(PQ indexes only; auto-detected from the "
+                         "stored codebooks)")
 
     sd = sub.add_parser("stream-drain",
                         help="incrementally drain the events stream "
@@ -498,20 +511,35 @@ def main(argv: list[str] | None = None) -> int:
         return 1 if failed else 0
 
     if args.cmd == "ann-build":
-        from asvsp_spark.operators.similarity import build_ivf_index
+        from asvsp_spark.operators.similarity import (build_ivf_index,
+                                                      build_ivfpq_index)
         spark = _session(args)
-        meta = build_ivf_index(spark.read.parquet(args.src), args.index,
-                               n_centroids=args.centroids)
+        if args.pq:
+            meta = build_ivfpq_index(spark.read.parquet(args.src),
+                                     args.index,
+                                     n_centroids=args.centroids,
+                                     m=args.pq_m, k_codes=args.pq_codes)
+        else:
+            meta = build_ivf_index(spark.read.parquet(args.src),
+                                   args.index, n_centroids=args.centroids)
+        kind = "IVF-PQ" if args.pq else "IVF"
         print(f"{args.src}: {meta['n_vectors']} vectors -> "
-              f"{meta['n_centroids']} cells at {args.index}")
+              f"{meta['n_centroids']} cells ({kind}) at {args.index}")
         return 0
 
     if args.cmd == "ann-query":
-        from asvsp_spark.operators.similarity import query_ivf_index
+        import os as _os
+        from asvsp_spark.operators.similarity import (query_ivf_index,
+                                                      query_ivfpq_index)
         spark = _session(args)
-        res = query_ivf_index(spark, args.index,
-                              spark.read.parquet(args.queries),
-                              k=args.k, n_probe=args.n_probe)
+        queries_df = spark.read.parquet(args.queries)
+        if _os.path.isdir(f"{args.index}/codebooks"):
+            res = query_ivfpq_index(spark, args.index, queries_df,
+                                    k=args.k, n_probe=args.n_probe,
+                                    shortlist=args.shortlist)
+        else:
+            res = query_ivf_index(spark, args.index, queries_df,
+                                  k=args.k, n_probe=args.n_probe)
         res.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(f"{n} neighbor rows (k={args.k}, n_probe={args.n_probe}) "

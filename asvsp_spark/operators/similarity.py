@@ -790,7 +790,8 @@ def incremental_semantic_dedup(spark, new_docs: DataFrame, store_path: str,
 def build_ivf_index(embeddings: DataFrame, index_path: str,
                     n_centroids: int | None = None,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    seed: int = 42) -> dict[str, int]:
+                    seed: int = 42,
+                    extra_cols: tuple[str, ...] = ()) -> dict[str, int]:
     """Train the IVF coarse quantizer ONCE and persist the index on
     disk: ``{index_path}/centroids`` (tiny parquet) plus
     ``{index_path}/vectors`` partitioned BY CELL — Hive partition
@@ -808,7 +809,7 @@ def build_ivf_index(embeddings: DataFrame, index_path: str,
 
     spark = embeddings.sparkSession
     emb = embeddings.select(
-        F.col(id_col), F.col(vec_col),
+        F.col(id_col), F.col(vec_col), *extra_cols,
         array_to_vector(as_double(F.col(vec_col))).alias("_fv")).cache()
     n = emb.count()
     kc = n_centroids or max(2, int(n ** 0.5))
@@ -820,7 +821,7 @@ def build_ivf_index(embeddings: DataFrame, index_path: str,
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0)
     model = KMeans(k=kc, seed=seed, featuresCol="_fv", maxIter=5).fit(train)
     assigned = (model.transform(emb)
-                .select(F.col(id_col), F.col(vec_col),
+                .select(F.col(id_col), F.col(vec_col), *extra_cols,
                         F.col("prediction").alias("cell")))
     assigned.write.mode("overwrite").partitionBy("cell") \
         .parquet(f"{index_path}/vectors")
@@ -1091,5 +1092,129 @@ def pq_topk_rerank(codes: DataFrame, codebooks: DataFrame,
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
     return (cand.withColumn("rnk", F.rank().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rnk"))
+
+
+# ---- IVF-PQ: pruned cells + 8-byte ADC scan + exact rerank ----
+
+def build_ivfpq_index(embeddings: DataFrame, index_path: str,
+                      n_centroids: int | None = None, m: int = 8,
+                      k_codes: int = 16, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      seed: int = 42) -> dict:
+    """Persist the full FAISS-IVFPQ shape on parquet: the IVF cell
+    layout of :func:`build_ivf_index` with each stored row ALSO carrying
+    its PQ code array, plus the trained codebooks beside the centroids.
+
+    Layout: ``{index}/centroids`` (cells × dim, tiny),
+    ``{index}/codebooks`` (m × k_codes, tiny), ``{index}/vectors``
+    partitioned by cell with columns (id, embedding, codes).
+
+    Why this is the billion-scale shape: a query prunes to n_probe
+    cells at FILE LISTING (Hive partition pruning = the inverted file),
+    and the ADC stage projects ONLY the (id, codes) columns — parquet's
+    columnar layout means the fat embedding column is not read until
+    the final shortlist×queries rerank fetch. Scan bytes per query ≈
+    (n_probe/cells) × 8-byte codes + shortlist raw vectors.
+
+    Build cost: one k-means per subspace on a capped sample
+    (pq_train), one distributed encode pass, one id-keyed join of codes
+    onto vectors (build-time only, amortized over every query), one
+    cell-partitioned write. Returns {'n_vectors', 'n_centroids'}.
+    """
+    cb = pq_train(embeddings, m=m, k_codes=k_codes, id_col=id_col,
+                  vec_col=vec_col, seed=seed)
+    cb.write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    cb = embeddings.sparkSession.read.parquet(f"{index_path}/codebooks")
+    codes = pq_encode(embeddings, cb, m=m, id_col=id_col, vec_col=vec_col)
+    enriched = embeddings.select(id_col, vec_col).join(codes, id_col)
+    return build_ivf_index(enriched, index_path,
+                           n_centroids=n_centroids, id_col=id_col,
+                           vec_col=vec_col, seed=seed,
+                           extra_cols=("codes",))
+
+
+def query_ivfpq_index(spark, index_path: str, queries: DataFrame,
+                      k: int = 5, n_probe: int = 4, shortlist: int = 50,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Top-k cosine neighbors from a persisted IVF-PQ index — the three
+    FAISS stages as three pruned scans:
+
+    1. **probe**: rank the broadcast centroid table per query; collect
+       the ≤ queries × n_probe cell ids (bounded metadata) into a
+       static partition predicate.
+    2. **ADC shortlist**: scan ONLY the probed cells' (id, codes)
+       columns, explode to (id, sub, code), join the broadcast
+       per-query lookup table (queries × m × k partial distances), and
+       partial-agg the asymmetric distance per (query, id); keep
+       ``shortlist`` per query.
+    3. **rerank**: fetch the raw vectors for just the shortlisted ids
+       (broadcast semi-join against the same pruned partitions) and
+       rank by exact cosine.
+
+    Output (query_id, neighbor_id, cos_sim, rnk) — drop-in comparable
+    with cosine_topk / pq_topk_rerank; with n_probe covering every cell
+    and shortlist ≥ corpus it is exactly brute force.
+    """
+    centers = F.broadcast(spark.read.parquet(f"{index_path}/centroids"))
+    cb = spark.read.parquet(f"{index_path}/codebooks")
+    d_sub = int(cb.agg(F.max(F.size("c_vec"))).first()[0])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        _l2_normalize(as_double(F.col(vec_col))).alias("_u"))
+
+    sq_dist = F.aggregate(
+        F.zip_with(as_double(F.col("q_vec")), F.col("c_vec"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("cell"))
+    probes = (q.crossJoin(centers)
+              .withColumn("d2", sq_dist)
+              .withColumn("pr", F.rank().over(w_probe))
+              .filter(F.col("pr") <= n_probe)
+              .select("query_id", "cell")
+              .localCheckpoint(eager=False))
+    # driver-ok: bounded metadata — ≤ queries × n_probe cell ids, deduped
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+
+    lut = (q.select("query_id", "_u").crossJoin(F.broadcast(cb))
+           .withColumn("d_part", _sub_sq_dist(
+               F.slice("_u", F.col("sub") * d_sub + 1, d_sub),
+               F.col("c_vec")))
+           .select("query_id", "sub", "code", "d_part"))
+
+    stored = spark.read.parquet(f"{index_path}/vectors")
+    # ADC stage: codes column only — the embedding column stays unread
+    adc = (stored.filter(F.col("cell").isin(cells))
+           .select(id_col, "cell", "codes")
+           .join(F.broadcast(probes), "cell")
+           .filter(F.col(id_col) != F.col("query_id"))
+           .select("query_id", id_col,
+                   F.posexplode("codes").alias("sub", "code"))
+           .join(F.broadcast(lut), ["query_id", "sub", "code"])
+           .groupBy("query_id", id_col)
+           .agg(F.sum("d_part").alias("approx_dist")))
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc(id_col))
+    short = (adc.withColumn("sr", F.rank().over(w_short))
+             .filter(F.col("sr") <= shortlist)
+             .select("query_id", F.col(id_col).alias("neighbor_id")))
+
+    fetch = (stored.filter(F.col("cell").isin(cells))
+             .select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).alias("n_vec"))
+             .join(F.broadcast(short), "neighbor_id")
+             .join(F.broadcast(q.select("query_id", "q_vec")), "query_id")
+             .withColumn("cos_sim",
+                         round_fixed(cosine(as_double(F.col("q_vec")),
+                                            as_double(F.col("n_vec"))),
+                                     6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (fetch.withColumn("rnk", F.rank().over(w))
             .filter(F.col("rnk") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rnk"))
