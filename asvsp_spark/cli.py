@@ -28,7 +28,9 @@ def _load_contract(spark, path: str) -> list[dict]:
     with open(path) as fh:
         specs = json.load(fh)
     if not isinstance(specs, list):
-        raise SystemExit(
+        # config error, not a contract failure — callers map this to
+        # exit code 2 (distinct from 1 = "checks failed")
+        raise ValueError(
             f"{path}: a contract must be a JSON list of check specs")
     for spec in specs:
         if spec.get("check") == "foreign_key":
@@ -358,8 +360,12 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session(args)
         bench = (spark.read.parquet(args.benchmark)
                  if args.benchmark else None)
-        contract = (_load_contract(spark, args.contract)
-                    if args.contract else None)
+        try:
+            contract = (_load_contract(spark, args.contract)
+                        if args.contract else None)
+        except ValueError as e:
+            print(e, file=sys.stderr)
+            return 2
         counts = run_corpus_pipeline(spark, args.sf_dir, args.out_dir,
                                      near_dedup=args.near_dedup,
                                      benchmark=bench,
@@ -471,8 +477,9 @@ def main(argv: list[str] | None = None) -> int:
         # dirty corpora are exactly what this gate sees first
         docs = (spark.read.parquet(args.src)
                 .filter(F.col("text").isNotNull()))
-        labeled = (spark.read.parquet(args.labeled) if args.labeled
-                   else heuristic_labels(docs))
+        labeled = (spark.read.parquet(args.labeled)
+                   .filter(F.col("text").isNotNull())
+                   if args.labeled else heuristic_labels(docs))
         model = train_quality_classifier(labeled,
                                          n_features=args.features,
                                          max_iter=args.max_iter)
@@ -490,7 +497,11 @@ def main(argv: list[str] | None = None) -> int:
         import os as _os
         from asvsp_spark.operators.validate import check_suite
         spark = _session(args)
-        specs = _load_contract(spark, args.checks)
+        try:
+            specs = _load_contract(spark, args.checks)
+        except ValueError as e:
+            print(e, file=sys.stderr)
+            return 2
         table = args.table or _os.path.basename(args.src.rstrip("/"))
         report = check_suite(spark.read.parquet(args.src), table, specs)
         if args.out:

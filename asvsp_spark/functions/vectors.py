@@ -29,5 +29,12 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """dot / sqrt(na) / sqrt(nb) — fixed association, mirrored verbatim
-    in the oracle SQL so doubles match bit-for-bit."""
-    return dot(a, b) / l2_norm(a) / l2_norm(b)
+    in the oracle SQL so doubles match bit-for-bit. A zero vector has
+    no direction: its similarity is defined as 0.0 (try_divide instead
+    of a bare /, which raises DIVIDE_BY_ZERO under default ANSI mode;
+    the fixtures carry no zero vectors, so oracle hashes are
+    unaffected). NULL inputs still propagate NULL — only a zero NORM
+    maps to 0.0."""
+    na, nb = l2_norm(a), l2_norm(b)
+    raw = F.try_divide(F.try_divide(dot(a, b), na), nb)
+    return F.when((na * nb) == 0, F.lit(0.0)).otherwise(raw)

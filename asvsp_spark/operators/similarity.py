@@ -834,6 +834,31 @@ def build_ivf_index(embeddings: DataFrame, index_path: str,
     return {"n_vectors": n, "n_centroids": kc}
 
 
+def _rank_probe_cells(q: DataFrame, centers, n_probe: int,
+                      carry: tuple[str, ...] = ()):
+    """Shared probe stage of the IVF family: rank the broadcast
+    centroid table per query by squared distance, keep the n_probe
+    closest cells, and collect the deduplicated cell ids (bounded
+    metadata, ≤ queries × n_probe ints) for the static partition
+    predicate. ``q`` carries (query_id, q_vec); ``carry`` names extra
+    q columns to keep on the probe rows."""
+    sq_dist = F.aggregate(
+        F.zip_with(as_double(F.col("q_vec")), F.col("c_vec"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("cell"))
+    probes = (q.crossJoin(centers)
+              .withColumn("d2", sq_dist)
+              .withColumn("pr", F.rank().over(w_probe))
+              .filter(F.col("pr") <= n_probe)
+              .select("query_id", *carry, "cell")
+              .localCheckpoint(eager=False))
+    # driver-ok: bounded metadata — ≤ queries × n_probe cell ids, deduped
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    return probes, cells
+
+
 def query_ivf_index(spark, index_path: str, queries: DataFrame, k: int = 5,
                     n_probe: int = 4, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
@@ -852,20 +877,8 @@ def query_ivf_index(spark, index_path: str, queries: DataFrame, k: int = 5,
     centers = F.broadcast(spark.read.parquet(f"{index_path}/centroids"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
-    sq_dist = F.aggregate(
-        F.zip_with(as_double(F.col("q_vec")), F.col("c_vec"),
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.asc("d2"), F.asc("cell"))
-    probes = (q.crossJoin(centers)
-              .withColumn("d2", sq_dist)
-              .withColumn("pr", F.rank().over(w_probe))
-              .filter(F.col("pr") <= n_probe)
-              .select("query_id", "q_vec", "cell")
-              .localCheckpoint(eager=False))
-    # driver-ok: bounded metadata — ≤ queries × n_probe cell ids, deduped
-    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    probes, cells = _rank_probe_cells(q, centers, n_probe,
+                                      carry=("q_vec",))
 
     vectors = (spark.read.parquet(f"{index_path}/vectors")
                .filter(F.col("cell").isin(cells)))
@@ -976,6 +989,20 @@ def _sub_sq_dist(a: F.Column, b: F.Column) -> F.Column:
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _adc_lut(q_unit: DataFrame, codebooks: DataFrame,
+             d_sub: int) -> DataFrame:
+    """Per-(query, sub, code) partial squared distances against the
+    broadcast codebooks — the asymmetric-distance lookup table shared
+    by pq_topk and query_ivfpq_index (queries × m × k rows, tiny).
+    ``q_unit`` carries (query_id, _u) with _u the L2-normalized query."""
+    return (q_unit.select("query_id", "_u")
+            .crossJoin(F.broadcast(codebooks))
+            .withColumn("d_part", _sub_sq_dist(
+                F.slice("_u", F.col("sub") * d_sub + 1, d_sub),
+                F.col("c_vec")))
+            .select("query_id", "sub", "code", "d_part"))
+
+
 def pq_encode(embeddings: DataFrame, codebooks: DataFrame, m: int = 8,
               id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
@@ -1038,14 +1065,11 @@ def pq_topk(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
     # one tiny job over the m×k codebook frame; only the subvector
     # width is needed (the slice below indexes by the sub column)
     d_sub = int(codebooks.agg(F.max(F.size("c_vec"))).first()[0])
-    lut = (queries.select(
-            F.col(id_col).alias("query_id"),
-            _l2_normalize(as_double(F.col(vec_col))).alias("_u"))
-           .crossJoin(F.broadcast(codebooks))
-           .withColumn("d_part", _sub_sq_dist(
-               F.slice("_u", F.col("sub") * d_sub + 1, d_sub),
-               F.col("c_vec")))
-           .select("query_id", "sub", "code", "d_part"))
+    lut = _adc_lut(
+        queries.select(F.col(id_col).alias("query_id"),
+                       _l2_normalize(as_double(F.col(vec_col)))
+                       .alias("_u")),
+        codebooks, d_sub)
     corpus = (codes.select(
         F.col(id_col),
         F.posexplode("codes").alias("sub", "code")))
@@ -1166,26 +1190,8 @@ def query_ivfpq_index(spark, index_path: str, queries: DataFrame,
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
         _l2_normalize(as_double(F.col(vec_col))).alias("_u"))
 
-    sq_dist = F.aggregate(
-        F.zip_with(as_double(F.col("q_vec")), F.col("c_vec"),
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.asc("d2"), F.asc("cell"))
-    probes = (q.crossJoin(centers)
-              .withColumn("d2", sq_dist)
-              .withColumn("pr", F.rank().over(w_probe))
-              .filter(F.col("pr") <= n_probe)
-              .select("query_id", "cell")
-              .localCheckpoint(eager=False))
-    # driver-ok: bounded metadata — ≤ queries × n_probe cell ids, deduped
-    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
-
-    lut = (q.select("query_id", "_u").crossJoin(F.broadcast(cb))
-           .withColumn("d_part", _sub_sq_dist(
-               F.slice("_u", F.col("sub") * d_sub + 1, d_sub),
-               F.col("c_vec")))
-           .select("query_id", "sub", "code", "d_part"))
+    probes, cells = _rank_probe_cells(q, centers, n_probe)
+    lut = _adc_lut(q, cb, d_sub)
 
     stored = spark.read.parquet(f"{index_path}/vectors")
     # ADC stage: codes column only — the embedding column stays unread
@@ -1197,7 +1203,9 @@ def query_ivfpq_index(spark, index_path: str, queries: DataFrame,
                    F.posexplode("codes").alias("sub", "code"))
            .join(F.broadcast(lut), ["query_id", "sub", "code"])
            .groupBy("query_id", id_col)
-           .agg(F.sum("d_part").alias("approx_dist")))
+           # round-fixed contract: the shortlist cutoff must tie-break
+           # on id, not on partial-aggregation-order float noise
+           .agg(round_fixed(F.sum("d_part"), 6).alias("approx_dist")))
     w_short = Window.partitionBy("query_id").orderBy(
         F.asc("approx_dist"), F.asc(id_col))
     short = (adc.withColumn("sr", F.rank().over(w_short))

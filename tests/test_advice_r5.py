@@ -204,3 +204,44 @@ def test_heuristic_labels_degenerate_docs(spark):
         "doc_id long, text string, lang string")
     got = {r.doc_id: r.label for r in heuristic_labels(docs).collect()}
     assert got.get(100, 0) == 0 and 1 in got.values()
+
+
+def test_ivfpq_rerank_tolerates_zero_vectors(spark, tmp_path):
+    """The full IVF-PQ path (including the exact-cosine rerank, which
+    pq_topk alone never exercises) must survive zero vectors in corpus
+    AND query under ANSI mode; the zero query still returns k rows."""
+    import random
+    from asvsp_spark.operators.similarity import (build_ivfpq_index,
+                                                  query_ivfpq_index)
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(30)]
+    rows.append((99, [0.0] * 8))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "zidx")
+    build_ivfpq_index(emb, idx, n_centroids=2, m=4, k_codes=4)
+    out = query_ivfpq_index(spark, idx,
+                            emb.filter("vec_id in (0, 99)"), k=3,
+                            n_probe=2, shortlist=31)
+    got = {r["query_id"]: r["count"] for r in
+           out.groupBy("query_id").count().collect()}
+    assert got == {0: 3, 99: 3}
+    # the zero corpus vector scores cos 0.0 against a real query, no NULLs
+    assert out.filter(F.col("cos_sim").isNull()).count() == 0
+
+
+def test_dq_check_config_error_exit_code(spark, tmp_path, capsys):
+    """A malformed contract (not a JSON list) is a CONFIG error: exit 2,
+    distinct from 1 = checks failed — for both dq-check and
+    corpus-pipeline."""
+    import json
+    from asvsp_spark.cli import main
+    src = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "k int").write.parquet(src)
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as fh:
+        json.dump({"check": "min_rows"}, fh)
+    assert main(["dq-check", src, "--checks", bad]) == 2
+    assert "JSON list" in capsys.readouterr().err
+    assert main(["corpus-pipeline", "--out-dir", str(tmp_path / "o"),
+                 "--contract", bad]) == 2
