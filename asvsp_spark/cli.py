@@ -512,13 +512,20 @@ def main(argv: list[str] | None = None) -> int:
                     .orderBy("table", "check").collect())
         else:
             rows = report.collect()
-        failed = 0
+        failed = warned = 0
         for r in rows:
-            mark = "ok " if r["passed"] else "FAIL"
-            failed += 0 if r["passed"] else 1
+            if r["passed"]:
+                mark = "ok  "
+            elif r["severity"] == "warn":
+                mark, warned = "WARN", warned + 1
+            else:
+                mark, failed = "FAIL", failed + 1
             print(f"{mark} {r['table']}.{r['check']:<40s} "
                   f"metric={r['metric']:.6f} threshold={r['threshold']}")
-        print(f"{len(rows) - failed}/{len(rows)} checks passed")
+        tail = f" ({warned} warn)" if warned else ""
+        print(f"{len(rows) - failed - warned}/{len(rows)} checks "
+              f"passed{tail}")
+        # warn-severity violations report but never gate
         return 1 if failed else 0
 
     if args.cmd == "ann-build":

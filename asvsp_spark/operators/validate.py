@@ -50,7 +50,9 @@ from asvsp_spark.plans.base import round_fixed
 _SCALE = 6  # metric decimals; matches the oracle's round(x*1e6)/1e6
 
 REPORT_COLUMNS = ("table", "check", "column", "metric", "threshold",
-                  "passed")
+                  "passed", "severity")
+
+SEVERITIES = ("error", "warn")
 
 
 def _frac(viol: Column, denom: Column) -> Column:
@@ -98,15 +100,24 @@ def _scan_metric(check: Mapping[str, Any]) -> tuple[Column, str]:
     raise ValueError(f"unknown check kind: {kind!r}")
 
 
+def _severity(check: Mapping[str, Any]) -> str:
+    sev = check.get("severity", "error")
+    if sev not in SEVERITIES:
+        raise ValueError(f"severity must be one of {SEVERITIES}, "
+                         f"got {sev!r}")
+    return sev
+
+
 def _report_row(table: str, check_id: str, col_name: str,
                 metric: Column, threshold: float,
-                passed: Column) -> list[Column]:
+                passed: Column, severity: str) -> list[Column]:
     return [F.lit(table).alias("table"),
             F.lit(check_id).alias("check"),
             F.lit(col_name).alias("column"),
             metric.alias("metric"),
             F.lit(float(threshold)).alias("threshold"),
-            passed.alias("passed")]
+            passed.alias("passed"),
+            F.lit(severity).alias("severity")]
 
 
 def check_suite(df: DataFrame, table: str,
@@ -138,6 +149,12 @@ def check_suite(df: DataFrame, table: str,
       are not orphans (SQL FK semantics); add not_null separately for
       mandatory relationships.
 
+    Every spec also accepts ``"severity": "error" | "warn"`` (default
+    ``error``): the report carries it through, and the gates (dq-check
+    exit code, the corpus pipeline's contract pre-gate) fail only on
+    error-severity violations — warn rows surface in the report
+    without blocking the build (Deequ's warning level).
+
     All non-foreign-key checks run in one aggregate over one scan;
     each foreign_key adds one child-keys-vs-distinct-parent left join
     (see module docstring for the 100 TB shape).
@@ -164,7 +181,7 @@ def check_suite(df: DataFrame, table: str,
                 passed = metric <= F.lit(threshold)
             rows.append(F.struct(*_report_row(
                 table, cid, check.get("column", ""), metric, threshold,
-                passed)))
+                passed, _severity(check))))
         parts.append(
             agged.select(F.explode(F.array(*rows)).alias("r"))
             .select("r.*"))
@@ -184,7 +201,8 @@ def check_suite(df: DataFrame, table: str,
         metric = F.col("m")
         parts.append(agged.select(*_report_row(
             table, f"foreign_key({col_name}->{ref_col})", col_name,
-            metric, threshold, metric <= F.lit(threshold))))
+            metric, threshold, metric <= F.lit(threshold),
+            _severity(check))))
 
     if not parts:
         raise ValueError("check_suite requires at least one check")

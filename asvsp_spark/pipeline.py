@@ -143,11 +143,13 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     if contract:
         from asvsp_spark.operators.validate import check_suite
         report = check_suite(docs, "documents", contract).collect()
-        failed = [r["check"] for r in report if not r["passed"]]
+        failed = [r["check"] for r in report
+                  if not r["passed"] and r["severity"] == "error"]
         if failed:
             raise ValueError(
                 "input contract violated, refusing to build the corpus: "
                 + ", ".join(failed))
+        # warn-severity violations surface in the report but don't gate
         counts["contract_checks"] = len(report)
 
     # 1-2: score and gate (the canonical shared formula)

@@ -1022,7 +1022,8 @@ rows_out AS (
 )
 SELECT "table", "check", "column", metric, threshold,
        CASE WHEN "check" = 'min_rows' THEN metric >= threshold
-            ELSE metric <= threshold END AS passed
+            ELSE metric <= threshold END AS passed,
+       'error' AS severity
 FROM rows_out
 """
 

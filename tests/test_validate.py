@@ -85,11 +85,56 @@ def test_report_shape_and_errors(spark):
     df = spark.createDataFrame([Row(k=1)])
     out = check_suite(df, "t", [{"check": "min_rows", "threshold": 1}])
     assert out.columns == ["table", "check", "column", "metric",
-                           "threshold", "passed"]
+                           "threshold", "passed", "severity"]
     with pytest.raises(ValueError, match="at least one check"):
         check_suite(df, "t", [])
     with pytest.raises(ValueError, match="unknown check kind"):
         check_suite(df, "t", [{"check": "bogus", "column": "k"}])
+    with pytest.raises(ValueError, match="severity"):
+        check_suite(df, "t", [{"check": "min_rows", "threshold": 1,
+                               "severity": "fatal"}])
+
+
+def test_warn_severity_reports_but_never_gates(spark, tmp_path, capsys):
+    """A warn-severity violation lands in the report with passed=False
+    but neither dq-check's exit code nor the pipeline contract gate
+    fails on it; an error-severity violation still gates."""
+    import json
+    from asvsp_spark.cli import main
+    df = spark.createDataFrame([Row(k=1), Row(k=1)])
+    rep = {r["check"]: r for r in check_suite(df, "t", [
+        {"check": "unique", "column": "k", "severity": "warn"},
+        {"check": "min_rows", "threshold": 1},
+    ]).collect()}
+    assert not rep["unique(k)"]["passed"]
+    assert rep["unique(k)"]["severity"] == "warn"
+    assert rep["min_rows"]["severity"] == "error"
+
+    src = str(tmp_path / "t")
+    df.write.parquet(src)
+    spec = str(tmp_path / "spec.json")
+    with open(spec, "w") as fh:
+        json.dump([{"check": "unique", "column": "k",
+                    "severity": "warn"}], fh)
+    assert main(["dq-check", src, "--checks", spec]) == 0
+    out = capsys.readouterr().out
+    assert "WARN" in out and "(1 warn)" in out
+
+    with open(spec, "w") as fh:
+        json.dump([{"check": "unique", "column": "k"}], fh)
+    assert main(["dq-check", src, "--checks", spec]) == 1
+
+
+def test_pipeline_contract_warn_does_not_abort(spark, tmp_path):
+    """A warn-only contract violation lets the corpus build proceed."""
+    from asvsp_spark.pipeline import run_corpus_pipeline
+    from tests.conftest import SF_DIR
+    out = str(tmp_path / "warned")
+    counts = run_corpus_pipeline(spark, SF_DIR, out, contract=[
+        # impossible row floor, but warn-severity: report, don't gate
+        {"check": "min_rows", "threshold": 10**12, "severity": "warn"},
+    ])
+    assert counts["contract_checks"] == 1 and counts["written"] > 0
 
 
 def test_single_scan_plan_one_aggregate(spark):
