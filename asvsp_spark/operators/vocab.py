@@ -9,12 +9,26 @@ map-side-combining groupBy, corpus-sized shuffle of vocabulary-sized
 output — and every merge iteration after that runs on the vocabulary
 table only (unique words × frequency), which is corpus-BOUNDED, not
 corpus-sized (web-scale corpora plateau around 10^7-10^8 unique
-pre-tokens however many PB of text they hold). Each iteration is one
-vocabulary-sized explode + partial-aggregating count + a single-row
-argmax collect (the same bounded-metadata pattern as
-operators/components.py's convergence check), then a pure array-fold
-projection rewrites the symbol sequences — no Python in any per-row
-path.
+pre-tokens however many PB of text they hold).
+
+Merge training itself is a strictly sequential argmax loop over that
+bounded table, so the engine picks between two executions of the SAME
+algorithm (identical counts, tie-breaks, and greedy merge scan —
+pinned equal by tests/test_vocab.py):
+
+- **local** (default when the vocabulary fits ``max_local_vocab``
+  rows): collect (word, freq) once and run the merge loop on the
+  driver. This is how every production tokenizer is trained on
+  web-scale corpora (SentencePiece / HF tokenizers train on word
+  counts on one machine); it removes the per-iteration Spark job
+  latency that otherwise dominates — num_merges jobs become one
+  bounded collect.
+- **distributed** (vocabulary above the cap, or ``max_local_vocab=0``):
+  each iteration is one vocabulary-sized explode + partial-aggregating
+  count + a single-row argmax collect (the same bounded-metadata
+  pattern as operators/components.py's convergence check), then a pure
+  array-fold projection rewrites the symbol sequences — no Python in
+  any per-row path.
 
 Determinism: the argmax tie-breaks (count DESC, left ASC, right ASC),
 and the within-word merge is the standard greedy left-to-right
@@ -75,25 +89,88 @@ def _merge_fold(left: str, right: str) -> F.Column:
     return F.aggregate("syms", F.array().cast("array<string>"), step)
 
 
+def _train_merges_local(words: list[tuple[str, int]], num_merges: int,
+                        min_pair_count: int
+                        ) -> list[tuple[int, str, str, str, int]]:
+    """Driver-local merge loop over the collected (word, freq) table —
+    byte-for-byte the distributed algorithm: count EVERY adjacent
+    symbol position (overlaps included), argmax by (count DESC, left
+    ASC, right ASC), then the greedy left-to-right non-overlapping
+    merge scan (the exact fold `_merge_fold` runs executor-side).
+
+    Symbol split is per code point (``list(word)``), matching Spark's
+    ``split(word, '')`` for all BMP text; the corpus passes are ASCII/
+    BMP throughout this repo. Cost is O(vocab × avg_len) per merge —
+    microseconds at real tokenizer-training vocabulary sizes."""
+    vocab: list[tuple[list[str], int]] = [(list(w), f) for w, f in words]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab:
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + freq
+        eligible = [(cnt, l, r) for (l, r), cnt in counts.items()
+                    if cnt >= min_pair_count]
+        if not eligible:
+            break
+        cnt, l, r = min(eligible, key=lambda t: (-t[0], t[1], t[2]))
+        merges.append((rank, l, r, l + r, cnt))
+        merged = l + r
+        for i, (syms, freq) in enumerate(vocab):
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            vocab[i] = (out, freq)
+    return merges
+
+
 def bpe_merge_table(docs: DataFrame, num_merges: int = 16,
                     min_pair_count: int = 2, text_col: str = "text",
-                    checkpoint_every: int = 8) -> DataFrame:
+                    checkpoint_every: int = 8,
+                    max_local_vocab: int = 2_000_000) -> DataFrame:
     """Learn the top ``num_merges`` BPE merges over the corpus; returns
     (rank, left, right, merged, pair_count), rank 1 = first merge.
 
     Stops early when no adjacent pair reaches ``min_pair_count``.
-    Driver involvement per iteration is ONE single-row collect (the
-    argmax), same bounded-metadata contract as the components fixpoint
-    check. Wall-clock is per-iteration job latency × num_merges —
-    inherent to textbook BPE's strictly sequential merges, and
-    independent of corpus size once the (word, freq) pass is done. The
-    vocabulary frame is localCheckpoint-ed every ``checkpoint_every``
-    merges: between checkpoints each argmax recomputes a few pure
-    array folds over the vocabulary-sized frame (cheap), while every
-    checkpoint costs a materialization — 8 balanced best locally and
-    bounds plan depth for the analyzer either way."""
+    The (word, freq) pass is always distributed; merge training runs
+    driver-local when the vocabulary has at most ``max_local_vocab``
+    rows (a bounded collect — 2M rows × ~50 B ≈ 100 MB, the same
+    bounded-metadata contract as centroid tables), else falls back to
+    the distributed iteration below. ``max_local_vocab=0`` forces the
+    distributed path. Both paths are the same algorithm and produce
+    identical tables (pinned by tests/test_vocab.py).
+
+    Distributed path: driver involvement per iteration is ONE
+    single-row collect (the argmax). Wall-clock is per-iteration job
+    latency × num_merges — inherent to textbook BPE's strictly
+    sequential merges, and independent of corpus size once the
+    (word, freq) pass is done. The vocabulary frame is
+    localCheckpoint-ed every ``checkpoint_every`` merges: between
+    checkpoints each argmax recomputes a few pure array folds over the
+    vocabulary-sized frame (cheap), while every checkpoint costs a
+    materialization — 8 balanced best locally and bounds plan depth
+    for the analyzer either way."""
     spark = docs.sparkSession
-    vocab = (word_frequencies(docs, text_col)
+    freqs = word_frequencies(docs, text_col)
+    schema = ("rank int, left string, right string, merged string, "
+              "pair_count bigint")
+
+    if max_local_vocab:
+        # One corpus pass: pull at most cap+1 vocabulary rows; a full
+        # cap+1 batch means the vocabulary exceeds the cap -> fall
+        # through to the distributed loop (the collect stays bounded
+        # either way).
+        head = freqs.limit(max_local_vocab + 1).collect()
+        if len(head) <= max_local_vocab:
+            words = [(row["word"], int(row["freq"])) for row in head]
+            return spark.createDataFrame(
+                _train_merges_local(words, num_merges, min_pair_count),
+                schema)
+
+    vocab = (freqs
              .select(F.split("word", "").alias("syms"), "freq")
              .localCheckpoint(eager=False))
 
@@ -122,9 +199,7 @@ def bpe_merge_table(docs: DataFrame, num_merges: int = 16,
             vocab = vocab.localCheckpoint(eager=False)
             pending = 0
 
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, "
-                "pair_count bigint")
+    return spark.createDataFrame(merges, schema)
 
 
 def bpe_apply(docs: DataFrame, merges: DataFrame, text_col: str = "text",

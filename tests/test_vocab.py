@@ -63,6 +63,23 @@ def test_bpe_matches_reference(spark, docs):
     assert got == _ref_bpe(words, 6, 2)
 
 
+def test_bpe_local_equals_distributed(spark):
+    """The driver-local merge loop (default) and the distributed
+    iteration (max_local_vocab=0) are the same algorithm — identical
+    merge tables, including tie-break order and early stop."""
+    docs = ["low lower lowest", "new newer newest wide wider",
+            "low low newest wide", "aa aaa aab ab"]
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    local = [tuple(r) for r in
+             bpe_merge_table(df, num_merges=8, min_pair_count=2).collect()]
+    dist = [tuple(r) for r in
+            bpe_merge_table(df, num_merges=8, min_pair_count=2,
+                            max_local_vocab=0).collect()]
+    assert local == dist
+    assert len(local) >= 4
+
+
 def test_bpe_early_stop_below_min_count(spark):
     """Every pair unique -> no merge reaches min_pair_count=2."""
     df = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
