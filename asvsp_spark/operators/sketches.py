@@ -1,22 +1,39 @@
-"""Mergeable distinct-count sketches (Apache DataSketches HLL, exposed
-by Spark as ``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``).
+"""Mergeable sketches: distinct-count (Apache DataSketches HLL, exposed
+by Spark as ``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``)
+and a decimal log-linear VALUE HISTOGRAM for quantiles.
 
-Why this exists beside ``approx_count_distinct``: that function returns
-only a NUMBER, so every rollup granularity must rescan the raw data. A
-stored SKETCH is mergeable — daily sketches union into weekly/monthly/
-annual estimates without touching raw events again, which is the whole
-trick behind warehouse "pre-aggregated distinct" tables at 100 TB: the
-fact scan happens once, every coarser rollup is a union over tiny
-binary columns (~1.5 KB each at lgK=12, ~2% rsd).
+Why these exist beside ``approx_count_distinct`` / ``approx_percentile``:
+those functions return only a NUMBER, so every rollup granularity must
+rescan the raw data. A stored SKETCH is mergeable — daily sketches
+union into weekly/monthly/annual estimates without touching raw events
+again, which is the whole trick behind warehouse pre-aggregated rollup
+tables at 100 TB: the fact scan happens once, every coarser rollup is a
+union over tiny sketch rows.
 
-Estimates are engine-specific (rows-only for the driver oracle); the
-unit tests pin the error bound against exact counts and the merge
+HLL estimates are engine-specific (rows-only for the driver oracle);
+the unit tests pin the error bound against exact counts and the merge
 identity (union of daily == sketch of the whole month).
+
+The value histogram (``value_histogram`` and friends) is the quantile
+twin of DDSketch (Masson, Rim & Lee, "DDSketch: a fast and fully-
+mergeable quantile sketch with relative-error guarantees", PVLDB'19)
+and HdrHistogram, with one engine-specific twist: buckets come from the
+DECIMAL digit structure of exact integer cents — (number of digits,
+leading ``prefix_digits`` digits) — instead of float log math, so
+bucket assignment is pure BIGINT/string arithmetic that DuckDB
+reproduces bit-for-bit. That makes the whole sketch ORACLE-PAIRABLE
+(unlike ``approx_percentile``), while keeping the DDSketch guarantees:
+counts are exact per bucket, merge = count sum, and a quantile estimate
+is off by at most one bucket's width — relative error <=
+10^(1-prefix_digits) × 10 (e.g. <= 10% at the default prefix_digits=2,
+since a bucket [p·10^m, (p+1)·10^m) with p >= 10 has width/lo <= 1/10).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+from asvsp_spark.plans.base import cents_to_dollars, money_cents
 
 
 def daily_user_sketches(events: DataFrame, lg_k: int = 12) -> DataFrame:
@@ -60,6 +77,88 @@ def hll_user_rollup(events: DataFrame, lg_k: int = 12) -> DataFrame:
         F.col("month").alias("period"),
         "event_type", "est_users")
     return day_level.unionByName(month_level)
+
+
+def _bucket_lo(cents: Column, prefix_digits: int) -> Column:
+    """Signed lower bound (in cents) of the decimal log-linear bucket
+    holding ``cents`` — the bucket IDENTITY (distinct buckets have
+    distinct lower bounds, and ordering by lower bound orders the value
+    ranges). Pure integer/string arithmetic: a = |cents|, k = decimal
+    digits of a, m = max(k - prefix_digits, 0), p = a div 10^m; the
+    bucket is [p·10^m, (p+1)·10^m) on the absolute axis, mirrored for
+    negatives (lower bound -(p+1)·10^m). 10^m is built as the string
+    '1' || repeat('0', m) so no float pow is ever involved."""
+    a = F.abs(cents)
+    k = F.length(a.cast("string"))
+    m = F.greatest(k - F.lit(prefix_digits), F.lit(0))
+    pw = F.concat(F.lit("1"), F.repeat(F.lit("0"), m)).cast("long")
+    lo = a - a % pw  # == (a div 10^m) · 10^m, no division needed
+    return (F.when(cents == 0, F.lit(0).cast("long"))
+            .when(cents > 0, lo)
+            .otherwise(-(lo + pw)))
+
+
+def value_histogram(df: DataFrame, value_col: str, keys: list[str],
+                    prefix_digits: int = 2) -> DataFrame:
+    """The stored pre-aggregate: exact counts per (keys...,
+    bucket_lo) — one map-side-combining groupBy whose shuffle carries
+    at most (distinct keys × ~90·decades) rows however many raw rows
+    went in. NULL values are excluded (they carry no quantile mass;
+    count them with a data-quality check, not here)."""
+    cents = money_cents(F.col(value_col))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, _bucket_lo(cents, prefix_digits).alias("bucket_lo"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_value_histograms(hist: DataFrame, keys: list[str]) -> DataFrame:
+    """Coarsen a stored histogram to fewer keys (day -> month -> all)
+    WITHOUT rescanning raw data: merge = sum of bucket counts, exactly
+    (no estimation error is introduced by merging — the DDSketch
+    property that makes the rollup lossless)."""
+    return (hist.groupBy(*keys, "bucket_lo")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def histogram_percentiles(hist: DataFrame, keys: list[str],
+                          percents: tuple[int, ...] = (50, 90, 99)
+                          ) -> DataFrame:
+    """Quantile estimates from a stored histogram: per key group, the
+    estimate for percent P is the lower bound of the first bucket (in
+    value order) whose cumulative count reaches P% of the total —
+    integer cross-multiplication (cum·100 >= P·total), no float
+    thresholds. Output: keys..., n_values, p{P}_cents (BIGINT) and
+    p{P} (dollars). Runs on the SKETCH (tiny), so the windows here
+    never see raw-data cardinalities."""
+    from pyspark.sql import Window
+
+    w_cum = (Window.partitionBy(*keys).orderBy("bucket_lo")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(*keys)
+    cum = (hist
+           .withColumn("cum", F.sum("cnt").over(w_cum))
+           .withColumn("total", F.sum("cnt").over(w_all)))
+    aggs = [F.max("total").alias("n_values")]
+    for pct in percents:
+        hit = F.when(F.col("cum") * 100 >= F.col("total") * pct,
+                     F.col("bucket_lo"))
+        aggs.append(F.min(hit).alias(f"p{pct}_cents"))
+    out = cum.groupBy(*keys).agg(*aggs)
+    for pct in percents:
+        out = out.withColumn(f"p{pct}",
+                             cents_to_dollars(F.col(f"p{pct}_cents")))
+    return out
+
+
+def sketch_percentiles(df: DataFrame, value_col: str, keys: list[str],
+                       percents: tuple[int, ...] = (50, 90, 99),
+                       prefix_digits: int = 2) -> DataFrame:
+    """Convenience: build the histogram and read percentiles off it in
+    one call (one scan, one sketch-sized shuffle, tiny windows)."""
+    return histogram_percentiles(
+        value_histogram(df, value_col, keys, prefix_digits), keys, percents)
 
 
 def heavy_hitters(df: DataFrame, key_cols: list[str],

@@ -1061,3 +1061,57 @@ SELECT window_start, CAST(n_events AS BIGINT) AS n_events,
         AND outlier_frac <= 0.05) AS passed
 FROM f
 """
+
+# Decimal log-linear histogram sketch (operators/sketches.py
+# value_histogram / histogram_percentiles): the bucket assignment is
+# pure BIGINT/string arithmetic — abs-cents digit count picks the
+# decade (10^m via '1' || repeat('0', m), never float pow), the bucket
+# lower bound is a - a % 10^m, negatives mirror to -(lo + 10^m) — and
+# the percentile rule is integer cross-multiplication (cum*100 >=
+# P*total), so DuckDB reproduces the whole sketch bit-for-bit.
+ORACLE_EXT["sketch_value_percentiles"] = """
+WITH c AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL
+),
+pwed AS (
+    SELECT event_type, cents,
+           CAST('1' || repeat('0', greatest(
+                length(CAST(abs(cents) AS VARCHAR)) - 2, 0)) AS BIGINT)
+               AS pw,
+           abs(cents) - abs(cents) % CAST('1' || repeat('0', greatest(
+                length(CAST(abs(cents) AS VARCHAR)) - 2, 0)) AS BIGINT)
+               AS lo
+    FROM c
+),
+b AS (
+    SELECT event_type,
+           CASE WHEN cents = 0 THEN 0
+                WHEN cents > 0 THEN lo
+                ELSE -(lo + pw) END AS bucket_lo,
+           count(*) AS cnt
+    FROM pwed GROUP BY 1, 2
+),
+w AS (
+    SELECT event_type, bucket_lo,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket_lo
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cnt) OVER (PARTITION BY event_type) AS total
+    FROM b
+),
+agg AS (
+    SELECT event_type,
+           CAST(max(total) AS BIGINT) AS n_values,
+           CAST(min(CASE WHEN cum * 100 >= total * 50
+                         THEN bucket_lo END) AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN cum * 100 >= total * 90
+                         THEN bucket_lo END) AS BIGINT) AS p90_cents,
+           CAST(min(CASE WHEN cum * 100 >= total * 99
+                         THEN bucket_lo END) AS BIGINT) AS p99_cents
+    FROM w GROUP BY 1
+)
+SELECT event_type, n_values, p50_cents, p90_cents, p99_cents,
+       p50_cents / 100.0 AS p50, p90_cents / 100.0 AS p90,
+       p99_cents / 100.0 AS p99
+FROM agg
+"""

@@ -450,6 +450,10 @@ _REGISTRY["sq13_contract_hourly"] = SQ.sq13_contract_hourly
 # sq13_contract_hourly (its streaming twin) takes
 # cube_revenue_nation_year's (green r4) — both displaced entries stay
 # pinned by the identical local DuckDB hash in test_oracle_parity.
+# sketch_value_percentiles (new r5: the oracle-pairable DDSketch twin —
+# the sketch family's FIRST hash-checkable entry; hll/approx stay
+# rows-only by design) takes customer_retention_setops' slot (green r4,
+# locally hash-pinned).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "key_skew_report", "bpe_merge_table",
     "q10_improvement_streaks", "dsir_weights",
@@ -475,7 +479,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "sq13_contract_hourly", "lsh_topk",
     "dedup_components", "simhash_pairs",
     "media_frame_sample",
-    "customer_retention_setops",
+    "sketch_value_percentiles",
     "packing_best_fit_bins", "media_image_decode",
     "stratified_sample_docs",
 )
@@ -1214,6 +1218,23 @@ def _hll_user_rollup(spark, sf):  # rows-only: estimates are engine-specific
     express. Error bound + merge identity unit-tested."""
     from asvsp_spark.operators.sketches import hll_user_rollup
     return hll_user_rollup(_t(spark, sf, "events"))
+
+
+@register("sketch_value_percentiles")
+def _sketch_value_percentiles(spark, sf):
+    """Quantiles from a MERGEABLE decimal log-linear value histogram
+    (operators/sketches.py value_histogram — the oracle-pairable
+    DDSketch twin): daily per-type sketches roll up to whole-period
+    per-type p50/p90/p99 by pure count-sum merge, no raw rescan. The
+    bucket math is exact BIGINT/string arithmetic, so unlike
+    approx_percentile the full pipeline hash-matches DuckDB."""
+    from asvsp_spark.operators.sketches import (histogram_percentiles,
+                                                merge_value_histograms,
+                                                value_histogram)
+    ev = _t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    daily = value_histogram(ev, "value", ["event_type", "day"])
+    merged = merge_value_histograms(daily, ["event_type"])
+    return histogram_percentiles(merged, ["event_type"])
 
 
 # ---- SCD2 dimension history (operators/diff.py scd2_intervals) ----

@@ -1214,3 +1214,75 @@ def test_corpus_pipeline_sharded_output(spark, tmp_path):
     got = {r.shard: r.cnt for r in
            corpus.groupBy("shard").agg(F.count("*").alias("cnt")).collect()}
     assert {int(k): v for k, v in got.items()} == by_shard
+
+
+# ---- decimal log-linear value histogram (operators/sketches.py) ----
+
+def _py_bucket_lo(cents: int, prefix_digits: int = 2) -> int:
+    """Driver-side twin of sketches._bucket_lo for assertions."""
+    if cents == 0:
+        return 0
+    a = abs(cents)
+    m = max(len(str(a)) - prefix_digits, 0)
+    lo = a - a % 10 ** m
+    return lo if cents > 0 else -(lo + 10 ** m)
+
+
+def test_value_histogram_percentile_hits_exact_rank_bucket(spark):
+    """The sketch percentile is EXACTLY the bucket of the true
+    rank-statistic value (first bucket whose cumulative count reaches
+    ceil(P% * n) is, by construction, the bucket holding the r-th
+    smallest value) — checked for p50/p90/p99 on real event values,
+    which also bounds relative error by one bucket width (<=10% at
+    prefix_digits=2 for values >= 10 cents)."""
+    import math
+
+    from asvsp_spark.operators.sketches import sketch_percentiles
+    ev = tables.load(spark, SF_DIR, "events")
+    got = {r.event_type: r for r in
+           sketch_percentiles(ev, "value", ["event_type"]).collect()}
+    by_type: dict[str, list[int]] = {}
+    for r in ev.select("event_type", "value").collect():
+        if r.value is not None:
+            by_type.setdefault(r.event_type, []).append(round(r.value * 100))
+    assert set(got) == set(by_type)
+    for et, cents in by_type.items():
+        cents.sort()
+        row = got[et]
+        assert row.n_values == len(cents)
+        for pct in (50, 90, 99):
+            exact = cents[math.ceil(pct * len(cents) / 100) - 1]
+            est = row[f"p{pct}_cents"]
+            assert est == _py_bucket_lo(exact), (et, pct, est, exact)
+            if exact >= 10:  # one-bucket relative-error guarantee
+                assert est <= exact <= est * 1.1 + 1
+
+
+def test_value_histogram_merge_identity_and_negatives(spark):
+    """Merging daily sketches == sketching the whole table (lossless
+    DDSketch merge), and signed values bucket/order correctly: the
+    negative mirror keeps value order (more negative bucket_lo = more
+    negative values) and percentiles interpolate across the sign."""
+    from asvsp_spark.operators.sketches import (histogram_percentiles,
+                                                merge_value_histograms,
+                                                value_histogram)
+    ev = tables.load(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts"))
+    daily = value_histogram(ev, "value", ["event_type", "day"])
+    merged = {(r.event_type, r.bucket_lo): r.cnt
+              for r in merge_value_histograms(
+                  daily, ["event_type"]).collect()}
+    direct = {(r.event_type, r.bucket_lo): r.cnt
+              for r in value_histogram(
+                  ev, "value", ["event_type"]).collect()}
+    assert merged == direct
+
+    vals = [-123.45, -12.0, -0.05, 0.0, 0.05, 3.21, 87.0, 870.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, value double")
+    hist = {r.bucket_lo: r.cnt
+            for r in value_histogram(df, "value", ["k"]).collect()}
+    assert hist == {_py_bucket_lo(round(v * 100)): 1 for v in vals}
+    row = histogram_percentiles(
+        value_histogram(df, "value", ["k"]), ["k"], (50,)).collect()[0]
+    # rank ceil(0.5*8)=4 -> 4th smallest = 0.0 -> bucket 0
+    assert row.p50_cents == 0 and row.p50 == 0.0
