@@ -79,7 +79,7 @@ def hll_user_rollup(events: DataFrame, lg_k: int = 12) -> DataFrame:
     return day_level.unionByName(month_level)
 
 
-def _bucket_lo(cents: Column, prefix_digits: int) -> Column:
+def bucket_lo_expr(cents: Column, prefix_digits: int) -> Column:
     """Signed lower bound (in cents) of the decimal log-linear bucket
     holding ``cents`` — the bucket IDENTITY (distinct buckets have
     distinct lower bounds, and ordering by lower bound orders the value
@@ -108,7 +108,7 @@ def value_histogram(df: DataFrame, value_col: str, keys: list[str],
     cents = money_cents(F.col(value_col))
     return (
         df.filter(F.col(value_col).isNotNull())
-        .groupBy(*keys, _bucket_lo(cents, prefix_digits).alias("bucket_lo"))
+        .groupBy(*keys, bucket_lo_expr(cents, prefix_digits).alias("bucket_lo"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 

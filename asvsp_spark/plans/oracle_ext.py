@@ -1115,3 +1115,56 @@ SELECT event_type, n_values, p50_cents, p90_cents, p99_cents,
        p99_cents / 100.0 AS p99
 FROM agg
 """
+
+# Streaming hourly quantile monitor (sq14): hour-bucket window
+# equivalence (a drained tumbling window == GROUP BY date_trunc hour),
+# then the identical decimal-bucket + integer-cross-multiplied
+# percentile rule as sketch_value_percentiles.
+ORACLE_EXT["sq14_value_percentiles_hourly"] = """
+WITH c AS (
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL
+),
+pwed AS (
+    SELECT window_start, cents,
+           CAST('1' || repeat('0', greatest(
+                length(CAST(abs(cents) AS VARCHAR)) - 2, 0)) AS BIGINT)
+               AS pw,
+           abs(cents) - abs(cents) % CAST('1' || repeat('0', greatest(
+                length(CAST(abs(cents) AS VARCHAR)) - 2, 0)) AS BIGINT)
+               AS lo
+    FROM c
+),
+b AS (
+    SELECT window_start,
+           CASE WHEN cents = 0 THEN 0
+                WHEN cents > 0 THEN lo
+                ELSE -(lo + pw) END AS bucket_lo,
+           count(*) AS cnt
+    FROM pwed GROUP BY 1, 2
+),
+w AS (
+    SELECT window_start, bucket_lo,
+           sum(cnt) OVER (PARTITION BY window_start ORDER BY bucket_lo
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cnt) OVER (PARTITION BY window_start) AS total
+    FROM b
+),
+agg AS (
+    SELECT window_start,
+           CAST(max(total) AS BIGINT) AS n_values,
+           CAST(min(CASE WHEN cum * 100 >= total * 50
+                         THEN bucket_lo END) AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN cum * 100 >= total * 90
+                         THEN bucket_lo END) AS BIGINT) AS p90_cents,
+           CAST(min(CASE WHEN cum * 100 >= total * 99
+                         THEN bucket_lo END) AS BIGINT) AS p99_cents
+    FROM w GROUP BY 1
+)
+SELECT window_start, n_values, p50_cents, p90_cents, p99_cents,
+       p50_cents / 100.0 AS p50, p90_cents / 100.0 AS p90,
+       p99_cents / 100.0 AS p99
+FROM agg
+"""

@@ -332,6 +332,7 @@ _REGISTRY["sq8_session_windows"] = SQ.sq8_session_windows
 _REGISTRY["sq9_hourly_daily_chain"] = SQ.sq9_hourly_daily_chain
 _REGISTRY["sq12_drift_hourly"] = SQ.sq12_drift_hourly
 _REGISTRY["sq13_contract_hourly"] = SQ.sq13_contract_hourly
+_REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 
 
 # The driver's correctness pass records rows for exactly the FIRST 50
@@ -453,7 +454,9 @@ _REGISTRY["sq13_contract_hourly"] = SQ.sq13_contract_hourly
 # sketch_value_percentiles (new r5: the oracle-pairable DDSketch twin —
 # the sketch family's FIRST hash-checkable entry; hll/approx stay
 # rows-only by design) takes customer_retention_setops' slot (green r4,
-# locally hash-pinned).
+# locally hash-pinned). sq14_value_percentiles_hourly (its streaming
+# twin) takes sq3_top_users' slot (green r1-r4; per-micro-batch rank
+# semantics keep sq5's row).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "key_skew_report", "bpe_merge_table",
     "q10_improvement_streaks", "dsir_weights",
@@ -469,7 +472,8 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "dedup_spans_removed",
     "bigram_backoff_score", "cosine_topk", "skew_join_salted",
     "sq1_vs_baseline", "sq12_drift_hourly", "sq2c_stateful_trend",
-    "sq3_top_users", "sq4_engagement_conversion", "sq5_rank_anomaly",
+    "sq14_value_percentiles_hourly", "sq4_engagement_conversion",
+    "sq5_rank_anomaly",
     "sq6_attribution_join", "sq6b_attribution_left",
     "sq7b_dedup_within_watermark", "sq8_session_windows",
     "sq11_late_audit",

@@ -875,6 +875,40 @@ def sq13_contract_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain(agg, spark)
 
 
+# ---------------------------------------------------------------- SQ14
+
+def sq14_value_percentiles_hourly(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Streaming twin of operators/sketches.py value_histogram: per
+    tumbling hour, p50/p90/p99 of the event value — the latency-SLO
+    monitor shape. Exact streaming percentiles would need every raw
+    value in state; the decimal log-linear sketch needs one COUNT per
+    (window, bucket) — a few hundred buckets per window, watermark-
+    bounded — and stays hash-checkable because bucket assignment is
+    exact integer arithmetic (same bucket_lo_expr as the batch sketch;
+    one implementation, two cadences, like sq12/sq13).
+
+    The stateful layer is the (window, bucket_lo) count alone; the
+    percentile read-off (cumulative rule, integer cross-multiplied)
+    runs on the drained sketch rows through the SAME
+    histogram_percentiles the batch path uses.
+    """
+    from asvsp_spark.operators.sketches import (bucket_lo_expr,
+                                                histogram_percentiles)
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.window("ts", "1 hour").alias("window"),
+                 bucket_lo_expr(value_centi(F.col("value")), 2)
+                 .alias("bucket_lo"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(_fmt_window_start(), "bucket_lo", "cnt")
+    )
+    batch = drain(agg, spark)
+    return histogram_percentiles(batch, ["window_start"])
+
+
 # ------------------------------------------- incremental drain cadence
 
 def incremental_hourly_drain(spark: SparkSession, events_dir: str,

@@ -727,3 +727,41 @@ def test_sq13_contract_violation_fractions(spark, tmp_path):
     assert not h1["passed"]
     h2 = got["2024-01-01 02:00:00"]
     assert h2["outlier_frac"] == 0.05 and h2["passed"]
+
+
+def test_sq14_hourly_value_percentiles(spark, tmp_path):
+    """sq14 on a constructed stream: per-hour sketch percentiles match
+    hand computation — the estimate is the decimal bucket lower bound
+    of the exact rank statistic, NULL values carry no quantile mass."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from asvsp_spark.streaming.queries import sq14_value_percentiles_hourly
+
+    rows = []
+    # hour 00: cents [10, 100, 250, 4000, 10000]; ranks: p50 -> 3rd
+    # (250c, its own bucket at 2 digits), p90/p99 -> 5th (10000c,
+    # bucket lo 10000)
+    for i, val in enumerate([0.10, 1.00, 2.50, 40.00, 100.00]):
+        rows.append((i, "2024-01-01 00:%02d:00" % (i * 5), 1, "click", val))
+    # hour 01: one real value + one NULL (excluded from the sketch)
+    rows.append((10, "2024-01-01 01:00:00", 2, "view", 0.37))
+    rows.append((11, "2024-01-01 01:05:00", 2, "view", None))
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["props"] = "{}"
+    pdf = pdf.astype({"event_id": "int64", "value": "float64",
+                      "user_id": "Int64"})
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = {r["window_start"]: r for r in
+           sq14_value_percentiles_hourly(spark, str(tmp_path)).collect()}
+    h0 = got["2024-01-01 00:00:00"]
+    assert (h0["n_values"], h0["p50_cents"], h0["p90_cents"],
+            h0["p99_cents"]) == (5, 250, 10000, 10000)
+    assert (h0["p50"], h0["p90"], h0["p99"]) == (2.5, 100.0, 100.0)
+    h1 = got["2024-01-01 01:00:00"]
+    assert (h1["n_values"], h1["p50_cents"], h1["p50"]) == (1, 37, 0.37)
