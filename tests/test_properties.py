@@ -548,3 +548,38 @@ def test_foreign_key_check_matches_python_reference(spark, children,
     expect = round(sum(c not in pset for c in nn) / len(nn), 6) \
         if nn else 0.0
     assert rep["metric"] == expect
+
+
+@given(st.lists(st.integers(min_value=-10**7, max_value=10**7),
+                min_size=1, max_size=60),
+       st.sampled_from([1, 2, 3]))
+@SET
+def test_value_histogram_percentile_is_exact_rank_bucket(spark, cents,
+                                                         prefix_digits):
+    """For ANY signed value multiset and prefix width, the sketch
+    percentile equals the decimal bucket lower bound of the exact rank
+    statistic (first bucket reaching ceil(P%·n) cumulative count holds
+    the r-th smallest value), and bucket counts are exact."""
+    import math
+
+    from asvsp_spark.operators.sketches import sketch_percentiles
+
+    def py_lo(c: int) -> int:
+        if c == 0:
+            return 0
+        a = abs(c)
+        m = max(len(str(a)) - prefix_digits, 0)
+        lo = a - a % 10 ** m
+        return lo if c > 0 else -(lo + 10 ** m)
+
+    vals = [c / 100.0 for c in cents]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "k string, value double")
+    row = sketch_percentiles(df, "value", ["k"], (50, 90, 99),
+                             prefix_digits).collect()[0]
+    ordered = sorted(cents)
+    assert row.n_values == len(cents)
+    for pct in (50, 90, 99):
+        exact = ordered[math.ceil(pct * len(cents) / 100) - 1]
+        assert row[f"p{pct}_cents"] == py_lo(exact), (
+            pct, row[f"p{pct}_cents"], exact, prefix_digits)
