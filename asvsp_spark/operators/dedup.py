@@ -514,6 +514,61 @@ def winnow_pairs(documents: DataFrame, k: int = 3, w: int = 4,
     )
 
 
+def source_overlap_matrix(documents: DataFrame, n: int = 3,
+                          source_col: str = "source",
+                          text_col: str = "text",
+                          max_sources_per_shingle: int | None = None
+                          ) -> DataFrame:
+    """Pairwise n-gram overlap between SOURCES — the "how redundant are
+    these corpora against each other?" matrix a mixing plan needs
+    before weighting sources (cross-source duplication inflates a
+    mixture's effective epochs exactly like within-source dup does).
+    Output: one row per unordered source pair (source_a < source_b)
+    with each side's distinct-shingle count, the intersection size, and
+    the set Jaccard — including zero-overlap pairs, so the matrix is
+    complete.
+
+    Shape at 100 TB: ONE corpus scan builds the (source, shingle)
+    posting shuffle-free (same projection as shingle_posting, keyed by
+    source instead of doc id), one distinct collapses it to
+    per-source shingle SETS, and the self-join is keyed on shingle —
+    per-shingle fan-out is bounded by the number of sources carrying
+    it (≤ |sources|, or ``max_sources_per_shingle`` when a boilerplate
+    shingle spans thousands of sources; the cap UNDERCOUNTS
+    intersections by the dropped shingles, so leave it None when the
+    matrix must be exact — the default, and what the oracle checks).
+    The pair frame itself is |sources|² — driver-tiny — so the size
+    join and the complete-matrix cross join broadcast.
+    """
+    ss = (shingle_posting(documents, n, id_col=source_col,
+                          text_col=text_col)
+          .distinct())
+    sizes = (ss.groupBy(F.col("doc").alias("src"))
+             .agg(F.count(F.lit(1)).alias("n_sh")))
+    capped = df_capped_posting(ss, max_sources_per_shingle)
+    inter = (capped.alias("a")
+             .join(capped.alias("b"),
+                   (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+             .groupBy(F.col("a.doc").alias("source_a"),
+                      F.col("b.doc").alias("source_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    pairs = (sizes.alias("sa")
+             .crossJoin(F.broadcast(sizes.alias("sb")))
+             .filter(F.col("sa.src") < F.col("sb.src"))
+             .select(F.col("sa.src").alias("source_a"),
+                     F.col("sb.src").alias("source_b"),
+                     F.col("sa.n_sh").alias("n_a"),
+                     F.col("sb.n_sh").alias("n_b")))
+    return (
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0).cast("long")))
+        .withColumn("jaccard", round_fixed(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+    )
+
+
 def decontaminate_report(documents: DataFrame, benchmark: DataFrame,
                          n: int = 3, min_hits: int = 1,
                          id_col: str = "doc_id",

@@ -1275,3 +1275,42 @@ SELECT doc_id, frame_idx,
        md5(fhx) AS frame_digest
 FROM fx
 """
+
+# Cross-source overlap matrix: per-source DISTINCT shingle sets (the
+# same per-doc trigram arrays as jaccard_pairs, keyed by source and
+# deduped across the source's docs), exact pairwise intersections via
+# the posting self-join, and a complete matrix (zero-overlap pairs
+# kept) from the tiny size table's self-pairing.
+ORACLE_TEXT["source_overlap_matrix"] = r"""
+WITH perdoc AS (
+    SELECT source AS src,
+           list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS shingles
+    FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents)
+),
+post AS (
+    SELECT DISTINCT src, s
+    FROM (SELECT src, unnest(shingles) AS s FROM perdoc)
+),
+sz AS (SELECT src, count(*) AS n_sh FROM post GROUP BY 1),
+inter AS (
+    SELECT a.src AS source_a, b.src AS source_b, count(*) AS nc
+    FROM post a JOIN post b ON a.s = b.s AND a.src < b.src
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.src AS source_a, b.src AS source_b,
+           a.n_sh AS n_a, b.n_sh AS n_b
+    FROM sz a JOIN sz b ON a.src < b.src
+)
+SELECT p.source_a, p.source_b,
+       CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+       CAST(coalesce(i.nc, 0) AS BIGINT) AS n_common,
+       round(coalesce(i.nc, 0)
+             / (p.n_a + p.n_b - coalesce(i.nc, 0)) * 1000000)
+           / 1000000.0 AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b
+"""

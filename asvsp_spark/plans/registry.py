@@ -456,7 +456,10 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # rows-only by design) takes customer_retention_setops' slot (green r4,
 # locally hash-pinned). sq14_value_percentiles_hourly (its streaming
 # twin) takes sq3_top_users' slot (green r1-r4; per-micro-batch rank
-# semantics keep sq5's row).
+# semantics keep sq5's row). source_overlap_matrix (new r5: the
+# pre-mixing cross-source redundancy matrix) takes cosine_topk's slot
+# (green r4; its exact-cosine oracle stays driver-covered because
+# ivf_topk_full_probe shares it).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "key_skew_report", "bpe_merge_table",
     "q10_improvement_streaks", "dsir_weights",
@@ -470,7 +473,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "dup_spans", "skew_join_plain",
     "token_budget_stats",
     "dedup_spans_removed",
-    "bigram_backoff_score", "cosine_topk", "skew_join_salted",
+    "bigram_backoff_score", "source_overlap_matrix", "skew_join_salted",
     "sq1_vs_baseline", "sq12_drift_hourly", "sq2c_stateful_trend",
     "sq14_value_percentiles_hourly", "sq4_engagement_conversion",
     "sq5_rank_anomaly",
@@ -1295,6 +1298,16 @@ def _decontaminate_report(spark, sf):
     corpus = docs.filter(F.col("doc_id") % 37 != 0)
     bench = docs.filter(F.col("doc_id") % 37 == 0)
     return D.decontaminate_report(corpus, bench, n=3, min_hits=1)
+
+
+@register("source_overlap_matrix")
+def _source_overlap_matrix(spark, sf):
+    """Cross-source trigram overlap matrix (operators/dedup.py
+    source_overlap_matrix): per unordered source pair, distinct-shingle
+    sizes, intersection count, and set Jaccard — the pre-mixing
+    redundancy analysis. Exact (no hot-shingle cap), complete matrix
+    including zero-overlap pairs."""
+    return D.source_overlap_matrix(_t(spark, sf, "documents"), n=3)
 
 
 # ---- sequence packing (operators/packing.py) ----

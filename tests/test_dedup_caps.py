@@ -161,3 +161,41 @@ def test_winnow_df_cap_drops_boilerplate_only(spark):
     assert (100, 101) in got, "rare-fingerprint pair must survive the cap"
     assert not any(a < 100 and b < 100 for a, b in got), \
         "boilerplate-only pairs must be capped away"
+
+
+def test_source_overlap_matrix_hand_computed(spark):
+    """Three sources with known trigram sets: exact intersections and
+    Jaccard, zero-overlap pairs present, and the hot-shingle cap
+    undercounts only the capped shingle's contribution."""
+    from asvsp_spark.operators.dedup import source_overlap_matrix
+    docs = spark.createDataFrame(
+        [
+            # srcA: shingles {a b c, b c d} (two docs, one shared shingle)
+            (0, "a b c d", "srcA"),
+            (1, "a b c", "srcA"),
+            # srcB: {a b c, x y z}
+            (2, "a b c", "srcB"),
+            (3, "x y z", "srcB"),
+            # srcC: {p q r} — overlaps nobody
+            (4, "p q r", "srcC"),
+            (5, "p q", "srcC"),          # < n words: no shingles
+        ],
+        "doc_id long, text string, source string")
+    got = {(r.source_a, r.source_b): r
+           for r in source_overlap_matrix(docs, n=3).collect()}
+    assert set(got) == {("srcA", "srcB"), ("srcA", "srcC"),
+                        ("srcB", "srcC")}
+    ab = got[("srcA", "srcB")]
+    assert (ab.n_a, ab.n_b, ab.n_common) == (2, 2, 1)
+    assert ab.jaccard == round(1 / 3, 6)
+    ac = got[("srcA", "srcC")]
+    assert (ac.n_common, ac.jaccard) == (0, 0.0)
+
+    # cap=1 drops 'a b c' (carried by 2 sources) from candidate
+    # generation: the A-B intersection undercounts to 0; sizes keep
+    # the exact per-source set counts
+    capped = {(r.source_a, r.source_b): r
+              for r in source_overlap_matrix(
+                  docs, n=3, max_sources_per_shingle=1).collect()}
+    cab = capped[("srcA", "srcB")]
+    assert (cab.n_a, cab.n_b, cab.n_common) == (2, 2, 0)
