@@ -122,6 +122,11 @@ def main(argv: list[str] | None = None) -> int:
                            "(operators/validate.py) evaluated against "
                            "the raw documents first; any failure aborts "
                            "the pipeline before it spends a corpus scan")
+    cpip.add_argument("--audit", action="store_true",
+                      help="also write OUT_DIR/drop_audit: one row per "
+                           "raw doc with the first stage that dropped "
+                           "it (or 'kept') — id-only anti-joins, no "
+                           "extra corpus scan")
 
     mg = sub.add_parser("merge", help="MERGE updates parquet into a base dataset by key")
     mg.add_argument("base")
@@ -373,7 +378,8 @@ def main(argv: list[str] | None = None) -> int:
                                      n_shards=args.shards,
                                      min_norm_entropy=args.min_entropy,
                                      bpe_merges=args.bpe_merges,
-                                     contract=contract)
+                                     contract=contract,
+                                     audit=args.audit)
         for stage, n in counts.items():
             print(f"{stage:16s} {n}")
         return 0

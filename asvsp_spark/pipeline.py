@@ -55,6 +55,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                         min_norm_entropy: float | None = None,
                         bpe_merges: int | None = None,
                         contract: list[dict] | None = None,
+                        audit: bool = False,
                         ) -> dict[str, int]:
     """The LLM training-data preparation chain, end to end — what a user
     of this engine actually runs over a raw corpus:
@@ -106,6 +107,15 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                      operators/vocab.py) and land the merge table at
                      ``{out_dir}/bpe_merges``.
 
+    With ``audit=True`` the build also writes ``{out_dir}/drop_audit``:
+    one row per RAW document with the first stage that dropped it
+    (``dropped_at`` ∈ quality_gate / exact_dedup / near_dedup /
+    decontaminate / rebalance, or ``kept``) — the "why is my document
+    not in the corpus?" provenance table. Cost: the per-stage id sets
+    are already materialized for the funnel counts, so the audit adds
+    only id-keyed anti-joins over 8-byte keys and an id-sized write —
+    no extra corpus scan, no text movement.
+
     Every stage is the already-oracle-checked operator — this function
     only composes them — and each materializes a narrow id set, so the
     full text travels exactly twice (profile scan + final write-out
@@ -136,6 +146,10 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
 
     docs = tables.load(spark, sf_dir, "documents")
     counts: dict[str, int] = {"raw": docs.count()}
+    # (stage name, surviving doc_id frame) checkpoints for the optional
+    # drop audit — id-only projections of frames the funnel already
+    # materializes, so recording them is free
+    audit_stages: list[tuple[str, DataFrame]] = []
 
     # 0: optional declarative contract gate (operators/validate.py) —
     # fail fast on garbage input BEFORE spending the corpus scans below;
@@ -176,6 +190,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
              .drop("q", "q_min", "n_tokens", "n_stop")
              .localCheckpoint(eager=False))
     counts["quality_gated"] = gated.count()
+    audit_stages.append(("quality_gate", gated.select("doc_id")))
 
     # 3: exact dedup — keepers only
     keepers = exact_dedup(gated).select(
@@ -183,6 +198,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     exact = gated.join(F.broadcast(keepers), "doc_id", "left_semi") \
         .localCheckpoint(eager=False)
     counts["exact_deduped"] = exact.count()
+    audit_stages.append(("exact_dedup", exact.select("doc_id")))
 
     # 4: near-dup clusters -> canonical representative per cluster
     edges = pair_gen(exact, threshold=jaccard_threshold) \
@@ -192,6 +208,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         clusters.filter(F.col("is_keeper")).select("doc_id"),
         "doc_id", "left_semi").localCheckpoint(eager=False)
     counts["near_deduped"] = near.count()
+    audit_stages.append(("near_dedup", near.select("doc_id")))
 
     # 5: benchmark decontamination (optional — needs an eval set)
     if benchmark is not None:
@@ -201,11 +218,29 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         near = near.join(clean_ids, "doc_id", "left_semi") \
             .localCheckpoint(eager=False)
         counts["decontaminated"] = near.count()
+        audit_stages.append(("decontaminate", near.select("doc_id")))
 
     # 6: mixture rebalance (targets default to sampling.mixture_rebalance's)
     kept_ids = mixture_rebalance(near, targets=targets).select("doc_id")
     final = near.join(kept_ids, "doc_id", "left_semi")
     counts["rebalanced"] = final.count()
+    audit_stages.append(("rebalance", final.select("doc_id")))
+
+    if audit:
+        # first-drop attribution: walk the funnel's id sets; a doc's
+        # row carries the earliest stage whose survivor set lost it
+        prev = docs.select("doc_id")
+        parts = []
+        for name, ids in audit_stages:
+            parts.append(prev.join(ids, "doc_id", "left_anti")
+                         .select("doc_id",
+                                 F.lit(name).alias("dropped_at")))
+            prev = ids
+        parts.append(prev.select("doc_id", F.lit("kept").alias("dropped_at")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/drop_audit")
 
     # 6b: PII redaction (opt-in) — rewrites the text column in place
     # with typed placeholders; row count unchanged by construction, so

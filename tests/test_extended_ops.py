@@ -1286,3 +1286,32 @@ def test_value_histogram_merge_identity_and_negatives(spark):
         value_histogram(df, "value", ["k"]), ["k"], (50,)).collect()[0]
     # rank ceil(0.5*8)=4 -> 4th smallest = 0.0 -> bucket 0
     assert row.p50_cents == 0 and row.p50 == 0.0
+
+
+def test_corpus_pipeline_drop_audit(spark, tmp_path):
+    """audit=True writes drop_audit: exactly one row per raw doc, each
+    stage's drop count equals the funnel-count difference, and 'kept'
+    matches the rebalanced survivor set exactly."""
+    from asvsp_spark.pipeline import run_corpus_pipeline
+    out = str(tmp_path / "corpus")
+    counts = run_corpus_pipeline(spark, SF_DIR, out, audit=True)
+    audit = spark.read.parquet(f"{out}/drop_audit")
+    assert audit.count() == counts["raw"]
+    assert audit.select("doc_id").distinct().count() == counts["raw"]
+    by_stage = {r["dropped_at"]: r["n"] for r in
+                audit.groupBy("dropped_at")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    expected = {
+        "quality_gate": counts["raw"] - counts["quality_gated"],
+        "exact_dedup": counts["quality_gated"] - counts["exact_deduped"],
+        "near_dedup": counts["exact_deduped"] - counts["near_deduped"],
+        "rebalance": counts["near_deduped"] - counts["rebalanced"],
+        "kept": counts["rebalanced"],
+    }
+    assert {k: v for k, v in by_stage.items() if v} == \
+        {k: v for k, v in expected.items() if v}
+    kept_ids = {r.doc_id for r in
+                audit.filter(F.col("dropped_at") == "kept").collect()}
+    corpus_ids = {r.doc_id for r in
+                  spark.read.parquet(f"{out}/corpus").collect()}
+    assert kept_ids == corpus_ids
