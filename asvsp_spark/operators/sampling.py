@@ -83,6 +83,76 @@ def sample_k_per_group(documents: DataFrame, k: int = 10,
     )
 
 
+def token_budget_mixing_plan(documents: DataFrame, token_budget: int,
+                             weights: dict[str, float],
+                             strat_col: str = "source",
+                             text_col: str = "text") -> DataFrame:
+    """Turn target mixture WEIGHTS plus a total token BUDGET into the
+    per-stratum repeat plan a training run actually consumes: how many
+    tokens each stratum must contribute (its normalized share of the
+    budget), how many it HAS, and therefore its epoch count — full
+    passes plus the leftover tokens the loader draws partially. This is
+    the planning step between redundancy analysis
+    (dedup.source_overlap_matrix) and materialization
+    (mixture_rebalance / sharding): mixtures like "40% web, 30% code"
+    are specified in tokens, and any stratum with target > available
+    must repeat (epochs > 1), which the plan makes explicit instead of
+    silently undersampling.
+
+    Output per stratum: n_docs, n_tokens (BPE-ish subword estimator,
+    functions/text.subword_token_count), target_tokens, epochs
+    (round-6 double), n_full_epochs, remainder_tokens, and an
+    ``oversampled`` flag (integer compare target > available — exact).
+
+    Determinism/scale: shares are normalized DRIVER-SIDE so each
+    stratum's target token count is an integer literal in the plan;
+    the only data-dependent inputs are the per-stratum (n_docs,
+    n_tokens) from ONE map-side-combining groupBy over the corpus scan;
+    the epoch arithmetic is integer (floor division via the %-identity,
+    no float boundary), so DuckDB hash-matches. Strata not in
+    ``weights`` are excluded from the plan (weight them or they don't
+    train); weighted strata absent from the corpus simply have no row —
+    check n_rows == len(weights) upstream if that must hold. A stratum
+    whose texts are all empty/NULL supplies zero tokens and is likewise
+    excluded (no epoch count is meaningful over an empty supply).
+    """
+    from asvsp_spark.functions.text import subword_token_count
+    from asvsp_spark.plans.base import round_fixed
+
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty dict of positive "
+                         f"shares, got {weights!r}")
+    total_w = sum(weights.values())
+    targets = {s: round(token_budget * (w / total_w))
+               for s, w in weights.items()}
+
+    t_expr = F.lit(None).cast("long")
+    for stratum, target in targets.items():
+        t_expr = F.when(F.col(strat_col) == stratum,
+                        F.lit(int(target))).otherwise(t_expr)
+    avail = (
+        documents
+        .withColumn("_target", t_expr)
+        .filter(F.col("_target").isNotNull())
+        .groupBy(strat_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(subword_token_count(F.col(text_col))).alias("n_tokens"),
+             F.max("_target").alias("target_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    tgt, n = F.col("target_tokens"), F.col("n_tokens")
+    full = ((tgt - tgt % n) / n).cast("long")
+    return avail.select(
+        strat_col, "n_docs", "n_tokens", "target_tokens",
+        round_fixed(tgt / n, 6).alias("epochs"),
+        full.alias("n_full_epochs"),
+        (tgt - full * n).alias("remainder_tokens"),
+        (tgt > n).alias("oversampled"),
+    )
+
+
 def mixture_rebalance(documents: DataFrame,
                       targets: dict[str, float] | None = None,
                       strat_col: str = "lang", id_col: str = "doc_id",

@@ -1314,3 +1314,36 @@ SELECT p.source_a, p.source_b,
 FROM pairs p
 LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b
 """
+
+# Token-budget mixing plan: the per-stratum targets are driver-side
+# integer literals (10k budget x 0.4/0.2/0.2/0.1/0.1 shares), the
+# supply is the same subword pre-token count as token_budget_stats,
+# and the epoch arithmetic is pure integer (% identity), so the whole
+# plan hash-matches.
+ORACLE_TEXT["token_budget_mixing_plan"] = r"""
+WITH t AS (
+    SELECT source,
+           CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2000
+                WHEN 'src2' THEN 2000 WHEN 'src3' THEN 1000
+                WHEN 'src4' THEN 1000 END AS target,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+               AS n_tok
+    FROM documents
+    WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+),
+a AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(max(target) AS BIGINT) AS target_tokens
+    FROM t GROUP BY 1
+    HAVING sum(n_tok) > 0
+)
+SELECT source, n_docs, n_tokens, target_tokens,
+       round(target_tokens / n_tokens * 1000000) / 1000000.0 AS epochs,
+       CAST((target_tokens - target_tokens % n_tokens) / n_tokens
+            AS BIGINT) AS n_full_epochs,
+       CAST(target_tokens % n_tokens AS BIGINT) AS remainder_tokens,
+       target_tokens > n_tokens AS oversampled
+FROM a
+"""

@@ -459,7 +459,10 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # semantics keep sq5's row). source_overlap_matrix (new r5: the
 # pre-mixing cross-source redundancy matrix) takes cosine_topk's slot
 # (green r4; its exact-cosine oracle stays driver-covered because
-# ivf_topk_full_probe shares it).
+# ivf_topk_full_probe shares it). token_budget_mixing_plan (new r5:
+# weights + budget -> per-source epoch/repeat plan) takes
+# dedup_representative's slot (green r4; the dedup family keeps
+# dedup_components + incremental_dedup_report rows).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "key_skew_report", "bpe_merge_table",
     "q10_improvement_streaks", "dsir_weights",
@@ -467,7 +470,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "token_entropy", "distribution_drift_daily",
     "rollup_revenue_region_nation",
     "minhash_lsh_pairs", "ivf_topk_full_probe", "shard_assignments",
-    "incremental_dedup_report", "dedup_representative",
+    "incremental_dedup_report", "token_budget_mixing_plan",
     "shard_manifest_lpt", "quality_filter_report",
     "unigram_logprob_score",
     "dup_spans", "skew_join_plain",
@@ -1298,6 +1301,19 @@ def _decontaminate_report(spark, sf):
     corpus = docs.filter(F.col("doc_id") % 37 != 0)
     bench = docs.filter(F.col("doc_id") % 37 == 0)
     return D.decontaminate_report(corpus, bench, n=3, min_hits=1)
+
+
+@register("token_budget_mixing_plan")
+def _token_budget_mixing_plan(spark, sf):
+    """Token-budget mixing plan (operators/sampling.py
+    token_budget_mixing_plan): per weighted source, available vs target
+    tokens and the epoch/repeat plan for a 10k-token budget over a
+    40/20/20/10/10 five-source mixture."""
+    from asvsp_spark.operators.sampling import token_budget_mixing_plan
+    return token_budget_mixing_plan(
+        _t(spark, sf, "documents"), token_budget=10_000,
+        weights={"src0": 0.4, "src1": 0.2, "src2": 0.2,
+                 "src3": 0.1, "src4": 0.1})
 
 
 @register("source_overlap_matrix")

@@ -1315,3 +1315,45 @@ def test_corpus_pipeline_drop_audit(spark, tmp_path):
     corpus_ids = {r.doc_id for r in
                   spark.read.parquet(f"{out}/corpus").collect()}
     assert kept_ids == corpus_ids
+
+
+def test_token_budget_mixing_plan_hand_computed(spark):
+    """Known supplies vs a 120-token budget at 2/1 weights: targets
+    normalize driver-side, epochs/full/remainder use exact integer
+    arithmetic, zero-token and unweighted strata are excluded, and bad
+    inputs raise."""
+    import pytest as _pytest
+
+    from asvsp_spark.operators.sampling import token_budget_mixing_plan
+    docs = spark.createDataFrame(
+        [
+            # srcX: 2 docs x 5 subword tokens = 10 tokens supply
+            (0, "alpha beta gamma delta eps", "srcX"),
+            (1, "one two three four five", "srcX"),
+            # srcY: 1 doc x 30 tokens supply
+            (2, " ".join(f"w{i}" for i in range(15)), "srcY"),
+            # srcZ: weighted but empty text -> zero supply, excluded
+            (3, "", "srcZ"),
+            # srcW: unweighted -> excluded
+            (4, "ignored words here", "srcW"),
+        ],
+        "doc_id long, text string, source string")
+    # NB: "w0".."w14" are 2 subword pre-tokens each (letter run + digit
+    # run), so srcY supplies 30; targets: 120 * 2/3 = 80, 120 * 1/3 = 40
+    got = {r.source: r for r in token_budget_mixing_plan(
+        docs, token_budget=120,
+        weights={"srcX": 2.0, "srcY": 1.0, "srcZ": 1e-9}).collect()}
+    assert set(got) == {"srcX", "srcY"}
+    x = got["srcX"]
+    assert (x.n_docs, x.n_tokens, x.target_tokens) == (2, 10, 80)
+    assert (x.epochs, x.n_full_epochs, x.remainder_tokens,
+            x.oversampled) == (8.0, 8, 0, True)
+    y = got["srcY"]
+    assert (y.n_docs, y.n_tokens, y.target_tokens) == (1, 30, 40)
+    assert (y.epochs, y.n_full_epochs, y.remainder_tokens,
+            y.oversampled) == (round(40 / 30, 6), 1, 10, True)
+
+    with _pytest.raises(ValueError):
+        token_budget_mixing_plan(docs, 0, {"srcX": 1.0})
+    with _pytest.raises(ValueError):
+        token_budget_mixing_plan(docs, 100, {"srcX": -1.0})
