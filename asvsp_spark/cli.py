@@ -201,6 +201,20 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--out", default=None,
                     help="also write the per-day report here")
 
+    vs = sub.add_parser("value-sketch",
+                        help="fold an events delta into the append-only "
+                             "quantile-sketch store, then print period "
+                             "percentiles from the store alone")
+    vs.add_argument("src", help="delta parquet with (ts, value, <keys>)")
+    vs.add_argument("--store", required=True,
+                    help="append-only day-grain bucket-count store "
+                         "(parquet)")
+    vs.add_argument("--keys", default="event_type",
+                    help="comma-separated grouping columns")
+    vs.add_argument("--since", default=None,
+                    help="only include stored days >= YYYY-MM-DD in "
+                         "the percentile read-off")
+
     qs = sub.add_parser("quality-score",
                         help="model-based quality filtering: train the "
                              "hashed-n-gram logistic gate and score "
@@ -472,6 +486,29 @@ def main(argv: list[str] | None = None) -> int:
             for r in report.orderBy("day").collect():
                 print(f"{r['day']}  n={r['n_events']:<8} "
                       f"kl={r['kl_nats']:.6f}  tvd={r['tvd']:.6f}")
+        return 0
+
+    if args.cmd == "value-sketch":
+        from asvsp_spark.operators.sketches import (append_value_histogram,
+                                                    stored_percentiles)
+        spark = _session(args)
+        keys = tuple(k.strip() for k in args.keys.split(",") if k.strip())
+        stats = append_value_histogram(
+            spark, spark.read.parquet(args.src), args.store,
+            key_cols=keys)
+        tag = "bootstrap" if stats["bootstrapped"] else "delta"
+        print(f"{tag}: {stats['delta_values']} values, "
+              f"{stats['delta_buckets']} day-buckets -> {args.store}")
+        from asvsp_spark.operators.dedup import _store_exists
+        if not _store_exists(spark, args.store):
+            print("empty delta and no existing store: nothing to report")
+            return 0
+        for r in (stored_percentiles(spark, args.store, keys,
+                                     since_day=args.since)
+                  .orderBy(*keys).collect()):
+            key = ",".join(str(r[k]) for k in keys)
+            print(f"{key:24s} n={r['n_values']:<10} p50={r['p50']:<10} "
+                  f"p90={r['p90']:<10} p99={r['p99']}")
         return 0
 
     if args.cmd == "quality-score":

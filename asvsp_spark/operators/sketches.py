@@ -161,6 +161,60 @@ def sketch_percentiles(df: DataFrame, value_col: str, keys: list[str],
         value_histogram(df, value_col, keys, prefix_digits), keys, percents)
 
 
+def append_value_histogram(spark, new_events: DataFrame, store_path: str,
+                           value_col: str = "value",
+                           key_cols: tuple[str, ...] = ("event_type",),
+                           ts_col: str = "ts",
+                           prefix_digits: int = 2) -> dict:
+    """Production cadence for the quantile sketch: fold an arriving
+    DELTA (today's ingest) into an append-only parquet store of
+    day-grain bucket counts — the same store contract as the
+    incremental drift/fingerprint stores (groupBy-sum at read is the
+    effective sketch; compact_parquet is the maintenance step;
+    re-ingesting the same delta double-weights it — the single-writer
+    daily cadence owns that). The store carries
+    (day × keys × ~90·decades) count rows, never raw values, so
+    period percentiles (see ``stored_percentiles``) cost a sketch-sized
+    scan however many TB of events have accumulated, and the ``day``
+    column makes windowed reads ("last 30 days' p99") partition-prunable
+    free of charge.
+
+    An empty delta leaves the store untouched (a bootstrap from nothing
+    would persist an empty sketch). Returns a funnel dict:
+    delta_values, delta_buckets, bootstrapped.
+    """
+    from asvsp_spark.operators.dedup import _store_exists
+
+    hist = (value_histogram(
+        new_events.withColumn("day", F.to_date(F.col(ts_col))),
+        value_col, ["day", *key_cols], prefix_digits)
+        .localCheckpoint(eager=False))
+    total = int(hist.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0])
+    if total == 0:
+        return {"delta_values": 0, "delta_buckets": 0,
+                "bootstrapped": False}
+    bootstrapped = not _store_exists(spark, store_path)
+    hist.write.mode("overwrite" if bootstrapped else "append") \
+        .parquet(store_path)
+    return {"delta_values": total, "delta_buckets": hist.count(),
+            "bootstrapped": bootstrapped}
+
+
+def stored_percentiles(spark, store_path: str,
+                       key_cols: tuple[str, ...] = ("event_type",),
+                       percents: tuple[int, ...] = (50, 90, 99),
+                       since_day: str | None = None) -> DataFrame:
+    """Percentiles over everything the store has accumulated — reads
+    ONLY the sketch store (no raw-event rescan, the mergeable-sketch
+    payoff). ``since_day`` ('YYYY-MM-DD') prunes the read to recent
+    days before the lossless count-sum merge."""
+    hist = spark.read.parquet(store_path)
+    if since_day is not None:
+        hist = hist.filter(F.col("day") >= F.lit(since_day).cast("date"))
+    merged = merge_value_histograms(hist, list(key_cols))
+    return histogram_percentiles(merged, list(key_cols), percents)
+
+
 def heavy_hitters(df: DataFrame, key_cols: list[str],
                   s_num: int = 3, s_den: int = 1000) -> DataFrame:
     """EXACT frequent items above a frequency share threshold — every

@@ -1357,3 +1357,67 @@ def test_token_budget_mixing_plan_hand_computed(spark):
         token_budget_mixing_plan(docs, 0, {"srcX": 1.0})
     with _pytest.raises(ValueError):
         token_budget_mixing_plan(docs, 100, {"srcX": -1.0})
+
+
+def test_incremental_value_histogram_store(spark, tmp_path):
+    """Two-batch append: percentiles off the store alone equal a direct
+    sketch over the union (lossless merge across appends), since_day
+    prunes exactly, and an empty delta leaves the store untouched."""
+    from asvsp_spark.operators.sketches import (append_value_histogram,
+                                                sketch_percentiles,
+                                                stored_percentiles)
+    store = str(tmp_path / "vh")
+    ev = tables.load(spark, SF_DIR, "events")
+    d1 = ev.filter(F.col("event_id") % 2 == 0)
+    d2 = ev.filter(F.col("event_id") % 2 == 1)
+
+    s1 = append_value_histogram(spark, d1, store)
+    assert s1["bootstrapped"] and s1["delta_values"] == d1.filter(
+        F.col("value").isNotNull()).count()
+    s2 = append_value_histogram(spark, d2, store)
+    assert not s2["bootstrapped"]
+
+    got = {r.event_type: r for r in
+           stored_percentiles(spark, store).collect()}
+    want = {r.event_type: r for r in
+            sketch_percentiles(ev, "value", ["event_type"]).collect()}
+    assert set(got) == set(want)
+    for et, w in want.items():
+        g = got[et]
+        assert (g.n_values, g.p50_cents, g.p90_cents, g.p99_cents) == \
+            (w.n_values, w.p50_cents, w.p90_cents, w.p99_cents), et
+
+    # since_day pruning == direct sketch over the filtered raw events
+    cut = "2024-06-01"
+    pruned = {r.event_type: r.p50_cents for r in
+              stored_percentiles(spark, store, since_day=cut).collect()}
+    direct = {r.event_type: r.p50_cents for r in sketch_percentiles(
+        ev.filter(F.to_date("ts") >= F.lit(cut).cast("date")),
+        "value", ["event_type"]).collect()}
+    assert pruned == direct
+
+    # empty delta: store byte-identical (same accumulated percentiles)
+    empty = ev.filter(F.lit(False))
+    s3 = append_value_histogram(spark, empty, store)
+    assert s3 == {"delta_values": 0, "delta_buckets": 0,
+                  "bootstrapped": False}
+    again = {r.event_type: r.p50_cents for r in
+             stored_percentiles(spark, store).collect()}
+    assert again == {k: v.p50_cents for k, v in got.items()}
+
+
+def test_value_sketch_cli_round_trip(spark, tmp_path, capsys):
+    """value-sketch CLI: bootstrap + append cadence prints period
+    percentiles from the store alone."""
+    from asvsp_spark.cli import main
+    ev = tables.load(spark, SF_DIR, "events")
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(d1)
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(d2)
+    store = str(tmp_path / "store")
+    assert main(["value-sketch", d1, "--store", store]) == 0
+    out1 = capsys.readouterr().out
+    assert "bootstrap:" in out1
+    assert main(["value-sketch", d2, "--store", store]) == 0
+    out2 = capsys.readouterr().out
+    assert "delta:" in out2 and "p99=" in out2
