@@ -111,7 +111,10 @@ def token_budget_mixing_plan(documents: DataFrame, token_budget: int,
     the epoch arithmetic is integer (floor division via the %-identity,
     no float boundary), so DuckDB hash-matches. Strata not in
     ``weights`` are excluded from the plan (weight them or they don't
-    train); weighted strata absent from the corpus simply have no row —
+    train); a weighted stratum whose normalized share rounds to a
+    ZERO-token target raises up front — the budget cannot honor the
+    declared mix, which must not degrade into a silent do-nothing row;
+    weighted strata absent from the corpus simply have no row —
     check n_rows == len(weights) upstream if that must hold. A stratum
     whose texts are all empty/NULL supplies zero tokens and is likewise
     excluded (no epoch count is meaningful over an empty supply).
@@ -127,6 +130,15 @@ def token_budget_mixing_plan(documents: DataFrame, token_budget: int,
     total_w = sum(weights.values())
     targets = {s: round(token_budget * (w / total_w))
                for s, w in weights.items()}
+    zeroed = sorted(s for s, t in targets.items() if t == 0)
+    if zeroed:
+        # a weighted stratum whose share rounds to a zero-token target
+        # is exactly the silent undersampling this plan exists to make
+        # explicit — refuse instead of emitting a do-nothing row
+        raise ValueError(
+            "token_budget too small for the weight mix: strata "
+            f"{zeroed} round to a zero-token target; raise the budget "
+            "or their weights")
 
     t_expr = F.lit(None).cast("long")
     for stratum, target in targets.items():

@@ -25,8 +25,9 @@ reproduces bit-for-bit. That makes the whole sketch ORACLE-PAIRABLE
 (unlike ``approx_percentile``), while keeping the DDSketch guarantees:
 counts are exact per bucket, merge = count sum, and a quantile estimate
 is off by at most one bucket's width — relative error <=
-10^(1-prefix_digits) × 10 (e.g. <= 10% at the default prefix_digits=2,
-since a bucket [p·10^m, (p+1)·10^m) with p >= 10 has width/lo <= 1/10).
+10^(1-prefix_digits) (<= 10% at the default prefix_digits=2, <= 1% at
+3: a bucket [p·10^m, (p+1)·10^m) with p >= 10^(prefix_digits-1) has
+width/lo <= 10^(1-prefix_digits)).
 """
 
 from __future__ import annotations
@@ -79,6 +80,17 @@ def hll_user_rollup(events: DataFrame, lg_k: int = 12) -> DataFrame:
     return day_level.unionByName(month_level)
 
 
+# bucket_lo_expr's regular math is only long-safe through 18 decimal
+# digits (the negative mirror needs lo + 10^m, which at 19 digits can
+# pass Long.MAX and raise under ANSI mode); beyond ±(10^18 - 1) cents
+# — $10 quadrillion, a data error in any money column — values land in
+# two saturation buckets whose literals stay inside the long range and
+# sort outside all regular buckets.
+_SAT_LIMIT = 10 ** 18 - 1
+_SAT_POS_LO = 10 ** 18
+_SAT_NEG_LO = -2 * 10 ** 18
+
+
 def bucket_lo_expr(cents: Column, prefix_digits: int) -> Column:
     """Signed lower bound (in cents) of the decimal log-linear bucket
     holding ``cents`` — the bucket IDENTITY (distinct buckets have
@@ -87,13 +99,21 @@ def bucket_lo_expr(cents: Column, prefix_digits: int) -> Column:
     digits of a, m = max(k - prefix_digits, 0), p = a div 10^m; the
     bucket is [p·10^m, (p+1)·10^m) on the absolute axis, mirrored for
     negatives (lower bound -(p+1)·10^m). 10^m is built as the string
-    '1' || repeat('0', m) so no float pow is ever involved."""
+    '1' || repeat('0', m) so no float pow is ever involved. |cents|
+    past 10^18 - 1 saturates into the ±extreme buckets (see _SAT_LIMIT
+    above) instead of overflowing the ANSI-mode long arithmetic —
+    counts stay exact, ordering stays correct, and the estimate for a
+    saturated bucket is its sentinel lower bound."""
     a = F.abs(cents)
     k = F.length(a.cast("string"))
     m = F.greatest(k - F.lit(prefix_digits), F.lit(0))
     pw = F.concat(F.lit("1"), F.repeat(F.lit("0"), m)).cast("long")
     lo = a - a % pw  # == (a div 10^m) · 10^m, no division needed
-    return (F.when(cents == 0, F.lit(0).cast("long"))
+    return (F.when(cents > F.lit(_SAT_LIMIT),
+                   F.lit(_SAT_POS_LO).cast("long"))
+            .when(cents < F.lit(-_SAT_LIMIT),
+                  F.lit(_SAT_NEG_LO).cast("long"))
+            .when(cents == 0, F.lit(0).cast("long"))
             .when(cents > 0, lo)
             .otherwise(-(lo + pw)))
 

@@ -137,11 +137,14 @@ def bpe_merge_table(docs: DataFrame, num_merges: int = 16,
     Stops early when no adjacent pair reaches ``min_pair_count``.
     The (word, freq) pass is always distributed; merge training runs
     driver-local when the vocabulary has at most ``max_local_vocab``
-    rows (a bounded collect — 2M rows × ~50 B ≈ 100 MB, the same
-    bounded-metadata contract as centroid tables), else falls back to
-    the distributed iteration below. ``max_local_vocab=0`` forces the
-    distributed path. Both paths are the same algorithm and produce
-    identical tables (pinned by tests/test_vocab.py).
+    rows — pulled as an Arrow ``toPandas`` of two narrow columns
+    (tens of MB at the 2M default; per-object Row collection would
+    cost ~10× that in Python heap, which is why it is not used), the
+    same bounded-metadata contract as centroid tables — else falls
+    back to the distributed iteration below. ``max_local_vocab=0``
+    forces the distributed path. Both paths are the same algorithm and
+    produce identical tables (pinned by tests/test_vocab.py, both as a
+    fixed fixture and under hypothesis-randomized corpora).
 
     Distributed path: driver involvement per iteration is ONE
     single-row collect (the argmax). Wall-clock is per-iteration job
@@ -163,9 +166,10 @@ def bpe_merge_table(docs: DataFrame, num_merges: int = 16,
         # cap+1 batch means the vocabulary exceeds the cap -> fall
         # through to the distributed loop (the collect stays bounded
         # either way).
-        head = freqs.limit(max_local_vocab + 1).collect()
+        head = freqs.limit(max_local_vocab + 1).toPandas()
         if len(head) <= max_local_vocab:
-            words = [(row["word"], int(row["freq"])) for row in head]
+            words = [(w, int(f)) for w, f in
+                     zip(head["word"].tolist(), head["freq"].tolist())]
             return spark.createDataFrame(
                 _train_merges_local(words, num_merges, min_pair_count),
                 schema)

@@ -1086,7 +1086,11 @@ pwed AS (
 ),
 b AS (
     SELECT event_type,
-           CASE WHEN cents = 0 THEN 0
+           CASE WHEN cents > 999999999999999999
+                    THEN 1000000000000000000
+                WHEN cents < -999999999999999999
+                    THEN -2000000000000000000
+                WHEN cents = 0 THEN 0
                 WHEN cents > 0 THEN lo
                 ELSE -(lo + pw) END AS bucket_lo,
            count(*) AS cnt
@@ -1139,7 +1143,11 @@ pwed AS (
 ),
 b AS (
     SELECT window_start,
-           CASE WHEN cents = 0 THEN 0
+           CASE WHEN cents > 999999999999999999
+                    THEN 1000000000000000000
+                WHEN cents < -999999999999999999
+                    THEN -2000000000000000000
+                WHEN cents = 0 THEN 0
                 WHEN cents > 0 THEN lo
                 ELSE -(lo + pw) END AS bucket_lo,
            count(*) AS cnt

@@ -75,3 +75,19 @@ def compare_frames(spark_df, duck_rel, context: str = "") -> None:
     ]
     assert not mismatches, (
         f"{context}: {len(mismatches)} row mismatches; first 5: {mismatches[:5]}")
+
+
+def py_bucket_lo(cents: int, prefix_digits: int = 2) -> int:
+    """Driver-side reference of operators/sketches.bucket_lo_expr
+    (single copy shared by the unit and hypothesis suites), including
+    the ±10^18 saturation buckets."""
+    if cents > 10 ** 18 - 1:
+        return 10 ** 18
+    if cents < -(10 ** 18 - 1):
+        return -2 * 10 ** 18
+    if cents == 0:
+        return 0
+    a = abs(cents)
+    m = max(len(str(a)) - prefix_digits, 0)
+    lo = a - a % 10 ** m
+    return lo if cents > 0 else -(lo + 10 ** m)

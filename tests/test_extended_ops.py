@@ -1218,14 +1218,7 @@ def test_corpus_pipeline_sharded_output(spark, tmp_path):
 
 # ---- decimal log-linear value histogram (operators/sketches.py) ----
 
-def _py_bucket_lo(cents: int, prefix_digits: int = 2) -> int:
-    """Driver-side twin of sketches._bucket_lo for assertions."""
-    if cents == 0:
-        return 0
-    a = abs(cents)
-    m = max(len(str(a)) - prefix_digits, 0)
-    lo = a - a % 10 ** m
-    return lo if cents > 0 else -(lo + 10 ** m)
+from tests.conftest import py_bucket_lo as _py_bucket_lo  # noqa: E402
 
 
 def test_value_histogram_percentile_hits_exact_rank_bucket(spark):
@@ -1339,24 +1332,28 @@ def test_token_budget_mixing_plan_hand_computed(spark):
         ],
         "doc_id long, text string, source string")
     # NB: "w0".."w14" are 2 subword pre-tokens each (letter run + digit
-    # run), so srcY supplies 30; targets: 120 * 2/3 = 80, 120 * 1/3 = 40
+    # run), so srcY supplies 30; weights 2/1/1 -> targets 60/30/30
     got = {r.source: r for r in token_budget_mixing_plan(
         docs, token_budget=120,
-        weights={"srcX": 2.0, "srcY": 1.0, "srcZ": 1e-9}).collect()}
-    assert set(got) == {"srcX", "srcY"}
+        weights={"srcX": 2.0, "srcY": 1.0, "srcZ": 1.0}).collect()}
+    assert set(got) == {"srcX", "srcY"}   # srcZ: zero supply, no row
     x = got["srcX"]
-    assert (x.n_docs, x.n_tokens, x.target_tokens) == (2, 10, 80)
+    assert (x.n_docs, x.n_tokens, x.target_tokens) == (2, 10, 60)
     assert (x.epochs, x.n_full_epochs, x.remainder_tokens,
-            x.oversampled) == (8.0, 8, 0, True)
+            x.oversampled) == (6.0, 6, 0, True)
     y = got["srcY"]
-    assert (y.n_docs, y.n_tokens, y.target_tokens) == (1, 30, 40)
+    assert (y.n_docs, y.n_tokens, y.target_tokens) == (1, 30, 30)
     assert (y.epochs, y.n_full_epochs, y.remainder_tokens,
-            y.oversampled) == (round(40 / 30, 6), 1, 10, True)
+            y.oversampled) == (1.0, 1, 0, False)
 
     with _pytest.raises(ValueError):
         token_budget_mixing_plan(docs, 0, {"srcX": 1.0})
     with _pytest.raises(ValueError):
         token_budget_mixing_plan(docs, 100, {"srcX": -1.0})
+    with _pytest.raises(ValueError, match="zero-token target"):
+        # srcY's share of a 3-token budget rounds to 0 tokens
+        token_budget_mixing_plan(
+            docs, 3, {"srcX": 100.0, "srcY": 1.0})
 
 
 def test_incremental_value_histogram_store(spark, tmp_path):
@@ -1421,3 +1418,16 @@ def test_value_sketch_cli_round_trip(spark, tmp_path, capsys):
     assert main(["value-sketch", d2, "--store", store]) == 0
     out2 = capsys.readouterr().out
     assert "delta:" in out2 and "p99=" in out2
+
+
+def test_value_histogram_extreme_magnitudes_saturate(spark):
+    """19-digit cent magnitudes land in the ±saturation buckets instead
+    of overflowing the ANSI-mode negative-mirror arithmetic."""
+    from asvsp_spark.operators.sketches import value_histogram
+    vals = [-9.21e16, 9.21e16, 1.0]   # cents ±9.21e18 (19 digits), 100
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "k string, value double")
+    hist = {r.bucket_lo: r.cnt
+            for r in value_histogram(df, "value", ["k"]).collect()}
+    assert hist == {-2 * 10 ** 18: 1, 10 ** 18: 1, 100: 1}
+    assert hist == {_py_bucket_lo(round(v * 100)): 1 for v in vals}

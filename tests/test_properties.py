@@ -564,13 +564,10 @@ def test_value_histogram_percentile_is_exact_rank_bucket(spark, cents,
 
     from asvsp_spark.operators.sketches import sketch_percentiles
 
+    from tests.conftest import py_bucket_lo
+
     def py_lo(c: int) -> int:
-        if c == 0:
-            return 0
-        a = abs(c)
-        m = max(len(str(a)) - prefix_digits, 0)
-        lo = a - a % 10 ** m
-        return lo if c > 0 else -(lo + 10 ** m)
+        return py_bucket_lo(c, prefix_digits)
 
     vals = [c / 100.0 for c in cents]
     df = spark.createDataFrame([("g", v) for v in vals],

@@ -63,21 +63,29 @@ def test_bpe_matches_reference(spark, docs):
     assert got == _ref_bpe(words, 6, 2)
 
 
-def test_bpe_local_equals_distributed(spark):
+@given(docs=st.lists(
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=5),
+             min_size=1, max_size=8).map(" ".join),
+    min_size=1, max_size=5))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_bpe_local_equals_distributed(spark, docs):
     """The driver-local merge loop (default) and the distributed
-    iteration (max_local_vocab=0) are the same algorithm — identical
-    merge tables, including tie-break order and early stop."""
-    docs = ["low lower lowest", "new newer newest wide wider",
-            "low low newest wide", "aa aaa aab ab"]
+    explode/fold iteration (max_local_vocab=0) are the same algorithm —
+    identical merge tables under randomized corpora, including
+    tie-break order and early stop. This keeps the DISTRIBUTED path
+    (the production path past the vocabulary cap) under hypothesis
+    coverage now that every other BPE test exercises the local
+    default."""
     df = spark.createDataFrame(list(enumerate(docs)),
                                "doc_id long, text string")
     local = [tuple(r) for r in
-             bpe_merge_table(df, num_merges=8, min_pair_count=2).collect()]
+             bpe_merge_table(df, num_merges=5, min_pair_count=2).collect()]
     dist = [tuple(r) for r in
-            bpe_merge_table(df, num_merges=8, min_pair_count=2,
+            bpe_merge_table(df, num_merges=5, min_pair_count=2,
                             max_local_vocab=0).collect()]
     assert local == dist
-    assert len(local) >= 4
 
 
 def test_bpe_early_stop_below_min_count(spark):
