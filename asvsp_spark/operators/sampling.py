@@ -83,6 +83,60 @@ def sample_k_per_group(documents: DataFrame, k: int = 10,
     )
 
 
+def weighted_sample_k(documents: DataFrame, k: int, weight_col: str,
+                      group_col: str | None = None, id_col: str = "doc_id",
+                      salt: str = "ws42", max_weight: int = 1024
+                      ) -> DataFrame:
+    """EXACT weighted random sampling without replacement (Efraimidis &
+    Spirakis, IPL 2006) for integer weights, in md5 hash space: each of
+    a row's ``w`` weight units gets an independent uniform draw
+    (md5 of id|unit|salt), the row's key is the MAX draw — distributed
+    as U^(1/w), the E-S key — and the top-k keys win (per ``group_col``
+    when given, else globally). Quality-weighted corpus selection
+    ("sample 1M docs, high-quality docs 10× likelier") with none of
+    ``sampleBy``'s caveats: membership is a pure function of (id, salt),
+    so the sample is reproducible across engines, runs, partitionings,
+    and retries, and EXACT set equality is oracle-checkable.
+
+    Scale: the key is one shuffle-free projection (array_max over a
+    w-element transform — w is bounded by ``max_weight``, enforced
+    row-level with raise_error so a corrupt weight fails loudly instead
+    of skewing the draw); grouped top-k is a per-group window over keys,
+    global top-k is orderBy+limit (TakeOrdered, no single-partition
+    window). Ties are impossible (distinct md5 inputs), so the result
+    is total-order deterministic.
+
+    Output: id_col [, group_col], weight, sample_rank (1 = highest key).
+    """
+    from asvsp_spark.plans.base import md5_slice_long
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight_col).cast("int")
+    ok = w.isNotNull() & (w >= 1) & (w <= max_weight)
+    id_str = F.col(id_col).cast("string")
+    draws = F.transform(
+        F.sequence(F.lit(0), w - 1),
+        lambda r: md5_slice_long(
+            F.concat_ws("|", id_str, r.cast("string"), F.lit(salt))))
+    key = F.when(ok, F.array_max(draws)).otherwise(
+        F.raise_error(F.lit(
+            f"{weight_col} must be an integer in [1, {max_weight}]")))
+    cols = [id_col] + ([group_col] if group_col else [])
+    keyed = documents.select(*cols, w.alias("weight"), key.alias("_key"))
+    if group_col:
+        win = Window.partitionBy(group_col).orderBy(F.desc("_key"), id_col)
+        return (keyed.withColumn("sample_rank", F.row_number().over(win))
+                .filter(F.col("sample_rank") <= k)
+                .select(*cols, "weight",
+                        F.col("sample_rank").cast("int").alias("sample_rank")))
+    top = keyed.orderBy(F.desc("_key"), id_col).limit(k)
+    win = Window.orderBy(F.desc("_key"), id_col)
+    return (top.withColumn("sample_rank",
+                           F.row_number().over(win).cast("int"))
+            .select(*cols, "weight", "sample_rank"))
+
+
 def token_budget_mixing_plan(documents: DataFrame, token_budget: int,
                              weights: dict[str, float],
                              strat_col: str = "source",

@@ -1347,3 +1347,30 @@ SELECT source, n_docs, n_tokens, target_tokens,
        target_tokens > n_tokens AS oversampled
 FROM a
 """
+
+# Exact weighted sampling: the Efraimidis-Spirakis key is the max of w
+# independent md5-slice draws per row (max of w uniforms ~ U^(1/w)),
+# so membership is a pure integer function of (doc_id, unit, salt) —
+# DuckDB replays the identical draws and the exact per-language top-5
+# sets hash-match. range(0, w) is exclusive-stop = w draws.
+ORACLE_TEXT["weighted_sample_docs"] = r"""
+WITH d AS (
+    SELECT doc_id, lang, CAST(doc_id % 5 + 1 AS INT) AS weight
+    FROM documents
+),
+keyed AS (
+    SELECT doc_id, lang, weight,
+           list_max(list_transform(range(0, weight),
+               r -> ('0x' || substr(md5(doc_id || '|' || r || '|ws42'),
+                                    1, 8))::BIGINT)) AS key
+    FROM d
+)
+SELECT doc_id, lang, weight, CAST(rk AS INT) AS sample_rank
+FROM (
+    SELECT doc_id, lang, weight,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY key DESC, doc_id) AS rk
+    FROM keyed
+)
+WHERE rk <= 5
+"""

@@ -463,6 +463,9 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # weights + budget -> per-source epoch/repeat plan) takes
 # dedup_representative's slot (green r4; the dedup family keeps
 # dedup_components + incremental_dedup_report rows).
+# weighted_sample_docs (new r5: exact Efraimidis-Spirakis weighted
+# sampling in md5 hash space) takes unigram_logprob_score's slot
+# (green r4; the relevance family keeps bigram_backoff_score's row).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "key_skew_report", "bpe_merge_table",
     "q10_improvement_streaks", "dsir_weights",
@@ -472,7 +475,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "minhash_lsh_pairs", "ivf_topk_full_probe", "shard_assignments",
     "incremental_dedup_report", "token_budget_mixing_plan",
     "shard_manifest_lpt", "quality_filter_report",
-    "unigram_logprob_score",
+    "weighted_sample_docs",
     "dup_spans", "skew_join_plain",
     "token_budget_stats",
     "dedup_spans_removed",
@@ -1301,6 +1304,19 @@ def _decontaminate_report(spark, sf):
     corpus = docs.filter(F.col("doc_id") % 37 != 0)
     bench = docs.filter(F.col("doc_id") % 37 == 0)
     return D.decontaminate_report(corpus, bench, n=3, min_hits=1)
+
+
+@register("weighted_sample_docs")
+def _weighted_sample_docs(spark, sf):
+    """Exact weighted sampling without replacement (operators/
+    sampling.py weighted_sample_k — Efraimidis-Spirakis keys in md5
+    hash space): per language, top-5 docs under integer weights
+    doc_id % 5 + 1; membership is a pure function of (id, salt), so
+    the EXACT sampled set hash-matches DuckDB."""
+    from asvsp_spark.operators.sampling import weighted_sample_k
+    docs = _t(spark, sf, "documents").withColumn(
+        "w", (F.col("doc_id") % 5 + 1).cast("int"))
+    return weighted_sample_k(docs, k=5, weight_col="w", group_col="lang")
 
 
 @register("token_budget_mixing_plan")

@@ -1431,3 +1431,55 @@ def test_value_histogram_extreme_magnitudes_saturate(spark):
             for r in value_histogram(df, "value", ["k"]).collect()}
     assert hist == {-2 * 10 ** 18: 1, 10 ** 18: 1, 100: 1}
     assert hist == {_py_bucket_lo(round(v * 100)): 1 for v in vals}
+
+
+def _py_es_key(doc_id: int, weight: int, salt: str) -> int:
+    """Python twin of weighted_sample_k's Efraimidis-Spirakis key."""
+    import hashlib
+    return max(int(hashlib.md5(f"{doc_id}|{r}|{salt}".encode())
+                   .hexdigest()[:8], 16) for r in range(weight))
+
+
+def test_weighted_sample_k_exact_and_distribution(spark):
+    """The sampled set equals the Python E-S twin exactly (grouped and
+    global paths, repartition-invariant), bad weights raise, and — via
+    the twin, validated by that equality — a 9:1 weight ratio wins the
+    k=1 draw ~90% of the time across 400 salts."""
+    import pytest as _pytest
+
+    from asvsp_spark.operators.sampling import weighted_sample_k
+    rows = [(i, "g1" if i % 2 == 0 else "g2", i % 4 + 1)
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, w int")
+
+    def ref_topk(rs, k, grouped=True):
+        out = {}
+        for i, g, w in rs:
+            out.setdefault(g if grouped else "_", []).append(
+                (-_py_es_key(i, w, "ws42"), i, w))
+        keep = set()
+        for g, lst in out.items():
+            for rk, (_, i, w) in enumerate(sorted(lst)[:k], 1):
+                keep.add((i, rk))
+        return keep
+
+    got = {(r.doc_id, r.sample_rank) for r in
+           weighted_sample_k(docs, 7, "w", group_col="lang").collect()}
+    assert got == ref_topk(rows, 7)
+    again = {(r.doc_id, r.sample_rank) for r in
+             weighted_sample_k(docs.repartition(13), 7, "w",
+                               group_col="lang").collect()}
+    assert again == got
+
+    gglobal = {(r.doc_id, r.sample_rank) for r in
+               weighted_sample_k(docs, 4, "w").collect()}
+    assert gglobal == ref_topk(rows, 4, grouped=False)
+
+    bad = spark.createDataFrame([(1, 0)], "doc_id long, w int")
+    with _pytest.raises(Exception, match="must be an integer in"):
+        weighted_sample_k(bad, 1, "w").collect()
+
+    # distribution (pure-Python twin, no Spark): heavy doc wins ~ 9/10
+    wins = sum(_py_es_key(1, 9, f"s{t}") > _py_es_key(2, 1, f"s{t}")
+               for t in range(400))
+    assert 0.84 <= wins / 400 <= 0.96
