@@ -45,7 +45,8 @@ def _perm_key(id_col: str, salt: str) -> F.Column:
 def shard_assignments(documents: DataFrame, n_shards: int = 16,
                       salt: str = "shard42", by_tokens: bool = False,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      curriculum_col: str | None = None) -> DataFrame:
     """(doc_id, shard, pos_in_shard, n_tokens): the deterministic
     global-shuffle shard plan.
 
@@ -56,6 +57,15 @@ def shard_assignments(documents: DataFrame, n_shards: int = 16,
     stage, a different cluster, or the DuckDB oracle lay out bytes
     identically.
 
+    Curriculum mode (``curriculum_col`` set): shard membership stays
+    the hash permutation (every shard holds the full difficulty mix),
+    but pos_in_shard orders WITHIN each shard by (curriculum_col ASC,
+    md5 key, id) — so N workers reading their shards position-by-
+    position consume an easy→hard schedule globally, with the md5 key
+    shuffling ties. The column must be cross-engine-stable (integers or
+    round_fixed scores) for the plan to stay oracle-checkable. Same
+    cost as hash mode: no global sort, one per-shard rank.
+
     Token-balanced mode (``by_tokens=True``): documents are ranked
     globally by (n_tokens DESC, id) and dealt round-robin to shards —
     longest-processing-time-first scheduling, max shard skew bounded by
@@ -63,10 +73,14 @@ def shard_assignments(documents: DataFrame, n_shards: int = 16,
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if by_tokens and curriculum_col is not None:
+        raise ValueError("by_tokens and curriculum_col are exclusive: "
+                         "LPT dealing fixes both shard and position")
+    extra = [F.col(curriculum_col).alias("_cur")] if curriculum_col else []
     docs = documents.select(
         F.col(id_col),
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"),
-        _perm_key(id_col, salt).alias("pk"))
+        _perm_key(id_col, salt).alias("pk"), *extra)
     if by_tokens:
         rk = F.row_number().over(
             Window.orderBy(F.desc("n_tokens"), F.asc(id_col)))
@@ -81,8 +95,10 @@ def shard_assignments(documents: DataFrame, n_shards: int = 16,
     shard = F.pmod(hex_slice_long(F.col("pk"), 1, 8),
                    F.lit(n_shards)).cast("int")
     with_shard = docs.withColumn("shard", shard)
+    order = ([F.asc("_cur")] if curriculum_col else []) + \
+        [F.asc("pk"), F.asc(id_col)]
     pos = F.row_number().over(
-        Window.partitionBy("shard").orderBy(F.asc("pk"), F.asc(id_col)))
+        Window.partitionBy("shard").orderBy(*order))
     return with_shard.select(
         id_col, "shard",
         pos.alias("pos_in_shard"),

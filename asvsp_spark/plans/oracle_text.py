@@ -1374,3 +1374,26 @@ FROM (
 )
 WHERE rk <= 5
 """
+
+# Curriculum shard plan: hash-mode shard membership (n_shards=8), but
+# pos_in_shard orders within each shard by (n_chars ASC, pk, doc_id) —
+# the within-shard easy-to-hard schedule.
+ORACLE_TEXT["curriculum_shards"] = r"""
+WITH d AS (
+    SELECT doc_id, n_chars,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           substr(md5(CAST(doc_id AS VARCHAR) || '|shard42'), 1, 16) AS pk
+    FROM documents
+),
+s AS (
+    SELECT doc_id, n_chars, n_tokens, pk,
+           CAST(('0x' || substr(pk, 1, 8))::BIGINT % 8 AS INT) AS shard
+    FROM d
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY n_chars, pk, doc_id)
+            AS INT) AS pos_in_shard,
+       CAST(n_tokens AS INT) AS n_tokens
+FROM s
+"""

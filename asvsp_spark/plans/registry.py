@@ -466,10 +466,13 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # weighted_sample_docs (new r5: exact Efraimidis-Spirakis weighted
 # sampling in md5 hash space) takes unigram_logprob_score's slot
 # (green r4; the relevance family keeps bigram_backoff_score's row).
+# curriculum_shards (new r5: within-shard easy->hard ordering on the
+# hash shard plan) takes q11_pricing_summary's slot (green r4; the
+# q-suite keeps q01 + q10 rows).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "key_skew_report", "bpe_merge_table",
     "q10_improvement_streaks", "dsir_weights",
-    "q11_pricing_summary", "dsir_sample",
+    "curriculum_shards", "dsir_sample",
     "token_entropy", "distribution_drift_daily",
     "rollup_revenue_region_nation",
     "minhash_lsh_pairs", "ivf_topk_full_probe", "shard_assignments",
@@ -1304,6 +1307,18 @@ def _decontaminate_report(spark, sf):
     corpus = docs.filter(F.col("doc_id") % 37 != 0)
     bench = docs.filter(F.col("doc_id") % 37 == 0)
     return D.decontaminate_report(corpus, bench, n=3, min_hits=1)
+
+
+@register("curriculum_shards")
+def _curriculum_shards(spark, sf):
+    """Curriculum shard plan (operators/sharding.py shard_assignments
+    with curriculum_col): shard membership stays the md5 hash
+    permutation, within-shard position orders short->long documents
+    (n_chars as the difficulty proxy) — N workers reading their shards
+    in position order consume an easy->hard schedule globally."""
+    from asvsp_spark.operators.sharding import shard_assignments
+    return shard_assignments(_t(spark, sf, "documents"), n_shards=8,
+                             curriculum_col="n_chars")
 
 
 @register("weighted_sample_docs")

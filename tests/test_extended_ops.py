@@ -1483,3 +1483,30 @@ def test_weighted_sample_k_exact_and_distribution(spark):
     wins = sum(_py_es_key(1, 9, f"s{t}") > _py_es_key(2, 1, f"s{t}")
                for t in range(400))
     assert 0.84 <= wins / 400 <= 0.96
+
+
+def test_curriculum_shards_order_and_membership(spark):
+    """Curriculum mode keeps hash-mode shard membership but orders
+    within-shard positions by the difficulty column (ties broken by the
+    md5 permutation key); by_tokens+curriculum is rejected."""
+    import pytest as _pytest
+
+    from asvsp_spark.operators.sharding import shard_assignments
+    docs = tables.load(spark, SF_DIR, "documents")
+    hash_plan = {r.doc_id: r.shard for r in
+                 shard_assignments(docs, n_shards=4).collect()}
+    cur = shard_assignments(docs, n_shards=4,
+                            curriculum_col="n_chars").collect()
+    assert {r.doc_id: r.shard for r in cur} == hash_plan
+    chars = {r.doc_id: r.n_chars for r in
+             docs.select("doc_id", "n_chars").collect()}
+    by_shard: dict[int, list] = {}
+    for r in cur:
+        by_shard.setdefault(r.shard, []).append(
+            (r.pos_in_shard, chars[r.doc_id]))
+    for shard, rows in by_shard.items():
+        seq = [c for _, c in sorted(rows)]
+        assert seq == sorted(seq), f"shard {shard} not easy->hard"
+    with _pytest.raises(ValueError, match="exclusive"):
+        shard_assignments(docs, n_shards=4, by_tokens=True,
+                          curriculum_col="n_chars")
