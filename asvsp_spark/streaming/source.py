@@ -331,6 +331,58 @@ def drain(stream_df: DataFrame, spark: SparkSession,
     return spark.createDataFrame(collected, schema_holder[0])
 
 
+def state_rows_report(stream_df: DataFrame, spark: SparkSession,
+                      output_mode: str = "update",
+                      shuffle_partitions: int | None = None) -> dict:
+    """MEASURED state-store occupancy for a stateful streaming frame —
+    the empirical backing for every "state is watermark-bounded" claim
+    in this package: run the query to completion (availableNow, noop
+    sink — no rows ever move) and read Spark's own per-micro-batch
+    ``stateOperators`` metrics off the query's progress log.
+
+    Returns {"max_state_rows": peak numRowsTotal summed across stateful
+    operators in any micro-batch, "final_state_rows": the last batch's
+    total, "n_state_operators": ..., "n_progress": micro-batch count}.
+    Use it in tests ("peak state ≤ windows × keys") and in production
+    the same way a Deequ-style suite gates data: a sessionization or
+    stream-stream join whose measured state grows past its design bound
+    is the 100 TB incident before it happens. Zero-state (stateless)
+    streams report zeros rather than erroring, so the probe composes
+    over any streaming frame.
+    """
+    cap = shuffle_partitions if shuffle_partitions is not None else int(
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    ckpt = tempfile.mkdtemp(prefix="asvsp-ckpt-")
+    try:
+        if int(prev) > cap:
+            spark.conf.set("spark.sql.shuffle.partitions", str(cap))
+        query = (stream_df.writeStream.format("noop")
+                 .outputMode(output_mode)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True)
+                 .start())
+        query.awaitTermination()
+        progress = list(query.recentProgress)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+        shutil.rmtree(ckpt, ignore_errors=True)
+    per_batch = [
+        sum(int(op.get("numRowsTotal", 0))
+            for op in (p.get("stateOperators") or []))
+        for p in progress
+    ]
+    n_ops = max((len(p.get("stateOperators") or []) for p in progress),
+                default=0)
+    return {
+        "max_state_rows": max(per_batch, default=0),
+        "final_state_rows": per_batch[-1] if per_batch else 0,
+        "n_state_operators": n_ops,
+        "n_progress": len(progress),
+    }
+
+
 def drain_to_parquet(stream_df: DataFrame, spark: SparkSession,
                      partition_by: list[str],
                      path: str | None = None,

@@ -765,3 +765,29 @@ def test_sq14_hourly_value_percentiles(spark, tmp_path):
     assert (h0["p50"], h0["p90"], h0["p99"]) == (2.5, 100.0, 100.0)
     h1 = got["2024-01-01 01:00:00"]
     assert (h1["n_values"], h1["p50_cents"], h1["p50"]) == (1, 37, 0.37)
+
+
+def test_state_rows_report_measures_bounded_state(spark):
+    """The state probe returns Spark's own stateOperators metrics: a
+    tumbling (window × type) aggregate's peak state rows equal the
+    batch-side distinct group count (the design bound the docstrings
+    claim), and a stateless projection reports zero state."""
+    from asvsp_spark.streaming.source import events_stream, \
+        state_rows_report
+    from tests.conftest import SF_DIR
+
+    stream = events_stream(spark, SF_DIR)
+    agg = (stream.groupBy(F.window("ts", "1 hour").alias("window"),
+                          "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    rep = state_rows_report(agg, spark)
+    bound = (tables.load(spark, SF_DIR, "events")
+             .select(F.date_trunc("hour", "ts").alias("w"), "event_type")
+             .distinct().count())
+    assert rep["n_state_operators"] >= 1 and rep["n_progress"] >= 1
+    assert 0 < rep["max_state_rows"] <= bound
+    assert rep["final_state_rows"] <= rep["max_state_rows"]
+
+    stateless = events_stream(spark, SF_DIR).select("event_id", "value")
+    rep0 = state_rows_report(stateless, spark, output_mode="append")
+    assert rep0["max_state_rows"] == 0
