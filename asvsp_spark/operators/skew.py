@@ -109,6 +109,63 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
     return big_s.join(small_r, keys + ["_salt"], how).drop("_salt")
 
 
+def join_fanout_report(left: DataFrame, right: DataFrame, key_col: str,
+                       right_key_col: str | None = None,
+                       top_k: int = 10) -> DataFrame:
+    """The other half of ``key_skew_report``: predict a join's OUTPUT
+    explosion before paying the shuffle. For an equi-join, each key
+    emits n_left × n_right rows — one hot key on both sides turns a
+    "join two 1 TB tables" plan into a 100 TB output nobody asked for.
+    This report names the top-k keys by emitted rows, their share of
+    the total join output, and the total itself, so the caller can
+    dedup/aggregate a side, df-cap, or salt BEFORE running the join.
+
+    Plan shape: one map-side-combining groupBy per side — the join here
+    is between the two KEY-CARDINALITY-sized count tables, never the
+    raw rows; the total collapses to ONE aggregate row that broadcasts
+    onto the TakeOrdered top-k survivors, and the only window runs over
+    those k rows (same no-giant-window discipline as key_skew_report —
+    a join's distinct-key table can itself be billions of rows at
+    100 TB, so no partition-less window may ever see it). NULL keys are
+    excluded up front (they never match an equi-join). Inner-join
+    semantics: keys absent from either side emit nothing and do not
+    appear.
+
+    Output: (rank, key, n_left, n_right, out_rows, share, cum_share,
+    total_out_rows), ordered by out_rows DESC with deterministic key
+    tie-break.
+    """
+    from pyspark.sql import Window
+
+    from asvsp_spark.plans.base import round_fixed
+
+    rkey = right_key_col or key_col
+    lc = (left.select(F.col(key_col).alias("key")).na.drop()
+          .groupBy("key").agg(F.count(F.lit(1)).alias("n_left")))
+    rc = (right.select(F.col(rkey).alias("key")).na.drop()
+          .groupBy("key").agg(F.count(F.lit(1)).alias("n_right")))
+    both = (lc.join(rc, "key")
+            .withColumn("out_rows", F.col("n_left") * F.col("n_right"))
+            .localCheckpoint(eager=False))
+    stats = both.agg(F.sum("out_rows").alias("total_out_rows"))
+    top = (both.orderBy(F.desc("out_rows"), F.asc("key")).limit(top_k)
+           .crossJoin(F.broadcast(stats)))
+    w_cum = (Window.orderBy(F.desc("out_rows"), F.asc("key"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        top
+        .withColumn("cum_rows", F.sum("out_rows").over(w_cum))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("out_rows"), F.asc("key"))))
+        .select("rank", "key", "n_left", "n_right", "out_rows",
+                round_fixed(F.col("out_rows") / F.col("total_out_rows"),
+                            6).alias("share"),
+                round_fixed(F.col("cum_rows") / F.col("total_out_rows"),
+                            6).alias("cum_share"),
+                "total_out_rows")
+    )
+
+
 def key_skew_report(df: DataFrame, key_col: str,
                     top_k: int = 10) -> DataFrame:
     """Pre-shuffle skew diagnostics for a join/group key: the top-k

@@ -1176,3 +1176,36 @@ SELECT window_start, n_values, p50_cents, p90_cents, p99_cents,
        p99_cents / 100.0 AS p99
 FROM agg
 """
+
+# Join fan-out report: per-key left x right products over the two
+# count tables, totals from one aggregate, top-k with cumulative share.
+ORACLE_EXT["join_fanout_report"] = """
+WITH lc AS (
+    SELECT l_partkey AS key, count(*) AS n_left
+    FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+),
+rc AS (
+    SELECT l_partkey AS key, count(*) AS n_right
+    FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+),
+both_sides AS (
+    SELECT lc.key, n_left, n_right,
+           CAST(n_left * n_right AS BIGINT) AS out_rows
+    FROM lc JOIN rc ON lc.key = rc.key
+),
+ranked AS (
+    SELECT key, n_left, n_right, out_rows,
+           row_number() OVER (ORDER BY out_rows DESC, key) AS rank,
+           sum(out_rows) OVER (ORDER BY out_rows DESC, key
+                               ROWS UNBOUNDED PRECEDING) AS cum_rows,
+           sum(out_rows) OVER () AS total
+    FROM both_sides
+)
+SELECT CAST(rank AS INT) AS rank, key,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right, out_rows,
+       round(out_rows / total * 1000000) / 1000000.0 AS share,
+       round(cum_rows / total * 1000000) / 1000000.0 AS cum_share,
+       CAST(total AS BIGINT) AS total_out_rows
+FROM ranked WHERE rank <= 10
+"""

@@ -468,13 +468,16 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # (green r4; the relevance family keeps bigram_backoff_score's row).
 # curriculum_shards (new r5: within-shard easy->hard ordering on the
 # hash shard plan) takes q11_pricing_summary's slot (green r4; the
-# q-suite keeps q01 + q10 rows).
+# q-suite keeps q01 + q10 rows). join_fanout_report (new r5: pre-join
+# output-explosion diagnostics, key_skew_report's other half) takes
+# rollup_revenue_region_nation's slot (green r4; the rollup family's
+# daily/monthly rows are green r1-r4 and locally pinned).
 DRIVER_CHECKED: tuple[str, ...] = (
     "q01_yearly_rank_yoy", "key_skew_report", "bpe_merge_table",
     "q10_improvement_streaks", "dsir_weights",
     "curriculum_shards", "dsir_sample",
     "token_entropy", "distribution_drift_daily",
-    "rollup_revenue_region_nation",
+    "join_fanout_report",
     "minhash_lsh_pairs", "ivf_topk_full_probe", "shard_assignments",
     "incremental_dedup_report", "token_budget_mixing_plan",
     "shard_manifest_lpt", "quality_filter_report",
@@ -1538,6 +1541,17 @@ def _pq_rerank_topk(spark, sf):   # rows-only: per-subspace k-means
     codes = pq_encode(emb, cb, m=8)
     return pq_topk_rerank(codes, cb, emb.filter(F.col("vec_id") < 10),
                           emb, k=5, shortlist=50)
+
+
+@register("join_fanout_report")
+def _join_fanout_report(spark, sf):
+    """Pre-join output-explosion diagnostics (operators/skew.py
+    join_fanout_report): top-10 l_partkey keys by emitted rows for the
+    lineitem self-join on part key — the classic fanout check before a
+    same-part analysis; counts join counts, never raw rows."""
+    from asvsp_spark.operators.skew import join_fanout_report
+    li = _t(spark, sf, "lineitem")
+    return join_fanout_report(li, li, "l_partkey")
 
 
 @register("key_skew_report")

@@ -96,3 +96,26 @@ def test_salted_join_matches_direct_join(spark):
                       .alias("s"))
               .distinct().count())
     assert spread > 1
+
+
+def test_join_fanout_report_hand_computed(spark):
+    """Known per-side counts: out_rows = n_left x n_right per key,
+    inner-join semantics (one-sided and NULL keys emit nothing),
+    shares over the exact total, deterministic tie-break."""
+    from asvsp_spark.operators.skew import join_fanout_report
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [("only_left",)] + [(None,)],
+        "k string")
+    right = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 5 + [("only_right",)] + [(None,)],
+        "k string")
+    rows = {r.key: r for r in
+            join_fanout_report(left, right, "k").collect()}
+    assert set(rows) == {"a", "b"}
+    a, b = rows["a"], rows["b"]
+    assert (a.n_left, a.n_right, a.out_rows) == (3, 4, 12)
+    assert (b.n_left, b.n_right, b.out_rows) == (2, 5, 10)
+    assert a.total_out_rows == b.total_out_rows == 22
+    assert (a.rank, b.rank) == (1, 2)
+    assert a.share == round(12 / 22, 6)
+    assert b.cum_share == 1.0
