@@ -1320,8 +1320,12 @@ def _curriculum_shards(spark, sf):
     (n_chars as the difficulty proxy) — N workers reading their shards
     in position order consume an easy->hard schedule globally."""
     from asvsp_spark.operators.sharding import shard_assignments
+    # the filter keeps the rank window visible to bench's .count()
+    # (Catalyst would otherwise prune the unreferenced window and time
+    # only the scan)
     return shard_assignments(_t(spark, sf, "documents"), n_shards=8,
-                             curriculum_col="n_chars")
+                             curriculum_col="n_chars") \
+        .filter(F.col("pos_in_shard") >= 1)
 
 
 @register("weighted_sample_docs")
@@ -1613,7 +1617,9 @@ def _shard_assignments(spark, sf):
     and intra-shard position are pure md5 functions of the doc id, so
     the exact training-data layout is reproducible and auditable."""
     from asvsp_spark.operators.sharding import shard_assignments
-    return shard_assignments(_t(spark, sf, "documents"))
+    # pos_in_shard filter = count-pruning guard (see curriculum_shards)
+    return shard_assignments(_t(spark, sf, "documents")) \
+        .filter(F.col("pos_in_shard") >= 1)
 
 
 @register("shard_manifest_lpt")
