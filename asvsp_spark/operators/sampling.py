@@ -103,8 +103,10 @@ def weighted_sample_k(documents: DataFrame, k: int, weight_col: str,
     row-level with raise_error so a corrupt weight fails loudly instead
     of skewing the draw); grouped top-k is a per-group window over keys,
     global top-k is orderBy+limit (TakeOrdered, no single-partition
-    window). Ties are impossible (distinct md5 inputs), so the result
-    is total-order deterministic.
+    window). Key ties ARE possible — draws are 32-bit md5 slices, so
+    two rows share a max key with birthday probability at corpus
+    scale — which is why every ordering here tie-breaks on the id;
+    the result stays total-order deterministic regardless.
 
     Output: id_col [, group_col], weight, sample_rank (1 = highest key).
     """
@@ -113,7 +115,11 @@ def weighted_sample_k(documents: DataFrame, k: int, weight_col: str,
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     w = F.col(weight_col).cast("int")
-    ok = w.isNotNull() & (w >= 1) & (w <= max_weight)
+    # the equality leg rejects fractional weights: cast('int') truncates
+    # silently (2.7 -> 2 draws would bias the sample low, no ANSI error),
+    # so a non-integer weight must fail loudly like any other corrupt one
+    ok = (w.isNotNull() & (w >= 1) & (w <= max_weight)
+          & (F.col(weight_col) == w))
     id_str = F.col(id_col).cast("string")
     draws = F.transform(
         F.sequence(F.lit(0), w - 1),

@@ -95,7 +95,10 @@ def shard_assignments(documents: DataFrame, n_shards: int = 16,
     shard = F.pmod(hex_slice_long(F.col("pk"), 1, 8),
                    F.lit(n_shards)).cast("int")
     with_shard = docs.withColumn("shard", shard)
-    order = ([F.asc("_cur")] if curriculum_col else []) + \
+    # asc_nulls_last: unscored (NULL-difficulty) docs train LAST, and
+    # the order matches DuckDB's ASC default (NULLS LAST) — plain asc
+    # would put NULLs first in Spark and silently diverge both ways
+    order = ([F.asc_nulls_last("_cur")] if curriculum_col else []) + \
         [F.asc("pk"), F.asc(id_col)]
     pos = F.row_number().over(
         Window.partitionBy("shard").orderBy(*order))

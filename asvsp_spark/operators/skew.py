@@ -109,6 +109,34 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
     return big_s.join(small_r, keys + ["_salt"], how).drop("_salt")
 
 
+def _topk_with_shares(counts, value_col: str, stats, total_col: str,
+                      top_k: int):
+    """Shared no-giant-window top-k scaffolding for this module's
+    diagnostics (key_skew_report, join_fanout_report): TakeOrdered the
+    top_k rows of the key-cardinality-sized count table by
+    ``value_col`` (key tie-break), broadcast the single-row ``stats``
+    frame onto them, and attach rank / share / cum_share (round-6 over
+    ``total_col``). The only windows run over the k survivors — the
+    distinct-key table itself can be billions of rows at 100 TB and
+    must never meet a partition-less window."""
+    from pyspark.sql import Window
+
+    from asvsp_spark.plans.base import round_fixed
+
+    order = [F.desc(value_col), F.asc("key")]
+    top = (counts.orderBy(*order).limit(top_k)
+           .crossJoin(F.broadcast(stats)))
+    w_cum = (Window.orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (top
+            .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+            .withColumn("share",
+                        round_fixed(F.col(value_col) / F.col(total_col), 6))
+            .withColumn("cum_share",
+                        round_fixed(F.sum(value_col).over(w_cum)
+                                    / F.col(total_col), 6)))
+
+
 def join_fanout_report(left: DataFrame, right: DataFrame, key_col: str,
                        right_key_col: str | None = None,
                        top_k: int = 10) -> DataFrame:
@@ -135,10 +163,6 @@ def join_fanout_report(left: DataFrame, right: DataFrame, key_col: str,
     total_out_rows), ordered by out_rows DESC with deterministic key
     tie-break.
     """
-    from pyspark.sql import Window
-
-    from asvsp_spark.plans.base import round_fixed
-
     rkey = right_key_col or key_col
     lc = (left.select(F.col(key_col).alias("key")).na.drop()
           .groupBy("key").agg(F.count(F.lit(1)).alias("n_left")))
@@ -148,22 +172,10 @@ def join_fanout_report(left: DataFrame, right: DataFrame, key_col: str,
             .withColumn("out_rows", F.col("n_left") * F.col("n_right"))
             .localCheckpoint(eager=False))
     stats = both.agg(F.sum("out_rows").alias("total_out_rows"))
-    top = (both.orderBy(F.desc("out_rows"), F.asc("key")).limit(top_k)
-           .crossJoin(F.broadcast(stats)))
-    w_cum = (Window.orderBy(F.desc("out_rows"), F.asc("key"))
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (
-        top
-        .withColumn("cum_rows", F.sum("out_rows").over(w_cum))
-        .withColumn("rank", F.row_number().over(
-            Window.orderBy(F.desc("out_rows"), F.asc("key"))))
-        .select("rank", "key", "n_left", "n_right", "out_rows",
-                round_fixed(F.col("out_rows") / F.col("total_out_rows"),
-                            6).alias("share"),
-                round_fixed(F.col("cum_rows") / F.col("total_out_rows"),
-                            6).alias("cum_share"),
-                "total_out_rows")
-    )
+    return (_topk_with_shares(both, "out_rows", stats,
+                              "total_out_rows", top_k)
+            .select("rank", "key", "n_left", "n_right", "out_rows",
+                    "share", "cum_share", "total_out_rows"))
 
 
 def key_skew_report(df: DataFrame, key_col: str,
@@ -182,8 +194,6 @@ def key_skew_report(df: DataFrame, key_col: str,
     collect. Output: (rank, key, n_rows, share, cum_share, n_keys,
     median_key_rows, skew_vs_median).
     """
-    from pyspark.sql import Window
-
     from asvsp_spark.plans.base import round_fixed
 
     from asvsp_spark.operators.drift import sentinel_key
@@ -203,19 +213,9 @@ def key_skew_report(df: DataFrame, key_col: str,
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n_rows").alias("total_rows"),
         F.percentile(F.col("n_rows"), 0.5).alias("median_key_rows"))
-    top = (counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
-           .crossJoin(F.broadcast(stats)))
-    w = (Window.orderBy(F.desc("n_rows"), F.asc("key"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return top.select(
-        F.row_number().over(
-            Window.orderBy(F.desc("n_rows"), F.asc("key"))).alias("rank"),
-        "key", "n_rows",
-        round_fixed(F.col("n_rows") / F.col("total_rows"), 6)
-        .alias("share"),
-        round_fixed(F.sum("n_rows").over(w) / F.col("total_rows"), 6)
-        .alias("cum_share"),
-        "n_keys",
+    return _topk_with_shares(counts, "n_rows", stats,
+                             "total_rows", top_k).select(
+        "rank", "key", "n_rows", "share", "cum_share", "n_keys",
         round_fixed(F.col("median_key_rows"), 6).alias("median_key_rows"),
         round_fixed(F.col("n_rows") / F.col("median_key_rows"), 6)
         .alias("skew_vs_median"),

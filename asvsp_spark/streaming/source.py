@@ -23,8 +23,10 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+import shutil
 import tempfile
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -241,6 +243,35 @@ def kafka_stream(spark: SparkSession, brokers: str, topic: str,
     )
 
 
+@contextmanager
+def _available_now_run(spark: SparkSession,
+                       shuffle_partitions: int | None = None,
+                       checkpoint_dir: str | None = None):
+    """Shared scaffolding for every availableNow drain in this module
+    (drain / drain_to_parquet / drain_with_late_audit /
+    state_rows_report): clamp ``spark.sql.shuffle.partitions`` for the
+    query's lifetime — a stateful agg pins its state-store partition
+    count at FIRST start and AQE never coalesces it — provide the
+    checkpoint location, and on the way out restore the conf and reap
+    the checkpoint when it was ephemeral (one-shot drains never
+    resume; persistent checkpoints passed in are left alone). Yields
+    the checkpoint path; the caller builds its writer, adds
+    ``.option("checkpointLocation", ckpt).trigger(availableNow=True)``
+    and awaits termination inside the block."""
+    cap = shuffle_partitions if shuffle_partitions is not None else int(
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="asvsp-ckpt-")
+    try:
+        if int(prev) > cap:
+            spark.conf.set("spark.sql.shuffle.partitions", str(cap))
+        yield ckpt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if checkpoint_dir is None:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def drain(stream_df: DataFrame, spark: SparkSession,
           batch_transform: Callable[[DataFrame], DataFrame] | None = None,
           output_mode: str = "update",
@@ -297,13 +328,8 @@ def drain(stream_df: DataFrame, spark: SparkSession,
                 "bounded output only — route row-level or per-user "
                 "streams through drain_to_parquet")
 
-    cap = shuffle_partitions if shuffle_partitions is not None else int(
-        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
-    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="asvsp-ckpt-")
-    try:
-        if int(prev) > cap:
-            spark.conf.set("spark.sql.shuffle.partitions", str(cap))
+    with _available_now_run(spark, shuffle_partitions,
+                            checkpoint_dir) as ckpt:
         query = (
             stream_df.writeStream
             .outputMode(output_mode)
@@ -313,14 +339,6 @@ def drain(stream_df: DataFrame, spark: SparkSession,
             .start()
         )
         query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        if checkpoint_dir is None:
-            # one-shot drains never resume: reap the ephemeral
-            # checkpoint so a long bench/session doesn't accrete
-            # thousands of state-store dirs under /tmp
-            import shutil
-            shutil.rmtree(ckpt, ignore_errors=True)
     if not schema_holder:
         if checkpoint_dir is not None and batch_transform is None:
             # resumable drain with nothing new since the last run: empty
@@ -350,24 +368,28 @@ def state_rows_report(stream_df: DataFrame, spark: SparkSession,
     streams report zeros rather than erroring, so the probe composes
     over any streaming frame.
     """
-    cap = shuffle_partitions if shuffle_partitions is not None else int(
-        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
-    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    ckpt = tempfile.mkdtemp(prefix="asvsp-ckpt-")
+    # recentProgress is ring-buffered (spark.sql.streaming.
+    # numRecentProgressUpdates, default 100 batches) — a long backlog
+    # drain would silently drop the batches where state PEAKED, which
+    # is exactly what this probe exists to see; raise the cap for the
+    # query's lifetime and restore it after
+    prog_key = "spark.sql.streaming.numRecentProgressUpdates"
+    prev_prog = spark.conf.get(prog_key, None)
+    spark.conf.set(prog_key, "100000")
     try:
-        if int(prev) > cap:
-            spark.conf.set("spark.sql.shuffle.partitions", str(cap))
-        query = (stream_df.writeStream.format("noop")
-                 .outputMode(output_mode)
-                 .option("checkpointLocation", ckpt)
-                 .trigger(availableNow=True)
-                 .start())
-        query.awaitTermination()
-        progress = list(query.recentProgress)
+        with _available_now_run(spark, shuffle_partitions) as ckpt:
+            query = (stream_df.writeStream.format("noop")
+                     .outputMode(output_mode)
+                     .option("checkpointLocation", ckpt)
+                     .trigger(availableNow=True)
+                     .start())
+            query.awaitTermination()
+            progress = list(query.recentProgress)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        import shutil
-        shutil.rmtree(ckpt, ignore_errors=True)
+        if prev_prog is None:
+            spark.conf.unset(prog_key)
+        else:
+            spark.conf.set(prog_key, prev_prog)
     per_batch = [
         sum(int(op.get("numRowsTotal", 0))
             for op in (p.get("stateOperators") or []))
@@ -414,13 +436,8 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession,
       append mode (a file sink can't retract).
     """
     sink_path = path or tempfile.mkdtemp(prefix="asvsp-sink-")
-    cap = shuffle_partitions if shuffle_partitions is not None else int(
-        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
-    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="asvsp-ckpt-")
-    try:
-        if int(prev) > cap:
-            spark.conf.set("spark.sql.shuffle.partitions", str(cap))
+    with _available_now_run(spark, shuffle_partitions,
+                            checkpoint_dir) as ckpt:
         writer = stream_df.writeStream.outputMode(output_mode)
         if sink == "append_manifest":
             if output_mode != "append":
@@ -443,13 +460,8 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession,
                  .trigger(availableNow=True)
                  .start())
         query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        if checkpoint_dir is None:
-            # the SINK must outlive the call (the return value reads
-            # it); only the one-shot checkpoint is ephemeral
-            import shutil
-            shutil.rmtree(ckpt, ignore_errors=True)
+    # NB the SINK outlives the call (the return value reads it); only
+    # the one-shot checkpoint is reaped by _available_now_run
     try:
         return spark.read.parquet(sink_path)
     except AnalysisException:
@@ -538,23 +550,13 @@ def drain_with_late_audit(stream_df: DataFrame, spark: SparkSession,
         finally:
             batch_df.unpersist()
 
-    cap = shuffle_partitions if shuffle_partitions is not None else int(
-        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
-    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    ckpt = tempfile.mkdtemp(prefix="asvsp-ckpt-")
-    try:
-        if int(prev) > cap:
-            spark.conf.set("spark.sql.shuffle.partitions", str(cap))
+    with _available_now_run(spark, shuffle_partitions) as ckpt:
         query = (stream_df.writeStream.outputMode("append")
                  .foreachBatch(handle)
                  .option("checkpointLocation", ckpt)
                  .trigger(availableNow=True)
                  .start())
         query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        import shutil
-        shutil.rmtree(ckpt, ignore_errors=True)   # one-shot, never resumed
 
     def _read(path: str) -> DataFrame:
         if any(f.endswith(".parquet") for f in os.listdir(path)):

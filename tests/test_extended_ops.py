@@ -1478,6 +1478,11 @@ def test_weighted_sample_k_exact_and_distribution(spark):
     bad = spark.createDataFrame([(1, 0)], "doc_id long, w int")
     with _pytest.raises(Exception, match="must be an integer in"):
         weighted_sample_k(bad, 1, "w").collect()
+    frac = spark.createDataFrame([(1, 2.7)], "doc_id long, w double")
+    with _pytest.raises(Exception, match="must be an integer in"):
+        # cast('int') would silently truncate 2.7 -> 2 draws; the
+        # equality leg of the guard must reject it instead
+        weighted_sample_k(frac, 1, "w").collect()
 
     # distribution (pure-Python twin, no Spark): heavy doc wins ~ 9/10
     wins = sum(_py_es_key(1, 9, f"s{t}") > _py_es_key(2, 1, f"s{t}")
@@ -1510,3 +1515,13 @@ def test_curriculum_shards_order_and_membership(spark):
     with _pytest.raises(ValueError, match="exclusive"):
         shard_assignments(docs, n_shards=4, by_tokens=True,
                           curriculum_col="n_chars")
+
+    # NULL difficulty sorts LAST (asc_nulls_last == DuckDB's ASC
+    # default): unscored docs train last, not first
+    nd = spark.createDataFrame(
+        [(1, "a b", 5), (2, "c d", None), (3, "e f", 1)],
+        "doc_id long, text string, score int")
+    one = shard_assignments(nd, n_shards=1,
+                            curriculum_col="score").collect()
+    order = [r.doc_id for r in sorted(one, key=lambda r: r.pos_in_shard)]
+    assert order[0] == 3 and order[-1] == 2
