@@ -190,6 +190,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="also segment src with the learned table and "
                          "write (doc_id, n_words, n_bpe_tokens) here")
 
+    dg = sub.add_parser("diagnose",
+                        help="pre-shuffle diagnostics: key skew for a "
+                             "group/join key, or join output fan-out "
+                             "for a key pair")
+    dg.add_argument("kind", choices=["skew", "fanout"])
+    dg.add_argument("paths", nargs="+",
+                    help="skew: one parquet path; fanout: left and "
+                         "right parquet paths")
+    dg.add_argument("--key", required=True, help="key column")
+    dg.add_argument("--right-key", default=None,
+                    help="fanout: right-side key column when it "
+                         "differs from --key")
+    dg.add_argument("--top-k", type=int, default=10)
+
     dc = sub.add_parser("drift-check",
                         help="score an arriving events delta against "
                              "the accumulated baseline mix (KL/TVD per "
@@ -468,6 +482,39 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{args.src}: {spark.read.parquet(args.out).count()} chunks "
               f"({args.chunk_tokens} tokens, {args.overlap} overlap) "
               f"-> {args.out}")
+        return 0
+
+    if args.cmd == "diagnose":
+        from asvsp_spark.operators.skew import (join_fanout_report,
+                                                key_skew_report)
+        spark = _session(args)
+        if args.kind == "skew":
+            if len(args.paths) != 1:
+                print("diagnose skew takes exactly one parquet path",
+                      file=sys.stderr)
+                return 2
+            rows = key_skew_report(spark.read.parquet(args.paths[0]),
+                                   args.key, top_k=args.top_k).collect()
+            for r in rows:
+                print(f"#{r['rank']:<3} {str(r['key']):24s} "
+                      f"rows={r['n_rows']:<10} share={r['share']:<9} "
+                      f"cum={r['cum_share']:<9} "
+                      f"vs_median={r['skew_vs_median']}")
+        else:
+            if len(args.paths) != 2:
+                print("diagnose fanout takes left and right parquet "
+                      "paths", file=sys.stderr)
+                return 2
+            rows = join_fanout_report(
+                spark.read.parquet(args.paths[0]),
+                spark.read.parquet(args.paths[1]), args.key,
+                right_key_col=args.right_key, top_k=args.top_k).collect()
+            for r in rows:
+                print(f"#{r['rank']:<3} {str(r['key']):24s} "
+                      f"out_rows={r['out_rows']:<12} "
+                      f"({r['n_left']}x{r['n_right']}) "
+                      f"share={r['share']:<9} "
+                      f"total={r['total_out_rows']}")
         return 0
 
     if args.cmd == "drift-check":

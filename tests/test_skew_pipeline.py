@@ -119,3 +119,22 @@ def test_join_fanout_report_hand_computed(spark):
     assert (a.rank, b.rank) == (1, 2)
     assert a.share == round(12 / 22, 6)
     assert b.cum_share == 1.0
+
+
+def test_diagnose_cli_skew_and_fanout(spark, tmp_path, capsys):
+    """diagnose CLI: both kinds run over parquet inputs and print the
+    ranked reports; wrong arity exits 2."""
+    from asvsp_spark.cli import main
+    from tests.conftest import SF_DIR
+    ev = f"{SF_DIR}/events.parquet"
+    li = f"{SF_DIR}/lineitem.parquet"
+    assert main(["diagnose", "skew", ev, "--key", "event_type",
+                 "--top-k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("#") == 3 and "vs_median=" in out
+    assert main(["diagnose", "fanout", li, li,
+                 "--key", "l_partkey", "--top-k", "2"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("#") == 2 and "out_rows=" in out
+    assert main(["diagnose", "skew", ev, ev, "--key", "x"]) == 2
+    capsys.readouterr()
