@@ -970,3 +970,136 @@ def remove_dup_spans(documents: DataFrame, spans: DataFrame,
          .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
                     - F.expr(f"size({kept})"))
          .cast("int").alias("n_tokens_removed"))
+
+
+def paragraph_dedup(documents: DataFrame, delimiter: str = r"\n{2,}",
+                    joiner: str = "\n\n", id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the CCNet / RefinedWeb
+    boilerplate pass: Wenzek et al. 2020 dedup shards by paragraph
+    hash; Penedo et al. 2023 run it corpus-wide): split every document
+    into segments on ``delimiter``, keep only the FIRST occurrence of
+    each distinct segment corpus-wide (first = smallest (doc_id,
+    position)), and rebuild each document from its surviving segments
+    joined with ``joiner``. Output: (id_col, text, n_segments,
+    n_removed) — one row per input document, text '' when every
+    segment was a repeat. Whitespace-only segments are dropped on both
+    engines before hashing (split semantics around leading/trailing
+    delimiters differ across engines; non-empty segments do not).
+
+    This is the between-document complement of ``dup_spans``: spans
+    flag repeated substrings anywhere, paragraph dedup removes repeats
+    of STRUCTURAL units and keeps one canonical copy (headers, nav
+    boilerplate, licence blocks — the dominant duplication mode in web
+    crawls at 100 TB).
+
+    Shape, at 100 TB:
+    - One posexplode per document; segment hash is a 16-byte md5 slice
+      (hash the segment, never shuffle segment text for the argmin).
+    - Keep-first is min(struct(doc, pos)) per hash — a plain partial-
+      aggregatable min, so a boilerplate paragraph occurring a billion
+      times combines map-side and never concentrates on one reducer
+      (the reason this is NOT a row_number window, which would sort the
+      hot hash's entire posting in one task).
+    - The winner join back is many-to-ONE on the hash (keeper is unique
+      per hash), so no pair fan-out at any document frequency — unlike
+      pair generation, keep-first never multiplies by df.
+    - Rebuild is one groupBy(doc): collect_list skips the NULLed-out
+      losers, array_sort restores segment order without a sort
+      exchange. A final LEFT join from the corpus re-attaches docs
+      whose text produced no segments at all.
+
+    Every step (md5 slice, argmin-by-struct == row_number keep flag,
+    ordered string_agg) is bit-identical in DuckDB, so the rebuilt
+    corpus is oracle-checkable end-to-end.
+    """
+    segs = (fanout(documents)
+            .select(F.col(id_col).alias("doc"),
+                    F.posexplode(F.split(F.col(text_col), delimiter))
+                     .alias("pos", "seg"))
+            .filter(F.trim(F.col("seg")) != "")
+            .withColumn("h", F.substring(F.md5(F.col("seg")), 1, 16)))
+    keeper = segs.groupBy("h").agg(
+        F.min(F.struct(F.col("doc"), F.col("pos"))).alias("k"))
+    flagged = (segs.join(keeper, "h")
+               .withColumn("keep", (F.col("doc") == F.col("k.doc"))
+                           & (F.col("pos") == F.col("k.pos"))))
+    rebuilt = (flagged.groupBy("doc").agg(
+        F.concat_ws(joiner, F.expr(
+            "transform(array_sort(collect_list("
+            "CASE WHEN keep THEN struct(pos, seg) END)), x -> x.seg)"))
+         .alias("_text"),
+        F.count(F.lit(1)).alias("_n_segments"),
+        (F.count(F.lit(1)) - F.sum(F.col("keep").cast("long")))
+         .alias("_n_removed")))
+    return (documents.select(F.col(id_col))
+            .join(rebuilt, F.col(id_col) == F.col("doc"), "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+                    F.coalesce(F.col("_n_segments"), F.lit(0))
+                     .cast("int").alias("n_segments"),
+                    F.coalesce(F.col("_n_removed"), F.lit(0))
+                     .cast("int").alias("n_removed")))
+
+
+def boundary_overlap_pairs(documents: DataFrame, k: int = 3,
+                           max_df: int = 64, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Crawl-stitching detection: pairs (left, right) where the LAST
+    ``k`` tokens of one document exactly equal the FIRST ``k`` tokens
+    of another — the signature of a document truncated by a fetch
+    limit and re-crawled as a continuation, or of shingled pagination.
+    Output: (left_id, right_id, boundary_text), left ≠ right, one row
+    per ordered overlapping pair. Documents shorter than ``k`` tokens
+    have no boundary and never pair.
+
+    Shape, at 100 TB:
+    - Each document contributes exactly ONE head k-gram and ONE tail
+      k-gram (two 16-byte hashes + the k-gram text for verification) —
+      constant per-doc state, no posting explosion.
+    - The candidate join is tail-hash == head-hash. A ubiquitous
+      boundary (boilerplate headers/footers) would fan out df_tail ×
+      df_head, so both sides are df-capped at ``max_df`` distinct
+      documents per hash BEFORE the join (same policy as
+      ``df_capped_posting``): a k-gram shared by more than max_df
+      heads is navigation chrome, not a continuation boundary. The
+      cap makes worst-case candidate volume max_df² per hash — bounded
+      and known, never quadratic in the corpus.
+    - Exact text equality re-verifies every hash match (collision
+      guard), pushed into the join condition so it filters during the
+      probe, not after materialization.
+
+    Head/tail slicing, md5 hashes, the df cap (count per hash) and the
+    equality verify are all bit-identical in DuckDB, so the pair list
+    is oracle-checkable.
+    """
+    kk = int(k)
+    toks = fanout(documents).select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+    toks = toks.filter(F.size("toks") >= kk)
+    ends = toks.select(
+        "doc",
+        F.concat_ws(" ", F.slice(F.col("toks"), 1, kk)).alias("head"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.size("toks") - kk + 1, kk))
+         .alias("tail"))
+    ends = ends.select(
+        "doc", "head", "tail",
+        F.substring(F.md5(F.col("head")), 1, 16).alias("hh"),
+        F.substring(F.md5(F.col("tail")), 1, 16).alias("th"))
+    head_df = (ends.groupBy("hh").agg(F.count(F.lit(1)).alias("n"))
+               .filter(F.col("n") <= int(max_df)).select("hh"))
+    tail_df = (ends.groupBy("th").agg(F.count(F.lit(1)).alias("n"))
+               .filter(F.col("n") <= int(max_df)).select("th"))
+    heads = (ends.join(head_df, "hh", "left_semi")
+             .select(F.col("doc").alias("right_id"),
+                     F.col("hh").alias("bh"), F.col("head").alias("bt")))
+    tails = (ends.join(tail_df, "th", "left_semi")
+             .select(F.col("doc").alias("left_id"),
+                     F.col("th").alias("bh"), F.col("tail").alias("tt")))
+    return (tails.join(heads, ["bh"])
+            .filter((F.col("left_id") != F.col("right_id"))
+                    & (F.col("tt") == F.col("bt")))
+            .select("left_id", "right_id",
+                    F.col("tt").alias("boundary_text")))

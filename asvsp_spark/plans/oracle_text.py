@@ -1397,3 +1397,76 @@ SELECT doc_id, shard,
        CAST(n_tokens AS INT) AS n_tokens
 FROM s
 """
+
+# Spark side: operators/dedup.py paragraph_dedup (registry: delimiter
+# '\s+the\s+' on the newline-free synthetic corpus, joiner '\n\n').
+# Keep-first = row_number over (doc_id, pos) per segment hash, which is
+# exactly Spark's min(struct(doc, pos)); whitespace-only segments are
+# dropped on both engines before hashing.
+ORACLE_TEXT["paragraph_dedup_docs"] = r"""
+WITH segs0 AS (
+    SELECT doc_id,
+           generate_subscripts(
+               regexp_split_to_array(text, '\s+the\s+'), 1) - 1 AS pos,
+           unnest(regexp_split_to_array(text, '\s+the\s+')) AS seg
+    FROM documents
+),
+segs AS (
+    SELECT doc_id, pos, seg, substr(md5(seg), 1, 16) AS h
+    FROM segs0 WHERE trim(seg) <> ''
+),
+flagged AS (
+    SELECT doc_id, pos, seg,
+           row_number() OVER (PARTITION BY h
+                              ORDER BY doc_id, pos) = 1 AS keep
+    FROM segs
+),
+rebuilt AS (
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN seg END,
+                               e'\n\n' ORDER BY pos), '') AS text2,
+           count(*) AS n_segments,
+           count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_removed
+    FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.text2, '') AS text,
+       CAST(coalesce(r.n_segments, 0) AS INT) AS n_segments,
+       CAST(coalesce(r.n_removed, 0) AS INT) AS n_removed
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
+# Spark side: operators/dedup.py boundary_overlap_pairs (registry: k=3,
+# max_df=64). Both sides df-capped on the 16-byte boundary hash before
+# the join; exact text equality re-verifies each hash match.
+ORACLE_TEXT["boundary_overlap_pairs"] = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    FROM documents
+),
+ends AS (
+    SELECT doc_id,
+           array_to_string(t[1:3], ' ') AS head,
+           array_to_string(t[len(t) - 2 : len(t)], ' ') AS tail
+    FROM toks WHERE len(t) >= 3
+),
+hashed AS (
+    SELECT doc_id, head, tail,
+           substr(md5(head), 1, 16) AS hh,
+           substr(md5(tail), 1, 16) AS th
+    FROM ends
+),
+hd AS (SELECT hh FROM hashed GROUP BY hh HAVING count(*) <= 64),
+td AS (SELECT th FROM hashed GROUP BY th HAVING count(*) <= 64),
+heads AS (
+    SELECT h.doc_id AS right_id, h.hh AS bh, h.head AS bt
+    FROM hashed h JOIN hd ON h.hh = hd.hh
+),
+tails AS (
+    SELECT h.doc_id AS left_id, h.th AS bh, h.tail AS tt
+    FROM hashed h JOIN td ON h.th = td.th
+)
+SELECT t.left_id, h.right_id, t.tt AS boundary_text
+FROM tails t JOIN heads h ON t.bh = h.bh
+WHERE t.left_id <> h.right_id AND t.tt = h.bt
+"""

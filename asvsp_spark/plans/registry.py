@@ -472,9 +472,14 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # output-explosion diagnostics, key_skew_report's other half) takes
 # rollup_revenue_region_nation's slot (green r4; the rollup family's
 # daily/monthly rows are green r1-r4 and locally pinned).
+# paragraph_dedup_docs (new r6: CCNet-style keep-first segment dedup
+# with rebuild) takes q01's slot and boundary_overlap_pairs (new r6:
+# crawl-stitching tail==head pairs, df-capped) takes q10's slot — both
+# q-suite rows are green r4 and locally hash-pinned, and the q-suite
+# keeps sq-side coverage plus every query's local DuckDB pin.
 DRIVER_CHECKED: tuple[str, ...] = (
-    "q01_yearly_rank_yoy", "key_skew_report", "bpe_merge_table",
-    "q10_improvement_streaks", "dsir_weights",
+    "paragraph_dedup_docs", "key_skew_report", "bpe_merge_table",
+    "boundary_overlap_pairs", "dsir_weights",
     "curriculum_shards", "dsir_sample",
     "token_entropy", "distribution_drift_daily",
     "join_fanout_report",
@@ -1763,3 +1768,26 @@ def _ivfpq_rerank_topk(spark, sf):   # rows-only: learned index
     return query_ivfpq_index(
         spark, idx, emb.filter(F.col("vec_id") < 10), k=5, n_probe=4,
         shortlist=50)
+
+
+@register("paragraph_dedup_docs")
+def _paragraph_dedup_docs(spark, sf):
+    """CCNet/RefinedWeb-style paragraph-level exact dedup with document
+    rebuild (operators/dedup.py paragraph_dedup): corpus-wide keep-first
+    on segment hash, partial-aggregatable argmin (no hot-hash skew), and
+    per-doc reassembly. The synthetic corpus has no newlines, so the
+    registered demo segments on the stopword ' the ' — the operator's
+    default delimiter is the production '\\n{2,}' paragraph break; the
+    segmentation regex is a parameter, the dedup semantics are not."""
+    return D.paragraph_dedup(_t(spark, sf, "documents"),
+                             delimiter=r"\s+the\s+", joiner="\n\n")
+
+
+@register("boundary_overlap_pairs")
+def _boundary_overlap_pairs(spark, sf):
+    """Crawl-stitching detection (operators/dedup.py
+    boundary_overlap_pairs): ordered pairs where one document's last-3
+    tokens equal another's first-3, df-capped on both sides before the
+    join so boilerplate boundaries never fan out quadratically."""
+    return D.boundary_overlap_pairs(_t(spark, sf, "documents"),
+                                    k=3, max_df=64)

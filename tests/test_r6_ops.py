@@ -1,0 +1,80 @@
+"""Round-6 operators: paragraph-level corpus dedup with rebuild, and
+boundary-overlap (crawl-stitching) pair detection — constructed-fixture
+semantics pinned independently of the DuckDB oracle."""
+
+from __future__ import annotations
+
+from asvsp_spark.operators.dedup import boundary_overlap_pairs, paragraph_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_dedup_keep_first_and_rebuild(spark):
+    docs = _docs(spark, [
+        (1, "alpha beta\n\nshared block\n\ngamma"),
+        (2, "shared block\n\ndelta"),          # repeat: dropped here
+        (3, "shared block"),                    # all segments repeats -> ''
+        (4, "  \n\n  "),                        # whitespace only -> no segs
+    ])
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[1]["text"] == "alpha beta\n\nshared block\n\ngamma"
+    assert (out[1]["n_segments"], out[1]["n_removed"]) == (3, 0)
+    assert out[2]["text"] == "delta"
+    assert (out[2]["n_segments"], out[2]["n_removed"]) == (2, 1)
+    assert out[3]["text"] == ""
+    assert (out[3]["n_segments"], out[3]["n_removed"]) == (1, 1)
+    assert out[4]["text"] == ""
+    assert (out[4]["n_segments"], out[4]["n_removed"]) == (0, 0)
+
+
+def test_paragraph_dedup_within_doc_repeat_and_order(spark):
+    # the SECOND occurrence inside the same doc is also a repeat, and
+    # the rebuild preserves original segment order
+    docs = _docs(spark, [(7, "x\n\ny\n\nx\n\nz")])
+    row = paragraph_dedup(docs).collect()[0]
+    assert row["text"] == "x\n\ny\n\nz"
+    assert (row["n_segments"], row["n_removed"]) == (4, 1)
+
+
+def test_paragraph_dedup_first_is_smallest_doc_then_pos(spark):
+    # keep-first is global (doc_id, position) argmin — doc 10 wins over
+    # doc 20 even though doc 20's occurrence is at an earlier position
+    docs = _docs(spark, [
+        (20, "dup\n\nother"),
+        (10, "lead\n\ndup"),
+    ])
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[10]["text"] == "lead\n\ndup"
+    assert out[20]["text"] == "other"
+
+
+def test_boundary_overlap_detects_stitch_and_ignores_short(spark):
+    docs = _docs(spark, [
+        (1, "a b c d e f"),       # tail = "d e f"
+        (2, "d e f g h"),         # head = "d e f"  -> pair (1, 2)
+        (3, "x y"),               # shorter than k=3: no boundary
+        (4, "q r s t"),           # unrelated
+    ])
+    pairs = {(r["left_id"], r["right_id"], r["boundary_text"])
+             for r in boundary_overlap_pairs(docs, k=3).collect()}
+    assert pairs == {(1, 2, "d e f")}
+
+
+def test_boundary_overlap_self_pair_excluded(spark):
+    # a doc whose own head equals its own tail must not pair with itself
+    docs = _docs(spark, [(5, "m n o m n o")])
+    assert boundary_overlap_pairs(docs, k=3).count() == 0
+
+
+def test_boundary_overlap_df_cap_drops_hot_boundary(spark):
+    # 5 docs all starting with the same 3 tokens: with max_df=4 the hot
+    # head hash is chrome, so the tail that matches it yields no pairs;
+    # raising the cap restores all 5
+    rows = [(i, f"h h h tail{i} x y z") for i in range(10, 15)]
+    rows.append((1, "a b c h h h"))  # tail matches the hot head
+    docs = _docs(spark, rows)
+    assert boundary_overlap_pairs(docs, k=3, max_df=4).count() == 0
+    capped = boundary_overlap_pairs(docs, k=3, max_df=64)
+    assert {r["right_id"] for r in capped.collect()} == {10, 11, 12, 13, 14}
