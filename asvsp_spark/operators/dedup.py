@@ -1013,17 +1013,36 @@ def paragraph_dedup(documents: DataFrame, delimiter: str = r"\n{2,}",
     ordered string_agg) is bit-identical in DuckDB, so the rebuilt
     corpus is oracle-checkable end-to-end.
     """
-    segs = (fanout(documents)
-            .select(F.col(id_col).alias("doc"),
-                    F.posexplode(F.split(F.col(text_col), delimiter))
-                     .alias("pos", "seg"))
-            .filter(F.trim(F.col("seg")) != "")
-            .withColumn("h", F.substring(F.md5(F.col("seg")), 1, 16)))
+    segs = _doc_segments(documents, delimiter, id_col, text_col)
     keeper = segs.groupBy("h").agg(
         F.min(F.struct(F.col("doc"), F.col("pos"))).alias("k"))
     flagged = (segs.join(keeper, "h")
                .withColumn("keep", (F.col("doc") == F.col("k.doc"))
                            & (F.col("pos") == F.col("k.pos"))))
+    return _rebuild_docs(documents, flagged, joiner, id_col, text_col)
+
+
+def _doc_segments(documents: DataFrame, delimiter: str, id_col: str,
+                  text_col: str) -> DataFrame:
+    """(doc, pos, seg, h) — one row per non-whitespace segment, pos
+    0-based within the doc, h a 16-byte md5 slice of the segment text.
+    Shared by the global and incremental paragraph-dedup paths so both
+    converge on identical stores."""
+    return (fanout(documents)
+            .select(F.col(id_col).alias("doc"),
+                    F.posexplode(F.split(F.col(text_col), delimiter))
+                     .alias("pos", "seg"))
+            .filter(F.trim(F.col("seg")) != "")
+            .withColumn("h", F.substring(F.md5(F.col("seg")), 1, 16)))
+
+
+def _rebuild_docs(documents: DataFrame, flagged: DataFrame, joiner: str,
+                  id_col: str, text_col: str) -> DataFrame:
+    """Reassemble (id_col, text, n_segments, n_removed) from a flagged
+    segment frame (doc, pos, seg, keep): collect_list skips the
+    NULLed-out losers, array_sort restores segment order without a sort
+    exchange, and the LEFT join from the corpus re-attaches docs whose
+    text produced no segments at all."""
     rebuilt = (flagged.groupBy("doc").agg(
         F.concat_ws(joiner, F.expr(
             "transform(array_sort(collect_list("
@@ -1040,6 +1059,66 @@ def paragraph_dedup(documents: DataFrame, delimiter: str = r"\n{2,}",
                      .cast("int").alias("n_segments"),
                     F.coalesce(F.col("_n_removed"), F.lit(0))
                      .cast("int").alias("n_removed")))
+
+
+def incremental_paragraph_dedup(spark, new_docs: DataFrame,
+                                store_path: str,
+                                delimiter: str = r"\n{2,}",
+                                joiner: str = "\n\n",
+                                id_col: str = "doc_id",
+                                text_col: str = "text"):
+    """Production-cadence paragraph dedup: strip from an arriving DELTA
+    every segment already kept by any prior batch (or earlier in this
+    one) without rescanning prior text — the segment-granular member of
+    the incremental family (``incremental_exact_dedup`` = whole-doc
+    exact, ``incremental_minhash_dedup`` = whole-doc near). Returns
+    ``(rebuilt_docs, counts)``: rebuilt_docs has the global
+    ``paragraph_dedup`` schema (id, text, n_segments, n_removed);
+    counts reports the segment funnel (n_segments occurrences,
+    within_batch_repeats occurrences that lost to a within-delta
+    winner, known_segments distinct hashes already in the store,
+    fresh_segments distinct hashes first seen in this delta).
+
+    Bootstrap invariant: with no store, one batch rebuilds EXACTLY as
+    the global ``paragraph_dedup`` (same keep-first argmin, same
+    reassembly — shared helpers, pinned by unit test), so backfill and
+    steady state converge on identical corpora.
+
+    Scale shape: state is one 16-byte hash + keeper id per distinct
+    segment ever kept, append-only (first-seen keeper is never
+    rewritten — single-writer daily cadence needs no merge); the store
+    side of the anti-join prunes to its hash column. Same maintenance
+    story as the exact store: compact_parquet periodically, bucket by
+    h at warehouse scale to make the anti-join shuffle-free.
+    """
+    segs = _doc_segments(new_docs, delimiter, id_col, text_col)
+    winners = segs.groupBy("h").agg(
+        F.min(F.struct(F.col("doc"), F.col("pos"))).alias("k"))
+    n_occurrences = segs.count()
+    n_distinct = winners.count()
+
+    if _store_exists(spark, store_path):
+        store_hs = spark.read.parquet(store_path).select("h")
+        fresh = winners.join(store_hs, "h", "left_anti")
+    else:
+        fresh = winners
+    fresh = fresh.localCheckpoint(eager=True)
+    n_fresh = fresh.count()
+
+    (fresh.select("h", F.col("k.doc").alias("keeper_id"))
+     .write.mode("append").parquet(store_path))
+
+    flagged = (segs.join(fresh, "h", "left")
+               .withColumn("keep", F.col("k").isNotNull()
+                           & (F.col("doc") == F.col("k.doc"))
+                           & (F.col("pos") == F.col("k.pos"))))
+    rebuilt = _rebuild_docs(new_docs, flagged, joiner, id_col, text_col)
+    return rebuilt, {
+        "n_segments": n_occurrences,
+        "within_batch_repeats": n_occurrences - n_distinct,
+        "known_segments": n_distinct - n_fresh,
+        "fresh_segments": n_fresh,
+    }
 
 
 def boundary_overlap_pairs(documents: DataFrame, k: int = 3,

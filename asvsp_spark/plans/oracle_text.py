@@ -1470,3 +1470,32 @@ SELECT t.left_id, h.right_id, t.tt AS boundary_text
 FROM tails t JOIN heads h ON t.bh = h.bh
 WHERE t.left_id <> h.right_id AND t.tt = h.bt
 """
+
+# Spark side: registry incremental_paragraph_report — two-phase
+# incremental paragraph dedup (even doc_ids bootstrap the segment-hash
+# store, odd ids dedup against it), reproduced with segment-hash set
+# algebra on the same '\s+the\s+' segmentation.
+ORACLE_TEXT["incremental_paragraph_report"] = r"""
+WITH segs AS (
+    SELECT doc_id, substr(md5(seg), 1, 16) AS h,
+           doc_id % 2 = 0 AS ph1
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(text, '\s+the\s+')) AS seg
+          FROM documents)
+    WHERE trim(seg) <> ''
+),
+p1 AS (SELECT count(*) AS n, count(DISTINCT h) AS d FROM segs WHERE ph1),
+p2 AS (SELECT count(*) AS n, count(DISTINCT h) AS d
+       FROM segs WHERE NOT ph1),
+known2 AS (
+    SELECT count(DISTINCT s2.h) AS k
+    FROM (SELECT DISTINCT h FROM segs WHERE NOT ph1) s2
+    JOIN (SELECT DISTINCT h FROM segs WHERE ph1) s1 ON s1.h = s2.h
+)
+SELECT 1 AS phase, n AS n_segments, n - d AS within_batch_repeats,
+       0::BIGINT AS known_segments, d AS fresh_segments
+FROM p1
+UNION ALL
+SELECT 2, p2.n, p2.n - p2.d, known2.k, p2.d - known2.k
+FROM p2, known2
+"""

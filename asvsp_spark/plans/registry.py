@@ -477,6 +477,9 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # crawl-stitching tail==head pairs, df-capped) takes q10's slot — both
 # q-suite rows are green r4 and locally hash-pinned, and the q-suite
 # keeps sq-side coverage plus every query's local DuckDB pin.
+# incremental_paragraph_report (new r6: the segment-granular member of
+# the incremental family) takes incremental_dedup_report's slot
+# (green r4; the exact-store funnel stays locally pinned).
 DRIVER_CHECKED: tuple[str, ...] = (
     "paragraph_dedup_docs", "key_skew_report", "bpe_merge_table",
     "boundary_overlap_pairs", "dsir_weights",
@@ -484,7 +487,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "token_entropy", "distribution_drift_daily",
     "join_fanout_report",
     "minhash_lsh_pairs", "ivf_topk_full_probe", "shard_assignments",
-    "incremental_dedup_report", "token_budget_mixing_plan",
+    "incremental_paragraph_report", "token_budget_mixing_plan",
     "shard_manifest_lpt", "quality_filter_report",
     "weighted_sample_docs",
     "dup_spans", "skew_join_plain",
@@ -1791,3 +1794,35 @@ def _boundary_overlap_pairs(spark, sf):
     join so boilerplate boundaries never fan out quadratically."""
     return D.boundary_overlap_pairs(_t(spark, sf, "documents"),
                                     k=3, max_df=64)
+
+
+@register("incremental_paragraph_report")
+def _incremental_paragraph_report(spark, sf):
+    """Two-phase incremental paragraph dedup over a fresh segment-hash
+    store: phase 1 (even doc_ids) bootstraps, phase 2 (odd ids) strips
+    every segment phase 1 kept. Output = the per-phase segment funnel,
+    which DuckDB reproduces with segment-hash set algebra — the
+    driver-checkable contract for the stateful boilerplate-strip path.
+    Same eager-execution + per-application-scratch caveats as
+    incremental_dedup_report."""
+    import os
+    import shutil
+    import tempfile
+    from asvsp_spark.operators.dedup import incremental_paragraph_dedup
+    docs = _t(spark, sf, "documents")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"asvsp-incrpara-{spark.sparkContext.applicationId}")
+    shutil.rmtree(scratch, ignore_errors=True)
+    store = scratch + "/seg"
+    out = []
+    for phase, batch in (
+            (1, docs.filter(F.col("doc_id") % 2 == 0)),
+            (2, docs.filter(F.col("doc_id") % 2 == 1))):
+        _docs, c = incremental_paragraph_dedup(
+            spark, batch, store, delimiter=r"\s+the\s+")
+        out.append((phase, c["n_segments"], c["within_batch_repeats"],
+                    c["known_segments"], c["fresh_segments"]))
+    return spark.createDataFrame(
+        out, "phase int, n_segments long, within_batch_repeats long, "
+             "known_segments long, fresh_segments long")

@@ -78,3 +78,43 @@ def test_boundary_overlap_df_cap_drops_hot_boundary(spark):
     assert boundary_overlap_pairs(docs, k=3, max_df=4).count() == 0
     capped = boundary_overlap_pairs(docs, k=3, max_df=64)
     assert {r["right_id"] for r in capped.collect()} == {10, 11, 12, 13, 14}
+
+
+def test_incremental_paragraph_bootstrap_equals_global(spark, tmp_path):
+    from asvsp_spark.operators.dedup import incremental_paragraph_dedup
+    docs = _docs(spark, [
+        (1, "alpha\n\nshared\n\nbeta"),
+        (2, "shared\n\ngamma"),
+        (3, "gamma\n\ngamma"),
+    ])
+    inc, counts = incremental_paragraph_dedup(
+        spark, docs, str(tmp_path / "seg"))
+    glob = paragraph_dedup(docs)
+    assert sorted(map(tuple, inc.collect())) == \
+        sorted(map(tuple, glob.collect()))
+    # 7 occurrences over 4 distinct segments (alpha, shared, beta, gamma)
+    assert counts == {"n_segments": 7, "within_batch_repeats": 3,
+                      "known_segments": 0, "fresh_segments": 4}
+
+
+def test_incremental_paragraph_two_batch_funnel(spark, tmp_path):
+    from asvsp_spark.operators.dedup import incremental_paragraph_dedup
+    store = str(tmp_path / "seg")
+    b1 = _docs(spark, [(1, "boiler\n\nfresh one")])
+    b2 = _docs(spark, [(2, "boiler\n\nnew stuff\n\nnew stuff")])
+    _, c1 = incremental_paragraph_dedup(spark, b1, store)
+    out2, c2 = incremental_paragraph_dedup(spark, b2, store)
+    assert c1 == {"n_segments": 2, "within_batch_repeats": 0,
+                  "known_segments": 0, "fresh_segments": 2}
+    # 'boiler' is known from batch 1; 'new stuff' repeats within batch 2
+    assert c2 == {"n_segments": 3, "within_batch_repeats": 1,
+                  "known_segments": 1, "fresh_segments": 1}
+    row = out2.collect()[0]
+    assert row["text"] == "new stuff"
+    assert (row["n_segments"], row["n_removed"]) == (3, 2)
+    # third batch: everything known, store accumulated across batches
+    b3 = _docs(spark, [(3, "boiler\n\nnew stuff\n\nfresh one")])
+    out3, c3 = incremental_paragraph_dedup(spark, b3, store)
+    assert c3 == {"n_segments": 3, "within_batch_repeats": 0,
+                  "known_segments": 3, "fresh_segments": 0}
+    assert out3.collect()[0]["text"] == ""
