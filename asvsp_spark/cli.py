@@ -122,6 +122,11 @@ def main(argv: list[str] | None = None) -> int:
                            "(operators/validate.py) evaluated against "
                            "the raw documents first; any failure aborts "
                            "the pipeline before it spends a corpus scan")
+    cpip.add_argument("--paragraph-delimiter", default=None,
+                      help="segment-split regex enabling corpus-wide "
+                           "paragraph dedup (keep-first) before "
+                           "document-level dedup — e.g. '\\n{2,}' for "
+                           "real paragraph breaks")
     cpip.add_argument("--audit", action="store_true",
                       help="also write OUT_DIR/drop_audit: one row per "
                            "raw doc with the first stage that dropped "
@@ -407,7 +412,9 @@ def main(argv: list[str] | None = None) -> int:
                                      min_norm_entropy=args.min_entropy,
                                      bpe_merges=args.bpe_merges,
                                      contract=contract,
-                                     audit=args.audit)
+                                     audit=args.audit,
+                                     paragraph_delimiter=(
+                                         args.paragraph_delimiter))
         for stage, n in counts.items():
             print(f"{stage:16s} {n}")
         return 0

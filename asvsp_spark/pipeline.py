@@ -56,6 +56,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                         bpe_merges: int | None = None,
                         contract: list[dict] | None = None,
                         audit: bool = False,
+                        paragraph_delimiter: str | None = None,
                         ) -> dict[str, int]:
     """The LLM training-data preparation chain, end to end — what a user
     of this engine actually runs over a raw corpus:
@@ -73,6 +74,11 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                      docs whose normalized token entropy
                      (functions/text.py token_entropy, shuffle-free)
                      falls below the absolute cutoff,
+      2b. paragraph dedup — with ``paragraph_delimiter`` set, strip
+                     corpus-wide repeated segments (keep-first) before
+                     any document-level dedup — the CCNet ordering, so
+                     boilerplate-only differences collapse into exact
+                     duplicates; emptied docs drop here,
       3. exact dedup — keep the smallest doc_id per canonical-text
                      fingerprint,
       4. near dedup — candidate pairs from the ``near_dedup`` generator
@@ -191,6 +197,23 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
              .localCheckpoint(eager=False))
     counts["quality_gated"] = gated.count()
     audit_stages.append(("quality_gate", gated.select("doc_id")))
+
+    # 2b: paragraph-level dedup (opt-in) — the CCNet placement: strip
+    # corpus-wide repeated segments BEFORE document-level dedup, so
+    # boilerplate-only differences collapse docs into exact duplicates
+    # the next stage removes. Rewrites text in place (keep-first,
+    # operators/dedup.py paragraph_dedup); docs whose every segment was
+    # a repeat empty out and are dropped here, so the funnel stays
+    # monotone and the audit attributes them to this stage.
+    if paragraph_delimiter is not None:
+        from asvsp_spark.operators.dedup import paragraph_dedup
+        cleaned = (paragraph_dedup(gated, delimiter=paragraph_delimiter)
+                   .filter(F.col("text") != "")
+                   .select("doc_id", "text"))
+        gated = (gated.drop("text").join(cleaned, "doc_id")
+                 .localCheckpoint(eager=False))
+        counts["paragraph_deduped"] = gated.count()
+        audit_stages.append(("paragraph_dedup", gated.select("doc_id")))
 
     # 3: exact dedup — keepers only
     keepers = exact_dedup(gated).select(

@@ -118,3 +118,26 @@ def test_incremental_paragraph_two_batch_funnel(spark, tmp_path):
     assert c3 == {"n_segments": 3, "within_batch_repeats": 0,
                   "known_segments": 3, "fresh_segments": 0}
     assert out3.collect()[0]["text"] == ""
+
+
+def test_pipeline_paragraph_stage(spark, tmp_path):
+    """Opt-in paragraph-dedup stage: funnel key present and monotone,
+    audit attributes emptied docs to the stage, and the written corpus
+    carries no corpus-wide repeated segment."""
+    from pyspark.sql import functions as F
+    from asvsp_spark.pipeline import run_corpus_pipeline
+    from tests.conftest import SF_DIR
+    out = str(tmp_path / "corpus_out")
+    counts = run_corpus_pipeline(
+        spark, SF_DIR, out, paragraph_delimiter=r"\s+the\s+", audit=True)
+    assert counts["paragraph_deduped"] <= counts["quality_gated"]
+    assert counts["exact_deduped"] <= counts["paragraph_deduped"]
+    written = spark.read.parquet(f"{out}/corpus")
+    dup_segs = (written
+                .select(F.explode(F.split("text", r"\s+the\s+")).alias("s"))
+                .filter(F.trim("s") != "")
+                .groupBy("s").count().filter(F.col("count") > 1).count())
+    assert dup_segs == 0
+    audit = spark.read.parquet(f"{out}/drop_audit")
+    stages = {r["dropped_at"] for r in audit.select("dropped_at").distinct().collect()}
+    assert "kept" in stages
