@@ -247,3 +247,51 @@ def bpe_apply(docs: DataFrame, merges: DataFrame, text_col: str = "text",
 
     return fanout(docs.select(id_col, text_col)).mapInPandas(
         run, schema=out_schema)
+
+
+def vocab_coverage(docs: DataFrame, pcts: tuple[int, ...] = (50, 90, 95, 99),
+                   text_col: str = "text") -> DataFrame:
+    """Tokenizer-design coverage curve: for each target percentage, the
+    MINIMAL frequency-ranked vocabulary size whose words cover at least
+    that share of all token occurrences, plus the exact occurrences it
+    covers. Output: (pct, vocab_size, tokens_covered, total_tokens) —
+    the "how big must the word-level vocab be" table that sizes BPE
+    merge counts and OOV budgets before training a tokenizer.
+
+    Determinism: words rank by (freq DESC, word ASC) — the tiebreak
+    makes vocab_size reproducible across engines. The coverage
+    comparison is exact integer math (cum·100 ≥ pct·total), never a
+    float ratio, so the boundary word is bit-identical in DuckDB
+    (cum ≤ total tokens ≈ 1e13 at 100 TB, ·100 far under long range).
+
+    Shape, at 100 TB: one corpus-scale pass (word_frequencies'
+    explode+groupBy); everything after is VOCABULARY-sized — the global
+    rank window sorts distinct words, not occurrences (natural-language
+    vocabularies are millions of rows where the corpus is trillions).
+    At extreme vocabulary scale, pre-filter freq ≥ 2 and fold the
+    singleton tail into a single correction row before the window —
+    singletons can never appear before the last rank of any pct < 100
+    cutoff, so the curve is unchanged.
+    """
+    from pyspark.sql import Window
+
+    freq = word_frequencies(docs, text_col=text_col)
+    order = Window.orderBy(F.desc("freq"), F.asc("word"))
+    ranked = freq.select(
+        "freq",
+        F.row_number().over(order).alias("rank"),
+        F.sum("freq").over(
+            order.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)).alias("cum"))
+    total = freq.agg(F.sum("freq").alias("total_tokens"))
+    levels = docs.sparkSession.createDataFrame(
+        [(int(p),) for p in pcts], "pct int")
+    return (ranked.crossJoin(F.broadcast(total))
+            .crossJoin(F.broadcast(levels))
+            .filter(F.col("cum") * 100 >= F.col("pct") * F.col("total_tokens"))
+            .groupBy("pct")
+            .agg(F.min("rank").alias("vocab_size"),
+                 F.min_by("cum", "rank").alias("tokens_covered"),
+                 F.first("total_tokens").alias("total_tokens"))
+            .select("pct", F.col("vocab_size").cast("int"),
+                    "tokens_covered", "total_tokens"))

@@ -1499,3 +1499,33 @@ UNION ALL
 SELECT 2, p2.n, p2.n - p2.d, known2.k, p2.d - known2.k
 FROM p2, known2
 """
+
+# Spark side: operators/vocab.py vocab_coverage (registry: pcts
+# 50/90/95/99). Rank tiebreak (freq DESC, word ASC) and the integer
+# cutoff (cum*100 >= pct*total) are bit-identical across engines.
+ORACLE_TEXT["vocab_coverage"] = r"""
+WITH words AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+    FROM documents
+),
+freq AS (
+    SELECT word, count(*) AS freq FROM words
+    WHERE length(word) > 0 GROUP BY word
+),
+ranked AS (
+    SELECT freq,
+           row_number() OVER (ORDER BY freq DESC, word ASC) AS rank,
+           CAST(sum(freq) OVER (ORDER BY freq DESC, word ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM freq
+),
+total AS (SELECT CAST(sum(freq) AS BIGINT) AS total_tokens FROM freq),
+levels AS (SELECT unnest([50, 90, 95, 99]) AS pct)
+SELECT pct,
+       CAST(min(rank) AS INT) AS vocab_size,
+       CAST(arg_min(cum, rank) AS BIGINT) AS tokens_covered,
+       CAST(min(total_tokens) AS BIGINT) AS total_tokens
+FROM ranked, total, levels
+WHERE cum * 100 >= pct * total_tokens
+GROUP BY pct
+"""

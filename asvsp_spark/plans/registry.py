@@ -480,6 +480,9 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # incremental_paragraph_report (new r6: the segment-granular member of
 # the incremental family) takes incremental_dedup_report's slot
 # (green r4; the exact-store funnel stays locally pinned).
+# vocab_coverage (new r6: tokenizer-design coverage curve) takes
+# bigram_backoff_score's slot (green r4; the relevance family keeps
+# its local pin).
 DRIVER_CHECKED: tuple[str, ...] = (
     "paragraph_dedup_docs", "key_skew_report", "bpe_merge_table",
     "boundary_overlap_pairs", "dsir_weights",
@@ -493,7 +496,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "dup_spans", "skew_join_plain",
     "token_budget_stats",
     "dedup_spans_removed",
-    "bigram_backoff_score", "source_overlap_matrix", "skew_join_salted",
+    "vocab_coverage", "source_overlap_matrix", "skew_join_salted",
     "sq1_vs_baseline", "sq12_drift_hourly", "sq2c_stateful_trend",
     "sq14_value_percentiles_hourly", "sq4_engagement_conversion",
     "sq5_rank_anomaly",
@@ -1826,3 +1829,12 @@ def _incremental_paragraph_report(spark, sf):
     return spark.createDataFrame(
         out, "phase int, n_segments long, within_batch_repeats long, "
              "known_segments long, fresh_segments long")
+
+
+@register("vocab_coverage")
+def _vocab_coverage(spark, sf):
+    """Tokenizer-design coverage curve (operators/vocab.py
+    vocab_coverage): minimal frequency-ranked vocab size covering 50/90/
+    95/99% of token occurrences, exact integer cutoff math."""
+    from asvsp_spark.operators.vocab import vocab_coverage
+    return vocab_coverage(_t(spark, sf, "documents"))

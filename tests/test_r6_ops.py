@@ -141,3 +141,28 @@ def test_pipeline_paragraph_stage(spark, tmp_path):
     audit = spark.read.parquet(f"{out}/drop_audit")
     stages = {r["dropped_at"] for r in audit.select("dropped_at").distinct().collect()}
     assert "kept" in stages
+
+
+def test_vocab_coverage_exact_boundaries(spark):
+    from asvsp_spark.operators.vocab import vocab_coverage
+    # freq: a=6, b=3, c=1 -> total 10
+    docs = _docs(spark, [(1, "a a a b b c"), (2, "a a a b")])
+    out = {r["pct"]: (r["vocab_size"], r["tokens_covered"],
+                      r["total_tokens"])
+           for r in vocab_coverage(docs).collect()}
+    assert out[50] == (1, 6, 10)    # 'a' alone reaches 50%
+    assert out[90] == (2, 9, 10)    # a+b == exactly 90%
+    assert out[95] == (3, 10, 10)   # 9 < 9.5: needs the full vocab
+    assert out[99] == (3, 10, 10)
+
+
+def test_vocab_coverage_tiebreak_word_asc(spark):
+    from asvsp_spark.operators.vocab import vocab_coverage
+    # z and m tie at freq 2: rank must be (m, z), so pct=50 needs both
+    # words only if the first alone (m, 2 of 4 = exactly 50%) fails —
+    # it doesn't; pct=75 needs rank 2
+    docs = _docs(spark, [(1, "z m z m")])
+    out = {r["pct"]: r["vocab_size"]
+           for r in vocab_coverage(docs, pcts=(50, 75)).collect()}
+    assert out[50] == 1
+    assert out[75] == 2
