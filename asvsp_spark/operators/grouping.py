@@ -115,3 +115,53 @@ def approx_percentiles(orders: DataFrame, accuracy: int = 10000) -> DataFrame:
         (F.col("pc")[1] / 100.0).alias("median_approx"),
         (F.col("pc")[2] / 100.0).alias("p90_approx"),
     )
+
+
+def corpus_datacard(docs: DataFrame) -> DataFrame:
+    """The dataset-card table a corpus ships with: one row per
+    (source, lang) with document/token volumes, exact length
+    percentiles, content-fingerprint duplication rate, and the
+    canonical heuristic quality score — everything a consumer reads
+    before training on the data, in ONE corpus scan.
+
+    Shape, at 100 TB: a single per-doc projection (tokens, stopwords,
+    md5 fingerprint — all codegen expressions) feeds one
+    groupBy(source, lang). count/sum/avg combine map-side; the exact
+    percentiles and distinct-fingerprint count are the two
+    non-partial-aggregatable members, both bounded per group (the
+    group count is small — sources × languages), and the distinct
+    expands to (group, fp) before collapsing, which is the standard
+    count-distinct shuffle. All money is in exact integers; the only
+    doubles are the final rounded ratios (round_fixed margins absorb
+    summation-order jitter).
+    """
+    from asvsp_spark.functions import text as TX
+    from asvsp_spark.plans.base import round_fixed
+
+    per_doc = (docs
+               .withColumn("toks", TX.tokens(F.col("text")))
+               .select(
+                   "source", "lang",
+                   F.size("toks").alias("nt"),
+                   TX.stopword_count("toks").alias("ns"),
+                   TX.fingerprint(F.col("text")).alias("fp")))
+    # integer micro-units: summing longs is exact, so the group average
+    # cannot land on a rounding tie that FP summation order could flip
+    qi = F.round(
+        (F.least(F.col("nt"), F.lit(500)) / 500.0
+         + F.try_divide(F.col("ns"), F.col("nt"))) / 2 * 1e6,
+        0).cast("long")
+    return (per_doc.withColumn("qi", qi)
+            .groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nt").alias("n_tokens"),
+                 round_fixed(F.avg("nt"), 2).alias("avg_doc_tokens"),
+                 round_fixed(F.percentile("nt", 0.5), 4)
+                 .alias("p50_tokens"),
+                 round_fixed(F.percentile("nt", 0.95), 4)
+                 .alias("p95_tokens"),
+                 F.countDistinct("fp").alias("distinct_docs"),
+                 round_fixed(
+                     F.lit(1.0) - F.countDistinct("fp")
+                     / F.count(F.lit(1)), 6).alias("dup_rate"),
+                 round_fixed(F.avg("qi") / 1e6, 4).alias("avg_quality")))

@@ -1529,3 +1529,36 @@ FROM ranked, total, levels
 WHERE cum * 100 >= pct * total_tokens
 GROUP BY pct
 """
+
+# Spark side: operators/grouping.py corpus_datacard — the one-scan
+# dataset-card table. Quality formula = the canonical
+# quality_score_expr mirror; percentiles interpolate over exact integer
+# token counts; dup_rate is an exact rational.
+ORACLE_TEXT["corpus_datacard"] = rf"""
+WITH per_doc AS (
+    SELECT source, lang,
+           len(toks) AS nt,
+           len(list_filter(toks, x -> x IN {_STOPLIST})) AS ns,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+    FROM (SELECT source, lang, text,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents)
+),
+q AS (
+    SELECT source, lang, nt, fp,
+           CAST(round((least(nt, 500) / 500.0 + ns / nt) / 2 * 1000000)
+                AS BIGINT) AS qi
+    FROM per_doc
+)
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       round(avg(nt) * 100) / 100.0 AS avg_doc_tokens,
+       round(quantile_cont(nt, 0.5) * 10000) / 10000.0 AS p50_tokens,
+       round(quantile_cont(nt, 0.95) * 10000) / 10000.0 AS p95_tokens,
+       count(DISTINCT fp) AS distinct_docs,
+       round((1.0 - count(DISTINCT fp) / count(*)) * 1000000)
+           / 1000000.0 AS dup_rate,
+       round(avg(qi) / 1000000.0 * 10000) / 10000.0 AS avg_quality
+FROM q GROUP BY source, lang
+"""

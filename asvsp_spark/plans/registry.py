@@ -482,7 +482,9 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # (green r4; the exact-store funnel stays locally pinned).
 # vocab_coverage (new r6: tokenizer-design coverage curve) takes
 # bigram_backoff_score's slot (green r4; the relevance family keeps
-# its local pin).
+# its local pin). corpus_datacard (new r6: the one-scan dataset-card
+# table) takes dedup_components' slot (green r4; seven dedup-family
+# entries remain driver-checked).
 DRIVER_CHECKED: tuple[str, ...] = (
     "paragraph_dedup_docs", "key_skew_report", "bpe_merge_table",
     "boundary_overlap_pairs", "dsir_weights",
@@ -507,7 +509,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "cohort_retention", "pmi_collocations",
     "data_quality_report",
     "sq13_contract_hourly", "lsh_topk",
-    "dedup_components", "simhash_pairs",
+    "corpus_datacard", "simhash_pairs",
     "media_frame_sample",
     "sketch_value_percentiles",
     "packing_best_fit_bins", "media_image_decode",
@@ -1838,3 +1840,12 @@ def _vocab_coverage(spark, sf):
     95/99% of token occurrences, exact integer cutoff math."""
     from asvsp_spark.operators.vocab import vocab_coverage
     return vocab_coverage(_t(spark, sf, "documents"))
+
+
+@register("corpus_datacard")
+def _corpus_datacard(spark, sf):
+    """One-scan dataset-card table per (source, lang): volumes, exact
+    length percentiles, fingerprint dup rate, canonical quality score
+    (operators/grouping.py corpus_datacard)."""
+    from asvsp_spark.operators.grouping import corpus_datacard
+    return corpus_datacard(_t(spark, sf, "documents"))
