@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 from asvsp_spark.functions.vectors import as_double, cosine, l2_norm
-from asvsp_spark.plans.base import round_fixed
+from asvsp_spark.plans.base import fanout, round_fixed
 
 
 def embedding_stats(embeddings: DataFrame,
@@ -1226,3 +1226,45 @@ def query_ivfpq_index(spark, index_path: str, queries: DataFrame,
     return (fetch.withColumn("rnk", F.rank().over(w))
             .filter(F.col("rnk") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rnk"))
+
+
+def jl_project(embeddings: DataFrame, in_dim: int, out_dim: int = 16,
+               seed: int = 42, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a Rademacher
+    (±1) projection (Achlioptas, JCSS'03: ±1 entries satisfy the JL
+    guarantee with the same distortion bounds as Gaussian): project
+    ``in_dim``-d embeddings to ``out_dim`` dims, each output component
+    rounded to 6dp. Output: (id_col, proj ARRAY<DOUBLE>). The matrix is
+    never stored or shipped — sign(i, j) is a pure md5 function of
+    (seed, i, j), regenerated as literals at plan-build time, so the
+    projection is bit-reproducible everywhere (same trick as the
+    LSH hyperplanes and MinHash family) and DuckDB can mirror it.
+
+    Shape, at 100 TB: zero shuffles — one narrow projection per row,
+    entirely whole-stage-codegen'd (out_dim sums of ±x_j literals; no
+    Python boundary, no UDF, no model broadcast). Use it to cut ANN
+    memory/IO ahead of IVF/PQ (64→16 dims = 4× smaller vectors) when
+    recall at reduced d is acceptable.
+
+    Components sum j = 0..in_dim-1 in ascending order in BOTH engines,
+    so the float result is bit-identical (± of exact float32→double
+    promotions, added in the same sequence).
+    """
+    import hashlib
+    import math
+
+    def sign(i: int, j: int) -> float:
+        d = hashlib.md5(f"jl|{seed}|{i}|{j}".encode()).hexdigest()
+        return 1.0 if int(d[0], 16) % 2 == 0 else -1.0
+
+    scale = 1.0 / math.sqrt(float(out_dim))
+    comps = []
+    for i in range(int(out_dim)):
+        acc = None
+        for j in range(int(in_dim)):
+            term = F.col(vec_col)[j] * F.lit(sign(i, j))
+            acc = term if acc is None else acc + term
+        comps.append(round_fixed(acc * F.lit(scale), 6))
+    return fanout(embeddings).select(
+        F.col(id_col), F.array(*comps).alias("proj"))

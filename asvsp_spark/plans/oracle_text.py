@@ -1562,3 +1562,32 @@ SELECT source, lang,
        round(avg(qi) / 1000000.0 * 10000) / 10000.0 AS avg_quality
 FROM q GROUP BY source, lang
 """
+
+# Spark side: operators/similarity.py jl_project (registry: 64 -> 16,
+# seed 42, vec_id < 100). The ±1 matrix is the same pure md5 function
+# of (seed, i, j) in both engines, and each component sums j ascending
+# so the doubles are bit-identical before the 6dp round.
+def _jl_sql(in_dim: int, out_dim: int, seed: int) -> str:
+    import hashlib
+
+    def sign(i: int, j: int) -> str:
+        d = hashlib.md5(f"jl|{seed}|{i}|{j}".encode()).hexdigest()
+        return "+" if int(d[0], 16) % 2 == 0 else "-"
+
+    comps = []
+    for i in range(out_dim):
+        terms = " ".join(
+            f"{sign(i, j)} CAST(embedding[{j + 1}] AS DOUBLE)"
+            for j in range(in_dim))
+        comps.append(
+            f"round((({terms.lstrip('+ ')}) * (1.0 / sqrt({out_dim}.0)))"
+            f" * 1000000) / 1000000.0")
+    arr = ",\n           ".join(comps)
+    return (
+        "SELECT vec_id,\n"
+        f"       [{arr}] AS proj\n"
+        "FROM embeddings WHERE vec_id < 100"
+    )
+
+
+ORACLE_TEXT["jl_projection"] = _jl_sql(64, 16, 42)

@@ -1849,3 +1849,15 @@ def _corpus_datacard(spark, sf):
     (operators/grouping.py corpus_datacard)."""
     from asvsp_spark.operators.grouping import corpus_datacard
     return corpus_datacard(_t(spark, sf, "documents"))
+
+
+@register("jl_projection")
+def _jl_projection(spark, sf):
+    """Johnson-Lindenstrauss Rademacher projection 64 -> 16 dims
+    (operators/similarity.py jl_project): md5-derived sign matrix
+    regenerated at plan-build time, zero shuffles, whole-stage codegen.
+    Restricted to vec_id < 100 so the oracle compare stays cheap; the
+    transform itself is one narrow projection at any scale."""
+    from asvsp_spark.operators.similarity import jl_project
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    return jl_project(emb, in_dim=64, out_dim=16)

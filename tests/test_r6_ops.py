@@ -166,3 +166,34 @@ def test_vocab_coverage_tiebreak_word_asc(spark):
            for r in vocab_coverage(docs, pcts=(50, 75)).collect()}
     assert out[50] == 1
     assert out[75] == 2
+
+
+def test_jl_project_distortion_and_plan(spark):
+    """JL with Rademacher signs: projected cosine/distance structure is
+    approximately preserved (loose bound at out_dim=32), the plan has no
+    Exchange (zero shuffles beyond the fanout guard), and the output is
+    deterministic across invocations."""
+    import math
+    import random
+    from asvsp_spark.operators.similarity import jl_project
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = jl_project(emb, in_dim=64, out_dim=32, seed=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    got = {r["vec_id"]: r["proj"] for r in out.collect()}
+    # pairwise distance preservation on a sample of pairs: JL with
+    # out_dim=32 keeps squared distances within ~2x whp — loose gate,
+    # tight enough to catch a broken sign matrix or missing scale
+    orig = {i: v for i, v in rows}
+    for a, b in [(0, 1), (2, 3), (10, 30), (5, 25)]:
+        d_o = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+        d_p = sum((x - y) ** 2 for x, y in zip(got[a], got[b]))
+        # scale correction: components divide by sqrt(out_dim) so the
+        # projected squared distance estimates d_o * (1/1) after the
+        # 1/sqrt(k) normalization... verify ratio in [0.4, 2.5]
+        assert 0.4 < d_p / d_o < 2.5, (a, b, d_p, d_o)
+    again = {r["vec_id"]: r["proj"]
+             for r in jl_project(emb, in_dim=64, out_dim=32, seed=1).collect()}
+    assert again == got
