@@ -1259,12 +1259,19 @@ def jl_project(embeddings: DataFrame, in_dim: int, out_dim: int = 16,
         return 1.0 if int(d[0], 16) % 2 == 0 else -1.0
 
     scale = 1.0 / math.sqrt(float(out_dim))
+    # literal sign ROWS + zip_with/aggregate folds, NOT out_dim*in_dim
+    # nested Add/Multiply nodes: the expanded tree costs seconds of
+    # analyzer/codegen time per plan at 16x64 (measured 6.8s -> the
+    # data itself is microseconds); a constant-folded array literal per
+    # output dim keeps the plan out_dim nodes wide. The fold runs
+    # ((0+t0)+t1)+... ascending j — 0.0+t0 == t0 exactly, so the result
+    # is bit-identical to the mirror's left-to-right term chain.
     comps = []
     for i in range(int(out_dim)):
-        acc = None
-        for j in range(int(in_dim)):
-            term = F.col(vec_col)[j] * F.lit(sign(i, j))
-            acc = term if acc is None else acc + term
-        comps.append(round_fixed(acc * F.lit(scale), 6))
+        signs_i = F.array(*[F.lit(sign(i, j)) for j in range(int(in_dim))])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), signs_i, lambda x, s: x * s),
+            F.lit(0.0), lambda acc, x: acc + x)
+        comps.append(round_fixed(dot * F.lit(scale), 6))
     return fanout(embeddings).select(
         F.col(id_col), F.array(*comps).alias("proj"))

@@ -484,7 +484,9 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # bigram_backoff_score's slot (green r4; the relevance family keeps
 # its local pin). corpus_datacard (new r6: the one-scan dataset-card
 # table) takes dedup_components' slot (green r4; seven dedup-family
-# entries remain driver-checked).
+# entries remain driver-checked). jl_projection (new r6: bit-exact
+# Rademacher dimensionality reduction) takes quality_filter_report's
+# slot (green r4).
 DRIVER_CHECKED: tuple[str, ...] = (
     "paragraph_dedup_docs", "key_skew_report", "bpe_merge_table",
     "boundary_overlap_pairs", "dsir_weights",
@@ -493,7 +495,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "join_fanout_report",
     "minhash_lsh_pairs", "ivf_topk_full_probe", "shard_assignments",
     "incremental_paragraph_report", "token_budget_mixing_plan",
-    "shard_manifest_lpt", "quality_filter_report",
+    "shard_manifest_lpt", "jl_projection",
     "weighted_sample_docs",
     "dup_spans", "skew_join_plain",
     "token_budget_stats",
