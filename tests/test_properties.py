@@ -580,3 +580,66 @@ def test_value_histogram_percentile_is_exact_rank_bucket(spark, cents,
         exact = ordered[math.ceil(pct * len(cents) / 100) - 1]
         assert row[f"p{pct}_cents"] == py_lo(exact), (
             pct, row[f"p{pct}_cents"], exact, prefix_digits)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "e e"]),
+                 min_size=0, max_size=5),
+        min_size=1, max_size=8),
+)
+@SET
+def test_paragraph_dedup_matches_reference(spark, docs):
+    """Corpus-wide keep-first over random segment sequences from a tiny
+    pool (collisions guaranteed): every distinct segment survives exactly
+    once, at its smallest (doc_id, pos), and rebuilds preserve order."""
+    from asvsp_spark.operators.dedup import paragraph_dedup
+    rows = [(i, "\n\n".join(segs)) for i, segs in enumerate(docs)]
+    # pure-Python reference
+    seen: set[str] = set()
+    expect = {}
+    for i, segs in enumerate(docs):
+        kept = []
+        n_nonempty = 0
+        for s in segs:
+            if not s.strip():
+                continue
+            n_nonempty += 1
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        expect[i] = ("\n\n".join(kept), n_nonempty,
+                     n_nonempty - len(kept))
+    frame = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_segments"], r["n_removed"])
+           for r in paragraph_dedup(frame).collect()}
+    assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abc")), min_size=0, max_size=7),
+        min_size=1, max_size=8),
+    k=st.integers(2, 3),
+)
+@SET
+def test_boundary_overlap_matches_reference(spark, docs, k):
+    """Every ordered pair whose tail-k tokens equal another doc's head-k
+    tokens — brute force over random short token lists (3-symbol
+    alphabet makes overlaps common), high df cap so nothing is dropped."""
+    from asvsp_spark.operators.dedup import boundary_overlap_pairs
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    expect = set()
+    for i, a in enumerate(docs):
+        if len(a) < k:
+            continue
+        for j, b in enumerate(docs):
+            if i == j or len(b) < k:
+                continue
+            if a[-k:] == b[:k]:
+                expect.add((i, j, " ".join(a[-k:])))
+    frame = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["left_id"], r["right_id"], r["boundary_text"])
+           for r in boundary_overlap_pairs(frame, k=k,
+                                           max_df=10_000).collect()}
+    assert got == expect
