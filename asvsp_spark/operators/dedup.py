@@ -1182,3 +1182,101 @@ def boundary_overlap_pairs(documents: DataFrame, k: int = 3,
                     & (F.col("tt") == F.col("bt")))
             .select("left_id", "right_id",
                     F.col("tt").alias("boundary_text")))
+
+
+def minhash_calibration(documents: DataFrame, n: int = 3,
+                        num_hashes: int = 16, bands: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_bucket: int | None = 500) -> DataFrame:
+    """Measure-don't-guess for the MinHash estimator ON this corpus:
+    for every LSH candidate pair (same band join + hot-bucket cap as
+    ``minhash_lsh_pairs``, no threshold filter), compare the signature
+    AGREEMENT estimate (matching components / num_hashes — the
+    statistic ``incremental_minhash_dedup`` decides drops with) against
+    the EXACT shingle Jaccard, bucketed by exact-Jaccard decile.
+    Output: (j_bucket 0..9, n_pairs, avg_est, avg_exact, avg_abs_err)
+    — the operational answer to "how many hashes do I need at my
+    threshold": if avg_abs_err at the decision decile exceeds the
+    threshold margin, raise num_hashes.
+
+    Everything aggregates in exact integers (est micro-units are
+    matches·1e6/num_hashes — an integer when num_hashes divides 1e6;
+    exact-Jaccard micro-units round once per pair), so FP summation
+    order cannot move a digit and the whole report is
+    DuckDB-hash-checkable. Decile = floor(10·n_inter/n_union): one
+    IEEE-correctly-rounded division on identical operands in both
+    engines, hence identical buckets.
+
+    Shape: identical staging to ``minhash_lsh_pairs`` (shared
+    ``shingled``/``minhash_signatures`` helpers, same checkpoint
+    policy); the extra work over the pair query is one 16-comparison
+    projection per candidate and a 10-group aggregate.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands})")
+    if 1_000_000 % num_hashes != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide 1e6 so the "
+            "estimate's micro-units stay exact integers")
+    rows = num_hashes // bands
+    sets = (shingled(documents, n, id_col, text_col)
+            .localCheckpoint(eager=False))
+    posting = sets.select("doc", F.explode("shingles").alias("sh"))
+    sig = minhash_signatures(posting, num_hashes).localCheckpoint(eager=True)
+    band_cols = [
+        F.concat_ws("_", F.lit(bi),
+                    *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])
+        .alias("band_key")
+        for bi in range(bands)
+    ]
+    buckets = sig.select(
+        "doc", F.explode(F.array(*band_cols)).alias("band_key"))
+    if max_bucket is not None:
+        hot = (buckets.groupBy("band_key")
+               .agg(F.count(F.lit(1)).alias("bsz"))
+               .filter(F.col("bsz") > max_bucket)
+               .select("band_key"))
+        buckets = buckets.join(hot, "band_key", "left_anti")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig_a = sig.select(F.col("doc").alias("doc_a"),
+                       *[F.col(f"mh_{i}").alias(f"a_{i}")
+                         for i in range(num_hashes)])
+    sig_b = sig.select(F.col("doc").alias("doc_b"),
+                       *[F.col(f"mh_{i}").alias(f"b_{i}")
+                         for i in range(num_hashes)])
+    matches = None
+    for i in range(num_hashes):
+        m = (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("long")
+        matches = m if matches is None else matches + m
+    sh_a = sets.select(F.col("doc").alias("doc_a"),
+                       F.col("shingles").alias("sh_a"))
+    sh_b = sets.select(F.col("doc").alias("doc_b"),
+                       F.col("shingles").alias("sh_b"))
+    per_pair = (
+        candidates.join(sig_a, "doc_a").join(sig_b, "doc_b")
+        .withColumn("est_u", matches * (1_000_000 // num_hashes))
+        .join(sh_a, "doc_a").join(sh_b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union",
+                    F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
+        .withColumn("j_u", F.round(F.col("n_inter") * 1_000_000
+                                   / F.col("n_union"), 0).cast("long"))
+        .withColumn("j_bucket",
+                    F.least(F.lit(9), F.floor(
+                        F.col("n_inter") * 10 / F.col("n_union")))
+                    .cast("int")))
+    return (per_pair.groupBy("j_bucket")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 round_fixed(F.avg("est_u") / 1e6, 4).alias("avg_est"),
+                 round_fixed(F.avg("j_u") / 1e6, 4).alias("avg_exact"),
+                 round_fixed(F.avg(F.abs(F.col("est_u") - F.col("j_u")))
+                             / 1e6, 4).alias("avg_abs_err")))

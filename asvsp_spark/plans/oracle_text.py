@@ -1591,3 +1591,87 @@ def _jl_sql(in_dim: int, out_dim: int, seed: int) -> str:
 
 
 ORACLE_TEXT["jl_projection"] = _jl_sql(64, 16, 42)
+
+# Spark side: operators/dedup.py minhash_calibration (registry:
+# defaults — 16 hashes, 8 bands, max_bucket 500, no threshold filter).
+# Same sig/band/cold/candidate construction as _minhash_sql; the
+# estimate is integer micro-units (matches * 1e6/num_hashes), the
+# exact Jaccard rounds once per pair, and every average is an exact
+# integer sum divided once — identical doubles in both engines.
+def _minhash_calibration_sql(num_hashes: int = 16, bands: int = 8,
+                             max_bucket: int = 500) -> str:
+    rows = num_hashes // bands
+
+    def h(i: int) -> str:
+        j, t = divmod(i, 4)
+        return (f"('0x' || substr(md5('{j}|' || s), {1 + 8 * t}, 8))"
+                "::BIGINT")
+
+    mins = ",\n           ".join(
+        f"min({h(i)}) AS mh_{i}" for i in range(num_hashes))
+    keys = ",\n        ".join(
+        "'{b}_' || {parts}".format(
+            b=bi, parts=" || '_' || ".join(
+                f"mh_{bi * rows + r}" for r in range(rows)))
+        for bi in range(bands))
+    match_sum = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes))
+    unit = 1_000_000 // num_hashes
+    return f"""
+WITH sh AS ({_SHINGLES}),
+nonempty AS (SELECT doc, shingles FROM sh WHERE len(shingles) > 0),
+post AS (SELECT doc, unnest(shingles) AS s FROM nonempty),
+sig AS (
+    SELECT doc,
+           {mins}
+    FROM post GROUP BY doc
+),
+bands AS (
+    SELECT doc, unnest([
+        {keys}
+    ]) AS band_key
+    FROM sig
+),
+cold AS (SELECT band_key FROM bands GROUP BY 1
+         HAVING count(*) <= {max_bucket}),
+bk AS (SELECT doc, band_key FROM bands
+       WHERE band_key IN (SELECT band_key FROM cold)),
+cand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc < b.doc
+),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+    FROM post a JOIN post b ON a.s = b.s AND a.doc < b.doc
+    GROUP BY 1, 2
+),
+sz AS (SELECT doc, len(shingles) AS n_sh FROM nonempty),
+per_pair AS (
+    SELECT c.doc_a, c.doc_b,
+           ({match_sum}) * {unit} AS est_u,
+           CAST(round(i.n_inter * 1000000 / (sa2.n_sh + sb2.n_sh - i.n_inter))
+                AS BIGINT) AS j_u,
+           CAST(least(9, floor(i.n_inter * 10
+                               / (sa2.n_sh + sb2.n_sh - i.n_inter)))
+                AS INT) AS j_bucket
+    FROM cand c
+    JOIN sig sa ON sa.doc = c.doc_a
+    JOIN sig sb ON sb.doc = c.doc_b
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sz sa2 ON sa2.doc = c.doc_a
+    JOIN sz sb2 ON sb2.doc = c.doc_b
+)
+SELECT j_bucket,
+       count(*) AS n_pairs,
+       round(CAST(sum(est_u) AS BIGINT) / count(*) / 1000000.0 * 10000)
+           / 10000.0 AS avg_est,
+       round(CAST(sum(j_u) AS BIGINT) / count(*) / 1000000.0 * 10000)
+           / 10000.0 AS avg_exact,
+       round(CAST(sum(abs(est_u - j_u)) AS BIGINT) / count(*)
+             / 1000000.0 * 10000) / 10000.0 AS avg_abs_err
+FROM per_pair GROUP BY j_bucket
+"""
+
+
+ORACLE_TEXT["minhash_calibration"] = _minhash_calibration_sql()

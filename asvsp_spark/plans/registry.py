@@ -486,7 +486,9 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # table) takes dedup_components' slot (green r4; seven dedup-family
 # entries remain driver-checked). jl_projection (new r6: bit-exact
 # Rademacher dimensionality reduction) takes quality_filter_report's
-# slot (green r4).
+# slot (green r4). minhash_calibration (new r6: estimator-vs-exact
+# measurement) takes sq5_rank_anomaly's slot (green r4; five streaming
+# rows with r4 greens remain, and sq5 keeps its local pin).
 DRIVER_CHECKED: tuple[str, ...] = (
     "paragraph_dedup_docs", "key_skew_report", "bpe_merge_table",
     "boundary_overlap_pairs", "dsir_weights",
@@ -503,7 +505,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "vocab_coverage", "source_overlap_matrix", "skew_join_salted",
     "sq1_vs_baseline", "sq12_drift_hourly", "sq2c_stateful_trend",
     "sq14_value_percentiles_hourly", "sq4_engagement_conversion",
-    "sq5_rank_anomaly",
+    "minhash_calibration",
     "sq6_attribution_join", "sq6b_attribution_left",
     "sq7b_dedup_within_watermark", "sq8_session_windows",
     "sq11_late_audit",
@@ -1863,3 +1865,12 @@ def _jl_projection(spark, sf):
     from asvsp_spark.operators.similarity import jl_project
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
     return jl_project(emb, in_dim=64, out_dim=16)
+
+
+@register("minhash_calibration")
+def _minhash_calibration(spark, sf):
+    """Estimator calibration ON the corpus (operators/dedup.py
+    minhash_calibration): signature-agreement estimate vs exact shingle
+    Jaccard per LSH candidate pair, by exact-Jaccard decile — the
+    operational 'how many hashes do I need' table."""
+    return D.minhash_calibration(_t(spark, sf, "documents"))

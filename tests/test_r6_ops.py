@@ -197,3 +197,28 @@ def test_jl_project_distortion_and_plan(spark):
     again = {r["vec_id"]: r["proj"]
              for r in jl_project(emb, in_dim=64, out_dim=32, seed=1).collect()}
     assert again == got
+
+
+def test_minhash_calibration_perfect_and_partial(spark):
+    """A verbatim duplicate pair lands in decile 9 with est 1.0 and zero
+    error; a constructed half-overlap pair lands in the decile of its
+    exact Jaccard with the estimate within the binomial envelope."""
+    from asvsp_spark.operators.dedup import minhash_calibration
+    # doc 1 == doc 2 verbatim; docs 3/4 share half their 3-shingles
+    common = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = _docs(spark, [
+        (1, common), (2, common),
+        (3, common + " x1 x2 x3 x4 x5 x6 x7 x8"),
+        (4, common + " y1 y2 y3 y4 y5 y6 y7 y8"),
+    ])
+    out = {r["j_bucket"]: r for r in minhash_calibration(
+        docs, num_hashes=16, bands=8).collect()}
+    top = out[9]
+    assert top["avg_est"] >= 0.99 and top["avg_exact"] >= 0.99
+    assert top["avg_abs_err"] <= 0.01
+    # the 3/4 pair: 8 shared + 2x8 unique 3-shingles -> J = 8/24 = 1/3
+    # (docs 1,2 also pair with 3,4 at J = 8/16 = 0.5)
+    partial = [r for b, r in out.items() if b in (3, 4, 5)]
+    assert partial, f"expected mid-decile pairs, got {sorted(out)}"
+    for r in partial:
+        assert abs(r["avg_est"] - r["avg_exact"]) <= 0.35  # 16 hashes
