@@ -159,6 +159,10 @@ def main(argv: list[str] | None = None) -> int:
     di.add_argument("--near", action="store_true",
                     help="MinHash near-dedup (signature store) instead "
                          "of exact (fingerprint store)")
+    di.add_argument("--paragraph", default=None, metavar="DELIM",
+                    help="paragraph-level dedup against a segment-hash "
+                         "store, segmenting on this regex (e.g. "
+                         "'\\n{2,}'); writes rebuilt docs to --out")
     di.add_argument("--semantic", action="store_true",
                     help="embedding-cosine near-dedup (frozen-cell "
                          "vector store); input parquet needs "
@@ -208,6 +212,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="fanout: right-side key column when it "
                          "differs from --key")
     dg.add_argument("--top-k", type=int, default=10)
+
+    dcard = sub.add_parser("datacard",
+                           help="one-scan dataset-card table for a "
+                                "documents parquet: per-(source, lang) "
+                                "volumes, exact length percentiles, "
+                                "fingerprint dup rate, quality score")
+    dcard.add_argument("path", help="documents parquet path (doc_id, "
+                                    "text, lang, source)")
+    dcard.add_argument("--out", default=None,
+                       help="also write the table as parquet here")
 
     dc = sub.add_parser("drift-check",
                         help="score an arriving events delta against "
@@ -450,6 +464,11 @@ def main(argv: list[str] | None = None) -> int:
                 incremental_semantic_dedup)
             fresh, counts = incremental_semantic_dedup(
                 spark, delta, args.store, threshold=args.threshold)
+        elif args.paragraph is not None:
+            from asvsp_spark.operators.dedup import (
+                incremental_paragraph_dedup)
+            fresh, counts = incremental_paragraph_dedup(
+                spark, delta, args.store, delimiter=args.paragraph)
         elif args.near:
             fresh, counts = incremental_minhash_dedup(
                 spark, delta, args.store, threshold=args.threshold)
@@ -489,6 +508,20 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{args.src}: {spark.read.parquet(args.out).count()} chunks "
               f"({args.chunk_tokens} tokens, {args.overlap} overlap) "
               f"-> {args.out}")
+        return 0
+
+    if args.cmd == "datacard":
+        from asvsp_spark.operators.grouping import corpus_datacard
+        spark = _session(args)
+        card = corpus_datacard(spark.read.parquet(args.path))
+        if args.out:
+            card.write.mode("overwrite").parquet(args.out)
+        for r in card.orderBy("source", "lang").collect():
+            print(f"{r['source']:10s} {r['lang']:4s} "
+                  f"docs={r['n_docs']:<8} tokens={r['n_tokens']:<10} "
+                  f"p50={r['p50_tokens']:<8} p95={r['p95_tokens']:<8} "
+                  f"dup_rate={r['dup_rate']:<9} "
+                  f"quality={r['avg_quality']}")
         return 0
 
     if args.cmd == "diagnose":

@@ -222,3 +222,35 @@ def test_minhash_calibration_perfect_and_partial(spark):
     assert partial, f"expected mid-decile pairs, got {sorted(out)}"
     for r in partial:
         assert abs(r["avg_est"] - r["avg_exact"]) <= 0.35  # 16 hashes
+
+
+def test_cli_datacard_and_paragraph_store(spark, tmp_path, capsys):
+    """CLI round-trip for the r6 surface: datacard prints and writes the
+    table; dedup-incremental --paragraph advances a segment-hash store
+    across two deltas (second delta's repeat segments stripped)."""
+    from asvsp_spark.cli import main
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "card")
+    assert main(["datacard", f"{SF_DIR}/documents.parquet",
+                 "--out", out]) == 0
+    printed = capsys.readouterr().out
+    assert "dup_rate=" in printed and "quality=" in printed
+    card = spark.read.parquet(out)
+    assert card.count() > 0 and "p95_tokens" in card.columns
+
+    d1 = str(tmp_path / "d1")
+    d2 = str(tmp_path / "d2")
+    spark.createDataFrame([(1, "boiler\n\nfresh")],
+                          "doc_id long, text string").write.parquet(d1)
+    spark.createDataFrame([(2, "boiler\n\nmore")],
+                          "doc_id long, text string").write.parquet(d2)
+    store = str(tmp_path / "segstore")
+    out2 = str(tmp_path / "clean2")
+    assert main(["dedup-incremental", d1, "--store", store,
+                 "--paragraph", r"\n{2,}"]) == 0
+    assert "fresh_segments" in capsys.readouterr().out
+    assert main(["dedup-incremental", d2, "--store", store,
+                 "--paragraph", r"\n{2,}", "--out", out2]) == 0
+    row = spark.read.parquet(out2).collect()[0]
+    assert row["text"] == "more" and row["n_removed"] == 1
