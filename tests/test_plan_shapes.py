@@ -333,3 +333,16 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_paragraph_dedup_keeper_partial_aggregates(spark):
+    """The keep-first argmin must partially aggregate BEFORE its
+    exchange (partial_min map-side), so a boilerplate segment occurring
+    a billion times combines locally instead of concentrating on one
+    reducer — the reason it is an aggregate, not a row_number window."""
+    from asvsp_spark.operators.dedup import paragraph_dedup
+    docs = tables.load(spark, SF_DIR, "documents")
+    plan = _plan(paragraph_dedup(docs, delimiter=r"\s+the\s+"))
+    assert "partial_min" in plan
+    # and no window sort over the segment hash anywhere in the plan
+    assert "Window" not in plan
