@@ -73,3 +73,66 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         *[F.col(f"_m.{c}").alias(c) for c in payload_cols],
         F.col("_m._rt").alias(f"asof_{right_ts}"),
     )
+
+
+def gapfill_hourly(events: DataFrame, group_col: str = "event_type",
+                   ts_col: str = "ts", value_col: str = "value",
+                   locf: bool = True) -> DataFrame:
+    """Timescale-style ``time_bucket_gapfill``: hourly per-group
+    averages on a DENSE hour spine — every (group, hour) between the
+    corpus-wide min and max hour gets a row, with missing hours either
+    carried forward (``locf``, last observation carried forward) or
+    left NULL. Output: (group_col, hour, avg_value, n_events, filled)
+    where filled marks spine rows with no observations. Spark has no
+    gap-fill operator; this is the hypertable-rollup shape built from
+    sequence() + explode + a frame-bounded last(ignorenulls).
+
+    Determinism: per-hour averages divide an EXACT integer cents sum by
+    the hour's count (one IEEE division), so group/partition order
+    cannot move a digit — the same convention as every money aggregate
+    in the engine.
+
+    Shape, at 100 TB:
+    - One aggregation of the raw events to (group, hour) partials —
+      the only corpus-sized shuffle, fully partial-aggregatable.
+    - The spine is sequence(min_hour, max_hour) exploded once and
+      crossJoined with the DISTINCT group values — both sides are
+      metadata-sized (hours in a decade ≈ 87k; groups are enum-like),
+      and the hourly aggregate LEFT-joins onto it. AQE broadcasts the
+      small side at runtime.
+    - LOCF is one window per group ordered by hour, running over the
+      SPINE (hours × groups rows, not raw events), with an
+      unbounded-preceding frame — Spark evaluates last(ignorenulls)
+      incrementally, so the fill is linear in spine size.
+    """
+    from asvsp_spark.plans.base import money_cents, round_fixed
+
+    hour = F.date_trunc("hour", F.col(ts_col))
+    hourly = (events
+              .select(F.col(group_col).alias("g"), hour.alias("hour"),
+                      money_cents(F.col(value_col)).alias("cents"))
+              .groupBy("g", "hour")
+              .agg(F.sum("cents").alias("s"),
+                   F.count(F.lit(1)).alias("n_events")))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("h0"),
+        F.date_trunc("hour", F.max(ts_col)).alias("h1"))
+    spine_hours = bounds.select(F.explode(F.sequence(
+        "h0", "h1", F.expr("interval 1 hour"))).alias("hour"))
+    groups = events.select(F.col(group_col).alias("g")).distinct()
+    spine = spine_hours.crossJoin(F.broadcast(groups))
+    joined = (spine.join(hourly, ["g", "hour"], "left")
+              .withColumn("avg_raw",
+                          round_fixed(F.col("s") / 100.0
+                                      / F.col("n_events"), 4)))
+    if locf:
+        w = (Window.partitionBy("g").orderBy("hour")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        filled_val = F.last("avg_raw", ignorenulls=True).over(w)
+    else:
+        filled_val = F.col("avg_raw")
+    return joined.select(
+        F.col("g").alias(group_col), "hour",
+        filled_val.alias("avg_value"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("s").isNull().alias("filled"))

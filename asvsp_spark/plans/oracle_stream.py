@@ -277,3 +277,37 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        CAST(sum(event_id) AS BIGINT) AS late_id_sum
 FROM late GROUP BY 1
 """
+
+# Spark side: operators/asof.py gapfill_hourly (registry: events,
+# group=event_type, locf). Dense hour spine via generate_series; cents
+# sums keep the averages FP-order-proof; LOCF = last_value IGNORE NULLS
+# over the spine.
+ORACLE_STREAM["gapfill_hourly_values"] = r"""
+WITH hourly AS (
+    SELECT event_type AS g, date_trunc('hour', ts) AS hour,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS h0,
+           date_trunc('hour', max(ts)) AS h1
+    FROM events
+),
+spine AS (
+    SELECT g, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+    FROM bounds, (SELECT DISTINCT event_type AS g FROM events)
+),
+joined AS (
+    SELECT sp.g, sp.hour, h.s, h.n_events,
+           round(h.s / 100.0 / h.n_events * 10000) / 10000.0 AS avg_raw
+    FROM spine sp LEFT JOIN hourly h ON h.g = sp.g AND h.hour = sp.hour
+)
+SELECT g AS event_type, hour,
+       last_value(avg_raw IGNORE NULLS) OVER (
+           PARTITION BY g ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+       coalesce(n_events, 0) AS n_events,
+       s IS NULL AS filled
+FROM joined
+"""

@@ -489,6 +489,9 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # slot (green r4). minhash_calibration (new r6: estimator-vs-exact
 # measurement) takes sq5_rank_anomaly's slot (green r4; five streaming
 # rows with r4 greens remain, and sq5 keeps its local pin).
+# gapfill_hourly_values (new r6: hypertable-style dense-spine LOCF)
+# takes sq4_engagement_conversion's slot (green r4; sq4 keeps its
+# local pin and the streaming family keeps 11 rows).
 DRIVER_CHECKED: tuple[str, ...] = (
     "paragraph_dedup_docs", "key_skew_report", "bpe_merge_table",
     "boundary_overlap_pairs", "dsir_weights",
@@ -504,7 +507,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "dedup_spans_removed",
     "vocab_coverage", "source_overlap_matrix", "skew_join_salted",
     "sq1_vs_baseline", "sq12_drift_hourly", "sq2c_stateful_trend",
-    "sq14_value_percentiles_hourly", "sq4_engagement_conversion",
+    "sq14_value_percentiles_hourly", "gapfill_hourly_values",
     "minhash_calibration",
     "sq6_attribution_join", "sq6b_attribution_left",
     "sq7b_dedup_within_watermark", "sq8_session_windows",
@@ -1874,3 +1877,12 @@ def _minhash_calibration(spark, sf):
     Jaccard per LSH candidate pair, by exact-Jaccard decile — the
     operational 'how many hashes do I need' table."""
     return D.minhash_calibration(_t(spark, sf, "documents"))
+
+
+@register("gapfill_hourly_values")
+def _gapfill_hourly_values(spark, sf):
+    """Timescale-style hourly gap-fill with LOCF over the events table
+    (operators/asof.py gapfill_hourly): dense per-type hour spine,
+    exact-cents averages, last-observation-carried-forward."""
+    from asvsp_spark.operators.asof import gapfill_hourly
+    return gapfill_hourly(_t(spark, sf, "events"))

@@ -254,3 +254,33 @@ def test_cli_datacard_and_paragraph_store(spark, tmp_path, capsys):
                  "--paragraph", r"\n{2,}", "--out", out2]) == 0
     row = spark.read.parquet(out2).collect()[0]
     assert row["text"] == "more" and row["n_removed"] == 1
+
+
+def test_gapfill_hourly_locf_semantics(spark):
+    """Dense spine over the global hour range; gaps carry the last
+    observation forward per group; hours before a group's first
+    observation stay NULL; locf=False leaves raw NULLs."""
+    import datetime as dt
+    from asvsp_spark.operators.asof import gapfill_hourly
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        ("A", t0, 10.0),
+        ("A", t0 + dt.timedelta(hours=3), 20.0),
+        ("B", t0 + dt.timedelta(hours=2), 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double")
+    out = {(r["event_type"], r["hour"].hour): r
+           for r in gapfill_hourly(ev).collect()}
+    assert len(out) == 8  # 4 hours x 2 groups
+    assert out[("A", 0)]["avg_value"] == 10.0
+    assert out[("A", 1)]["avg_value"] == 10.0 and out[("A", 1)]["filled"]
+    assert out[("A", 2)]["avg_value"] == 10.0 and out[("A", 2)]["filled"]
+    assert out[("A", 3)]["avg_value"] == 20.0 and not out[("A", 3)]["filled"]
+    assert out[("B", 0)]["avg_value"] is None and out[("B", 0)]["filled"]
+    assert out[("B", 2)]["avg_value"] == 5.0
+    assert out[("B", 3)]["avg_value"] == 5.0 and out[("B", 3)]["filled"]
+    raw = {(r["event_type"], r["hour"].hour): r
+           for r in gapfill_hourly(ev, locf=False).collect()}
+    assert raw[("A", 1)]["avg_value"] is None
+    assert raw[("B", 3)]["avg_value"] is None
