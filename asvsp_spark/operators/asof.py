@@ -77,13 +77,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
 def gapfill_hourly(events: DataFrame, group_col: str = "event_type",
                    ts_col: str = "ts", value_col: str = "value",
-                   locf: bool = True) -> DataFrame:
+                   fill: str = "locf") -> DataFrame:
     """Timescale-style ``time_bucket_gapfill``: hourly per-group
     averages on a DENSE hour spine — every (group, hour) between the
     corpus-wide min and max hour gets a row, with missing hours either
-    carried forward (``locf``, last observation carried forward) or
-    left NULL. Output: (group_col, hour, avg_value, n_events, filled)
-    where filled marks spine rows with no observations. Spark has no
+    carried forward (``fill='locf'``), linearly interpolated between
+    the straddling observations (``'interpolate'`` — Timescale's
+    interpolate(): NULL outside the group's observed range), or left
+    NULL (``'null'``). Output: (group_col, hour, avg_value, n_events,
+    filled) where filled marks spine rows with no observations. Spark has no
     gap-fill operator; this is the hypertable-rollup shape built from
     sequence() + explode + a frame-bounded last(ignorenulls).
 
@@ -125,12 +127,34 @@ def gapfill_hourly(events: DataFrame, group_col: str = "event_type",
               .withColumn("avg_raw",
                           round_fixed(F.col("s") / 100.0
                                       / F.col("n_events"), 4)))
-    if locf:
+    if fill == "locf":
         w = (Window.partitionBy("g").orderBy("hour")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         filled_val = F.last("avg_raw", ignorenulls=True).over(w)
-    else:
+    elif fill == "interpolate":
+        # straddling observations via two frame-bounded ignorenulls
+        # windows over the spine; the weight is exact integer hour
+        # arithmetic, so the blend is one identical IEEE expression in
+        # both engines. NULL outside the observed range by
+        # construction: a missing prev or next nulls the blend.
+        wp = (Window.partitionBy("g").orderBy("hour")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wn = (Window.partitionBy("g").orderBy("hour")
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        eh = (F.unix_timestamp("hour") / 3600).cast("long")
+        obs_h = F.when(F.col("s").isNotNull(), eh)
+        pv = F.last("avg_raw", ignorenulls=True).over(wp)
+        ph = F.last(obs_h, ignorenulls=True).over(wp)
+        nv = F.first("avg_raw", ignorenulls=True).over(wn)
+        nh = F.first(obs_h, ignorenulls=True).over(wn)
+        frac = (eh - ph) / F.when(nh != ph, nh - ph)
+        filled_val = F.coalesce(
+            F.col("avg_raw"), round_fixed(pv + (nv - pv) * frac, 4))
+    elif fill == "null":
         filled_val = F.col("avg_raw")
+    else:
+        raise ValueError(
+            f"fill must be 'locf', 'interpolate' or 'null', got {fill!r}")
     return joined.select(
         F.col("g").alias(group_col), "hour",
         filled_val.alias("avg_value"),

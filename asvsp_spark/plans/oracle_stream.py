@@ -311,3 +311,52 @@ SELECT g AS event_type, hour,
        s IS NULL AS filled
 FROM joined
 """
+
+# Spark side: gapfill_hourly(fill='interpolate'). Same spine; the blend
+# weight is exact integer hour arithmetic and the interpolation is one
+# identical IEEE expression, rounded once at 4dp.
+ORACLE_STREAM["gapfill_hourly_interp"] = r"""
+WITH hourly AS (
+    SELECT event_type AS g, date_trunc('hour', ts) AS hour,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS h0,
+           date_trunc('hour', max(ts)) AS h1
+    FROM events
+),
+spine AS (
+    SELECT g, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+    FROM bounds, (SELECT DISTINCT event_type AS g FROM events)
+),
+joined AS (
+    SELECT sp.g, sp.hour, h.s, h.n_events,
+           round(h.s / 100.0 / h.n_events * 10000) / 10000.0 AS avg_raw,
+           CAST(epoch(sp.hour) / 3600 AS BIGINT) AS eh
+    FROM spine sp LEFT JOIN hourly h ON h.g = sp.g AND h.hour = sp.hour
+),
+w AS (
+    SELECT g, hour, s, n_events, avg_raw, eh,
+           last_value(avg_raw IGNORE NULLS) OVER wp AS pv,
+           last_value(CASE WHEN s IS NOT NULL THEN eh END IGNORE NULLS)
+               OVER wp AS ph,
+           first_value(avg_raw IGNORE NULLS) OVER wn AS nv,
+           first_value(CASE WHEN s IS NOT NULL THEN eh END IGNORE NULLS)
+               OVER wn AS nh
+    FROM joined
+    WINDOW wp AS (PARTITION BY g ORDER BY hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY g ORDER BY hour
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT g AS event_type, hour,
+       coalesce(avg_raw,
+                round((pv + (nv - pv) * ((eh - ph)
+                       / (CASE WHEN nh <> ph THEN nh - ph END)))
+                      * 10000) / 10000.0) AS avg_value,
+       coalesce(n_events, 0) AS n_events,
+       s IS NULL AS filled
+FROM w
+"""

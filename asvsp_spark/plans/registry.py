@@ -1886,3 +1886,12 @@ def _gapfill_hourly_values(spark, sf):
     exact-cents averages, last-observation-carried-forward."""
     from asvsp_spark.operators.asof import gapfill_hourly
     return gapfill_hourly(_t(spark, sf, "events"))
+
+
+@register("gapfill_hourly_interp")
+def _gapfill_hourly_interp(spark, sf):
+    """Linear-interpolation variant of the hourly gap-fill (Timescale
+    interpolate(): blend between the straddling observations, NULL
+    outside each group's observed range)."""
+    from asvsp_spark.operators.asof import gapfill_hourly
+    return gapfill_hourly(_t(spark, sf, "events"), fill="interpolate")

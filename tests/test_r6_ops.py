@@ -280,7 +280,16 @@ def test_gapfill_hourly_locf_semantics(spark):
     assert out[("B", 0)]["avg_value"] is None and out[("B", 0)]["filled"]
     assert out[("B", 2)]["avg_value"] == 5.0
     assert out[("B", 3)]["avg_value"] == 5.0 and out[("B", 3)]["filled"]
+    lin = {(r["event_type"], r["hour"].hour): r
+           for r in gapfill_hourly(ev, fill="interpolate").collect()}
+    # A: hours 1,2 interpolate between 10 (h0) and 20 (h3)
+    assert abs(lin[("A", 1)]["avg_value"] - 13.3333) < 1e-9
+    assert abs(lin[("A", 2)]["avg_value"] - 16.6667) < 1e-9
+    # outside B's observed range: NULL before AND after
+    assert lin[("B", 0)]["avg_value"] is None
+    assert lin[("B", 3)]["avg_value"] is None
+    assert lin[("B", 2)]["avg_value"] == 5.0
     raw = {(r["event_type"], r["hour"].hour): r
-           for r in gapfill_hourly(ev, locf=False).collect()}
+           for r in gapfill_hourly(ev, fill="null").collect()}
     assert raw[("A", 1)]["avg_value"] is None
     assert raw[("B", 3)]["avg_value"] is None
