@@ -122,6 +122,9 @@ def main(argv: list[str] | None = None) -> int:
                            "(operators/validate.py) evaluated against "
                            "the raw documents first; any failure aborts "
                            "the pipeline before it spends a corpus scan")
+    cpip.add_argument("--paragraph-joiner", default="\n\n",
+                      help="separator used to rebuild documents from "
+                           "surviving segments (default: blank line)")
     cpip.add_argument("--paragraph-delimiter", default=None,
                       help="segment-split regex enabling corpus-wide "
                            "paragraph dedup (keep-first) before "
@@ -428,7 +431,9 @@ def main(argv: list[str] | None = None) -> int:
                                      contract=contract,
                                      audit=args.audit,
                                      paragraph_delimiter=(
-                                         args.paragraph_delimiter))
+                                         args.paragraph_delimiter),
+                                     paragraph_joiner=(
+                                         args.paragraph_joiner))
         for stage, n in counts.items():
             print(f"{stage:16s} {n}")
         return 0
@@ -515,7 +520,10 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session(args)
         card = corpus_datacard(spark.read.parquet(args.path))
         if args.out:
+            # print from the written table: re-collecting the uncached
+            # plan would run the whole corpus aggregation a second time
             card.write.mode("overwrite").parquet(args.out)
+            card = spark.read.parquet(args.out)
         for r in card.orderBy("source", "lang").collect():
             print(f"{r['source']:10s} {r['lang']:4s} "
                   f"docs={r['n_docs']:<8} tokens={r['n_tokens']:<10} "

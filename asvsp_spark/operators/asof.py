@@ -110,18 +110,22 @@ def gapfill_hourly(events: DataFrame, group_col: str = "event_type",
     from asvsp_spark.plans.base import money_cents, round_fixed
 
     hour = F.date_trunc("hour", F.col(ts_col))
+    # the ONE corpus scan: everything below (bounds, groups, spine,
+    # fills) derives from this checkpointed metadata-sized aggregate —
+    # date_trunc commutes with min/max, so bounds from hourly equal
+    # bounds from the raw timestamps
     hourly = (events
               .select(F.col(group_col).alias("g"), hour.alias("hour"),
                       money_cents(F.col(value_col)).alias("cents"))
               .groupBy("g", "hour")
               .agg(F.sum("cents").alias("s"),
-                   F.count(F.lit(1)).alias("n_events")))
-    bounds = events.agg(
-        F.date_trunc("hour", F.min(ts_col)).alias("h0"),
-        F.date_trunc("hour", F.max(ts_col)).alias("h1"))
+                   F.count(F.lit(1)).alias("n_events"))
+              .localCheckpoint(eager=True))
+    bounds = hourly.agg(F.min("hour").alias("h0"),
+                        F.max("hour").alias("h1"))
     spine_hours = bounds.select(F.explode(F.sequence(
         "h0", "h1", F.expr("interval 1 hour"))).alias("hour"))
-    groups = events.select(F.col(group_col).alias("g")).distinct()
+    groups = hourly.select("g").distinct()
     spine = spine_hours.crossJoin(F.broadcast(groups))
     joined = (spine.join(hourly, ["g", "hour"], "left")
               .withColumn("avg_raw",

@@ -245,6 +245,48 @@ def minhash_signatures(posting: DataFrame, num_hashes: int = 16) -> DataFrame:
     )
 
 
+def _lsh_candidates(documents: DataFrame, n: int, num_hashes: int,
+                    bands: int, max_bucket: int | None,
+                    id_col: str, text_col: str):
+    """Shared LSH staging for ``minhash_lsh_pairs`` and
+    ``minhash_calibration`` — the calibration MUST measure the exact
+    candidate set the pair query emits, so there is one copy of the
+    shingle/signature/band/hot-bucket construction. Returns
+    (sets, sig, candidates): the checkpointed per-doc shingle arrays,
+    the checkpointed signature frame, and the distinct (doc_a < doc_b)
+    candidate pairs. Checkpoint policy and the max_bucket anti-join
+    rationale are documented at the minhash_lsh_pairs call site.
+    """
+    rows = num_hashes // bands
+    sets = (shingled(documents, n, id_col, text_col)
+            .localCheckpoint(eager=False))
+    posting = sets.select("doc", F.explode("shingles").alias("sh"))
+    sig = minhash_signatures(posting, num_hashes).localCheckpoint(eager=True)
+    band_cols = [
+        F.concat_ws("_", F.lit(bi),
+                    *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])
+        .alias("band_key")
+        for bi in range(bands)
+    ]
+    buckets = sig.select(
+        "doc", F.explode(F.array(*band_cols)).alias("band_key"))
+    if max_bucket is not None:
+        hot = (buckets.groupBy("band_key")
+               .agg(F.count(F.lit(1)).alias("bsz"))
+               .filter(F.col("bsz") > max_bucket)
+               .select("band_key"))
+        buckets = buckets.join(hot, "band_key", "left_anti")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return sets, sig, candidates
+
+
 def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
                       num_hashes: int = 16, bands: int = 8,
                       id_col: str = "doc_id", text_col: str = "text",
@@ -268,7 +310,6 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
             f"num_hashes ({num_hashes}) must be divisible by bands "
             f"({bands}): a remainder would silently drop hashes and "
             "change the advertised collision probability")
-    rows = num_hashes // bands
     # EAGER checkpoints on the small shared subtrees: the per-doc
     # shingle ARRAY feeds the signature build AND the verification
     # join; sig feeds the band explode THREE times (self-join a/b +
@@ -289,40 +330,17 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
     # sets is a LAZY checkpoint: the eager sig job below computes it
     # once and persists it as a side effect (one fewer job), and the
     # final verification join reads the persisted copy.
-    sets = (shingled(documents, n, id_col, text_col)
-            .localCheckpoint(eager=False))
-    posting = sets.select("doc", F.explode("shingles").alias("sh"))
-    sig = minhash_signatures(posting, num_hashes).localCheckpoint(eager=True)
-    band_cols = [
-        F.concat_ws("_", F.lit(bi),
-                    *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])
-        .alias("band_key")
-        for bi in range(bands)
-    ]
-    buckets = sig.select(
-        "doc", F.explode(F.array(*band_cols)).alias("band_key"))
-    if max_bucket is not None:
-        # anti-join against the HOT key set (<= rows/max_bucket keys by
-        # construction) rather than semi-join against the large cold
-        # set. No forced broadcast hint: rows/max_bucket is SMALL
-        # relative to the corpus but still grows linearly with it
-        # (~16M keys at 1e9 docs x 8 bands / 500) — a hard F.broadcast
-        # would bypass autoBroadcastJoinThreshold and OOM exactly at
-        # scale; AQE picks broadcast at runtime whenever the set
-        # actually fits, which is every sane corpus size below that.
-        hot = (buckets.groupBy("band_key")
-               .agg(F.count(F.lit(1)).alias("bsz"))
-               .filter(F.col("bsz") > max_bucket)
-               .select("band_key"))
-        buckets = buckets.join(hot, "band_key", "left_anti")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    candidates = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # staging shared with minhash_calibration (see _lsh_candidates).
+    # max_bucket policy: anti-join against the HOT key set (<=
+    # rows/max_bucket keys by construction) rather than semi-join
+    # against the large cold set. No forced broadcast hint:
+    # rows/max_bucket is SMALL relative to the corpus but still grows
+    # linearly with it (~16M keys at 1e9 docs x 8 bands / 500) — a hard
+    # F.broadcast would bypass autoBroadcastJoinThreshold and OOM
+    # exactly at scale; AQE picks broadcast at runtime whenever the set
+    # actually fits, which is every sane corpus size below that.
+    sets, _sig, candidates = _lsh_candidates(
+        documents, n, num_hashes, bands, max_bucket, id_col, text_col)
     # exact verification on candidates only: join the checkpointed
     # per-doc shingle arrays straight onto the (tiny) candidate pair
     # list — only candidate docs' arrays move, and there is no
@@ -994,8 +1012,11 @@ def paragraph_dedup(documents: DataFrame, delimiter: str = r"\n{2,}",
     crawls at 100 TB).
 
     Shape, at 100 TB:
-    - One posexplode per document; segment hash is a 16-byte md5 slice
-      (hash the segment, never shuffle segment text for the argmin).
+    - One posexplode per document; segment hash is the full 16-byte
+      md5 (hash the segment, never shuffle segment text for the argmin;
+      no truncation — keep-first deletes on hash equality with no text
+      re-verification, so collision probability must stay 2^-128-class
+      even at web-crawl segment cardinalities).
     - Keep-first is min(struct(doc, pos)) per hash — a plain partial-
       aggregatable min, so a boilerplate paragraph occurring a billion
       times combines map-side and never concentrates on one reducer
@@ -1025,7 +1046,10 @@ def paragraph_dedup(documents: DataFrame, delimiter: str = r"\n{2,}",
 def _doc_segments(documents: DataFrame, delimiter: str, id_col: str,
                   text_col: str) -> DataFrame:
     """(doc, pos, seg, h) — one row per non-whitespace segment, pos
-    0-based within the doc, h a 16-byte md5 slice of the segment text.
+    0-based within the doc, h the full 128-bit md5 of the segment text
+    (no truncation: keep-first DELETES on hash equality with no text
+    re-verification, so a 64-bit slice would silently merge distinct
+    segments at web-crawl cardinalities).
     Shared by the global and incremental paragraph-dedup paths so both
     converge on identical stores."""
     return (fanout(documents)
@@ -1033,7 +1057,7 @@ def _doc_segments(documents: DataFrame, delimiter: str, id_col: str,
                     F.posexplode(F.split(F.col(text_col), delimiter))
                      .alias("pos", "seg"))
             .filter(F.trim(F.col("seg")) != "")
-            .withColumn("h", F.substring(F.md5(F.col("seg")), 1, 16)))
+            .withColumn("h", F.md5(F.col("seg"))))
 
 
 def _rebuild_docs(documents: DataFrame, flagged: DataFrame, joiner: str,
@@ -1084,8 +1108,8 @@ def incremental_paragraph_dedup(spark, new_docs: DataFrame,
     reassembly — shared helpers, pinned by unit test), so backfill and
     steady state converge on identical corpora.
 
-    Scale shape: state is one 16-byte hash + keeper id per distinct
-    segment ever kept, append-only (first-seen keeper is never
+    Scale shape: state is one full-width 16-byte md5 + keeper id per
+    distinct segment ever kept, append-only (first-seen keeper is never
     rewritten — single-writer daily cadence needs no merge); the store
     side of the anti-join prunes to its hash column. Same maintenance
     story as the exact store: compact_parquet periodically, bucket by
@@ -1220,33 +1244,8 @@ def minhash_calibration(documents: DataFrame, n: int = 3,
         raise ValueError(
             f"num_hashes ({num_hashes}) must divide 1e6 so the "
             "estimate's micro-units stay exact integers")
-    rows = num_hashes // bands
-    sets = (shingled(documents, n, id_col, text_col)
-            .localCheckpoint(eager=False))
-    posting = sets.select("doc", F.explode("shingles").alias("sh"))
-    sig = minhash_signatures(posting, num_hashes).localCheckpoint(eager=True)
-    band_cols = [
-        F.concat_ws("_", F.lit(bi),
-                    *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])
-        .alias("band_key")
-        for bi in range(bands)
-    ]
-    buckets = sig.select(
-        "doc", F.explode(F.array(*band_cols)).alias("band_key"))
-    if max_bucket is not None:
-        hot = (buckets.groupBy("band_key")
-               .agg(F.count(F.lit(1)).alias("bsz"))
-               .filter(F.col("bsz") > max_bucket)
-               .select("band_key"))
-        buckets = buckets.join(hot, "band_key", "left_anti")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    candidates = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sets, sig, candidates = _lsh_candidates(
+        documents, n, num_hashes, bands, max_bucket, id_col, text_col)
     sig_a = sig.select(F.col("doc").alias("doc_a"),
                        *[F.col(f"mh_{i}").alias(f"a_{i}")
                          for i in range(num_hashes)])

@@ -148,8 +148,7 @@ def corpus_datacard(docs: DataFrame) -> DataFrame:
     # integer micro-units: summing longs is exact, so the group average
     # cannot land on a rounding tie that FP summation order could flip
     qi = F.round(
-        (F.least(F.col("nt"), F.lit(500)) / 500.0
-         + F.try_divide(F.col("ns"), F.col("nt"))) / 2 * 1e6,
+        TX.quality_score_expr(F.col("nt"), F.col("ns")) * 1e6,
         0).cast("long")
     return (per_doc.withColumn("qi", qi)
             .groupBy("source", "lang")

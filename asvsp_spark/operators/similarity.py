@@ -1273,5 +1273,11 @@ def jl_project(embeddings: DataFrame, in_dim: int, out_dim: int = 16,
             F.zip_with(F.col(vec_col), signs_i, lambda x, s: x * s),
             F.lit(0.0), lambda acc, x: acc + x)
         comps.append(round_fixed(dot * F.lit(scale), 6))
-    return fanout(embeddings).select(
-        F.col(id_col), F.array(*comps).alias("proj"))
+    # zip_with NULL-pads a length mismatch, which would silently turn
+    # every projection into an all-NULL array — fail loudly instead
+    proj = F.when(
+        F.size(F.col(vec_col)) == int(in_dim), F.array(*comps)
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"jl_project: expected {int(in_dim)}-d embeddings, got "),
+        F.coalesce(F.size(F.col(vec_col)).cast("string"), F.lit("NULL")))))
+    return fanout(embeddings).select(F.col(id_col), proj.alias("proj"))

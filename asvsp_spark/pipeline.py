@@ -57,6 +57,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                         contract: list[dict] | None = None,
                         audit: bool = False,
                         paragraph_delimiter: str | None = None,
+                        paragraph_joiner: str = "\n\n",
                         ) -> dict[str, int]:
     """The LLM training-data preparation chain, end to end — what a user
     of this engine actually runs over a raw corpus:
@@ -207,7 +208,8 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     # monotone and the audit attributes them to this stage.
     if paragraph_delimiter is not None:
         from asvsp_spark.operators.dedup import paragraph_dedup
-        cleaned = (paragraph_dedup(gated, delimiter=paragraph_delimiter)
+        cleaned = (paragraph_dedup(gated, delimiter=paragraph_delimiter,
+                                   joiner=paragraph_joiner)
                    .filter(F.col("text") != "")
                    .select("doc_id", "text"))
         gated = (gated.drop("text").join(cleaned, "doc_id")

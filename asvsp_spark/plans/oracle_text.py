@@ -1412,7 +1412,7 @@ WITH segs0 AS (
     FROM documents
 ),
 segs AS (
-    SELECT doc_id, pos, seg, substr(md5(seg), 1, 16) AS h
+    SELECT doc_id, pos, seg, md5(seg) AS h
     FROM segs0 WHERE trim(seg) <> ''
 ),
 flagged AS (
@@ -1477,7 +1477,7 @@ WHERE t.left_id <> h.right_id AND t.tt = h.bt
 # algebra on the same '\s+the\s+' segmentation.
 ORACLE_TEXT["incremental_paragraph_report"] = r"""
 WITH segs AS (
-    SELECT doc_id, substr(md5(seg), 1, 16) AS h,
+    SELECT doc_id, md5(seg) AS h,
            doc_id % 2 = 0 AS ph1
     FROM (SELECT doc_id,
                  unnest(regexp_split_to_array(text, '\s+the\s+')) AS seg
