@@ -1582,10 +1582,11 @@ def _jl_sql(in_dim: int, out_dim: int, seed: int) -> str:
         comps.append(
             f"round((({terms.lstrip('+ ')}) * (1.0 / sqrt({out_dim}.0)))"
             f" * 1000000) / 1000000.0")
-    arr = ",\n           ".join(comps)
+    arr = ",\n           ".join(
+        f"CAST(round(({c}) * 1000000) AS BIGINT)" for c in comps)
     return (
         "SELECT vec_id,\n"
-        f"       [{arr}] AS proj\n"
+        f"       array_to_string([{arr}], ',') AS proj_u\n"
         "FROM embeddings WHERE vec_id < 100"
     )
 

@@ -1867,7 +1867,17 @@ def _jl_projection(spark, sf):
     transform itself is one narrow projection at any scale."""
     from asvsp_spark.operators.similarity import jl_project
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
-    return jl_project(emb, in_dim=64, out_dim=16)
+    jl = jl_project(emb, in_dim=64, out_dim=16)
+    # the driver's pandas canonicalizer cannot sort array columns —
+    # serialize the projection as comma-joined integer micro-units
+    # (components are 6dp-rounded, so x*1e6 is integer-valued and the
+    # string form is engine-independent)
+    return jl.select(
+        "vec_id",
+        F.concat_ws(",", F.transform(
+            F.col("proj"),
+            lambda x: F.round(x * 1e6, 0).cast("long").cast("string")))
+        .alias("proj_u"))
 
 
 @register("minhash_calibration")
