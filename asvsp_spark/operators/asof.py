@@ -75,41 +75,57 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     )
 
 
+_GRAIN_SECONDS = {"hour": 3600, "day": 86400, "week": 604800}
+
+
 def gapfill_hourly(events: DataFrame, group_col: str = "event_type",
                    ts_col: str = "ts", value_col: str = "value",
                    fill: str = "locf") -> DataFrame:
-    """Timescale-style ``time_bucket_gapfill``: hourly per-group
-    averages on a DENSE hour spine — every (group, hour) between the
-    corpus-wide min and max hour gets a row, with missing hours either
-    carried forward (``fill='locf'``), linearly interpolated between
-    the straddling observations (``'interpolate'`` — Timescale's
-    interpolate(): NULL outside the group's observed range), or left
-    NULL (``'null'``). Output: (group_col, hour, avg_value, n_events,
-    filled) where filled marks spine rows with no observations. Spark has no
-    gap-fill operator; this is the hypertable-rollup shape built from
+    """Hour-grain wrapper over ``gapfill`` — see it for semantics."""
+    return gapfill(events, grain="hour", group_col=group_col,
+                   ts_col=ts_col, value_col=value_col, fill=fill)
+
+
+def gapfill(events: DataFrame, grain: str = "hour",
+            group_col: str = "event_type",
+            ts_col: str = "ts", value_col: str = "value",
+            fill: str = "locf") -> DataFrame:
+    """Timescale-style ``time_bucket_gapfill`` at ``grain`` ∈ hour /
+    day / week: per-group averages on a DENSE bucket spine — every
+    (group, bucket) between the corpus-wide min and max bucket gets a
+    row, with missing buckets either carried forward (``fill='locf'``),
+    linearly interpolated between the straddling observations
+    (``'interpolate'`` — Timescale's interpolate(): NULL outside the
+    group's observed range), or left NULL (``'null'``). Output:
+    (group_col, <grain>, avg_value, n_events, filled) where filled
+    marks spine rows with no observations. Spark has no gap-fill
+    operator; this is the hypertable-rollup shape built from
     sequence() + explode + a frame-bounded last(ignorenulls).
 
-    Determinism: per-hour averages divide an EXACT integer cents sum by
-    the hour's count (one IEEE division), so group/partition order
+    Determinism: per-bucket averages divide an EXACT integer cents sum
+    by the bucket's count (one IEEE division), so group/partition order
     cannot move a digit — the same convention as every money aggregate
     in the engine.
 
     Shape, at 100 TB:
-    - One aggregation of the raw events to (group, hour) partials —
+    - One aggregation of the raw events to (group, bucket) partials —
       the only corpus-sized shuffle, fully partial-aggregatable.
-    - The spine is sequence(min_hour, max_hour) exploded once and
+    - The spine is sequence(min_bucket, max_bucket) exploded once and
       crossJoined with the DISTINCT group values — both sides are
       metadata-sized (hours in a decade ≈ 87k; groups are enum-like),
-      and the hourly aggregate LEFT-joins onto it. AQE broadcasts the
+      and the bucket aggregate LEFT-joins onto it. AQE broadcasts the
       small side at runtime.
-    - LOCF is one window per group ordered by hour, running over the
-      SPINE (hours × groups rows, not raw events), with an
-      unbounded-preceding frame — Spark evaluates last(ignorenulls)
+    - The fills are one window per group ordered by bucket, running
+      over the SPINE (buckets × groups rows, not raw events), with an
+      unbounded frame — Spark evaluates last/first(ignorenulls)
       incrementally, so the fill is linear in spine size.
     """
+    if grain not in _GRAIN_SECONDS:
+        raise ValueError(
+            f"grain must be one of {sorted(_GRAIN_SECONDS)}, got {grain!r}")
     from asvsp_spark.plans.base import money_cents, round_fixed
 
-    hour = F.date_trunc("hour", F.col(ts_col))
+    hour = F.date_trunc(grain, F.col(ts_col))
     # the ONE corpus scan: everything below (bounds, groups, spine,
     # fills) derives from this checkpointed metadata-sized aggregate —
     # date_trunc commutes with min/max, so bounds from hourly equal
@@ -124,7 +140,7 @@ def gapfill_hourly(events: DataFrame, group_col: str = "event_type",
     bounds = hourly.agg(F.min("hour").alias("h0"),
                         F.max("hour").alias("h1"))
     spine_hours = bounds.select(F.explode(F.sequence(
-        "h0", "h1", F.expr("interval 1 hour"))).alias("hour"))
+        "h0", "h1", F.expr(f"interval 1 {grain}"))).alias("hour"))
     groups = hourly.select("g").distinct()
     spine = spine_hours.crossJoin(F.broadcast(groups))
     joined = (spine.join(hourly, ["g", "hour"], "left")
@@ -137,7 +153,7 @@ def gapfill_hourly(events: DataFrame, group_col: str = "event_type",
         filled_val = F.last("avg_raw", ignorenulls=True).over(w)
     elif fill == "interpolate":
         # straddling observations via two frame-bounded ignorenulls
-        # windows over the spine; the weight is exact integer hour
+        # windows over the spine; the weight is exact integer bucket
         # arithmetic, so the blend is one identical IEEE expression in
         # both engines. NULL outside the observed range by
         # construction: a missing prev or next nulls the blend.
@@ -145,7 +161,8 @@ def gapfill_hourly(events: DataFrame, group_col: str = "event_type",
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         wn = (Window.partitionBy("g").orderBy("hour")
               .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-        eh = (F.unix_timestamp("hour") / 3600).cast("long")
+        eh = (F.unix_timestamp("hour")
+              / _GRAIN_SECONDS[grain]).cast("long")
         obs_h = F.when(F.col("s").isNotNull(), eh)
         pv = F.last("avg_raw", ignorenulls=True).over(wp)
         ph = F.last(obs_h, ignorenulls=True).over(wp)
@@ -160,7 +177,7 @@ def gapfill_hourly(events: DataFrame, group_col: str = "event_type",
         raise ValueError(
             f"fill must be 'locf', 'interpolate' or 'null', got {fill!r}")
     return joined.select(
-        F.col("g").alias(group_col), "hour",
+        F.col("g").alias(group_col), F.col("hour").alias(grain),
         filled_val.alias("avg_value"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.col("s").isNull().alias("filled"))

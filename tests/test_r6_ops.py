@@ -293,3 +293,22 @@ def test_gapfill_hourly_locf_semantics(spark):
            for r in gapfill_hourly(ev, fill="null").collect()}
     assert raw[("A", 1)]["avg_value"] is None
     assert raw[("B", 3)]["avg_value"] is None
+
+
+def test_gapfill_day_grain(spark):
+    """Day grain: dense daily spine, LOCF across missing days, bucket
+    column named after the grain."""
+    import datetime as dt
+    from asvsp_spark.operators.asof import gapfill
+    rows = [("A", dt.datetime(2024, 1, 1, 5), 10.0),
+            ("A", dt.datetime(2024, 1, 4, 9), 40.0)]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double")
+    out = {r["day"].day: r for r in gapfill(ev, grain="day").collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    assert out[2]["avg_value"] == 10.0 and out[2]["filled"]
+    assert out[3]["avg_value"] == 10.0 and out[3]["filled"]
+    assert out[4]["avg_value"] == 40.0 and not out[4]["filled"]
+    import pytest
+    with pytest.raises(ValueError, match="grain"):
+        gapfill(ev, grain="fortnight")
