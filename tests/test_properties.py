@@ -643,3 +643,34 @@ def test_boundary_overlap_matches_reference(spark, docs, k):
            for r in boundary_overlap_pairs(frame, k=k,
                                            max_df=10_000).collect()}
     assert got == expect
+
+
+@given(
+    words=st.lists(st.sampled_from(list("abcdef")), min_size=1,
+                   max_size=40),
+    pcts=st.sets(st.integers(1, 100), min_size=1, max_size=4),
+)
+@SET
+def test_vocab_coverage_matches_reference(spark, words, pcts):
+    """Coverage curve against a brute-force reference: rank by
+    (freq DESC, word ASC), find the minimal prefix whose cumulative
+    count clears ceil(pct% of total) under exact integer comparison."""
+    from collections import Counter
+    from asvsp_spark.operators.vocab import vocab_coverage
+    freq = Counter(words)
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(freq.values())
+    expect = {}
+    for pct in pcts:
+        cum = 0
+        for i, (_, f) in enumerate(ranked, start=1):
+            cum += f
+            if cum * 100 >= pct * total:
+                expect[pct] = (i, cum, total)
+                break
+    docs = spark.createDataFrame([(1, " ".join(words))],
+                                 "doc_id long, text string")
+    got = {r["pct"]: (r["vocab_size"], r["tokens_covered"],
+                      r["total_tokens"])
+           for r in vocab_coverage(docs, pcts=tuple(pcts)).collect()}
+    assert got == expect
