@@ -38,6 +38,14 @@ def _load_contract(spark, path: str) -> list[dict]:
     return specs
 
 
+def _decode_escapes(value: str) -> str:
+    """Shell-supplied joiner strings arrive with literal backslash
+    escapes ('\\n\\n'); decode them so the rebuilt documents carry real
+    newlines — the delimiter flags need no decoding because regex
+    engines interpret their escapes."""
+    return value.encode("utf-8").decode("unicode_escape")
+
+
 def _session(args):
     from asvsp_spark.session import get_session
     s = get_session("asvsp-cli", master=args.master)
@@ -166,6 +174,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="paragraph-level dedup against a segment-hash "
                          "store, segmenting on this regex (e.g. "
                          "'\\n{2,}'); writes rebuilt docs to --out")
+    di.add_argument("--joiner", default="\n\n",
+                    help="separator for rebuilt docs under --paragraph; "
+                         "MUST match the bootstrap run's joiner or the "
+                         "batch/incremental corpora diverge (backslash "
+                         "escapes like \\n are decoded)")
     di.add_argument("--semantic", action="store_true",
                     help="embedding-cosine near-dedup (frozen-cell "
                          "vector store); input parquet needs "
@@ -432,7 +445,7 @@ def main(argv: list[str] | None = None) -> int:
                                      audit=args.audit,
                                      paragraph_delimiter=(
                                          args.paragraph_delimiter),
-                                     paragraph_joiner=(
+                                     paragraph_joiner=_decode_escapes(
                                          args.paragraph_joiner))
         for stage, n in counts.items():
             print(f"{stage:16s} {n}")
@@ -473,7 +486,8 @@ def main(argv: list[str] | None = None) -> int:
             from asvsp_spark.operators.dedup import (
                 incremental_paragraph_dedup)
             fresh, counts = incremental_paragraph_dedup(
-                spark, delta, args.store, delimiter=args.paragraph)
+                spark, delta, args.store, delimiter=args.paragraph,
+                joiner=_decode_escapes(args.joiner))
         elif args.near:
             fresh, counts = incremental_minhash_dedup(
                 spark, delta, args.store, threshold=args.threshold)

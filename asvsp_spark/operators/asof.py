@@ -123,6 +123,11 @@ def gapfill(events: DataFrame, grain: str = "hour",
     if grain not in _GRAIN_SECONDS:
         raise ValueError(
             f"grain must be one of {sorted(_GRAIN_SECONDS)}, got {grain!r}")
+    if fill not in ("locf", "interpolate", "null"):
+        # validate BEFORE the eager aggregation below — an argument typo
+        # must not cost a corpus scan
+        raise ValueError(
+            f"fill must be 'locf', 'interpolate' or 'null', got {fill!r}")
     from asvsp_spark.plans.base import money_cents, round_fixed
 
     hour = F.date_trunc(grain, F.col(ts_col))
@@ -161,8 +166,16 @@ def gapfill(events: DataFrame, grain: str = "hour",
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         wn = (Window.partitionBy("g").orderBy("hour")
               .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-        eh = (F.unix_timestamp("hour")
-              / _GRAIN_SECONDS[grain]).cast("long")
+        # bucket index = POSITION on the dense spine, not epoch/grain
+        # arithmetic: calendar buckets are not fixed-length in seconds
+        # (a DST-spring day is 23h), so epoch division can collide two
+        # adjacent day/week buckets onto one integer and skew the blend
+        # weights. The spine is dense and ordered per group by
+        # construction, so row_number IS the exact bucket index; it
+        # shares the fill windows' partitioning (no extra exchange).
+        idx_w = Window.partitionBy("g").orderBy("hour")
+        joined = joined.withColumn("eh", F.row_number().over(idx_w))
+        eh = F.col("eh")
         obs_h = F.when(F.col("s").isNotNull(), eh)
         pv = F.last("avg_raw", ignorenulls=True).over(wp)
         ph = F.last(obs_h, ignorenulls=True).over(wp)

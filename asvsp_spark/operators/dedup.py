@@ -1123,6 +1123,16 @@ def incremental_paragraph_dedup(spark, new_docs: DataFrame,
 
     if _store_exists(spark, store_path):
         store_hs = spark.read.parquet(store_path).select("h")
+        probe = store_hs.limit(1).collect()
+        if probe and len(probe[0]["h"]) != 32:
+            # a store written with a different hash width would anti-join
+            # to ZERO matches forever — every known segment re-admitted,
+            # mixed-width rows appended, silently. Fail loudly instead.
+            raise ValueError(
+                f"segment store at {store_path} holds "
+                f"{len(probe[0]['h'])}-char hashes; this build writes "
+                "full 32-char md5. Rebuild the store from the corpus "
+                "(bootstrap run against an empty path).")
         fresh = winners.join(store_hs, "h", "left_anti")
     else:
         fresh = winners

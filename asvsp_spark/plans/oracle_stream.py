@@ -334,7 +334,7 @@ spine AS (
 joined AS (
     SELECT sp.g, sp.hour, h.s, h.n_events,
            round(h.s / 100.0 / h.n_events * 10000) / 10000.0 AS avg_raw,
-           CAST(epoch(sp.hour) / 3600 AS BIGINT) AS eh
+           row_number() OVER (PARTITION BY sp.g ORDER BY sp.hour) AS eh
     FROM spine sp LEFT JOIN hourly h ON h.g = sp.g AND h.hour = sp.hour
 ),
 w AS (

@@ -312,3 +312,18 @@ def test_gapfill_day_grain(spark):
     import pytest
     with pytest.raises(ValueError, match="grain"):
         gapfill(ev, grain="fortnight")
+
+
+def test_incremental_paragraph_store_width_guard(spark, tmp_path):
+    """A store written with a different hash width must fail loudly —
+    anti-joining 32-char hashes against 16-char rows would silently
+    re-admit every known segment forever."""
+    import pytest
+    from asvsp_spark.operators.dedup import incremental_paragraph_dedup
+    store = str(tmp_path / "oldstore")
+    spark.createDataFrame([("aabbccdd11223344", 1)],
+                          "h string, keeper_id long") \
+        .write.parquet(store)
+    docs = _docs(spark, [(9, "x\n\ny")])
+    with pytest.raises(ValueError, match="16-char"):
+        incremental_paragraph_dedup(spark, docs, store)
