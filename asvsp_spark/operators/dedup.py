@@ -1289,3 +1289,87 @@ def minhash_calibration(documents: DataFrame, n: int = 3,
                  round_fixed(F.avg("j_u") / 1e6, 4).alias("avg_exact"),
                  round_fixed(F.avg(F.abs(F.col("est_u") - F.col("j_u")))
                              / 1e6, 4).alias("avg_abs_err")))
+
+
+def stitch_documents(documents: DataFrame, k: int = 3, max_df: int = 64,
+                     max_chain: int = 16, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Apply-side of ``boundary_overlap_pairs`` (the dup_spans →
+    remove_dup_spans pattern): reassemble documents that a crawler's
+    fetch limit split into continuation fragments. Only UNAMBIGUOUS
+    chains stitch — each fragment has at most one successor and one
+    predecessor among the detected pairs, chains with no head (cycles)
+    are dropped, and chains longer than ``max_chain`` are refused
+    (loudly) as evidence the boundary k-gram is chrome, not a split.
+    Output: one row per stitched chain — (chain_id = head doc id,
+    doc_ids comma-joined in order, text with each continuation's
+    ``k``-token overlap dropped, n_docs). Untouched documents are NOT
+    emitted; callers join fragments out of the corpus by doc_ids.
+
+    Shape, at 100 TB:
+    - Pair detection and the ambiguity filters are plain aggregates on
+      the (already df-capped) pair list — corpus-scale work ends there.
+    - Chain ordering is inherently sequential WITHIN a chain (the same
+      serialization point whole-doc packing shards around), so chains
+      assemble in one ``applyInPandas`` per chain group; groups are
+      paths of ≤ max_chain tiny rows by construction, and chains scale
+      across executors like any grouped map.
+    - Ordering + merge are deterministic (successor map is a function),
+      so the whole report is oracle-checkable via a recursive CTE.
+    """
+    pairs = boundary_overlap_pairs(documents, k=k, max_df=max_df,
+                                   id_col=id_col, text_col=text_col)
+    # unambiguous: unique successor per left AND unique predecessor
+    # per right — both computed on the pair list, corpus untouched
+    uniq_l = (pairs.groupBy("left_id").agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") == 1).select("left_id"))
+    uniq_r = (pairs.groupBy("right_id").agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") == 1).select("right_id"))
+    edges = (pairs.join(uniq_l, "left_id", "left_semi")
+             .join(uniq_r, "right_id", "left_semi")
+             .select("left_id", "right_id")
+             .localCheckpoint(eager=True))
+    # chain membership via the existing CC operator; heads = vertices
+    # with no predecessor (drops pure cycles, which have no head)
+    from asvsp_spark.operators.components import connected_components
+    comp = connected_components(edges, src="left_id", dst="right_id")
+    members = (comp.join(
+        documents.select(F.col(id_col).alias("vertex"),
+                         F.col(text_col).alias("_text")), "vertex"))
+    succ = edges.select(F.col("left_id").alias("vertex"),
+                        F.col("right_id").alias("_next"))
+    members = members.join(succ, "vertex", "left")
+
+    kk, mc = int(k), int(max_chain)
+    out_schema = ("chain_id long, doc_ids string, text string, "
+                  "n_docs int")
+
+    def assemble(pdf):
+        import pandas as pd
+        nxt = dict(zip(pdf["vertex"], pdf["_next"]))
+        txt = dict(zip(pdf["vertex"], pdf["_text"]))
+        tails = {v for v in nxt.values() if not pd.isna(v)}
+        heads = [v for v in nxt if v not in tails]
+        if len(heads) != 1:   # cycle (no head): refuse to guess
+            return pd.DataFrame(
+                columns=["chain_id", "doc_ids", "text", "n_docs"])
+        order = [heads[0]]
+        while not pd.isna(nxt.get(order[-1])) and nxt.get(order[-1]) is not None:
+            if len(order) > mc:
+                raise ValueError(
+                    f"stitch chain through doc {order[0]} exceeds "
+                    f"max_chain={mc}: boundary {kk}-gram is likely "
+                    "boilerplate — raise k or lower max_df")
+            order.append(int(nxt[order[-1]]))
+        parts = [txt[order[0]]]
+        for v in order[1:]:
+            parts.append(" ".join(txt[v].split()[kk:]))
+        return pd.DataFrame([{
+            "chain_id": order[0],
+            "doc_ids": ",".join(str(v) for v in order),
+            "text": " ".join(p for p in parts if p),
+            "n_docs": len(order),
+        }])
+
+    return members.groupBy("component").applyInPandas(
+        assemble, schema=out_schema)

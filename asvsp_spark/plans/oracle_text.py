@@ -1439,8 +1439,10 @@ FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
 # Spark side: operators/dedup.py boundary_overlap_pairs (registry: k=3,
 # max_df=64). Both sides df-capped on the 16-byte boundary hash before
 # the join; exact text equality re-verifies each hash match.
-ORACLE_TEXT["boundary_overlap_pairs"] = r"""
-WITH toks AS (
+# Shared WITH-prefix for boundary_overlap_pairs and stitch_report (the
+# stitch oracle must walk EXACTLY the pair set the detector emits).
+_BOUNDARY_CTE = r"""
+WITH RECURSIVE toks AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
     FROM documents
 ),
@@ -1458,17 +1460,61 @@ hashed AS (
 ),
 hd AS (SELECT hh FROM hashed GROUP BY hh HAVING count(*) <= 64),
 td AS (SELECT th FROM hashed GROUP BY th HAVING count(*) <= 64),
-heads AS (
+bheads AS (
     SELECT h.doc_id AS right_id, h.hh AS bh, h.head AS bt
     FROM hashed h JOIN hd ON h.hh = hd.hh
 ),
-tails AS (
+btails AS (
     SELECT h.doc_id AS left_id, h.th AS bh, h.tail AS tt
     FROM hashed h JOIN td ON h.th = td.th
+),
+bpairs AS (
+    SELECT t.left_id, h.right_id, t.tt AS boundary_text
+    FROM btails t JOIN bheads h ON t.bh = h.bh
+    WHERE t.left_id <> h.right_id AND t.tt = h.bt
+)"""
+
+ORACLE_TEXT["boundary_overlap_pairs"] = _BOUNDARY_CTE + """
+SELECT left_id, right_id, boundary_text FROM bpairs
+"""
+
+# Spark side: operators/dedup.py stitch_documents (registry: k=3,
+# max_df=64) — unambiguous chains walked head-to-tail by a recursive
+# CTE; each continuation drops its first 3 tokens, empty parts are
+# skipped, exactly as the applyInPandas assembler does.
+ORACLE_TEXT["stitch_report"] = _BOUNDARY_CTE + r""",
+uniq AS (
+    SELECT left_id, right_id FROM bpairs
+    WHERE left_id IN (SELECT left_id FROM bpairs
+                      GROUP BY 1 HAVING count(*) = 1)
+      AND right_id IN (SELECT right_id FROM bpairs
+                       GROUP BY 1 HAVING count(*) = 1)
+),
+chain_heads AS (
+    SELECT left_id AS head FROM uniq
+    WHERE left_id NOT IN (SELECT right_id FROM uniq)
+),
+walk AS (
+    SELECT head AS chain_id, head AS cur, 1 AS pos FROM chain_heads
+    UNION ALL
+    SELECT w.chain_id, u.right_id, w.pos + 1
+    FROM walk w JOIN uniq u ON u.left_id = w.cur
+),
+parts AS (
+    SELECT w.chain_id, w.cur, w.pos,
+           CASE WHEN w.pos = 1 THEN d.text
+                ELSE array_to_string(
+                    regexp_split_to_array(trim(d.text), '\s+')[4:],
+                    ' ')
+           END AS part
+    FROM walk w JOIN documents d ON d.doc_id = w.cur
 )
-SELECT t.left_id, h.right_id, t.tt AS boundary_text
-FROM tails t JOIN heads h ON t.bh = h.bh
-WHERE t.left_id <> h.right_id AND t.tt = h.bt
+SELECT chain_id,
+       string_agg(CAST(cur AS VARCHAR), ',' ORDER BY pos) AS doc_ids,
+       string_agg(CASE WHEN part <> '' THEN part END,
+                  ' ' ORDER BY pos) AS text,
+       CAST(count(*) AS INT) AS n_docs
+FROM parts GROUP BY chain_id
 """
 
 # Spark side: registry incremental_paragraph_report — two-phase

@@ -491,7 +491,9 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # rows with r4 greens remain, and sq5 keeps its local pin).
 # gapfill_hourly_values (new r6: hypertable-style dense-spine LOCF)
 # takes sq4_engagement_conversion's slot (green r4; sq4 keeps its
-# local pin and the streaming family keeps 11 rows).
+# local pin and the streaming family keeps 11 rows). stitch_report
+# (new r6: chain reassembly over the boundary pairs) takes
+# sq1_vs_baseline's slot (green r4; local pin remains).
 DRIVER_CHECKED: tuple[str, ...] = (
     "paragraph_dedup_docs", "key_skew_report", "bpe_merge_table",
     "boundary_overlap_pairs", "dsir_weights",
@@ -506,7 +508,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "token_budget_stats",
     "dedup_spans_removed",
     "vocab_coverage", "source_overlap_matrix", "skew_join_salted",
-    "sq1_vs_baseline", "sq12_drift_hourly", "sq2c_stateful_trend",
+    "stitch_report", "sq12_drift_hourly", "sq2c_stateful_trend",
     "sq14_value_percentiles_hourly", "gapfill_hourly_values",
     "minhash_calibration",
     "sq6_attribution_join", "sq6b_attribution_left",
@@ -1905,3 +1907,11 @@ def _gapfill_hourly_interp(spark, sf):
     outside each group's observed range)."""
     from asvsp_spark.operators.asof import gapfill_hourly
     return gapfill_hourly(_t(spark, sf, "events"), fill="interpolate")
+
+
+@register("stitch_report")
+def _stitch_report(spark, sf):
+    """Crawl-stitching apply-side (operators/dedup.py stitch_documents):
+    unambiguous continuation chains reassembled in order with each
+    fragment's 3-token overlap dropped."""
+    return D.stitch_documents(_t(spark, sf, "documents"), k=3, max_df=64)

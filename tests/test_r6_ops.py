@@ -327,3 +327,42 @@ def test_incremental_paragraph_store_width_guard(spark, tmp_path):
     docs = _docs(spark, [(9, "x\n\ny")])
     with pytest.raises(ValueError, match="16-char"):
         incremental_paragraph_dedup(spark, docs, store)
+
+
+def test_stitch_documents_chains_and_refusals(spark):
+    """A->B->C stitches in order with overlaps dropped; an ambiguous
+    fork does not stitch; a pure 2-cycle is dropped (no head)."""
+    from asvsp_spark.operators.dedup import stitch_documents
+    docs = _docs(spark, [
+        (1, "w1 w2 w3 a b c"),          # head: tail 'a b c'
+        (2, "a b c w4 w5 d e f"),       # middle
+        (3, "d e f w6 w7"),             # tail fragment
+        # ambiguous fork: two docs start with 4's tail
+        (4, "q1 q2 x y z"),
+        (5, "x y z q3"),
+        (6, "x y z q4"),
+        # true 2-cycle: 7 tail == 8 head AND 8 tail == 7 head
+        (7, "p q r mid1 u v w"),
+        (8, "u v w mid2 p q r"),
+    ])
+    out = {r["chain_id"]: r for r in stitch_documents(docs, k=3).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert r["doc_ids"] == "1,2,3"
+    assert r["text"] == "w1 w2 w3 a b c w4 w5 d e f w6 w7"
+    assert r["n_docs"] == 3
+
+
+def test_stitch_documents_max_chain_refuses(spark):
+    import pytest
+    from asvsp_spark.operators.dedup import stitch_documents
+    # a 5-doc chain with max_chain=3 must fail loudly
+    rows = []
+    for i in range(5):
+        head = f"h{i} h{i} h{i}"
+        tail = f"h{i+1} h{i+1} h{i+1}"
+        rows.append((i, f"{head} mid{i} {tail}"))
+    docs = _docs(spark, [(i, t.replace(f"h0 h0 h0", "s s s") if i == 0 else t)
+                         for i, t in rows])
+    with pytest.raises(Exception, match="max_chain"):
+        stitch_documents(docs, k=3, max_chain=3).collect()
