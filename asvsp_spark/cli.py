@@ -239,6 +239,21 @@ def main(argv: list[str] | None = None) -> int:
     dcard.add_argument("--out", default=None,
                        help="also write the table as parquet here")
 
+    gf = sub.add_parser("gapfill",
+                        help="Timescale-style time_bucket_gapfill over "
+                             "an events parquet: dense per-group bucket "
+                             "spine with locf/interpolate/null fills")
+    gf.add_argument("path", help="events parquet (ts, event_type, value)")
+    gf.add_argument("--grain", default="hour",
+                    choices=["hour", "day", "week"])
+    gf.add_argument("--fill", default="locf",
+                    choices=["locf", "interpolate", "null"])
+    gf.add_argument("--group-col", default="event_type")
+    gf.add_argument("--out", default=None,
+                    help="write the filled series as parquet here")
+    gf.add_argument("--limit", type=int, default=20,
+                    help="rows to print when --out is not given")
+
     dc = sub.add_parser("drift-check",
                         help="score an arriving events delta against "
                              "the accumulated baseline mix (KL/TVD per "
@@ -527,6 +542,23 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{args.src}: {spark.read.parquet(args.out).count()} chunks "
               f"({args.chunk_tokens} tokens, {args.overlap} overlap) "
               f"-> {args.out}")
+        return 0
+
+    if args.cmd == "gapfill":
+        from asvsp_spark.operators.asof import gapfill
+        spark = _session(args)
+        filled = gapfill(spark.read.parquet(args.path), grain=args.grain,
+                         group_col=args.group_col, fill=args.fill)
+        if args.out:
+            filled.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(f"wrote {n} {args.grain}-grain rows to {args.out}")
+        else:
+            for r in (filled.orderBy(args.group_col, args.grain)
+                      .limit(args.limit).collect()):
+                print(f"{r[args.group_col]:12s} {r[args.grain]} "
+                      f"avg={r['avg_value']} n={r['n_events']} "
+                      f"filled={r['filled']}")
         return 0
 
     if args.cmd == "datacard":

@@ -366,3 +366,19 @@ def test_stitch_documents_max_chain_refuses(spark):
                          for i, t in rows])
     with pytest.raises(Exception, match="max_chain"):
         stitch_documents(docs, k=3, max_chain=3).collect()
+
+
+def test_cli_gapfill_roundtrip(spark, tmp_path, capsys):
+    from asvsp_spark.cli import main
+    from tests.conftest import SF_DIR
+    out = str(tmp_path / "filled")
+    assert main(["gapfill", f"{SF_DIR}/events.parquet", "--grain", "hour",
+                 "--fill", "interpolate", "--out", out]) == 0
+    assert "rows to" in capsys.readouterr().out
+    filled = spark.read.parquet(out)
+    assert {"event_type", "hour", "avg_value", "n_events",
+            "filled"} <= set(filled.columns)
+    assert filled.count() > 0
+    assert main(["gapfill", f"{SF_DIR}/events.parquet",
+                 "--limit", "3"]) == 0
+    assert "filled=" in capsys.readouterr().out
