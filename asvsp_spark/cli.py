@@ -556,7 +556,7 @@ def main(argv: list[str] | None = None) -> int:
         else:
             for r in (filled.orderBy(args.group_col, args.grain)
                       .limit(args.limit).collect()):
-                print(f"{r[args.group_col]:12s} {r[args.grain]} "
+                print(f"{str(r[args.group_col]):12s} {r[args.grain]} "
                       f"avg={r['avg_value']} n={r['n_events']} "
                       f"filled={r['filled']}")
         return 0
@@ -571,7 +571,7 @@ def main(argv: list[str] | None = None) -> int:
             card.write.mode("overwrite").parquet(args.out)
             card = spark.read.parquet(args.out)
         for r in card.orderBy("source", "lang").collect():
-            print(f"{r['source']:10s} {r['lang']:4s} "
+            print(f"{str(r['source']):10s} {str(r['lang']):4s} "
                   f"docs={r['n_docs']:<8} tokens={r['n_tokens']:<10} "
                   f"p50={r['p50_tokens']:<8} p95={r['p95_tokens']:<8} "
                   f"dup_rate={r['dup_rate']:<9} "

@@ -1317,8 +1317,12 @@ def stitch_documents(documents: DataFrame, k: int = 3, max_df: int = 64,
     - Ordering + merge are deterministic (successor map is a function),
       so the whole report is oracle-checkable via a recursive CTE.
     """
+    # checkpoint the detection output: three consumers below (both
+    # ambiguity filters + the edge projection) must not re-execute the
+    # corpus-scale tokenize/hash/df-cap pipeline
     pairs = boundary_overlap_pairs(documents, k=k, max_df=max_df,
-                                   id_col=id_col, text_col=text_col)
+                                   id_col=id_col, text_col=text_col
+                                   ).localCheckpoint(eager=True)
     # unambiguous: unique successor per left AND unique predecessor
     # per right — both computed on the pair list, corpus untouched
     uniq_l = (pairs.groupBy("left_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1331,14 +1335,21 @@ def stitch_documents(documents: DataFrame, k: int = 3, max_df: int = 64,
              .localCheckpoint(eager=True))
     # chain membership via the existing CC operator; heads = vertices
     # with no predecessor (drops pure cycles, which have no head)
-    from asvsp_spark.operators.components import connected_components
-    comp = connected_components(edges, src="left_id", dst="right_id")
+    from asvsp_spark.operators.components import connected_components_star
+    # star contraction, NOT min-label propagation: chains are exactly
+    # the adversarial-diameter graphs (a d-doc chain needs d label
+    # rounds but O(log d) star rounds), and star RAISES past max_iter
+    # where min-label would silently split the path into two "chains"
+    comp = connected_components_star(edges, src="left_id", dst="right_id")
     members = (comp.join(
         documents.select(F.col(id_col).alias("vertex"),
                          F.col(text_col).alias("_text")), "vertex"))
     succ = edges.select(F.col("left_id").alias("vertex"),
                         F.col("right_id").alias("_next"))
-    members = members.join(succ, "vertex", "left")
+    # -1 sentinel instead of NULL: a nullable long crosses Arrow as
+    # float64 and int(float) corrupts doc ids above 2^53
+    members = (members.join(succ, "vertex", "left")
+               .withColumn("_next", F.coalesce("_next", F.lit(-1))))
 
     kk, mc = int(k), int(max_chain)
     out_schema = ("chain_id long, doc_ids string, text string, "
@@ -1348,14 +1359,14 @@ def stitch_documents(documents: DataFrame, k: int = 3, max_df: int = 64,
         import pandas as pd
         nxt = dict(zip(pdf["vertex"], pdf["_next"]))
         txt = dict(zip(pdf["vertex"], pdf["_text"]))
-        tails = {v for v in nxt.values() if not pd.isna(v)}
+        tails = {v for v in nxt.values() if v != -1}
         heads = [v for v in nxt if v not in tails]
         if len(heads) != 1:   # cycle (no head): refuse to guess
             return pd.DataFrame(
                 columns=["chain_id", "doc_ids", "text", "n_docs"])
         order = [heads[0]]
-        while not pd.isna(nxt.get(order[-1])) and nxt.get(order[-1]) is not None:
-            if len(order) > mc:
+        while nxt[order[-1]] != -1:
+            if len(order) >= mc:   # appending would exceed max_chain
                 raise ValueError(
                     f"stitch chain through doc {order[0]} exceeds "
                     f"max_chain={mc}: boundary {kk}-gram is likely "

@@ -353,19 +353,21 @@ def test_stitch_documents_chains_and_refusals(spark):
     assert r["n_docs"] == 3
 
 
-def test_stitch_documents_max_chain_refuses(spark):
+def test_stitch_documents_max_chain_boundary(spark):
     import pytest
     from asvsp_spark.operators.dedup import stitch_documents
-    # a 5-doc chain with max_chain=3 must fail loudly
+    # a 4-doc chain: max_chain=3 must fail loudly, max_chain=4 assembles
     rows = []
-    for i in range(5):
+    for i in range(4):
         head = f"h{i} h{i} h{i}"
         tail = f"h{i+1} h{i+1} h{i+1}"
         rows.append((i, f"{head} mid{i} {tail}"))
-    docs = _docs(spark, [(i, t.replace(f"h0 h0 h0", "s s s") if i == 0 else t)
+    docs = _docs(spark, [(i, t.replace("h0 h0 h0", "s s s") if i == 0 else t)
                          for i, t in rows])
     with pytest.raises(Exception, match="max_chain"):
         stitch_documents(docs, k=3, max_chain=3).collect()
+    ok = stitch_documents(docs, k=3, max_chain=4).collect()
+    assert len(ok) == 1 and ok[0]["n_docs"] == 4
 
 
 def test_cli_gapfill_roundtrip(spark, tmp_path, capsys):
