@@ -360,3 +360,35 @@ SELECT g AS event_type, hour,
        s IS NULL AS filled
 FROM w
 """
+
+# Spark side: gapfill(grain='day', fill='locf') — same construction as
+# the hourly mirror at the day bucket.
+ORACLE_STREAM["gapfill_daily_values"] = r"""
+WITH daily AS (
+    SELECT event_type AS g, date_trunc('day', ts) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT date_trunc('day', min(ts)) AS h0,
+           date_trunc('day', max(ts)) AS h1
+    FROM events
+),
+spine AS (
+    SELECT g, unnest(generate_series(h0, h1, INTERVAL 1 DAY)) AS day
+    FROM bounds, (SELECT DISTINCT event_type AS g FROM events)
+),
+joined AS (
+    SELECT sp.g, sp.day, h.s, h.n_events,
+           round(h.s / 100.0 / h.n_events * 10000) / 10000.0 AS avg_raw
+    FROM spine sp LEFT JOIN daily h ON h.g = sp.g AND h.day = sp.day
+)
+SELECT g AS event_type, day,
+       last_value(avg_raw IGNORE NULLS) OVER (
+           PARTITION BY g ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+       coalesce(n_events, 0) AS n_events,
+       s IS NULL AS filled
+FROM joined
+"""

@@ -1915,3 +1915,12 @@ def _stitch_report(spark, sf):
     unambiguous continuation chains reassembled in order with each
     fragment's 3-token overlap dropped."""
     return D.stitch_documents(_t(spark, sf, "documents"), k=3, max_df=64)
+
+
+@register("gapfill_daily_values")
+def _gapfill_daily_values(spark, sf):
+    """Day-grain gap-fill with LOCF — pins the grain parameter
+    cross-engine (hour entries pin the fills; this pins the bucket
+    arithmetic at a calendar grain)."""
+    from asvsp_spark.operators.asof import gapfill
+    return gapfill(_t(spark, sf, "events"), grain="day")
