@@ -38,12 +38,21 @@ def _load_contract(spark, path: str) -> list[dict]:
     return specs
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "0": "\0", "\\": "\\"}
+
+
 def _decode_escapes(value: str) -> str:
     """Shell-supplied joiner strings arrive with literal backslash
-    escapes ('\\n\\n'); decode them so the rebuilt documents carry real
-    newlines — the delimiter flags need no decoding because regex
-    engines interpret their escapes."""
-    return value.encode("utf-8").decode("unicode_escape")
+    escapes ('\\n\\n'); decode just those sequences so the rebuilt
+    documents carry real newlines. A utf-8→unicode_escape round-trip
+    would mojibake non-ASCII joiners ('§' → 'Â§') because
+    unicode_escape decodes bytes as latin-1, so only the whitelisted
+    \\n \\t \\r \\0 \\\\ sequences are rewritten and every other
+    character (including multi-byte ones) passes through untouched."""
+    import re
+
+    return re.sub(
+        r"\\([ntr0\\])", lambda m: _ESCAPES[m.group(1)], value)
 
 
 def _session(args):

@@ -223,12 +223,29 @@ PII_PATTERNS: dict[str, str] = {
     # runs ('123-456-78901' / '...9123-456-7890'); the optional '+'
     # sits BEFORE the leading \b because '+' is a non-word char (a \b
     # ahead of it could never match after whitespace). RE2 has no
-    # lookbehind, so a '.'-separated run embedded in a longer dotted
-    # number ('1.234.567.8901') remains redactable — documented
-    # residual, over-redaction being the safe direction for PII.
-    "phone": r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    # lookbehind, so the "(?<!\d)(?<!\d\.)" guard (a 3-3-4 run embedded
+    # in a longer DOTTED number like '1.234.567.8901' is not a phone)
+    # is expressed as a consumed one-char context group instead:
+    # start-of-string, any char that is neither digit nor dot, or a dot
+    # itself preceded by a non-digit ('call.555-...' still matches).
+    # Group 2 is the phone; scrubbing must keep group 1 — see
+    # pii_replacement for the per-engine template.
+    "phone": r"(^|[^.\d]|[^\d]\.)(\+?\b\d{3}[-. ]\d{3}[-. ]\d{4})\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
+
+# patterns whose group(1) is consumed pre-match context that the
+# redaction must re-emit (Java backrefs are $1, RE2/DuckDB are \1)
+PII_KEEP_PREFIX: frozenset[str] = frozenset({"phone"})
+
+
+def pii_replacement(kind: str, engine: str = "java") -> str:
+    """Redaction replacement template for PII_PATTERNS[kind] in the
+    given regex dialect ('java' for Spark, 're2' for DuckDB)."""
+    tag = f"<{kind.upper()}>"
+    if kind in PII_KEEP_PREFIX:
+        return ("$1" if engine == "java" else r"\1") + tag
+    return tag
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
@@ -243,5 +260,5 @@ def pii_scrub(text: Column) -> Column:
     shapes resolve deterministically."""
     out = text
     for kind, pat in PII_PATTERNS.items():
-        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+        out = F.regexp_replace(out, pat, pii_replacement(kind))
     return out

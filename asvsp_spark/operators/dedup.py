@@ -1090,7 +1090,8 @@ def incremental_paragraph_dedup(spark, new_docs: DataFrame,
                                 delimiter: str = r"\n{2,}",
                                 joiner: str = "\n\n",
                                 id_col: str = "doc_id",
-                                text_col: str = "text"):
+                                text_col: str = "text",
+                                batch_id: str | None = None):
     """Production-cadence paragraph dedup: strip from an arriving DELTA
     every segment already kept by any prior batch (or earlier in this
     one) without rescanning prior text — the segment-granular member of
@@ -1114,16 +1115,36 @@ def incremental_paragraph_dedup(spark, new_docs: DataFrame,
     side of the anti-join prunes to its hash column. Same maintenance
     story as the exact store: compact_parquet periodically, bucket by
     h at warehouse scale to make the anti-join shuffle-free.
+
+    Replay contract: the store append happens BEFORE the caller
+    materializes ``rebuilt_docs``, so a bare replay of a delta whose
+    downstream write failed would find every segment already "known"
+    and rebuild all documents empty. Pass a stable ``batch_id`` per
+    delta to make replays idempotent: winners are stamped with it, the
+    known-segments anti-join excludes the delta's own prior rows, and
+    an already-stamped batch skips the re-append (the funnel counts
+    and the rebuilt corpus come out identical to the first run).
+    Without a batch_id the operator is first-write-wins and the caller
+    owns replay hygiene (documented here per the r6 advice).
     """
-    segs = _doc_segments(new_docs, delimiter, id_col, text_col)
+    # one eager checkpoint each: segs feeds four consumers (two counts,
+    # the winner grouping, the rebuild join) and winners feeds three —
+    # without pinning them the full delta lineage re-runs per action
+    segs = _doc_segments(new_docs, delimiter, id_col, text_col) \
+        .localCheckpoint(eager=True)
     winners = segs.groupBy("h").agg(
-        F.min(F.struct(F.col("doc"), F.col("pos"))).alias("k"))
+        F.min(F.struct(F.col("doc"), F.col("pos"))).alias("k")) \
+        .localCheckpoint(eager=True)
     n_occurrences = segs.count()
     n_distinct = winners.count()
 
+    replayed = False
     if _store_exists(spark, store_path):
-        store_hs = spark.read.parquet(store_path).select("h")
-        probe = store_hs.limit(1).collect()
+        # mergeSchema: a legacy 2-col (h, keeper_id) store that later
+        # received batch_id-stamped appends has mixed footers; merged
+        # read surfaces batch_id (null for legacy files) either way
+        store = spark.read.option("mergeSchema", "true").parquet(store_path)
+        probe = store.select("h").limit(1).collect()
         if probe and len(probe[0]["h"]) != 32:
             # a store written with a different hash width would anti-join
             # to ZERO matches forever — every known segment re-admitted,
@@ -1133,14 +1154,26 @@ def incremental_paragraph_dedup(spark, new_docs: DataFrame,
                 f"{len(probe[0]['h'])}-char hashes; this build writes "
                 "full 32-char md5. Rebuild the store from the corpus "
                 "(bootstrap run against an empty path).")
+        if batch_id is not None and "batch_id" in store.columns:
+            replayed = bool(store.filter(F.col("batch_id") == batch_id)
+                            .limit(1).collect())
+            store_hs = store.filter(
+                F.col("batch_id").isNull()
+                | (F.col("batch_id") != batch_id)).select("h")
+        else:
+            # legacy store (no batch_id column) or untracked call:
+            # every stored row is foreign to this delta
+            store_hs = store.select("h")
         fresh = winners.join(store_hs, "h", "left_anti")
     else:
         fresh = winners
     fresh = fresh.localCheckpoint(eager=True)
     n_fresh = fresh.count()
 
-    (fresh.select("h", F.col("k.doc").alias("keeper_id"))
-     .write.mode("append").parquet(store_path))
+    if not replayed:
+        (fresh.select("h", F.col("k.doc").alias("keeper_id"),
+                      F.lit(batch_id).cast("string").alias("batch_id"))
+         .write.mode("append").parquet(store_path))
 
     flagged = (segs.join(fresh, "h", "left")
                .withColumn("keep", F.col("k").isNotNull()
@@ -1299,12 +1332,21 @@ def stitch_documents(documents: DataFrame, k: int = 3, max_df: int = 64,
     fetch limit split into continuation fragments. Only UNAMBIGUOUS
     chains stitch — each fragment has at most one successor and one
     predecessor among the detected pairs, chains with no head (cycles)
-    are dropped, and chains longer than ``max_chain`` are refused
-    (loudly) as evidence the boundary k-gram is chrome, not a split.
-    Output: one row per stitched chain — (chain_id = head doc id,
-    doc_ids comma-joined in order, text with each continuation's
-    ``k``-token overlap dropped, n_docs). Untouched documents are NOT
-    emitted; callers join fragments out of the corpus by doc_ids.
+    are dropped, and chains longer than ``max_chain`` are refused: the
+    boundary k-gram is chrome, not a split. Refused chains are emitted
+    as FLAGGED rows (refused=true, text='', full membership in
+    doc_ids) rather than raised — at corpus scale one pathological
+    chain must not kill the job, and the flagged row carries exactly
+    what an operator needs to triage (raise k or lower max_df).
+    Output: one row per chain — (chain_id = head doc id, doc_ids
+    comma-joined in order, text with each continuation's ``k``-token
+    overlap dropped, '' when refused, n_docs, refused). chain_id
+    carries the INPUT id type — integral and string ids both
+    supported; integral ids must be non-negative (-1 is the internal
+    no-successor sentinel, kept off the NULL path because a nullable
+    long crosses Arrow as float64 and int(float) corrupts ids above
+    2^53). Untouched documents are NOT emitted; callers join fragments
+    out of the corpus by doc_ids.
 
     Shape, at 100 TB:
     - Pair detection and the ambiguity filters are plain aggregates on
@@ -1346,40 +1388,54 @@ def stitch_documents(documents: DataFrame, k: int = 3, max_df: int = 64,
                          F.col(text_col).alias("_text")), "vertex"))
     succ = edges.select(F.col("left_id").alias("vertex"),
                         F.col("right_id").alias("_next"))
-    # -1 sentinel instead of NULL: a nullable long crosses Arrow as
-    # float64 and int(float) corrupts doc ids above 2^53
-    members = (members.join(succ, "vertex", "left")
-               .withColumn("_next", F.coalesce("_next", F.lit(-1))))
+    id_type = documents.schema[id_col].dataType
+    id_sql = id_type.simpleString()
+    integral = id_sql in ("tinyint", "smallint", "int", "bigint")
+    if not integral and id_sql != "string":
+        raise ValueError(
+            f"stitch_documents: id_col '{id_col}' is {id_sql}; only "
+            "integral and string document ids are supported")
+    members = members.join(succ, "vertex", "left")
+    if integral:
+        # -1 sentinel instead of NULL: a nullable long crosses Arrow as
+        # float64 and int(float) corrupts doc ids above 2^53. String
+        # ids keep NULL (object dtype preserves None exactly).
+        members = members.withColumn(
+            "_next", F.coalesce("_next", F.lit(-1)))
 
     kk, mc = int(k), int(max_chain)
-    out_schema = ("chain_id long, doc_ids string, text string, "
-                  "n_docs int")
+    out_schema = (f"chain_id {id_sql}, doc_ids string, text string, "
+                  "n_docs int, refused boolean")
+    conv = int if integral else str
+    is_end = (lambda v: v == -1) if integral else (lambda v: v is None)
 
     def assemble(pdf):
         import pandas as pd
         nxt = dict(zip(pdf["vertex"], pdf["_next"]))
         txt = dict(zip(pdf["vertex"], pdf["_text"]))
-        tails = {v for v in nxt.values() if v != -1}
+        tails = {v for v in nxt.values() if not is_end(v)}
         heads = [v for v in nxt if v not in tails]
         if len(heads) != 1:   # cycle (no head): refuse to guess
             return pd.DataFrame(
-                columns=["chain_id", "doc_ids", "text", "n_docs"])
-        order = [heads[0]]
-        while nxt[order[-1]] != -1:
-            if len(order) >= mc:   # appending would exceed max_chain
-                raise ValueError(
-                    f"stitch chain through doc {order[0]} exceeds "
-                    f"max_chain={mc}: boundary {kk}-gram is likely "
-                    "boilerplate — raise k or lower max_df")
-            order.append(int(nxt[order[-1]]))
-        parts = [txt[order[0]]]
-        for v in order[1:]:
-            parts.append(" ".join(txt[v].split()[kk:]))
+                columns=["chain_id", "doc_ids", "text", "n_docs",
+                         "refused"])
+        order = [conv(heads[0])]
+        while not is_end(nxt[order[-1]]):
+            order.append(conv(nxt[order[-1]]))
+        refused = len(order) > mc
+        if refused:
+            text = ""
+        else:
+            parts = [txt[order[0]]]
+            for v in order[1:]:
+                parts.append(" ".join(txt[v].split()[kk:]))
+            text = " ".join(p for p in parts if p)
         return pd.DataFrame([{
             "chain_id": order[0],
             "doc_ids": ",".join(str(v) for v in order),
-            "text": " ".join(p for p in parts if p),
+            "text": text,
             "n_docs": len(order),
+            "refused": refused,
         }])
 
     return members.groupBy("component").applyInPandas(

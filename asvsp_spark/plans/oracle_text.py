@@ -1479,9 +1479,11 @@ SELECT left_id, right_id, boundary_text FROM bpairs
 """
 
 # Spark side: operators/dedup.py stitch_documents (registry: k=3,
-# max_df=64) — unambiguous chains walked head-to-tail by a recursive
-# CTE; each continuation drops its first 3 tokens, empty parts are
-# skipped, exactly as the applyInPandas assembler does.
+# max_df=64, max_chain=16) — unambiguous chains walked head-to-tail by
+# a recursive CTE; each continuation drops its first 3 tokens, empty
+# parts are skipped, exactly as the applyInPandas assembler does.
+# Chains longer than max_chain surface as refused=true with text=''
+# (r7: flagged rows replaced the mid-job raise).
 ORACLE_TEXT["stitch_report"] = _BOUNDARY_CTE + r""",
 uniq AS (
     SELECT left_id, right_id FROM bpairs
@@ -1511,9 +1513,12 @@ parts AS (
 )
 SELECT chain_id,
        string_agg(CAST(cur AS VARCHAR), ',' ORDER BY pos) AS doc_ids,
-       string_agg(CASE WHEN part <> '' THEN part END,
-                  ' ' ORDER BY pos) AS text,
-       CAST(count(*) AS INT) AS n_docs
+       CASE WHEN count(*) > 16 THEN ''
+            ELSE string_agg(CASE WHEN part <> '' THEN part END,
+                            ' ' ORDER BY pos)
+       END AS text,
+       CAST(count(*) AS INT) AS n_docs,
+       count(*) > 16 AS refused
 FROM parts GROUP BY chain_id
 """
 
@@ -1695,17 +1700,23 @@ inter AS (
 ),
 sz AS (SELECT doc, len(shingles) AS n_sh FROM nonempty),
 per_pair AS (
+    -- LEFT JOIN + coalesce: an LSH candidate pair whose shingle sets
+    -- are disjoint (pure min-hash collision) has no inter row but the
+    -- Spark side still emits it with n_inter=0 in decile 0 — an INNER
+    -- join here would silently drop it and understate decile-0 error
     SELECT c.doc_a, c.doc_b,
            ({match_sum}) * {unit} AS est_u,
-           CAST(round(i.n_inter * 1000000 / (sa2.n_sh + sb2.n_sh - i.n_inter))
+           CAST(round(coalesce(i.n_inter, 0) * 1000000
+                / (sa2.n_sh + sb2.n_sh - coalesce(i.n_inter, 0)))
                 AS BIGINT) AS j_u,
-           CAST(least(9, floor(i.n_inter * 10
-                               / (sa2.n_sh + sb2.n_sh - i.n_inter)))
+           CAST(least(9, floor(coalesce(i.n_inter, 0) * 10
+                               / (sa2.n_sh + sb2.n_sh
+                                  - coalesce(i.n_inter, 0))))
                 AS INT) AS j_bucket
     FROM cand c
     JOIN sig sa ON sa.doc = c.doc_a
     JOIN sig sb ON sb.doc = c.doc_b
-    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
     JOIN sz sa2 ON sa2.doc = c.doc_a
     JOIN sz sb2 ON sb2.doc = c.doc_b
 )

@@ -48,6 +48,10 @@ def test_phone_pattern_boundary_guards(spark):
         ("run 555-123-45678", 0),          # trailing digit glued on
         ("v123.456.78901 build", 0),       # long dotted id
         ("x 555.123.4567.", 1),            # trailing punctuation is fine
+        ("1.234.567.8901", 0),             # r6 residual: digit-dot prefix
+        ("fee 1.234.567.8901 fie", 0),     # same, embedded in prose
+        ("call.555-123-4567", 1),          # sentence dot is not a digit run
+        (".555-123-4567", 0),              # bare leading dot: no context
     ]
     df = spark.createDataFrame(
         [(i, t) for i, (t, _) in enumerate(cases)], "i long, t string")

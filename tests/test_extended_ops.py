@@ -868,12 +868,14 @@ def test_pii_scrub_matches_duckdb(spark):
     dialect divergence here is a privacy bug, so it is pinned on data
     that actually contains PII (the fixture corpus has none)."""
     import duckdb
-    from asvsp_spark.functions.text import PII_PATTERNS, pii_counts, pii_scrub
+    from asvsp_spark.functions.text import (
+        PII_PATTERNS, pii_counts, pii_replacement, pii_scrub)
     rows = [
         (1, "contact john.doe+spam@example.co.uk or call 555-123-4567 now"),
         (2, "host 192.168.0.1 logged ssn 123-45-6789 then 123-45-6789"),
         (3, "no pii here just words"),
         (4, "mixed: a@b.io +122 333 4444 and 10.0.0.255 end"),
+        (5, "build 1.234.567.8901 is not a phone but 555.123.4567 is"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = df.select(
@@ -887,6 +889,8 @@ def test_pii_scrub_matches_duckdb(spark):
     assert got[2][:4] == (0, 2, 0, 1)
     assert got[3][:4] == (0, 0, 0, 0) and got[3][4] == rows[2][1]
     assert got[4][:4] == (1, 0, 1, 1)
+    assert got[5][2] == 1 and "<PHONE>" in got[5][4] \
+        and "1.234.567.8901" in got[5][4]  # dotted run left intact
 
     con = duckdb.connect()
     con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
@@ -896,7 +900,8 @@ def test_pii_scrub_matches_duckdb(spark):
         for kind, pat in PII_PATTERNS.items())
     red = "text"
     for kind, pat in PII_PATTERNS.items():
-        red = f"regexp_replace({red}, '{pat}', '<{kind.upper()}>', 'g')"
+        repl = pii_replacement(kind, engine="re2")
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
     duck = {r[0]: tuple(r[1:])
             for r in con.execute(
                 f"SELECT doc_id, {counts}, {red} AS redacted FROM t"

@@ -354,9 +354,9 @@ def test_stitch_documents_chains_and_refusals(spark):
 
 
 def test_stitch_documents_max_chain_boundary(spark):
-    import pytest
     from asvsp_spark.operators.dedup import stitch_documents
-    # a 4-doc chain: max_chain=3 must fail loudly, max_chain=4 assembles
+    # a 4-doc chain: max_chain=3 emits a refused flag row (r7 — one
+    # pathological chain must not kill the job), max_chain=4 assembles
     rows = []
     for i in range(4):
         head = f"h{i} h{i} h{i}"
@@ -364,10 +364,36 @@ def test_stitch_documents_max_chain_boundary(spark):
         rows.append((i, f"{head} mid{i} {tail}"))
     docs = _docs(spark, [(i, t.replace("h0 h0 h0", "s s s") if i == 0 else t)
                          for i, t in rows])
-    with pytest.raises(Exception, match="max_chain"):
-        stitch_documents(docs, k=3, max_chain=3).collect()
+    flagged = stitch_documents(docs, k=3, max_chain=3).collect()
+    assert len(flagged) == 1 and flagged[0]["refused"]
+    assert flagged[0]["doc_ids"] == "0,1,2,3"   # full membership kept
+    assert flagged[0]["text"] == "" and flagged[0]["n_docs"] == 4
     ok = stitch_documents(docs, k=3, max_chain=4).collect()
-    assert len(ok) == 1 and ok[0]["n_docs"] == 4
+    assert len(ok) == 1 and ok[0]["n_docs"] == 4 and not ok[0]["refused"]
+
+
+def test_stitch_documents_string_ids(spark):
+    """ADVICE r6: chain_id must carry the INPUT id type — string doc
+    ids assemble without Arrow conversion errors."""
+    from asvsp_spark.operators.dedup import stitch_documents
+    docs = spark.createDataFrame([
+        ("docB", "w1 w2 w3 a b c"),
+        ("docC", "a b c w4 w5 d e f"),
+        ("docA", "d e f w6 w7"),
+    ], "doc_id string, text string")
+    out = stitch_documents(docs, k=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["chain_id"] == "docB"            # head of the walk
+    assert r["doc_ids"] == "docB,docC,docA"
+    assert r["text"] == "w1 w2 w3 a b c w4 w5 d e f w6 w7"
+    assert r["n_docs"] == 3 and not r["refused"]
+    # unsupported id types fail loudly, not at Arrow conversion
+    import pytest
+    from pyspark.sql import functions as F
+    bad = docs.withColumn("doc_id", F.to_date(F.lit("2026-01-01")))
+    with pytest.raises(ValueError, match="integral and string"):
+        stitch_documents(bad, k=3)
 
 
 def test_cli_gapfill_roundtrip(spark, tmp_path, capsys):
