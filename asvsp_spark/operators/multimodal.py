@@ -216,10 +216,17 @@ def attach_synthetic_media(documents: DataFrame) -> DataFrame:
                 "meta": pdf["meta"],
             })
 
-    base = documents.select(
-        "doc_id", F.lit("x").alias("media_type"),
-        F.encode("text", "UTF-8").alias("payload"),
-        F.struct(F.col("n_chars"), F.col("source")).alias("meta"))
+    from asvsp_spark.plans.base import fanout
+    # input is pruned to exactly what gen reads (doc_id + meta):
+    # mapInPandas input needn't match the OUTPUT schema, and the old
+    # encode(text) placeholder payload shipped the whole text column
+    # through the exchange and Arrow only to be discarded. fanout is
+    # the standard small-file guard — documents.parquet at test SFs
+    # arrives as ONE scan partition, which would serialize payload
+    # generation and the downstream (narrow) decode on a single core;
+    # no-op on a well-split production scan.
+    base = fanout(documents.select(
+        "doc_id", F.struct(F.col("n_chars"), F.col("source")).alias("meta")))
     return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 

@@ -494,6 +494,21 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # local pin and the streaming family keeps 11 rows). stitch_report
 # (new r6: chain reassembly over the boundary pairs) takes
 # sq1_vs_baseline's slot (green r4; local pin remains).
+# r7 rotation: gapfill_hourly_interp + gapfill_daily_values (the only
+# oracle-paired entries with ZERO driver rows ever — added at registry
+# positions 132-133 after the r6 window closed) take the slots of
+# sq8_session_windows (green r1/r2/r3/r4/r6) and sq6_attribution_join
+# (green r1/r2/r3/r4/r6). jaccard_pairs + dedup_components re-rotate
+# in (r1-only greens whose implementations were touched by the r5 md5
+# hash-family migration; the local DuckDB pin held throughout but the
+# hard signal deserves refresh) taking sq7b_dedup_within_watermark
+# (green r2/r3/r4/r6) and sq9_hourly_daily_chain (green r3/r4/r6).
+# The streaming family keeps 7 driver rows (sq2c, sq6b, sq10, sq11,
+# sq12, sq13, sq14). sq2d_trend_tws stays UNregistered by design: the
+# transformWithStateInPandas python worker imports google.protobuf,
+# absent in this container — a registry entry would hand the driver a
+# guaranteed initialization error (gate pinned by
+# tests/test_streaming_semantics.py::test_transform_with_state_gate).
 DRIVER_CHECKED: tuple[str, ...] = (
     "paragraph_dedup_docs", "key_skew_report", "bpe_merge_table",
     "boundary_overlap_pairs", "dsir_weights",
@@ -511,10 +526,10 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "stitch_report", "sq12_drift_hourly", "sq2c_stateful_trend",
     "sq14_value_percentiles_hourly", "gapfill_hourly_values",
     "minhash_calibration",
-    "sq6_attribution_join", "sq6b_attribution_left",
-    "sq7b_dedup_within_watermark", "sq8_session_windows",
+    "gapfill_hourly_interp", "sq6b_attribution_left",
+    "gapfill_daily_values", "jaccard_pairs",
     "sq11_late_audit",
-    "sq9_hourly_daily_chain", "sq10_funnel_hourly",
+    "dedup_components", "sq10_funnel_hourly",
     "cohort_retention", "pmi_collocations",
     "data_quality_report",
     "sq13_contract_hourly", "lsh_topk",
