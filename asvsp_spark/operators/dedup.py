@@ -990,6 +990,106 @@ def remove_dup_spans(documents: DataFrame, spans: DataFrame,
          .cast("int").alias("n_tokens_removed"))
 
 
+def dup_substring_runs(documents: DataFrame, window: int = 8,
+                       min_count: int = 2, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-occurrence maximal duplicated-substring runs — the
+    variable-length complement of ``dup_spans`` (Lee et al. ACL'22 find
+    maximal duplicated substrings with a suffix array; the Spark-first
+    equivalent is hot fixed-width windows extended to maximal
+    CONSECUTIVE runs, then verified by full-text fingerprint). Output:
+    one row per occurrence — (id_col, span_start, span_end, fp,
+    n_tokens), 1-based inclusive token positions, fp the full 128-bit
+    md5 of the run's space-joined token text.
+
+    Semantics vs ``dup_spans``:
+    - ``min_count`` thresholds total OCCURRENCES of a window, not
+      distinct documents — a substring repeated twice inside one
+      document is duplication too (the paper dedups within documents).
+    - Runs break on any non-hot position (strictly consecutive), not
+      on gap > window: a run is the maximal stretch where EVERY
+      length-``window`` subwindow is duplicated, which is exactly the
+      condition a duplicated substring of length >= window satisfies
+      at all of its occurrence sites.
+    - The 64-bit window-hash stage can in principle collide; the final
+      fingerprint is the full md5 of the run TEXT, so downstream
+      grouping (``dup_substring_table``) never reports a false
+      duplicate — a collision can only perturb a run's extent.
+
+    Shape, at 100 TB: same staging as dup_spans (per-doc window-hash
+    arrays checkpointed once, occurrence counting is a partial-agg
+    count on 8-byte keys, membership is a LEFT SEMI the AQE turns into
+    a broadcast when the hot set is small). Run assembly is
+    gaps-and-islands per doc (p - row_number() keys consecutive
+    stretches; positions are unique per doc so no distinct). The only
+    new join is runs-back-to-token-arrays to slice the run text —
+    runs are a small fraction of any sane corpus, so the build side is
+    broadcast-sized; no step fans out by document frequency.
+    """
+    w, mc = int(window), int(min_count)
+    from asvsp_spark.functions.text import token_ngrams
+    toks = (fanout(documents)
+            .select(F.col(id_col).alias("doc"),
+                    F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+            .localCheckpoint(eager=True))   # feeds windows + run slicing
+    wins_arr = toks.select("doc", F.transform(
+        token_ngrams("toks", w),
+        lambda g, i: F.struct((i + 1).alias("p"),
+                              F.substring(F.md5(g), 1, 16).alias("h"))
+    ).alias("wins")).localCheckpoint(eager=True)
+    # occurrence count, NOT distinct-doc count: no array_distinct —
+    # within-doc repeats must count every site
+    hot = (wins_arr
+           .select(F.explode(F.expr("transform(wins, x -> x.h)")).alias("h"))
+           .groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") >= mc)
+           .select("h"))
+    flagged = (wins_arr.select("doc", F.explode("wins").alias("win"))
+               .select("doc", F.col("win.p").alias("p"),
+                       F.col("win.h").alias("h"))
+               .join(hot, "h", "left_semi"))
+    by_pos = Window.partitionBy("doc").orderBy("p")
+    runs = (flagged
+            .withColumn("grp", F.col("p") - F.row_number().over(by_pos))
+            .groupBy("doc", "grp")
+            .agg(F.min("p").alias("p1"), F.max("p").alias("p2")))
+    return (runs.join(toks, "doc")
+            .select(F.col("doc").alias(id_col),
+                    F.col("p1").cast("int").alias("span_start"),
+                    (F.col("p2") + w - 1).cast("int").alias("span_end"),
+                    F.md5(F.expr(
+                        f"concat_ws(' ', slice(toks, p1, p2 - p1 + {w}))"))
+                     .alias("fp"),
+                    (F.col("p2") - F.col("p1") + w).cast("int")
+                     .alias("n_tokens")))
+
+
+def dup_substring_table(documents: DataFrame, window: int = 8,
+                        min_count: int = 2, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """The corpus-wide duplicated-substring cluster table over
+    ``dup_substring_runs``: group occurrences by full-text fingerprint
+    and keep clusters seen at least ``min_count`` times. Output:
+    (fp, n_tokens, n_docs, n_occurrences) — one row per distinct
+    duplicated substring of length >= ``window`` tokens whose maximal
+    extent AGREES across its occurrence sites (aligned duplicates: the
+    injected-boilerplate case — licence blocks, navigation chrome,
+    templated headers — which is what the cluster table is for; a
+    duplicate embedded in differing surroundings still surfaces in
+    every row of the runs/occurrence view and in ``dup_spans``'
+    removal plan). Grouping on the full 128-bit text md5 IS the
+    verification pass: window-hash collisions cannot create a false
+    cluster. One extra shuffle over the runs (8-byte keys, partial-agg
+    counts); DuckDB reproduces every step bit-identically."""
+    occ = dup_substring_runs(documents, window=window,
+                             min_count=min_count,
+                             id_col=id_col, text_col=text_col)
+    return (occ.groupBy("fp", "n_tokens")
+            .agg(F.countDistinct(id_col).alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") >= int(min_count)))
+
+
 def paragraph_dedup(documents: DataFrame, delimiter: str = r"\n{2,}",
                     joiner: str = "\n\n", id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

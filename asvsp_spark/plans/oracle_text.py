@@ -1007,6 +1007,60 @@ spans AS (
 
 ORACLE_TEXT["dup_spans"] = _DUP_SPANS_CTE + "SELECT * FROM spans"
 
+# Spark side: operators/dedup.py dup_substring_runs /
+# dup_substring_table (registry: window=8, min_count=2). Differences
+# from _DUP_SPANS_CTE above: hot thresholds total OCCURRENCES (no
+# per-doc distinct — within-doc repeats count every site), islands are
+# STRICTLY consecutive (p - row_number() grouping, not gap <= window),
+# and each run is fingerprinted with the full md5 of its space-joined
+# token text (the verification pass; 1-based inclusive DuckDB slices
+# mirror Spark's slice(toks, p1, p2 - p1 + 8)).
+_DUP_SUBSTR_CTE = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    FROM documents
+),
+wins AS (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        list_transform(range(1, len(t) - 8 + 2),
+            i -> {'p': i,
+                  'h': substr(md5(list_aggregate(t[i:i+7],
+                                                 'string_agg', ' ')),
+                              1, 16)})
+    ELSE [] END, recursive := true)
+    FROM toks
+),
+hot AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+flag AS (
+    SELECT doc_id, p,
+           p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+    FROM wins WHERE h IN (SELECT h FROM hot)
+),
+runs AS (
+    SELECT doc_id, min(p) AS p1, max(p) AS p2
+    FROM flag GROUP BY doc_id, grp
+),
+occ AS (
+    SELECT r.doc_id,
+           CAST(r.p1 AS INT) AS span_start,
+           CAST(r.p2 + 8 - 1 AS INT) AS span_end,
+           md5(list_aggregate(k.t[r.p1 : r.p2 + 7],
+                              'string_agg', ' ')) AS fp,
+           CAST(r.p2 - r.p1 + 8 AS INT) AS n_tokens
+    FROM runs r JOIN toks k USING (doc_id)
+)"""
+
+ORACLE_TEXT["dup_substring_runs"] = _DUP_SUBSTR_CTE + """
+SELECT doc_id, span_start, span_end, fp, n_tokens FROM occ
+"""
+
+ORACLE_TEXT["dup_substring_table"] = _DUP_SUBSTR_CTE + """
+SELECT fp, n_tokens,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences
+FROM occ GROUP BY fp, n_tokens HAVING count(*) >= 2
+"""
+
 # Spark side: operators/dedup.py remove_dup_spans applied to the
 # dup_spans report — every flagged 1-based token position is dropped,
 # unflagged docs pass through with 0 removed.

@@ -509,6 +509,11 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # absent in this container — a registry entry would hand the driver a
 # guaranteed initialization error (gate pinned by
 # tests/test_streaming_semantics.py::test_transform_with_state_gate).
+# dup_substring_runs + dup_substring_table (new r7: variable-length
+# exact-substring dedup, the Lee-et-al cluster complement of
+# dup_spans) take the slots of sq2c_stateful_trend (green
+# r1/r2/r3/r4/r6) and sq10_funnel_hourly (green r3/r4/r6) — new
+# oracle-paired entries must earn a driver row in their birth round.
 DRIVER_CHECKED: tuple[str, ...] = (
     "paragraph_dedup_docs", "key_skew_report", "bpe_merge_table",
     "boundary_overlap_pairs", "dsir_weights",
@@ -523,13 +528,13 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "token_budget_stats",
     "dedup_spans_removed",
     "vocab_coverage", "source_overlap_matrix", "skew_join_salted",
-    "stitch_report", "sq12_drift_hourly", "sq2c_stateful_trend",
+    "stitch_report", "sq12_drift_hourly", "dup_substring_runs",
     "sq14_value_percentiles_hourly", "gapfill_hourly_values",
     "minhash_calibration",
     "gapfill_hourly_interp", "sq6b_attribution_left",
     "gapfill_daily_values", "jaccard_pairs",
     "sq11_late_audit",
-    "dedup_components", "sq10_funnel_hourly",
+    "dedup_components", "dup_substring_table",
     "cohort_retention", "pmi_collocations",
     "data_quality_report",
     "sq13_contract_hourly", "lsh_topk",
@@ -1646,6 +1651,26 @@ def _dup_spans(spark, sf):
     per doc via gaps-and-islands — fully oracle-checkable."""
     from asvsp_spark.operators.dedup import dup_spans
     return dup_spans(_t(spark, sf, "documents"))
+
+
+@register("dup_substring_runs")
+def _dup_substring_runs(spark, sf):
+    """Variable-length exact-substring dedup, occurrence view
+    (operators/dedup.py dup_substring_runs): maximal strictly-
+    consecutive runs of duplicated 8-token windows, occurrence-counted
+    (within-doc repeats included), each run fingerprinted with the
+    full md5 of its token text."""
+    from asvsp_spark.operators.dedup import dup_substring_runs
+    return dup_substring_runs(_t(spark, sf, "documents"))
+
+
+@register("dup_substring_table")
+def _dup_substring_table(spark, sf):
+    """The duplicated-substring cluster table over the runs: aligned
+    maximal duplicates grouped by full-text fingerprint (the
+    verification pass), with doc and occurrence counts."""
+    from asvsp_spark.operators.dedup import dup_substring_table
+    return dup_substring_table(_t(spark, sf, "documents"))
 
 
 @register("shard_assignments")
