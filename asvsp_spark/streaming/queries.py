@@ -70,12 +70,18 @@ def _static_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- SQ1
 
-def sq1_vs_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sq1_vs_baseline(spark: SparkSession, sf_dir: str,
+                    stream: DataFrame | None = None) -> DataFrame:
     """Current hourly avg per event_type vs historical baseline
     (reference consumer1.py:64-90): tumbling 1h windowed agg (A9/T2),
     stream-static LEFT join on the 4-part key (J4/T7), pct-of-baseline.
+
+    ``stream`` plugs in any watermarked events source (e.g.
+    ``kafka_stream``) in place of the file replay — the transforms are
+    source-agnostic, pinned by the Kafka wire round-trip test.
     """
-    stream = events_stream(spark, sf_dir)
+    if stream is None:
+        stream = events_stream(spark, sf_dir)
     agg = (
         stream
         .groupBy(F.window("ts", "1 hour").alias("window"), "event_type")

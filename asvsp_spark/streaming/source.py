@@ -243,6 +243,62 @@ def kafka_stream(spark: SparkSession, brokers: str, topic: str,
     )
 
 
+# timestamp wire format: microsecond-precision, space-separated — what
+# EVENT_PAYLOAD_SCHEMA's string ts + to_timestamp round-trips exactly
+# (the testdata events carry real microseconds)
+KAFKA_TS_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def kafka_wire_frame(df: DataFrame, key_cols: tuple[str, ...] = ("user_id",),
+                     ts_format: str = KAFKA_TS_FORMAT) -> DataFrame:
+    """Producer-side wire projection: (key binary, value binary) — the
+    shape Spark's Kafka sink requires. key = '_'-joined key columns
+    (reference producer.py:140-145 keys records ``f"{city}_{state}"``),
+    value = JSON of every input column with timestamps formatted as
+    ``ts_format`` strings so ``kafka_stream``'s from_json +
+    to_timestamp chain recovers them bit-exactly. Pure projection —
+    testable without a broker, and the round-trip (this frame ->
+    kafka_stream's parse) is pinned by unit test."""
+    cols = [
+        F.date_format(c, ts_format).alias(c) if t.startswith("timestamp")
+        else F.col(c)
+        for c, t in df.dtypes
+    ]
+    return df.select(
+        F.encode(F.concat_ws(
+            "_", *[F.col(c).cast("string") for c in key_cols]),
+            "UTF-8").alias("key"),
+        F.encode(F.to_json(F.struct(*cols)), "UTF-8").alias("value"))
+
+
+def kafka_batch_sink(df: DataFrame, brokers: str, topic: str,
+                     key_cols: tuple[str, ...] = ("user_id",)) -> None:
+    """Batch publish (the reference producer's replay direction,
+    producer.py:135-152, minus the wall-clock sleep — rate limiting on
+    a cluster belongs to Kafka quotas, not driver sleeps). One job, no
+    collect: the wire projection and the send both run executor-side."""
+    (kafka_wire_frame(df, key_cols).write.format("kafka")
+     .option("kafka.bootstrap.servers", brokers)
+     .option("topic", topic)
+     .save())
+
+
+def kafka_replay_sink(stream: DataFrame, brokers: str, topic: str,
+                      checkpoint_dir: str,
+                      key_cols: tuple[str, ...] = ("user_id",)):
+    """Streaming publish: drain a (possibly file-replayed) stream into a
+    Kafka topic with availableNow + checkpointing — the S12 replay
+    producer as a Spark job. Returns the started StreamingQuery; the
+    caller awaits termination."""
+    return (kafka_wire_frame(stream, key_cols).writeStream
+            .format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("topic", topic)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 @contextmanager
 def _available_now_run(spark: SparkSession,
                        shuffle_partitions: int | None = None,

@@ -115,6 +115,160 @@ def test_dup_substring_runs_vs_brute(spark):
         assert gtab == wtab, f"min_count={mc}"
 
 
+def _stage_wire(spark, tmp_path, frame):
+    """Record a kafka_wire_frame to parquet in Kafka's full wire shape
+    (key/value plus the broker-assigned metadata columns)."""
+    wire = frame.select(
+        "key", "value", F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+        F.lit(0).alias("timestampType"))
+    path = str(tmp_path / "wire")
+    wire.write.parquet(path)
+    return path
+
+
+def _intercept_kafka(spark, monkeypatch, wire_path, captured=None):
+    """Patch readStream so kafka_stream's .load() returns a file-source
+    stream of the recorded wire bytes (same shape Kafka would hand it)."""
+    from pyspark.sql import SparkSession
+    kafka_wire = ("key binary, value binary, topic string, partition int, "
+                  "offset long, timestamp timestamp, timestampType int")
+    real = SparkSession.readStream
+
+    class FakeReader:
+        def format(self, fmt):
+            if captured is not None:
+                captured["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            if captured is not None:
+                captured.setdefault("options", {})[k] = v
+            return self
+
+        def load(self):
+            return (real.fget(spark).schema(kafka_wire)
+                    .parquet(wire_path))
+
+    monkeypatch.setattr(SparkSession, "readStream",
+                        property(lambda self: FakeReader()))
+
+
+def test_kafka_wire_roundtrip_bit_exact(spark, monkeypatch, tmp_path):
+    """Producer -> consumer closure: events published through
+    kafka_wire_frame (the sink projection) and read back through
+    kafka_stream's parse chain recover every row BIT-EXACTLY, including
+    microsecond timestamps — the wire format and the payload schema
+    are two halves of one contract."""
+    from tests.conftest import SF_DIR
+    from asvsp_spark import tables
+    from asvsp_spark.streaming.source import (drain, kafka_stream,
+                                              kafka_wire_frame)
+
+    events = tables.load(spark, SF_DIR, "events").limit(200)
+    wire_path = _stage_wire(spark, tmp_path,
+                            kafka_wire_frame(events, key_cols=("user_id",)))
+    # key contract: reference producer.py keys records entity_id-style
+    keys = spark.read.parquet(wire_path).select(
+        F.decode("key", "UTF-8").alias("k")).collect()
+    assert all(r.k.isdigit() for r in keys)
+
+    _intercept_kafka(spark, monkeypatch, wire_path)
+    stream = kafka_stream(spark, "b:9092", "events")
+    monkeypatch.undo()
+    got = sorted(map(tuple, drain(stream, spark,
+                                  output_mode="append").collect()))
+    want = sorted(map(tuple, events.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).collect()))
+    assert got == want
+
+
+def test_kafka_sink_option_contract(spark, monkeypatch, tmp_path):
+    """kafka_batch_sink and kafka_replay_sink must reach Spark's writer
+    with format='kafka', the broker/topic options, and the (key, value)
+    binary wire projection; replay adds checkpointing + availableNow."""
+    from asvsp_spark.streaming.source import (kafka_batch_sink,
+                                              kafka_replay_sink)
+
+    events = spark.createDataFrame(
+        [(1, "2024-03-01 10:15:00", 7, "click", 1.5, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string").withColumn("ts", F.to_timestamp("ts"))
+
+    cap = {}
+
+    class FakeWriter:
+        def __init__(self, df):
+            cap["schema"] = dict(df.dtypes)
+
+        def format(self, fmt):
+            cap["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            cap.setdefault("options", {})[k] = v
+            return self
+
+        def trigger(self, **kw):
+            cap["trigger"] = kw
+            return self
+
+        def save(self):
+            cap["saved"] = True
+
+        def start(self):
+            cap["started"] = True
+
+    # patch the RUNTIME DataFrame class (pyspark.sql.DataFrame is the
+    # abstract facade in Spark 4; .write resolves on the classic class)
+    DataFrame = type(events)
+    monkeypatch.setattr(DataFrame, "write",
+                        property(lambda self: FakeWriter(self)))
+    kafka_batch_sink(events, "b1:9092", "events_out")
+    assert cap == {
+        "schema": {"key": "binary", "value": "binary"},
+        "format": "kafka", "saved": True,
+        "options": {"kafka.bootstrap.servers": "b1:9092",
+                    "topic": "events_out"}}
+
+    cap.clear()
+    monkeypatch.setattr(DataFrame, "writeStream",
+                        property(lambda self: FakeWriter(self)))
+    kafka_replay_sink(events, "b1:9092", "events_out",
+                      checkpoint_dir=str(tmp_path / "ck"))
+    assert cap["format"] == "kafka" and cap["started"]
+    assert cap["schema"] == {"key": "binary", "value": "binary"}
+    assert cap["trigger"] == {"availableNow": True}
+    assert cap["options"]["checkpointLocation"] == str(tmp_path / "ck")
+
+
+def test_sq1_source_agnostic_over_kafka_wire(spark, monkeypatch, tmp_path):
+    """The docstring claim 'SQ transforms are source-agnostic' made
+    real: sq1's full pipeline (windowed agg + stream-static broadcast
+    join) over kafka_stream's parse path on recorded wire bytes equals
+    the file-replay result row-for-row."""
+    from tests.conftest import SF_DIR
+    from asvsp_spark import tables
+    from asvsp_spark.streaming.queries import sq1_vs_baseline
+    from asvsp_spark.streaming.source import kafka_stream, kafka_wire_frame
+
+    events = tables.load(spark, SF_DIR, "events")
+    wire_path = _stage_wire(spark, tmp_path, kafka_wire_frame(events))
+
+    _intercept_kafka(spark, monkeypatch, wire_path)
+    stream = kafka_stream(spark, "b:9092", "events")
+    monkeypatch.undo()
+
+    via_kafka = sorted(map(tuple,
+                           sq1_vs_baseline(spark, SF_DIR,
+                                           stream=stream).collect()))
+    via_files = sorted(map(tuple, sq1_vs_baseline(spark, SF_DIR).collect()))
+    assert via_kafka == via_files and len(via_files) > 0
+
+
 @given(docs_toks=st.lists(
     st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14),
     min_size=1, max_size=8))
