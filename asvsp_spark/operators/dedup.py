@@ -861,6 +861,30 @@ def incremental_minhash_dedup(spark, new_docs: DataFrame, store_path: str,
     }
 
 
+def _window_hash_arrays(documents: DataFrame, w: int, id_col: str,
+                        text_col: str, checkpoint_toks: bool = False):
+    """Shared windowed-hash staging for ``dup_spans`` and
+    ``dup_substring_runs`` — ONE copy of the tokenize + token_ngrams ->
+    (1-based position, 64-bit md5-slice hash) struct projection, so a
+    hash-scheme change can never diverge between the two oracle-paired
+    operators. Returns (toks, wins_arr): the (doc, toks array) frame
+    and the checkpointed (doc, wins array<struct<p,h>>) frame.
+    ``checkpoint_toks`` pins toks too, for callers that re-read the
+    token arrays after the window stage (run-text slicing)."""
+    from asvsp_spark.functions.text import token_ngrams
+    toks = fanout(documents).select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+    if checkpoint_toks:
+        toks = toks.localCheckpoint(eager=True)
+    wins_arr = toks.select("doc", F.transform(
+        token_ngrams("toks", w),
+        lambda g, i: F.struct((i + 1).alias("p"),
+                              F.substring(F.md5(g), 1, 16).alias("h"))
+    ).alias("wins")).localCheckpoint(eager=True)
+    return toks, wins_arr
+
+
 def dup_spans(documents: DataFrame, window: int = 8, min_docs: int = 2,
               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact-substring duplicate spans (the windowed formulation of Lee
@@ -909,17 +933,7 @@ def dup_spans(documents: DataFrame, window: int = 8, min_docs: int = 2,
     oracle-checkable.
     """
     w = int(window)
-    toks = fanout(documents).select(
-        F.col(id_col).alias("doc"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
-    # windows = TX.token_ngrams (the one direct-subscript n-gram
-    # spelling) mapped to (1-based position, md5-slice hash) structs
-    from asvsp_spark.functions.text import token_ngrams
-    wins_arr = toks.select("doc", F.transform(
-        token_ngrams("toks", w),
-        lambda g, i: F.struct((i + 1).alias("p"),
-                              F.substring(F.md5(g), 1, 16).alias("h"))
-    ).alias("wins")).localCheckpoint(eager=True)
+    _, wins_arr = _window_hash_arrays(documents, w, id_col, text_col)
     hot = (wins_arr
            .select(F.explode(F.expr("array_distinct(transform(wins, x -> x.h))"))
                    .alias("h"))
@@ -1027,16 +1041,10 @@ def dup_substring_runs(documents: DataFrame, window: int = 8,
     broadcast-sized; no step fans out by document frequency.
     """
     w, mc = int(window), int(min_count)
-    from asvsp_spark.functions.text import token_ngrams
-    toks = (fanout(documents)
-            .select(F.col(id_col).alias("doc"),
-                    F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
-            .localCheckpoint(eager=True))   # feeds windows + run slicing
-    wins_arr = toks.select("doc", F.transform(
-        token_ngrams("toks", w),
-        lambda g, i: F.struct((i + 1).alias("p"),
-                              F.substring(F.md5(g), 1, 16).alias("h"))
-    ).alias("wins")).localCheckpoint(eager=True)
+    # checkpoint_toks: the token arrays feed the window build AND the
+    # run-text slicing join below
+    toks, wins_arr = _window_hash_arrays(documents, w, id_col, text_col,
+                                         checkpoint_toks=True)
     # occurrence count, NOT distinct-doc count: no array_distinct —
     # within-doc repeats must count every site
     hot = (wins_arr

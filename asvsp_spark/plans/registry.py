@@ -503,8 +503,10 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # hash-family migration; the local DuckDB pin held throughout but the
 # hard signal deserves refresh) taking sq7b_dedup_within_watermark
 # (green r2/r3/r4/r6) and sq9_hourly_daily_chain (green r3/r4/r6).
-# The streaming family keeps 7 driver rows (sq2c, sq6b, sq10, sq11,
-# sq12, sq13, sq14). sq2d_trend_tws stays UNregistered by design: the
+# After BOTH r7 swaps (this one and the dup_substring one below, which
+# takes sq2c's and sq10's slots) the streaming family keeps 5 driver
+# rows: sq6b, sq11, sq12, sq13, sq14 — every rotated-out sq keeps its
+# local DuckDB pin. sq2d_trend_tws stays UNregistered by design: the
 # transformWithStateInPandas python worker imports google.protobuf,
 # absent in this container — a registry entry would hand the driver a
 # guaranteed initialization error (gate pinned by

@@ -252,7 +252,13 @@ def compact_parquet(spark: SparkSession, path: str,
     import shutil as _shutil
     import uuid as _uuid
 
-    df = spark.read.parquet(path)
+    # mergeSchema: an append-only store can carry mixed footers (e.g. a
+    # legacy 2-col segment store that later received batch_id-stamped
+    # appends, operators/dedup.py incremental_paragraph_dedup). A plain
+    # read infers the schema from ONE arbitrary part-file, so a rewrite
+    # here could silently drop the newer columns — destroying the very
+    # replay stamps the maintenance op is supposed to preserve.
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     # size from the file source relation's computed statistics (listing
     # only — parquet footers are not read for sizeInBytes)
     total = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())

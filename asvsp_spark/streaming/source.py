@@ -243,10 +243,16 @@ def kafka_stream(spark: SparkSession, brokers: str, topic: str,
     )
 
 
-# timestamp wire format: microsecond-precision, space-separated — what
-# EVENT_PAYLOAD_SCHEMA's string ts + to_timestamp round-trips exactly
-# (the testdata events carry real microseconds)
-KAFKA_TS_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+# timestamp wire format: microsecond-precision with an EXPLICIT zone
+# offset (XXX) — what EVENT_PAYLOAD_SCHEMA's string ts + to_timestamp
+# round-trips exactly (the testdata events carry real microseconds).
+# The offset is load-bearing for cross-cluster correctness: a zone-less
+# string is formatted in the PRODUCER session's timezone and parsed in
+# the CONSUMER's — any mismatch silently shifts every event time (and
+# with it watermarks, windows and stream-static join keys) by the tz
+# delta. With the offset on the wire, both sides agree on the instant
+# regardless of either session's spark.sql.session.timeZone.
+KAFKA_TS_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSSXXX"
 
 
 def kafka_wire_frame(df: DataFrame, key_cols: tuple[str, ...] = ("user_id",),

@@ -98,6 +98,63 @@ def test_incremental_paragraph_replay_idempotent(spark, tmp_path):
     assert out2.collect()[0]["text"] == "new stuff"
 
 
+def test_compact_preserves_mixed_store_batch_ids(spark, tmp_path):
+    """Review r7: compact_parquet on a mixed-footer store (legacy 2-col
+    files + batch_id-stamped appends) must keep the batch_id column —
+    a schema picked from one arbitrary legacy footer would silently
+    drop the replay stamps and reintroduce the empty-rebuild bug."""
+    from asvsp_spark.operators.dedup import incremental_paragraph_dedup
+    from asvsp_spark.sources.batch import compact_parquet
+
+    store = str(tmp_path / "seg")
+    spark.createDataFrame(
+        [("0" * 32, 1)], "h string, keeper_id long").write.parquet(store)
+    b = _docs(spark, [(2, "boiler\n\nnew stuff")])
+    _, c1 = incremental_paragraph_dedup(spark, b, store, batch_id="b1")
+    compact_parquet(spark, store)
+    cols = set(spark.read.parquet(store).columns)
+    assert "batch_id" in cols
+    # replay after compaction still idempotent
+    out, c2 = incremental_paragraph_dedup(spark, b, store, batch_id="b1")
+    assert c2 == c1
+    assert out.collect()[0]["text"] == "boiler\n\nnew stuff"
+
+
+def test_kafka_wire_ts_carries_zone_offset(spark, tmp_path):
+    """Review r7: the wire timestamp string must pin the INSTANT, not a
+    zone-less local rendering — a producer session in any timezone and
+    a UTC consumer must agree. Pinned by formatting the same frame
+    under two session timezones and asserting both wire strings parse
+    back to the identical instant."""
+    import pyspark.sql.functions as F
+    from asvsp_spark.streaming.source import kafka_wire_frame
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 10:15:00.123456", 7, "click", 1.5, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string").withColumn("ts", F.to_timestamp("ts"))
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        vals = {}
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            wire = kafka_wire_frame(df).collect()[0]["value"]
+            import json
+            vals[tz] = json.loads(bytes(wire))["ts"]
+        # the two renderings differ textually but carry an offset...
+        assert vals["America/New_York"].endswith("-05:00")
+        assert vals["UTC"].endswith("Z")
+        # ...and parse to the SAME instant under a UTC consumer
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        parsed = spark.createDataFrame(
+            [(vals["UTC"],), (vals["America/New_York"],)], "s string"
+        ).select(F.to_timestamp("s").alias("t")).collect()
+        assert parsed[0]["t"] == parsed[1]["t"]
+        assert str(parsed[0]["t"]) == "2024-03-01 10:15:00.123456"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
 def test_incremental_paragraph_legacy_store_then_batch_id(spark, tmp_path):
     """A store written before batch tracking (no batch_id column, or
     untracked calls) keeps working: its rows stay 'known' to every
