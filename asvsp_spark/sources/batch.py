@@ -53,6 +53,52 @@ def read_csv_raw(spark: SparkSession, path: str, header: bool = True) -> DataFra
     )
 
 
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType,
+               keep_corrupt: bool = True) -> DataFrame:
+    """Explicit-schema JSONL scan — the interchange format LLM corpora
+    actually ship in (one JSON document per line). Same discipline as
+    ``read_csv``: the schema is declared up front so Spark skips the
+    inference pass (a full extra scan at 100 TB) and column pruning
+    reaches the reader.
+
+    ``keep_corrupt=True`` (default) appends a ``_corrupt_record``
+    string column carrying any unparseable line verbatim (PERMISSIVE
+    mode) so a quality pipeline can COUNT and quarantine bad lines
+    instead of silently nulling them; ``keep_corrupt=False`` switches
+    to FAILFAST — first bad line kills the read, the right mode for
+    curated inputs where corruption means an upstream bug.
+
+    Spark gotcha: a query may not reference ONLY the corrupt column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — column
+    pruning would leave nothing to parse); include any data column in
+    the projection when counting/quarantining bad lines, or cache the
+    frame first."""
+    if keep_corrupt:
+        full = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_corrupt_record", T.StringType())])
+        return (spark.read.schema(full)
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", "_corrupt_record")
+                .json(path))
+    return (spark.read.schema(schema)
+            .option("mode", "FAILFAST")
+            .json(path))
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip",
+                mode: str = "overwrite") -> None:
+    """JSONL write (Spark's json sink IS newline-delimited). gzip by
+    default: JSONL text compresses ~10x and every downstream consumer
+    of the format splits per-file anyway — at export scale the
+    bandwidth win beats splittability within one file (pass
+    ``compression=None`` for splittable plain text)."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
                       mode: str = "overwrite") -> None:
     """Partitioned parquet write (S3): layout mirrors the reference's

@@ -115,6 +115,48 @@ def test_dup_substring_runs_vs_brute(spark):
         assert gtab == wtab, f"min_count={mc}"
 
 
+def test_jsonl_roundtrip_and_corrupt_handling(spark, tmp_path):
+    """JSONL source/sink: documents round-trip exactly; a corrupt line
+    lands verbatim in _corrupt_record under PERMISSIVE and kills the
+    read under FAILFAST."""
+    import pytest
+    from pyspark.sql import types as T
+    from tests.conftest import SF_DIR
+    from asvsp_spark import tables
+    from asvsp_spark.sources.batch import read_jsonl, write_jsonl
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out, compression=None)
+    schema = T.StructType([f for f in docs.schema.fields])
+    back = read_jsonl(spark, out, schema)
+    assert "_corrupt_record" in back.columns
+    # full-row collect sidesteps the documented corrupt-column-only
+    # pruning restriction (see read_jsonl docstring)
+    back_rows = back.collect()
+    assert all(r["_corrupt_record"] is None for r in back_rows)
+    got = sorted(tuple(r[c] for c in docs.columns) for r in back_rows)
+    want = sorted(map(tuple, docs.collect()))
+    assert got == want
+
+    bad = str(tmp_path / "bad")
+    import os
+    os.makedirs(bad)
+    with open(f"{bad}/part-0.jsonl", "w") as fh:
+        fh.write('{"doc_id": 1, "text": "ok"}\n')
+        fh.write("not json at all {{{\n")
+    s2 = T.StructType([T.StructField("doc_id", T.LongType()),
+                       T.StructField("text", T.StringType())])
+    perm = read_jsonl(spark, bad, s2)
+    rows = {r["doc_id"]: r for r in perm.collect()}
+    assert rows[1]["_corrupt_record"] is None and rows[1]["text"] == "ok"
+    corrupt = [r for r in rows.values() if r["_corrupt_record"]]
+    assert len(corrupt) == 1
+    assert corrupt[0]["_corrupt_record"].startswith("not json")
+    with pytest.raises(Exception, match="FAILFAST|Malformed|corrupt"):
+        read_jsonl(spark, bad, s2, keep_corrupt=False).collect()
+
+
 def _stage_wire(spark, tmp_path, frame):
     """Record a kafka_wire_frame to parquet in Kafka's full wire shape
     (key/value plus the broker-assigned metadata columns)."""
