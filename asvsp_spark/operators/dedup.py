@@ -1056,6 +1056,16 @@ def dup_substring_runs(documents: DataFrame, window: int = 8,
                .select("doc", F.col("win.p").alias("p"),
                        F.col("win.h").alias("h"))
                .join(hot, "h", "left_semi"))
+    return _assemble_runs(toks, flagged, w, id_col)
+
+
+def _assemble_runs(toks: DataFrame, flagged: DataFrame, w: int,
+                   id_col: str) -> DataFrame:
+    """Flagged (doc, p) positions -> maximal strictly-consecutive runs
+    with full-text fingerprints: gaps-and-islands per doc
+    (p - row_number() keys consecutive stretches), then one broadcast-
+    sized join back to the token arrays to slice each run's text.
+    Shared by the global and incremental substring-dedup paths."""
     by_pos = Window.partitionBy("doc").orderBy("p")
     runs = (flagged
             .withColumn("grp", F.col("p") - F.row_number().over(by_pos))
@@ -1096,6 +1106,98 @@ def dup_substring_table(documents: DataFrame, window: int = 8,
             .agg(F.countDistinct(id_col).alias("n_docs"),
                  F.count(F.lit(1)).alias("n_occurrences"))
             .filter(F.col("n_occurrences") >= int(min_count)))
+
+
+def incremental_dup_substring(spark, new_docs: DataFrame, store_path: str,
+                              window: int = 8, min_count: int = 2,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              batch_id: str | None = None):
+    """Duplicated-substring detection for an arriving DELTA against all
+    text ever seen, without rescanning prior text — the substring-
+    granular member of the incremental family (exact = whole-doc,
+    minhash = whole-doc near, paragraph = segment, this = arbitrary-
+    length substring). State is one (window-hash, occurrence-count) row
+    per distinct window per batch, append-only; a window is hot when
+    its occurrences across the store PLUS this delta reach
+    ``min_count``, so boilerplate that only becomes duplicated
+    ACROSS batches (one occurrence per day) is caught the day the
+    threshold trips. Returns ``(runs, counts)``: runs has the
+    ``dup_substring_runs`` schema over the delta's documents (maximal
+    strictly-consecutive hot runs, full-text md5 fingerprints); counts
+    reports the window funnel (n_windows occurrence total,
+    distinct_windows, hot_windows hashes at/over threshold,
+    store_known_windows of those already present in the store).
+
+    Bootstrap invariant: with no store, one batch equals the global
+    ``dup_substring_runs`` on the same documents (shared staging +
+    assembly helpers, pinned by unit test).
+
+    Scale shape: the corpus-scale work is the delta's own window pass;
+    the store side is pruned with a LEFT SEMI to the delta's distinct
+    hashes BEFORE its counts are summed, so a years-deep store costs
+    one hash-key semi-join + a partial-agg sum over only the matching
+    rows. Store maintenance = compact_parquet (mergeSchema-safe); at
+    warehouse scale bucket by h to make the semi-join shuffle-free.
+    Same batch_id replay contract as ``incremental_paragraph_dedup``:
+    stamped batches exclude their own rows from the store side and
+    skip the re-append, so a replayed delta reproduces the first run.
+    """
+    w, mc = int(window), int(min_count)
+    toks, wins_arr = _window_hash_arrays(new_docs, w, id_col, text_col,
+                                         checkpoint_toks=True)
+    wins = (wins_arr.select("doc", F.explode("wins").alias("win"))
+            .select("doc", F.col("win.p").alias("p"),
+                    F.col("win.h").alias("h"))
+            .localCheckpoint(eager=True))   # feeds counts + flagging
+    delta_counts = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+                    .localCheckpoint(eager=True))
+    n_occurrences = wins.count()
+    n_distinct = delta_counts.count()
+
+    replayed = False
+    store_counts = None
+    if _store_exists(spark, store_path):
+        store = spark.read.option("mergeSchema", "true").parquet(store_path)
+        if batch_id is not None and "batch_id" in store.columns:
+            replayed = bool(store.filter(F.col("batch_id") == batch_id)
+                            .limit(1).collect())
+            store = store.filter(F.col("batch_id").isNull()
+                                 | (F.col("batch_id") != batch_id))
+        # prune the (possibly years-deep) store to the delta's hashes
+        # BEFORE summing — the semi-join is the only store-sized step
+        store_counts = (store.join(delta_counts.select("h"),
+                                   "h", "left_semi")
+                        .groupBy("h").agg(F.sum("n").alias("n_store")))
+
+    if store_counts is not None:
+        combined = (delta_counts.join(store_counts, "h", "left")
+                    .select("h", (F.col("n")
+                                  + F.coalesce("n_store", F.lit(0)))
+                            .alias("total"),
+                            F.col("n_store").isNotNull().alias("known")))
+    else:
+        combined = delta_counts.select(
+            "h", F.col("n").alias("total"), F.lit(False).alias("known"))
+    combined = combined.localCheckpoint(eager=True)
+    hot = combined.filter(F.col("total") >= mc)
+    n_hot = hot.count()
+    n_known = combined.filter(F.col("known")).count()
+
+    if not replayed:
+        (delta_counts
+         .select("h", "n",
+                 F.lit(batch_id).cast("string").alias("batch_id"))
+         .write.mode("append").parquet(store_path))
+
+    flagged = wins.join(hot.select("h"), "h", "left_semi")
+    runs = _assemble_runs(toks, flagged, w, id_col)
+    return runs, {
+        "n_windows": n_occurrences,
+        "distinct_windows": n_distinct,
+        "hot_windows": n_hot,
+        "store_known_windows": n_known,
+    }
 
 
 def paragraph_dedup(documents: DataFrame, delimiter: str = r"\n{2,}",

@@ -1015,7 +1015,7 @@ ORACLE_TEXT["dup_spans"] = _DUP_SPANS_CTE + "SELECT * FROM spans"
 # and each run is fingerprinted with the full md5 of its space-joined
 # token text (the verification pass; 1-based inclusive DuckDB slices
 # mirror Spark's slice(toks, p1, p2 - p1 + 8)).
-_DUP_SUBSTR_CTE = r"""
+_DUP_SUBSTR_WINS = r"""
 WITH toks AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
     FROM documents
@@ -1029,7 +1029,9 @@ wins AS (
                               1, 16)})
     ELSE [] END, recursive := true)
     FROM toks
-),
+)"""
+
+_DUP_SUBSTR_CTE = _DUP_SUBSTR_WINS + r""",
 hot AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
 flag AS (
     SELECT doc_id, p,
@@ -1059,6 +1061,36 @@ SELECT fp, n_tokens,
        count(DISTINCT doc_id) AS n_docs,
        count(*) AS n_occurrences
 FROM occ GROUP BY fp, n_tokens HAVING count(*) >= 2
+"""
+
+# Spark side: registry incremental_substring_runs — two-phase
+# incremental substring dedup (even doc_ids bootstrap the window-count
+# store, odd ids detect against store + own counts). Hot for the odd
+# delta = odd occurrences + even-store occurrences >= 2; runs and
+# fingerprints over the odd documents only, same assembly as above.
+ORACLE_TEXT["incremental_substring_runs"] = _DUP_SUBSTR_WINS + r""",
+odd AS (SELECT doc_id, p, h FROM wins WHERE doc_id % 2 = 1),
+ev  AS (SELECT h, count(*) AS n FROM wins
+        WHERE doc_id % 2 = 0 GROUP BY h),
+oc  AS (SELECT h, count(*) AS n FROM odd GROUP BY h),
+hot AS (SELECT oc.h FROM oc LEFT JOIN ev ON ev.h = oc.h
+        WHERE oc.n + coalesce(ev.n, 0) >= 2),
+flag AS (
+    SELECT doc_id, p,
+           p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+    FROM odd WHERE h IN (SELECT h FROM hot)
+),
+runs AS (
+    SELECT doc_id, min(p) AS p1, max(p) AS p2
+    FROM flag GROUP BY doc_id, grp
+)
+SELECT r.doc_id,
+       CAST(r.p1 AS INT) AS span_start,
+       CAST(r.p2 + 8 - 1 AS INT) AS span_end,
+       md5(list_aggregate(k.t[r.p1 : r.p2 + 7],
+                          'string_agg', ' ')) AS fp,
+       CAST(r.p2 - r.p1 + 8 AS INT) AS n_tokens
+FROM runs r JOIN toks k USING (doc_id)
 """
 
 # Spark side: operators/dedup.py remove_dup_spans applied to the

@@ -516,6 +516,10 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # dup_spans) take the slots of sq2c_stateful_trend (green
 # r1/r2/r3/r4/r6) and sq10_funnel_hourly (green r3/r4/r6) — new
 # oracle-paired entries must earn a driver row in their birth round.
+# incremental_substring_runs (new r7: the substring member of the
+# incremental family, two-phase window-count store) takes
+# sq11_late_audit's slot (green r3/r4/r6; local pin remains, and the
+# streaming family keeps 4 driver rows: sq6b, sq12, sq13, sq14).
 DRIVER_CHECKED: tuple[str, ...] = (
     "paragraph_dedup_docs", "key_skew_report", "bpe_merge_table",
     "boundary_overlap_pairs", "dsir_weights",
@@ -535,7 +539,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "minhash_calibration",
     "gapfill_hourly_interp", "sq6b_attribution_left",
     "gapfill_daily_values", "jaccard_pairs",
-    "sq11_late_audit",
+    "incremental_substring_runs",
     "dedup_components", "dup_substring_table",
     "cohort_retention", "pmi_collocations",
     "data_quality_report",
@@ -1850,6 +1854,31 @@ def _boundary_overlap_pairs(spark, sf):
     join so boilerplate boundaries never fan out quadratically."""
     return D.boundary_overlap_pairs(_t(spark, sf, "documents"),
                                     k=3, max_df=64)
+
+
+@register("incremental_substring_runs")
+def _incremental_substring_runs(spark, sf):
+    """Two-phase incremental substring dedup over a fresh window-count
+    store (operators/dedup.py incremental_dup_substring): phase 1
+    (even doc_ids) bootstraps the store, phase 2 (odd ids) detects
+    duplicated runs against store + its own counts. Output = the odd
+    delta's runs table, which DuckDB reproduces with window-count set
+    algebra over the same even/odd split."""
+    import os
+    import shutil
+    import tempfile
+    from asvsp_spark.operators.dedup import incremental_dup_substring
+    docs = _t(spark, sf, "documents")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"asvsp-incrsub-{spark.sparkContext.applicationId}")
+    shutil.rmtree(scratch, ignore_errors=True)
+    store = scratch + "/wins"
+    incremental_dup_substring(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), store)
+    runs, _ = incremental_dup_substring(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), store)
+    return runs
 
 
 @register("incremental_paragraph_report")
