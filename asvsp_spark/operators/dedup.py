@@ -1152,8 +1152,12 @@ def incremental_dup_substring(spark, new_docs: DataFrame, store_path: str,
             .localCheckpoint(eager=True))   # feeds counts + flagging
     delta_counts = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
                     .localCheckpoint(eager=True))
-    n_occurrences = wins.count()
-    n_distinct = delta_counts.count()
+    # one single-row agg instead of two count jobs (sum(n) over the
+    # per-hash counts IS the occurrence total)
+    frow = delta_counts.agg(F.sum("n").alias("occ"),
+                            F.count(F.lit(1)).alias("dst")).collect()[0]
+    n_occurrences = int(frow["occ"] or 0)
+    n_distinct = int(frow["dst"])
 
     replayed = False
     store_counts = None
@@ -1181,8 +1185,11 @@ def incremental_dup_substring(spark, new_docs: DataFrame, store_path: str,
             "h", F.col("n").alias("total"), F.lit(False).alias("known"))
     combined = combined.localCheckpoint(eager=True)
     hot = combined.filter(F.col("total") >= mc)
-    n_hot = hot.count()
-    n_known = combined.filter(F.col("known")).count()
+    crow = combined.agg(
+        F.sum((F.col("total") >= mc).cast("long")).alias("hot"),
+        F.sum(F.col("known").cast("long")).alias("known")).collect()[0]
+    n_hot = int(crow["hot"] or 0)
+    n_known = int(crow["known"] or 0)
 
     if not replayed:
         (delta_counts
