@@ -1207,6 +1207,44 @@ def incremental_dup_substring(spark, new_docs: DataFrame, store_path: str,
     }
 
 
+def line_dedup_docs(documents: DataFrame, delimiter: str = r"\n",
+                    joiner: str = "\n", id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """WITHIN-document duplicate-line removal (the RefinedWeb/Gopher
+    line-wise cleanup: repeated nav items, echoed headers, chat-log
+    stutter): keep the FIRST occurrence of each distinct non-blank
+    line inside each document, preserve order, rejoin with ``joiner``.
+    Output: (id_col, text, n_lines, n_removed). The between-document
+    complement is ``paragraph_dedup`` (corpus-wide keep-first);
+    ``repetition_features`` computes the filter SIGNALS where this is
+    the repair.
+
+    Shape: one projection, zero shuffles — the keep-first is a pure
+    array expression (a line survives iff its first index equals its
+    own index; array_position returns the FIRST 1-based match), so the
+    whole transform runs at scan speed inside the same stage as the
+    read. Per-doc cost is O(lines²) string compares, bounded by
+    document size — the same envelope as every other per-doc array
+    fold in the engine. Bit-identical in DuckDB (list_filter with the
+    same first-index predicate; DuckDB lambda indexes are 1-based
+    where Spark's are 0-based — the oracle shifts), so fully
+    oracle-checkable."""
+    lines = F.filter(F.split(F.col(text_col), delimiter),
+                     lambda x: F.trim(x) != "")
+    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
+    # the rebuilt text takes a TEMP name inside the projection: aliasing
+    # an output to the same name as the input column it reads corrupts
+    # SIBLING expressions that also read that input (measured: a select
+    # aliasing the cleaned text to 'text' returned n_removed computed
+    # against the cleaned value for some rows) — rename after.
+    return (fanout(documents).select(
+        F.col(id_col),
+        F.array_join(kept, joiner).alias("_cleaned"),
+        F.size(lines).cast("int").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("int").alias("n_removed"))
+        .withColumnRenamed("_cleaned", text_col))
+
+
 def paragraph_dedup(documents: DataFrame, delimiter: str = r"\n{2,}",
                     joiner: str = "\n\n", id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

@@ -1063,6 +1063,31 @@ SELECT fp, n_tokens,
 FROM occ GROUP BY fp, n_tokens HAVING count(*) >= 2
 """
 
+# Spark side: operators/dedup.py line_dedup_docs (registry: delimiter
+# '\s+the\s+' — the fixture corpus has no newlines — joiner '\n').
+# Keep-first within each doc: a line survives iff its FIRST index is
+# its own; DuckDB lambda indexes are 1-based (Spark's 0-based — the
+# Spark side compares against i + 1).
+ORACLE_TEXT["line_dedup_docs"] = r"""
+WITH l AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+the\s+'),
+                       x -> trim(x) <> '') AS lines
+    FROM documents
+),
+k AS (
+    SELECT doc_id, lines,
+           list_filter(lines,
+                       (x, i) -> list_position(lines, x) = i) AS kept
+    FROM l
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS text,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(lines) - len(kept) AS INT) AS n_removed
+FROM k
+"""
+
 # Spark side: registry incremental_substring_runs — two-phase
 # incremental substring dedup (even doc_ids bootstrap the window-count
 # store, odd ids detect against store + own counts). Hot for the odd

@@ -520,6 +520,9 @@ _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 # incremental family, two-phase window-count store) takes
 # sq11_late_audit's slot (green r3/r4/r6; local pin remains, and the
 # streaming family keeps 4 driver rows: sq6b, sq12, sq13, sq14).
+# line_dedup_docs (new r7: within-doc keep-first line removal) takes
+# sq6b_attribution_left's slot (green r4/r6) — streaming keeps 3
+# driver rows (sq12, sq13, sq14) and every sq keeps its local pin.
 DRIVER_CHECKED: tuple[str, ...] = (
     "paragraph_dedup_docs", "key_skew_report", "bpe_merge_table",
     "boundary_overlap_pairs", "dsir_weights",
@@ -537,7 +540,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "stitch_report", "sq12_drift_hourly", "dup_substring_runs",
     "sq14_value_percentiles_hourly", "gapfill_hourly_values",
     "minhash_calibration",
-    "gapfill_hourly_interp", "sq6b_attribution_left",
+    "gapfill_hourly_interp", "line_dedup_docs",
     "gapfill_daily_values", "jaccard_pairs",
     "incremental_substring_runs",
     "dedup_components", "dup_substring_table",
@@ -1854,6 +1857,17 @@ def _boundary_overlap_pairs(spark, sf):
     join so boilerplate boundaries never fan out quadratically."""
     return D.boundary_overlap_pairs(_t(spark, sf, "documents"),
                                     k=3, max_df=64)
+
+
+@register("line_dedup_docs")
+def _line_dedup_docs(spark, sf):
+    """Within-document duplicate-line removal (operators/dedup.py
+    line_dedup_docs, the RefinedWeb line-wise cleanup) — keep-first per
+    doc at scan speed; '\\s+the\\s+' segments the newline-free fixture
+    corpus, same convention as the paragraph entries."""
+    from asvsp_spark.operators.dedup import line_dedup_docs
+    return line_dedup_docs(_t(spark, sf, "documents"),
+                           delimiter=r"\s+the\s+", joiner="\n")
 
 
 @register("incremental_substring_runs")

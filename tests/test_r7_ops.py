@@ -160,6 +160,31 @@ def test_incremental_dup_substring_cross_batch_threshold(spark, tmp_path):
         c2["distinct_windows"]
 
 
+def test_line_dedup_within_doc(spark):
+    """Keep-first per document, order preserved, blanks dropped; the
+    funnel counts must be computed against the ORIGINAL text (pins the
+    alias-shadowing hazard: aliasing the cleaned text to the input
+    column name corrupted sibling expressions for some rows)."""
+    from asvsp_spark.operators.dedup import line_dedup_docs
+    docs = spark.createDataFrame([
+        (1, "a\nb\na\nc\nb"),          # 2 repeats
+        (2, "x\nx\nx"),                # 2 repeats of one line
+        (3, "only\nunique\nlines"),    # untouched
+        (4, "\n\nkeep\n\nkeep\n"),     # blanks dropped, 1 repeat
+        (5, ""),                       # empty doc
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup_docs(docs).collect()}
+    assert (out[1]["text"], out[1]["n_lines"], out[1]["n_removed"]) == \
+        ("a\nb\nc", 5, 2)
+    assert (out[2]["text"], out[2]["n_removed"]) == ("x", 2)
+    assert (out[3]["text"], out[3]["n_removed"]) == \
+        ("only\nunique\nlines", 0)
+    assert (out[4]["text"], out[4]["n_lines"], out[4]["n_removed"]) == \
+        ("keep", 2, 1)
+    assert (out[5]["text"], out[5]["n_lines"], out[5]["n_removed"]) == \
+        ("", 0, 0)
+
+
 def test_jsonl_roundtrip_and_corrupt_handling(spark, tmp_path):
     """JSONL source/sink: documents round-trip exactly; a corrupt line
     lands verbatim in _corrupt_record under PERMISSIVE and kills the
