@@ -1146,10 +1146,14 @@ def incremental_dup_substring(spark, new_docs: DataFrame, store_path: str,
     w, mc = int(window), int(min_count)
     toks, wins_arr = _window_hash_arrays(new_docs, w, id_col, text_col,
                                          checkpoint_toks=True)
+    # the per-doc ARRAY frame is the checkpointed artifact (dup_spans'
+    # staging rule) — the exploded per-occurrence stream is derived
+    # TWICE from it (counts below, flagging at the end) but never
+    # materialized: recomputing a narrow explode beats pinning one row
+    # per window occurrence in executor storage
     wins = (wins_arr.select("doc", F.explode("wins").alias("win"))
             .select("doc", F.col("win.p").alias("p"),
-                    F.col("win.h").alias("h"))
-            .localCheckpoint(eager=True))   # feeds counts + flagging
+                    F.col("win.h").alias("h")))
     delta_counts = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
                     .localCheckpoint(eager=True))
     # one single-row agg instead of two count jobs (sum(n) over the
@@ -1163,6 +1167,21 @@ def incremental_dup_substring(spark, new_docs: DataFrame, store_path: str,
     store_counts = None
     if _store_exists(spark, store_path):
         store = spark.read.option("mergeSchema", "true").parquet(store_path)
+        # window-size guard: a store bootstrapped at a different w
+        # holds md5s of different-length n-grams, so the semi-join
+        # would match nothing FOREVER — store_known_windows silently 0,
+        # the cross-batch guarantee void. The mismatch is undetectable
+        # from the hashes themselves (same 16 hex chars at any w), so
+        # every row carries w and the read path fails loudly — the
+        # same stance as incremental_minhash_dedup's num_hashes check.
+        probe = store.select("w").limit(1).collect()
+        if probe and int(probe[0]["w"]) != w:
+            raise ValueError(
+                f"window-count store at {store_path} was built with "
+                f"window={int(probe[0]['w'])}; this call uses "
+                f"window={w}. Hashes of different-length windows can "
+                "never match — rebuild the store or pass the store's "
+                "window.")
         if batch_id is not None and "batch_id" in store.columns:
             replayed = bool(store.filter(F.col("batch_id") == batch_id)
                             .limit(1).collect())
@@ -1193,7 +1212,7 @@ def incremental_dup_substring(spark, new_docs: DataFrame, store_path: str,
 
     if not replayed:
         (delta_counts
-         .select("h", "n",
+         .select("h", "n", F.lit(w).cast("int").alias("w"),
                  F.lit(batch_id).cast("string").alias("batch_id"))
          .write.mode("append").parquet(store_path))
 

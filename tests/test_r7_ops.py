@@ -160,6 +160,21 @@ def test_incremental_dup_substring_cross_batch_threshold(spark, tmp_path):
         c2["distinct_windows"]
 
 
+def test_incremental_dup_substring_window_mismatch_raises(spark, tmp_path):
+    """Review r7: a store bootstrapped at one window size must refuse a
+    delta at another — different-length n-gram hashes can never match,
+    which would silently void the cross-batch guarantee."""
+    import pytest
+    from asvsp_spark.operators.dedup import incremental_dup_substring
+    store = str(tmp_path / "w")
+    incremental_dup_substring(
+        spark, _docs(spark, [(1, "a b c d e f g h i")]), store, window=8)
+    with pytest.raises(ValueError, match="window=8"):
+        incremental_dup_substring(
+            spark, _docs(spark, [(2, "j k l m n o p q r")]), store,
+            window=4)
+
+
 def test_line_dedup_within_doc(spark):
     """Keep-first per document, order preserved, blanks dropped; the
     funnel counts must be computed against the ORIGINAL text (pins the
