@@ -396,6 +396,63 @@ def test_sq1_source_agnostic_over_kafka_wire(spark, monkeypatch, tmp_path):
     assert via_kafka == via_files and len(via_files) > 0
 
 
+@given(docs_lines=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", " ", ""]),
+             min_size=0, max_size=10),
+    min_size=1, max_size=6))
+@SET
+def test_line_dedup_property(spark, docs_lines):
+    """Property: keep-first over a tiny line alphabet (collisions and
+    blanks everywhere) equals the Python reference."""
+    from asvsp_spark.operators.dedup import line_dedup_docs
+    rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs_lines)]
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+           for r in line_dedup_docs(_docs(spark, rows)).collect()}
+    for d, text in rows:
+        lines = [x for x in text.split("\n") if x.strip()]
+        seen, kept = set(), []
+        for x in lines:
+            if x not in seen:
+                seen.add(x)
+                kept.append(x)
+        assert got[d] == ("\n".join(kept), len(lines),
+                          len(lines) - len(kept)), f"doc {d}"
+
+
+def test_kafka_wire_roundtrip_adversarial_strings(spark, monkeypatch,
+                                                  tmp_path):
+    """The wire contract must survive payloads that stress JSON
+    escaping: quotes, backslashes, newlines, unicode, embedded JSON in
+    props — every row recovers bit-exactly through the producer →
+    consumer chain."""
+    import pyspark.sql.functions as F  # noqa: F811
+    from asvsp_spark.streaming.source import (drain, kafka_stream,
+                                              kafka_wire_frame)
+
+    nasty = [
+        (1, "2024-03-01 10:15:00.000001", 7, 'click "quoted"', 1.5,
+         '{"k": "v", "n": [1, 2]}'),
+        (2, "2024-03-01 11:00:00.999999", 8, "line\nbreak\ttab", -0.0,
+         "back\\slash and § unicode ©"),
+        (3, "2024-03-01 12:00:00", 9, "", 1e-300, ""),
+        (4, "2024-03-01 13:00:00", 10, "emoji 🙂 and 中文", 2.5, "{}"),
+    ]
+    events = spark.createDataFrame(
+        nasty, "event_id long, ts string, user_id long, "
+               "event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    wire_path = _stage_wire(spark, tmp_path, kafka_wire_frame(events))
+    _intercept_kafka(spark, monkeypatch, wire_path)
+    stream = kafka_stream(spark, "b:9092", "events")
+    monkeypatch.undo()
+    got = sorted(map(tuple, drain(stream, spark,
+                                  output_mode="append").collect()))
+    want = sorted(map(tuple, events.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).collect()))
+    assert got == want
+
+
 @given(docs_toks=st.lists(
     st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14),
     min_size=1, max_size=8))
