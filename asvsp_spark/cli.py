@@ -147,6 +147,12 @@ def main(argv: list[str] | None = None) -> int:
                            "paragraph dedup (keep-first) before "
                            "document-level dedup — e.g. '\\n{2,}' for "
                            "real paragraph breaks")
+    cpip.add_argument("--line-dedup", action="store_true",
+                      help="within-document keep-first line dedup "
+                           "(RefinedWeb line-wise cleanup) between the "
+                           "paragraph pass and exact dedup; splits on "
+                           "--paragraph-delimiter when given, else "
+                           "newlines")
     cpip.add_argument("--audit", action="store_true",
                       help="also write OUT_DIR/drop_audit: one row per "
                            "raw doc with the first stage that dropped "
@@ -470,7 +476,8 @@ def main(argv: list[str] | None = None) -> int:
                                      paragraph_delimiter=(
                                          args.paragraph_delimiter),
                                      paragraph_joiner=_decode_escapes(
-                                         args.paragraph_joiner))
+                                         args.paragraph_joiner),
+                                     line_dedup=args.line_dedup)
         for stage, n in counts.items():
             print(f"{stage:16s} {n}")
         return 0

@@ -58,6 +58,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                         audit: bool = False,
                         paragraph_delimiter: str | None = None,
                         paragraph_joiner: str = "\n\n",
+                        line_dedup: bool = False,
                         ) -> dict[str, int]:
     """The LLM training-data preparation chain, end to end — what a user
     of this engine actually runs over a raw corpus:
@@ -80,6 +81,11 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                      any document-level dedup — the CCNet ordering, so
                      boilerplate-only differences collapse into exact
                      duplicates; emptied docs drop here,
+      2c. line dedup — with ``line_dedup=True``, the RefinedWeb
+                     within-document keep-first line cleanup (repeated
+                     nav/stutter) rewrites text in place at scan speed
+                     so stutter-only differences also collapse before
+                     exact dedup,
       3. exact dedup — keep the smallest doc_id per canonical-text
                      fingerprint,
       4. near dedup — candidate pairs from the ``near_dedup`` generator
@@ -216,6 +222,27 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                  .localCheckpoint(eager=False))
         counts["paragraph_deduped"] = gated.count()
         audit_stages.append(("paragraph_dedup", gated.select("doc_id")))
+
+    # 2c: within-document line dedup (opt-in) — the RefinedWeb line-wise
+    # cleanup, placed between the corpus-wide paragraph pass and exact
+    # dedup for the same collapsing reason: docs differing only in
+    # repeated-line stutter normalize to identical text here. Rewrites
+    # in place at scan speed (one projection, no shuffle); docs whose
+    # every line was a within-doc repeat of a blank stay non-empty by
+    # construction (keep-first always keeps the first), so no drop and
+    # the funnel count is carried for observability only.
+    if line_dedup:
+        from asvsp_spark.operators.dedup import line_dedup_docs
+        delim = (paragraph_delimiter
+                 if paragraph_delimiter is not None else r"\n")
+        cleaned = (line_dedup_docs(gated, delimiter=delim,
+                                   joiner=paragraph_joiner)
+                   .filter(F.col("text") != "")
+                   .select("doc_id", "text"))
+        gated = (gated.drop("text").join(cleaned, "doc_id")
+                 .localCheckpoint(eager=False))
+        counts["line_deduped"] = gated.count()
+        audit_stages.append(("line_dedup", gated.select("doc_id")))
 
     # 3: exact dedup — keepers only
     keepers = exact_dedup(gated).select(

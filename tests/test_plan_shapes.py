@@ -346,3 +346,32 @@ def test_paragraph_dedup_keeper_partial_aggregates(spark):
     assert "partial_min" in plan
     # and no window sort over the segment hash anywhere in the plan
     assert "Window" not in plan
+
+
+def test_dup_substring_runs_broadcasts_and_stays_banded(spark):
+    """r7 substring dedup: the hot-window membership must be a
+    broadcast LEFT SEMI (never a shuffled join of the occurrence
+    stream), the run-text extraction join must broadcast the runs side,
+    and nothing in the plan may be a cartesian/nested-loop product —
+    the no-all-pairs guarantee asserted structurally."""
+    from asvsp_spark.operators.dedup import dup_substring_runs
+    docs = tables.load(spark, SF_DIR, "documents")
+    plan = _plan(dup_substring_runs(docs))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # occurrence counting partially aggregates before its exchange
+    assert "partial_count" in plan
+
+
+def test_line_dedup_is_single_projection_no_shuffle(spark):
+    """r7 within-doc line dedup must run at scan speed: ONE projection,
+    no aggregate, no join, and no exchange beyond the small-file fanout
+    guard's round-robin."""
+    from asvsp_spark.operators.dedup import line_dedup_docs
+    docs = tables.load(spark, SF_DIR, "documents")
+    plan = _plan(line_dedup_docs(docs, delimiter=r"\s+the\s+"))
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert "Window" not in plan
+    # at most the fanout round-robin exchange, never a hash/range one
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan

@@ -200,6 +200,32 @@ def test_line_dedup_within_doc(spark):
         ("", 0, 0)
 
 
+def test_pipeline_line_dedup_stage(spark, tmp_path):
+    """Opt-in line-dedup stage (2c): funnel key present and monotone
+    with the surrounding stages, and the written corpus carries no
+    within-document repeated segment on the pipeline's delimiter."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from tests.conftest import SF_DIR
+    from asvsp_spark.pipeline import run_corpus_pipeline
+
+    out = str(tmp_path / "corpus_out")
+    counts = run_corpus_pipeline(
+        spark, SF_DIR, out, paragraph_delimiter=r"\s+the\s+",
+        line_dedup=True)
+    assert "line_deduped" in counts
+    assert counts["paragraph_deduped"] >= counts["line_deduped"] \
+        >= counts["exact_deduped"]
+    corpus = spark.read.parquet(f"{out}/corpus")
+    # no doc retains a within-doc repeated segment
+    repeats = corpus.select(
+        F.expr(r"size(filter(split(text, '\\s+the\\s+'), x -> trim(x) <> ''))"
+               ).alias("n"),
+        F.expr(r"size(array_distinct(filter(split(text, '\\s+the\\s+'), "
+               "x -> trim(x) <> '')))").alias("d")
+    ).filter(F.col("n") != F.col("d")).count()
+    assert repeats == 0
+
+
 def test_jsonl_roundtrip_and_corrupt_handling(spark, tmp_path):
     """JSONL source/sink: documents round-trip exactly; a corrupt line
     lands verbatim in _corrupt_record under PERMISSIVE and kills the
