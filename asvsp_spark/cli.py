@@ -148,11 +148,10 @@ def main(argv: list[str] | None = None) -> int:
                            "document-level dedup — e.g. '\\n{2,}' for "
                            "real paragraph breaks")
     cpip.add_argument("--line-dedup", action="store_true",
-                      help="within-document keep-first line dedup "
-                           "(RefinedWeb line-wise cleanup) between the "
-                           "paragraph pass and exact dedup; splits on "
-                           "--paragraph-delimiter when given, else "
-                           "newlines")
+                      help="within-document keep-first newline-line "
+                           "dedup (RefinedWeb line-wise cleanup), run "
+                           "before the paragraph pass; whitespace-only "
+                           "docs drop")
     cpip.add_argument("--audit", action="store_true",
                       help="also write OUT_DIR/drop_audit: one row per "
                            "raw doc with the first stage that dropped "

@@ -76,16 +76,18 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                      docs whose normalized token entropy
                      (functions/text.py token_entropy, shuffle-free)
                      falls below the absolute cutoff,
-      2b. paragraph dedup — with ``paragraph_delimiter`` set, strip
+      2b. line dedup — with ``line_dedup=True``, the RefinedWeb
+                     within-document keep-first line cleanup (repeated
+                     nav/stutter) rewrites text in place at scan speed
+                     on the documents' real '\\n' structure — first,
+                     so the paragraph rebuild below can never erase
+                     the newlines it splits on; whitespace-only docs
+                     empty out and drop here,
+      2c. paragraph dedup — with ``paragraph_delimiter`` set, strip
                      corpus-wide repeated segments (keep-first) before
                      any document-level dedup — the CCNet ordering, so
                      boilerplate-only differences collapse into exact
                      duplicates; emptied docs drop here,
-      2c. line dedup — with ``line_dedup=True``, the RefinedWeb
-                     within-document keep-first line cleanup (repeated
-                     nav/stutter) rewrites text in place at scan speed
-                     so stutter-only differences also collapse before
-                     exact dedup,
       3. exact dedup — keep the smallest doc_id per canonical-text
                      fingerprint,
       4. near dedup — candidate pairs from the ``near_dedup`` generator
@@ -122,7 +124,8 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
 
     With ``audit=True`` the build also writes ``{out_dir}/drop_audit``:
     one row per RAW document with the first stage that dropped it
-    (``dropped_at`` ∈ quality_gate / exact_dedup / near_dedup /
+    (``dropped_at`` ∈ quality_gate / line_dedup / paragraph_dedup /
+    exact_dedup / near_dedup /
     decontaminate / rebalance, or ``kept``) — the "why is my document
     not in the corpus?" provenance table. Cost: the per-stage id sets
     are already materialized for the funnel counts, so the audit adds
@@ -205,44 +208,45 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     counts["quality_gated"] = gated.count()
     audit_stages.append(("quality_gate", gated.select("doc_id")))
 
-    # 2b: paragraph-level dedup (opt-in) — the CCNet placement: strip
+    def _rewrite_stage(base, cleaned, count_key, audit_name):
+        """Shared in-place text-rewrite stage plumbing (2b/2c): docs the
+        rewrite emptied (all lines blank / every segment a repeat) drop
+        here, keeping the funnel monotone and letting the audit
+        attribute them to this stage."""
+        out = (base.drop("text")
+               .join(cleaned.filter(F.col("text") != "")
+                     .select("doc_id", "text"), "doc_id")
+               .localCheckpoint(eager=False))
+        counts[count_key] = out.count()
+        audit_stages.append((audit_name, out.select("doc_id")))
+        return out
+
+    # 2b: within-document line dedup (opt-in) — the RefinedWeb
+    # line-wise cleanup runs FIRST, on the documents' real newline
+    # structure with the operator's own '\n' split/join (paragraph
+    # options do not apply: this is a line operation, and running it
+    # before the paragraph rebuild means the rebuild can never erase
+    # the delimiters it needs). Docs differing only in repeated-line
+    # stutter normalize here, so they collapse into exact duplicates
+    # downstream; whitespace-only docs empty out and drop.
+    if line_dedup:
+        from asvsp_spark.operators.dedup import line_dedup_docs
+        gated = _rewrite_stage(gated, line_dedup_docs(gated),
+                               "line_deduped", "line_dedup")
+
+    # 2c: paragraph-level dedup (opt-in) — the CCNet placement: strip
     # corpus-wide repeated segments BEFORE document-level dedup, so
     # boilerplate-only differences collapse docs into exact duplicates
     # the next stage removes. Rewrites text in place (keep-first,
     # operators/dedup.py paragraph_dedup); docs whose every segment was
-    # a repeat empty out and are dropped here, so the funnel stays
-    # monotone and the audit attributes them to this stage.
+    # a repeat empty out and are dropped here.
     if paragraph_delimiter is not None:
         from asvsp_spark.operators.dedup import paragraph_dedup
-        cleaned = (paragraph_dedup(gated, delimiter=paragraph_delimiter,
-                                   joiner=paragraph_joiner)
-                   .filter(F.col("text") != "")
-                   .select("doc_id", "text"))
-        gated = (gated.drop("text").join(cleaned, "doc_id")
-                 .localCheckpoint(eager=False))
-        counts["paragraph_deduped"] = gated.count()
-        audit_stages.append(("paragraph_dedup", gated.select("doc_id")))
-
-    # 2c: within-document line dedup (opt-in) — the RefinedWeb line-wise
-    # cleanup, placed between the corpus-wide paragraph pass and exact
-    # dedup for the same collapsing reason: docs differing only in
-    # repeated-line stutter normalize to identical text here. Rewrites
-    # in place at scan speed (one projection, no shuffle); docs whose
-    # every line was a within-doc repeat of a blank stay non-empty by
-    # construction (keep-first always keeps the first), so no drop and
-    # the funnel count is carried for observability only.
-    if line_dedup:
-        from asvsp_spark.operators.dedup import line_dedup_docs
-        delim = (paragraph_delimiter
-                 if paragraph_delimiter is not None else r"\n")
-        cleaned = (line_dedup_docs(gated, delimiter=delim,
-                                   joiner=paragraph_joiner)
-                   .filter(F.col("text") != "")
-                   .select("doc_id", "text"))
-        gated = (gated.drop("text").join(cleaned, "doc_id")
-                 .localCheckpoint(eager=False))
-        counts["line_deduped"] = gated.count()
-        audit_stages.append(("line_dedup", gated.select("doc_id")))
+        gated = _rewrite_stage(
+            gated,
+            paragraph_dedup(gated, delimiter=paragraph_delimiter,
+                            joiner=paragraph_joiner),
+            "paragraph_deduped", "paragraph_dedup")
 
     # 3: exact dedup — keepers only
     keepers = exact_dedup(gated).select(

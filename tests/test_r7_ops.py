@@ -201,29 +201,55 @@ def test_line_dedup_within_doc(spark):
 
 
 def test_pipeline_line_dedup_stage(spark, tmp_path):
-    """Opt-in line-dedup stage (2c): funnel key present and monotone
-    with the surrounding stages, and the written corpus carries no
-    within-document repeated segment on the pipeline's delimiter."""
+    """Opt-in line-dedup stage (2b) on a crafted newline corpus: the
+    stage runs on the documents' REAL '\\n' structure before the
+    paragraph pass, duplicate lines vanish from the written corpus,
+    single newlines in clean docs survive untouched (the joiner is the
+    operator's own '\\n', never the paragraph joiner), a
+    whitespace-only doc drops and is attributed to line_dedup in the
+    audit, and the funnel stays monotone."""
+    import shutil
     from pyspark.sql import functions as F  # noqa: F811
     from tests.conftest import SF_DIR
     from asvsp_spark.pipeline import run_corpus_pipeline
 
+    # crafted sf_dir: real documents replaced by a newline-bearing
+    # corpus; per-doc filler keeps the docs textually distinct so the
+    # near-dedup stage downstream cannot collapse them
+    def filler(d):
+        return " ".join(f"d{d}w{i} and of to in on for with"
+                        for i in range(6))
+
+    sf = str(tmp_path / "sf")
+    import os
+    os.makedirs(sf)
+    f1, f2, f4 = filler(1), filler(2), filler(4)
+    spark.createDataFrame(
+        [(1, f"{f1} alpha\ndup line {f1}\ndup line {f1}\n{f1} omega",
+          "web", "en"),
+         (2, f"{f2} one\n{f2} two", "web", "en"),   # clean
+         (3, "   \n  \n ", "web", "en"),            # whitespace-only
+         (4, f"{f4} solo", "web", "en")],
+        "doc_id long, text string, source string, lang string"
+    ).withColumn("n_chars", F.length("text").cast("long")) \
+     .write.parquet(f"{sf}/documents.parquet")
+
     out = str(tmp_path / "corpus_out")
-    counts = run_corpus_pipeline(
-        spark, SF_DIR, out, paragraph_delimiter=r"\s+the\s+",
-        line_dedup=True)
-    assert "line_deduped" in counts
-    assert counts["paragraph_deduped"] >= counts["line_deduped"] \
+    counts = run_corpus_pipeline(spark, sf, out, quality_pct=0.0,
+                                 line_dedup=True, audit=True)
+    assert counts["line_deduped"] == 3          # doc 3 dropped
+    assert counts["quality_gated"] >= counts["line_deduped"] \
         >= counts["exact_deduped"]
-    corpus = spark.read.parquet(f"{out}/corpus")
-    # no doc retains a within-doc repeated segment
-    repeats = corpus.select(
-        F.expr(r"size(filter(split(text, '\\s+the\\s+'), x -> trim(x) <> ''))"
-               ).alias("n"),
-        F.expr(r"size(array_distinct(filter(split(text, '\\s+the\\s+'), "
-               "x -> trim(x) <> '')))").alias("d")
-    ).filter(F.col("n") != F.col("d")).count()
-    assert repeats == 0
+    corpus = {r["doc_id"]: r["text"]
+              for r in spark.read.parquet(f"{out}/corpus").collect()}
+    # duplicate line removed from doc 1, first kept, order preserved
+    assert corpus[1].count("dup line") == 1
+    # clean doc's single newline untouched (not doubled by any joiner)
+    assert corpus[2] == f"{f2} one\n{f2} two"
+    assert 3 not in corpus
+    audit = {r["doc_id"]: r["dropped_at"]
+             for r in spark.read.parquet(f"{out}/drop_audit").collect()}
+    assert audit[3] == "line_dedup" and audit[2] == "kept"
 
 
 def test_jsonl_roundtrip_and_corrupt_handling(spark, tmp_path):
