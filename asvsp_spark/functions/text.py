@@ -226,11 +226,16 @@ PII_PATTERNS: dict[str, str] = {
     # lookbehind, so the "(?<!\d)(?<!\d\.)" guard (a 3-3-4 run embedded
     # in a longer DOTTED number like '1.234.567.8901' is not a phone)
     # is expressed as a consumed one-char context group instead:
-    # start-of-string, any char that is neither digit nor dot, or a dot
-    # itself preceded by a non-digit ('call.555-...' still matches).
-    # Group 2 is the phone; scrubbing must keep group 1 — see
-    # pii_replacement for the per-engine template.
-    "phone": r"(^|[^.\d]|[^\d]\.)(\+?\b\d{3}[-. ]\d{3}[-. ]\d{4})\b",
+    # start-of-string, any char that is neither digit nor dot, a dot
+    # preceded by a non-digit ('call.555-...' still matches), or a dot
+    # AT string start ('.555-...' — the r7 guard under-redacted it).
+    # The sole deliberate residual is the digit-dot prefix
+    # ('1.555-123-4567'): indistinguishable from a segment of a longer
+    # dotted number without lookbehind, and under-redacting that one
+    # shape is the price of not redacting version strings/IP-adjacent
+    # ids wholesale. Group 2 is the phone; scrubbing must keep group 1
+    # — see pii_replacement for the per-engine template.
+    "phone": r"(^|[^.\d]|[^\d]\.|^\.)(\+?\b\d{3}[-. ]\d{3}[-. ]\d{4})\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
 

@@ -1142,7 +1142,20 @@ def incremental_dup_substring(spark, new_docs: DataFrame, store_path: str,
     Same batch_id replay contract as ``incremental_paragraph_dedup``:
     stamped batches exclude their own rows from the store side and
     skip the re-append, so a replayed delta reproduces the first run.
+    Calling without a batch_id WARNS (r7 advice): the un-stamped replay
+    failure mode is a silent THRESHOLD change (every replayed window
+    double-counts, so windows go hot at half the intended min_count),
+    worse than duplicate rows — stamp every production delta.
     """
+    if batch_id is None:
+        import warnings
+        warnings.warn(
+            "incremental_dup_substring called without batch_id: a "
+            "replay of this delta (e.g. after a failed downstream "
+            "write) appends its window counts to the store AGAIN, "
+            "silently halving the effective hot threshold. Pass a "
+            "stable batch_id per delta for idempotent replays.",
+            stacklevel=2)
     w, mc = int(window), int(min_count)
     toks, wins_arr = _window_hash_arrays(new_docs, w, id_col, text_col,
                                          checkpoint_toks=True)
@@ -1228,15 +1241,28 @@ def incremental_dup_substring(spark, new_docs: DataFrame, store_path: str,
 
 def line_dedup_docs(documents: DataFrame, delimiter: str = r"\n",
                     joiner: str = "\n", id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    preserve_blanks: bool = False) -> DataFrame:
     """WITHIN-document duplicate-line removal (the RefinedWeb/Gopher
     line-wise cleanup: repeated nav items, echoed headers, chat-log
     stutter): keep the FIRST occurrence of each distinct non-blank
     line inside each document, preserve order, rejoin with ``joiner``.
-    Output: (id_col, text, n_lines, n_removed). The between-document
-    complement is ``paragraph_dedup`` (corpus-wide keep-first);
+    Output: (id_col, text, n_lines, n_removed) — n_lines counts the
+    non-blank lines. The between-document complement is
+    ``paragraph_dedup`` (corpus-wide keep-first);
     ``repetition_features`` computes the filter SIGNALS where this is
     the repair.
+
+    ``preserve_blanks=False`` (default) drops blank lines — the lean
+    single-pass cleanup when no downstream stage reads document
+    structure. ``preserve_blanks=True`` keeps every blank line in
+    place (deduping only the non-blank ones), so blank-separator
+    structure like the ``'\\n{2,}'`` paragraph boundaries SURVIVES the
+    rewrite — required when paragraph-level dedup runs afterwards (the
+    r7-advice pipeline bug: the blank-dropping rejoin erased every
+    paragraph boundary before stage 2c, silently disabling it). A doc
+    with no non-blank lines still empties to '' under either mode, so
+    whitespace-only docs drop at the same funnel stage.
 
     Shape: one projection, zero shuffles — the keep-first is a pure
     array expression (a line survives iff its first index equals its
@@ -1248,9 +1274,23 @@ def line_dedup_docs(documents: DataFrame, delimiter: str = r"\n",
     same first-index predicate; DuckDB lambda indexes are 1-based
     where Spark's are 0-based — the oracle shifts), so fully
     oracle-checkable."""
-    lines = F.filter(F.split(F.col(text_col), delimiter),
-                     lambda x: F.trim(x) != "")
-    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
+    raw = F.split(F.col(text_col), delimiter)
+    lines = F.filter(raw, lambda x: F.trim(x) != "")
+    if preserve_blanks:
+        # blanks pass through untouched; a non-blank survives iff it is
+        # the first occurrence among ALL lines (blank positions can
+        # never equal a non-blank line, so first-match-in-raw works)
+        kept = F.filter(
+            raw, lambda x, i: (F.trim(x) == "")
+            | (F.array_position(raw, x) == i + 1))
+        rebuilt = F.when(F.size(lines) == 0, F.lit("")) \
+            .otherwise(F.array_join(kept, joiner))
+    else:
+        kept = F.filter(lines,
+                        lambda x, i: F.array_position(lines, x) == i + 1)
+        rebuilt = F.array_join(kept, joiner)
+    n_kept = F.size(F.filter(kept, lambda x: F.trim(x) != "")) \
+        if preserve_blanks else F.size(kept)
     # the rebuilt text takes a TEMP name inside the projection: aliasing
     # an output to the same name as the input column it reads corrupts
     # SIBLING expressions that also read that input (measured: a select
@@ -1258,9 +1298,9 @@ def line_dedup_docs(documents: DataFrame, delimiter: str = r"\n",
     # against the cleaned value for some rows) — rename after.
     return (fanout(documents).select(
         F.col(id_col),
-        F.array_join(kept, joiner).alias("_cleaned"),
+        rebuilt.alias("_cleaned"),
         F.size(lines).cast("int").alias("n_lines"),
-        (F.size(lines) - F.size(kept)).cast("int").alias("n_removed"))
+        (F.size(lines) - n_kept).cast("int").alias("n_removed"))
         .withColumnRenamed("_cleaned", text_col))
 
 
@@ -1399,8 +1439,18 @@ def incremental_paragraph_dedup(spark, new_docs: DataFrame,
     an already-stamped batch skips the re-append (the funnel counts
     and the rebuilt corpus come out identical to the first run).
     Without a batch_id the operator is first-write-wins and the caller
-    owns replay hygiene (documented here per the r6 advice).
+    owns replay hygiene (documented here per the r6 advice); such
+    calls WARN (r7 advice) because the un-stamped replay failure mode
+    — every delta document rebuilt empty — is silent until downstream.
     """
+    if batch_id is None:
+        import warnings
+        warnings.warn(
+            "incremental_paragraph_dedup called without batch_id: a "
+            "replay of this delta finds every segment already 'known' "
+            "and rebuilds all its documents EMPTY. Pass a stable "
+            "batch_id per delta for idempotent replays.",
+            stacklevel=2)
     # one eager checkpoint each: segs feeds four consumers (two counts,
     # the winner grouping, the rebuild join) and winners feeds three —
     # without pinning them the full delta lineage re-runs per action
@@ -1694,9 +1744,22 @@ def stitch_documents(documents: DataFrame, k: int = 3, max_df: int = 64,
                 columns=["chain_id", "doc_ids", "text", "n_docs",
                          "refused"])
         order = [conv(heads[0])]
-        while not is_end(nxt[order[-1]]):
-            order.append(conv(nxt[order[-1]]))
-        refused = len(order) > mc
+        # defensive termination bound: the unique-successor/predecessor
+        # semi-joins upstream guarantee each component is a simple path,
+        # so the walk can never visit more vertices than the component
+        # holds — but a regression in those filters (or in the CC step)
+        # must surface as a refused row, not an executor-hanging
+        # infinite loop or a KeyError. Free: pdf is already in memory.
+        broken = False
+        while True:
+            nv = nxt.get(order[-1], None if not integral else -1)
+            if is_end(nv):
+                break
+            if len(order) >= len(pdf):   # would revisit: cycle/regression
+                broken = True
+                break
+            order.append(conv(nv))
+        refused = broken or len(order) > mc
         if refused:
             text = ""
         else:

@@ -81,8 +81,11 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                      nav/stutter) rewrites text in place at scan speed
                      on the documents' real '\\n' structure — first,
                      so the paragraph rebuild below can never erase
-                     the newlines it splits on; whitespace-only docs
-                     empty out and drop here,
+                     the newlines it splits on; when paragraph dedup
+                     is ALSO requested the rewrite preserves blank
+                     lines in place (preserve_blanks) so stage 2c's
+                     '\\n{2,}' boundaries survive; whitespace-only
+                     docs empty out and drop here,
       2c. paragraph dedup — with ``paragraph_delimiter`` set, strip
                      corpus-wide repeated segments (keep-first) before
                      any document-level dedup — the CCNet ordering, so
@@ -229,10 +232,19 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     # the delimiters it needs). Docs differing only in repeated-line
     # stutter normalize here, so they collapse into exact duplicates
     # downstream; whitespace-only docs empty out and drop.
+    # With paragraph dedup ALSO requested, blank lines are preserved in
+    # place (preserve_blanks) so the '\n{2,}'-style boundaries stage 2c
+    # splits on survive this rewrite — without it the blank-dropping
+    # '\n' rejoin collapses every doc into ONE paragraph segment and
+    # stage 2c silently removes nothing (the r7 advice finding; the
+    # combined-flag pipeline test pins the fix).
     if line_dedup:
         from asvsp_spark.operators.dedup import line_dedup_docs
-        gated = _rewrite_stage(gated, line_dedup_docs(gated),
-                               "line_deduped", "line_dedup")
+        gated = _rewrite_stage(
+            gated,
+            line_dedup_docs(gated,
+                            preserve_blanks=paragraph_delimiter is not None),
+            "line_deduped", "line_dedup")
 
     # 2c: paragraph-level dedup (opt-in) — the CCNet placement: strip
     # corpus-wide repeated segments BEFORE document-level dedup, so

@@ -1889,9 +1889,11 @@ def _incremental_substring_runs(spark, sf):
     shutil.rmtree(scratch, ignore_errors=True)
     store = scratch + "/wins"
     incremental_dup_substring(
-        spark, docs.filter(F.col("doc_id") % 2 == 0), store)
+        spark, docs.filter(F.col("doc_id") % 2 == 0), store,
+        batch_id="phase1")
     runs, _ = incremental_dup_substring(
-        spark, docs.filter(F.col("doc_id") % 2 == 1), store)
+        spark, docs.filter(F.col("doc_id") % 2 == 1), store,
+        batch_id="phase2")
     return runs
 
 
@@ -1919,7 +1921,8 @@ def _incremental_paragraph_report(spark, sf):
             (1, docs.filter(F.col("doc_id") % 2 == 0)),
             (2, docs.filter(F.col("doc_id") % 2 == 1))):
         _docs, c = incremental_paragraph_dedup(
-            spark, batch, store, delimiter=r"\s+the\s+")
+            spark, batch, store, delimiter=r"\s+the\s+",
+            batch_id=f"phase{phase}")
         out.append((phase, c["n_segments"], c["within_batch_repeats"],
                     c["known_segments"], c["fresh_segments"]))
     return spark.createDataFrame(

@@ -51,7 +51,8 @@ def test_phone_pattern_boundary_guards(spark):
         ("1.234.567.8901", 0),             # r6 residual: digit-dot prefix
         ("fee 1.234.567.8901 fie", 0),     # same, embedded in prose
         ("call.555-123-4567", 1),          # sentence dot is not a digit run
-        (".555-123-4567", 0),              # bare leading dot: no context
+        (".555-123-4567", 1),              # string-leading dot (r8 fix)
+        ("1.555-123-4567", 0),             # the sole deliberate residual
     ]
     df = spark.createDataFrame(
         [(i, t) for i, (t, _) in enumerate(cases)], "i long, t string")
