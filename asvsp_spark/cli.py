@@ -152,6 +152,15 @@ def main(argv: list[str] | None = None) -> int:
                            "dedup (RefinedWeb line-wise cleanup), run "
                            "before the paragraph pass; whitespace-only "
                            "docs drop")
+    cpip.add_argument("--substring-dedup", action="store_true",
+                      help="Lee-et-al substring pass (stage 2d): every "
+                           "duplicated run of >= --substring-window "
+                           "tokens keeps its first occurrence corpus-"
+                           "wide, the rest are stripped; fully-"
+                           "duplicated docs drop")
+    cpip.add_argument("--substring-window", type=int, default=8,
+                      help="minimum duplicated-substring length in "
+                           "tokens for --substring-dedup")
     cpip.add_argument("--audit", action="store_true",
                       help="also write OUT_DIR/drop_audit: one row per "
                            "raw doc with the first stage that dropped "
@@ -476,7 +485,9 @@ def main(argv: list[str] | None = None) -> int:
                                          args.paragraph_delimiter),
                                      paragraph_joiner=_decode_escapes(
                                          args.paragraph_joiner),
-                                     line_dedup=args.line_dedup)
+                                     line_dedup=args.line_dedup,
+                                     substring_dedup=args.substring_dedup,
+                                     substring_window=args.substring_window)
         for stage, n in counts.items():
             print(f"{stage:16s} {n}")
         return 0

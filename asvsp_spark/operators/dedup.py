@@ -1108,6 +1108,56 @@ def dup_substring_table(documents: DataFrame, window: int = 8,
             .filter(F.col("n_occurrences") >= int(min_count)))
 
 
+def remove_dup_substring_runs(documents: DataFrame, runs: DataFrame,
+                              keep: str = "first",
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Apply a ``dup_substring_runs`` report with KEEP-ONE-OCCURRENCE
+    semantics (Lee et al. ACL'22 keep one copy of each duplicated
+    substring, unlike ``remove_dup_spans``' strip-every-occurrence
+    boilerplate policy): per full-text fingerprint, the canonical
+    occurrence — smallest (doc id, span_start) — survives; every OTHER
+    occurrence's token span is stripped. Output: (id_col, text,
+    n_tokens_removed), one row per input document, untouched docs
+    byte-identical (remove_dup_spans' contract — this operator only
+    computes the loser-span plan and delegates the surgery).
+
+    ``keep``: ``'first'`` (default) keeps the canonical occurrence;
+    ``'none'`` strips EVERY occurrence — the policy for an INCREMENTAL
+    delta whose runs came from ``incremental_dup_substring``, where the
+    canonical copy lives in a prior batch already in the corpus (the
+    runs frames share one schema, so both paths compose directly).
+
+    Conservative edge: runs whose fingerprint occurs ONCE (a duplicated
+    window stretch whose maximal extent disagrees across sites —
+    misaligned surroundings) are left in place under 'first': with no
+    verified second copy of the full run text, deleting would risk the
+    only occurrence. They still surface in ``dup_spans`` for the
+    strip-everything policy. When a kept span overlaps a different
+    fingerprint's loser span in the same document, the overlap tokens
+    are removed (span union semantics, same as remove_dup_spans).
+
+    Shape: keeper election is a partial-aggregatable min(struct) on the
+    (small) runs frame — no window sort, no skew concentration however
+    many occurrences one fingerprint has; the loser join back is
+    many-to-one on fp. The corpus-scale work stays inside
+    remove_dup_spans (one array projection per doc).
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if keep == "none":
+        losers = runs.select(id_col, "span_start", "span_end")
+    else:
+        keeper = runs.groupBy("fp").agg(
+            F.min(F.struct(F.col(id_col).alias("d"),
+                           F.col("span_start").alias("s"))).alias("k"))
+        losers = (runs.join(keeper, "fp")
+                  .filter(~((F.col(id_col) == F.col("k.d"))
+                            & (F.col("span_start") == F.col("k.s"))))
+                  .select(id_col, "span_start", "span_end"))
+    return remove_dup_spans(documents, losers, id_col, text_col)
+
+
 def incremental_dup_substring(spark, new_docs: DataFrame, store_path: str,
                               window: int = 8, min_count: int = 2,
                               id_col: str = "doc_id",

@@ -59,6 +59,8 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                         paragraph_delimiter: str | None = None,
                         paragraph_joiner: str = "\n\n",
                         line_dedup: bool = False,
+                        substring_dedup: bool = False,
+                        substring_window: int = 8,
                         ) -> dict[str, int]:
     """The LLM training-data preparation chain, end to end — what a user
     of this engine actually runs over a raw corpus:
@@ -91,6 +93,19 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                      any document-level dedup — the CCNet ordering, so
                      boilerplate-only differences collapse into exact
                      duplicates; emptied docs drop here,
+      2d. substring dedup — with ``substring_dedup=True``, the Lee-
+                     et-al pass: every duplicated substring of length
+                     >= ``substring_window`` tokens keeps its FIRST
+                     occurrence corpus-wide and loses the rest
+                     (operators/dedup.py dup_substring_runs ->
+                     remove_dup_substring_runs) — the finest-grained
+                     rewrite stage, catching verbatim duplication that
+                     crosses paragraph boundaries; docs that were
+                     entirely duplicated spans empty out and drop.
+                     For incremental cadences the same removal
+                     composes with ``incremental_dup_substring``'s
+                     runs (keep='none': the canonical copy lives in a
+                     prior batch),
       3. exact dedup — keep the smallest doc_id per canonical-text
                      fingerprint,
       4. near dedup — candidate pairs from the ``near_dedup`` generator
@@ -128,7 +143,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     With ``audit=True`` the build also writes ``{out_dir}/drop_audit``:
     one row per RAW document with the first stage that dropped it
     (``dropped_at`` ∈ quality_gate / line_dedup / paragraph_dedup /
-    exact_dedup / near_dedup /
+    substring_dedup / exact_dedup / near_dedup /
     decontaminate / rebalance, or ``kept``) — the "why is my document
     not in the corpus?" provenance table. Cost: the per-stage id sets
     are already materialized for the funnel counts, so the audit adds
@@ -259,6 +274,20 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
             paragraph_dedup(gated, delimiter=paragraph_delimiter,
                             joiner=paragraph_joiner),
             "paragraph_deduped", "paragraph_dedup")
+
+    # 2d: substring-level keep-one dedup (opt-in) — the finest rewrite:
+    # duplicated runs of >= substring_window tokens keep their first
+    # occurrence corpus-wide, every other occurrence is stripped. Runs
+    # AFTER the structural passes (a stripped paragraph must not also
+    # count as a substring occurrence) and before exact dedup (shorn
+    # docs may now collapse into exact duplicates).
+    if substring_dedup:
+        from asvsp_spark.operators.dedup import (dup_substring_runs,
+                                                 remove_dup_substring_runs)
+        runs = dup_substring_runs(gated, window=substring_window)
+        gated = _rewrite_stage(
+            gated, remove_dup_substring_runs(gated, runs),
+            "substring_deduped", "substring_dedup")
 
     # 3: exact dedup — keepers only
     keepers = exact_dedup(gated).select(

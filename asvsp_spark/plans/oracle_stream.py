@@ -392,3 +392,36 @@ SELECT g AS event_type, day,
        s IS NULL AS filled
 FROM joined
 """
+
+# Spark side: gapfill(grain='week', fill='locf') — same construction at
+# the ISO week bucket: date_trunc('week') is Monday-anchored in BOTH
+# engines, and the spine steps a calendar week at a time.
+ORACLE_STREAM["gapfill_weekly_values"] = r"""
+WITH weekly AS (
+    SELECT event_type AS g, date_trunc('week', ts) AS week,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT date_trunc('week', min(ts)) AS h0,
+           date_trunc('week', max(ts)) AS h1
+    FROM events
+),
+spine AS (
+    SELECT g, unnest(generate_series(h0, h1, INTERVAL 1 WEEK)) AS week
+    FROM bounds, (SELECT DISTINCT event_type AS g FROM events)
+),
+joined AS (
+    SELECT sp.g, sp.week, h.s, h.n_events,
+           round(h.s / 100.0 / h.n_events * 10000) / 10000.0 AS avg_raw
+    FROM spine sp LEFT JOIN weekly h ON h.g = sp.g AND h.week = sp.week
+)
+SELECT g AS event_type, week,
+       last_value(avg_raw IGNORE NULLS) OVER (
+           PARTITION BY g ORDER BY week
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+       coalesce(n_events, 0) AS n_events,
+       s IS NULL AS filled
+FROM joined
+"""

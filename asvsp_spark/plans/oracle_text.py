@@ -1147,6 +1147,45 @@ SELECT doc_id,
 FROM kept
 """
 
+# Spark side: operators/dedup.py remove_dup_substring_runs over the
+# dup_substring_runs report (registry: keep='first') — per fingerprint
+# the smallest (doc_id, span_start) occurrence survives, every other
+# occurrence's span is stripped; the removal surgery is the same list
+# comprehension as dedup_spans_removed. row_number rn=1 here equals
+# Spark's partial-aggregatable min(struct(doc, span_start)) because
+# (doc_id, span_start) is unique within a fingerprint (runs are
+# disjoint per doc).
+ORACLE_TEXT["dedup_substring_removed"] = _DUP_SUBSTR_CTE + r""",
+losers AS (
+    SELECT doc_id, span_start, span_end FROM (
+        SELECT doc_id, span_start, span_end,
+               row_number() OVER (PARTITION BY fp
+                                  ORDER BY doc_id, span_start) AS rn
+        FROM occ) WHERE rn > 1
+),
+sp AS (
+    SELECT doc_id,
+           list({'s': span_start, 'e': span_end}) AS spans
+    FROM losers GROUP BY doc_id
+),
+kept AS (
+    SELECT t.doc_id, sp.doc_id IS NULL AS untouched, d.text AS orig,
+           [t.t[i] FOR i IN range(1, len(t.t) + 1)
+            IF sp.doc_id IS NULL OR len(list_filter(sp.spans,
+                s -> i >= s.s AND i <= s.e)) = 0] AS kt,
+           len(t.t) AS n_all
+    FROM toks t
+    LEFT JOIN sp ON t.doc_id = sp.doc_id
+    JOIN documents d ON d.doc_id = t.doc_id
+)
+SELECT doc_id,
+       CASE WHEN untouched THEN orig
+            ELSE coalesce(array_to_string(kt, ' '), '') END AS text,
+       CAST(CASE WHEN untouched THEN 0
+            ELSE n_all - len(kt) END AS INT) AS n_tokens_removed
+FROM kept
+"""
+
 # Spark side: operators/sharding.py shard_assignments / shard_manifest
 # (registry: n_shards=16, salt 'shard42'; manifest entry uses the
 # token-balanced LPT mode). pk is the 64-bit md5-hex permutation key,

@@ -1713,6 +1713,21 @@ def _dedup_spans_removed(spark, sf):
             .filter(F.length("text") >= 0))
 
 
+@register("dedup_substring_removed")
+def _dedup_substring_removed(spark, sf):
+    """Keep-one-occurrence substring dedup APPLIED (pipeline stage 2d,
+    new r8): the corpus with every non-canonical duplicated run of
+    >= 8 tokens stripped — remove_dup_substring_runs over the
+    dup_substring_runs report, full cleaned text hash-checked."""
+    from asvsp_spark.operators.dedup import (dup_substring_runs,
+                                             remove_dup_substring_runs)
+    docs = _t(spark, sf, "documents")
+    # the filter keeps the rebuilt-text projection visible to bench's
+    # .count() (the dedup_spans_removed trick)
+    return (remove_dup_substring_runs(docs, dup_substring_runs(docs))
+            .filter(F.length("text") >= 0))
+
+
 @register("token_budget_stats")
 def _token_budget_stats(spark, sf):
     """Whitespace vs BPE-ish pre-token counts per doc — the cheap
@@ -2012,3 +2027,14 @@ def _gapfill_daily_values(spark, sf):
     arithmetic at a calendar grain)."""
     from asvsp_spark.operators.asof import gapfill
     return gapfill(_t(spark, sf, "events"), grain="day")
+
+
+@register("gapfill_weekly_values")
+def _gapfill_weekly_values(spark, sf):
+    """Week-grain gap-fill with LOCF (new r8) — pins ISO-week
+    bucketing cross-engine: date_trunc('week') truncates to MONDAY in
+    both engines, and the spine steps in 7-day intervals from the
+    corpus-min week. Exactly the calendar-landmine class the day grain
+    tripped on DST in r6."""
+    from asvsp_spark.operators.asof import gapfill
+    return gapfill(_t(spark, sf, "events"), grain="week")

@@ -103,3 +103,125 @@ def test_incremental_store_ops_warn_without_batch_id(spark, tmp_path):
                                   batch_id="b1")[0].count()
         incremental_paragraph_dedup(spark, docs, str(tmp_path / "segs2"),
                                     batch_id="b1")[0].count()
+
+
+RUN10 = " ".join(f"r{i}" for i in range(1, 11))   # a 10-token run
+
+
+def _sub_docs(spark):
+    return spark.createDataFrame([
+        (1, f"a1 a2 a3 {RUN10} b1 b2"),      # canonical site (doc 1, p4)
+        (2, f"c1 c2 {RUN10} d1"),            # loser at p3
+        (3, f"{RUN10} e1 {RUN10}"),          # two loser sites in one doc
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),   # untouched
+    ], "doc_id long, text string")
+
+
+def test_remove_dup_substring_runs_keep_first(spark):
+    """Per fingerprint the smallest (doc, span_start) occurrence
+    survives; every other occurrence is stripped; untouched docs pass
+    through byte-identical."""
+    from asvsp_spark.operators.dedup import (dup_substring_runs,
+                                             remove_dup_substring_runs)
+    docs = _sub_docs(spark)
+    out = {r["doc_id"]: r for r in remove_dup_substring_runs(
+        docs, dup_substring_runs(docs)).collect()}
+    assert out[1]["text"] == f"a1 a2 a3 {RUN10} b1 b2"   # keeper intact
+    assert out[1]["n_tokens_removed"] == 0
+    assert (out[2]["text"], out[2]["n_tokens_removed"]) == ("c1 c2 d1", 10)
+    assert (out[3]["text"], out[3]["n_tokens_removed"]) == ("e1", 20)
+    assert out[4]["text"] == "u1 u2 u3 u4 u5 u6 u7 u8 u9"
+
+
+def test_remove_dup_substring_runs_keep_none(spark):
+    """keep='none' strips EVERY occurrence — the incremental-delta
+    policy where the canonical copy lives in a prior batch; composes
+    with incremental_dup_substring's runs frame (same schema)."""
+    from asvsp_spark.operators.dedup import (dup_substring_runs,
+                                             remove_dup_substring_runs)
+    docs = _sub_docs(spark)
+    runs = dup_substring_runs(docs)
+    out = {r["doc_id"]: r["text"] for r in remove_dup_substring_runs(
+        docs, runs, keep="none").collect()}
+    assert out[1] == "a1 a2 a3 b1 b2"      # canonical stripped too
+    assert out[2] == "c1 c2 d1" and out[3] == "e1"
+    with pytest.raises(ValueError, match="keep must be"):
+        remove_dup_substring_runs(docs, runs, keep="all")
+
+
+def test_remove_composes_with_incremental_runs(spark, tmp_path):
+    """The incremental path: a delta's runs (detected against the
+    store) drive keep='none' removal over the delta — the canonical
+    copies live in batch 1, so batch 2 keeps nothing of the run."""
+    from asvsp_spark.operators.dedup import (incremental_dup_substring,
+                                             remove_dup_substring_runs)
+    store = str(tmp_path / "wins")
+    b1 = spark.createDataFrame(
+        [(1, f"a1 a2 {RUN10}")], "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(10, f"z1 {RUN10} z2")], "doc_id long, text string")
+    incremental_dup_substring(spark, b1, store, batch_id="b1")
+    runs, counts = incremental_dup_substring(spark, b2, store,
+                                             batch_id="b2")
+    assert counts["hot_windows"] == 3      # 10-token run, w=8 -> 3 wins
+    out = remove_dup_substring_runs(b2, runs, keep="none").collect()
+    assert (out[0]["text"], out[0]["n_tokens_removed"]) == ("z1 z2", 10)
+
+
+def test_gapfill_week_grain_iso_monday(spark):
+    """Week-grain gap-fill pins ISO-week bucketing: a Sunday event
+    lands in the PRIOR Monday's bucket, the spine steps calendar weeks,
+    and LOCF carries across empty weeks. 2001-01-07 is a Sunday;
+    2001-01-01 is a Monday."""
+    from asvsp_spark.operators.asof import gapfill
+    ev = spark.createDataFrame(
+        [("a", "2001-01-07 10:00:00", 2.0),     # Sunday -> week of 1/1
+         ("a", "2001-01-22 00:00:00", 6.0)],    # Monday, two weeks on
+        "event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {str(r["week"]): r for r in
+            gapfill(ev, grain="week").collect()}
+    assert sorted(rows) == ["2001-01-01 00:00:00", "2001-01-08 00:00:00",
+                            "2001-01-15 00:00:00", "2001-01-22 00:00:00"]
+    assert rows["2001-01-01 00:00:00"]["avg_value"] == 2.0
+    assert rows["2001-01-08 00:00:00"]["filled"] is True
+    assert rows["2001-01-08 00:00:00"]["avg_value"] == 2.0   # LOCF
+    assert rows["2001-01-22 00:00:00"]["avg_value"] == 6.0
+
+
+def test_pipeline_substring_dedup_stage(spark, tmp_path):
+    """Opt-in stage 2d: the duplicated run keeps its first occurrence
+    corpus-wide, a fully-duplicated doc empties and drops with audit
+    attribution, and the funnel stays monotone."""
+    import os
+    from asvsp_spark.pipeline import run_corpus_pipeline
+
+    def filler(d):
+        return " ".join(f"d{d}w{i} and of to in on for with"
+                        for i in range(6))
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    f1, f2 = filler(1), filler(2)
+    spark.createDataFrame(
+        [(1, f"{f1} {RUN10} {f1} tail", "web", "en"),
+         (2, f"{f2} head {RUN10} {f2}", "web", "en"),
+         (5, RUN10, "web", "en")],          # entirely the duplicated run
+        "doc_id long, text string, source string, lang string"
+    ).withColumn("n_chars", F.length("text").cast("long")) \
+     .write.parquet(f"{sf}/documents.parquet")
+
+    out = str(tmp_path / "corpus_out")
+    counts = run_corpus_pipeline(spark, sf, out, quality_pct=0.0,
+                                 substring_dedup=True, audit=True)
+    assert counts["substring_deduped"] == 2            # doc 5 dropped
+    assert counts["quality_gated"] >= counts["substring_deduped"] \
+        >= counts["exact_deduped"]
+    corpus = {r["doc_id"]: r["text"]
+              for r in spark.read.parquet(f"{out}/corpus").collect()}
+    assert RUN10 in corpus[1]              # canonical copy survives
+    assert RUN10 not in corpus[2]
+    assert 5 not in corpus
+    audit = {r["doc_id"]: r["dropped_at"]
+             for r in spark.read.parquet(f"{out}/drop_audit").collect()}
+    assert audit[5] == "substring_dedup" and audit[1] == "kept"
