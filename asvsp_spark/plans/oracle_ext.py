@@ -338,6 +338,94 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM allr GROUP BY 1
 """
 
+# Streaming NEAR-dup dedup (sq15): sq7b's 3-batch eviction harness,
+# content-keyed. The band key is the 4-hash single-band MinHash of each
+# doc's distinct 3-gram shingles under the engine's seeded-md5 slicing
+# family (same construction as _minhash_sql in oracle_text.py); docs
+# with no shingles key by 'e'||doc_id. Event time = BASE + (md5(key) %
+# 72) hours; batch-2's commit evicts keys in buckets <= max_bucket - 4
+# (watermark in effect = batch-1 max - 2h, expiry = ts + 2h, and the
+# eviction comparison is NON-STRICT: expiry == watermark evicts —
+# sq7b's microsecond-organic timestamps could never expose that
+# boundary, this harness's hour-quantized buckets pin it empirically);
+# batch 3 replays every doc at BASE+79h under doc_id+1e6 — evicted
+# keys re-emit, live keys (and the sentinel) stay suppressed. Output
+# is per kept-row hour: count + key checksum, survivor-invariant by
+# construction.
+def _sq15_sql() -> str:
+    from asvsp_spark.streaming.queries import (SQ15_ID_OFFSET,
+                                               SQ15_REPLAY_HOURS,
+                                               SQ15_SENTINEL_HOURS,
+                                               SQ15_SENTINEL_TEXT)
+
+    def mins(src: str) -> str:
+        return " || '_' || ".join(
+            f"min(('0x' || substr(md5('0|' || {src}), {1 + 8 * t}, 8))"
+            "::BIGINT)" for t in range(4))
+
+    return rf"""
+WITH tk AS (
+    SELECT doc_id AS doc,
+           regexp_split_to_array(trim(text), '\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc, list_distinct(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+    FROM tk
+),
+post AS (SELECT doc, unnest(shingles) AS s FROM sh
+         WHERE len(shingles) > 0),
+sig AS (SELECT doc, {mins('s')} AS band_key FROM post GROUP BY doc),
+k1 AS (
+    SELECT band_key FROM sig
+    UNION ALL
+    SELECT 'e' || CAST(doc AS VARCHAR) FROM sh WHERE len(shingles) = 0
+),
+b1 AS (SELECT DISTINCT band_key FROM k1),
+bh AS (SELECT band_key,
+              ('0x' || substr(md5(band_key), 1, 8))::BIGINT % 72
+                  AS bucket
+       FROM b1),
+mx AS (SELECT max(bucket) AS mxh FROM bh),
+sent AS (
+    SELECT {mins('s')} AS band_key
+    FROM (SELECT unnest(list_distinct(list_transform(
+              range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+          FROM (SELECT regexp_split_to_array(
+                    trim('{SQ15_SENTINEL_TEXT}'), '\s+') AS t))
+),
+live AS (SELECT band_key FROM bh, mx WHERE bucket > mxh - 4),
+k3 AS (
+    SELECT band_key FROM sig
+    UNION ALL
+    SELECT 'e' || CAST(doc + {SQ15_ID_OFFSET} AS VARCHAR)
+    FROM sh WHERE len(shingles) = 0
+),
+em3 AS (
+    SELECT DISTINCT band_key FROM k3
+    WHERE band_key NOT IN (SELECT band_key FROM live)
+      AND band_key <> (SELECT band_key FROM sent)
+),
+allr AS (
+    SELECT bucket AS h, band_key FROM bh
+    UNION ALL
+    SELECT {SQ15_SENTINEL_HOURS} AS h, band_key FROM sent
+    UNION ALL
+    SELECT {SQ15_REPLAY_HOURS} AS h, band_key FROM em3
+)
+SELECT strftime(TIMESTAMP '2001-01-01 00:00:00' + h * INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_kept,
+       CAST(sum(('0x' || substr(md5(band_key), 1, 8))::BIGINT % 1000003)
+            AS BIGINT) AS key_checksum
+FROM allr GROUP BY h
+"""
+
+
+ORACLE_EXT["sq15_neardup_dedup"] = _sq15_sql()
+
 # Streaming dedup of a doubled feed == plain aggregation of the original
 # events (the engine side proves the cross-batch dedup state removed the
 # 100%-duplicate second micro-batch).

@@ -196,6 +196,144 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= 5
 # brute-force oracle and earns the IVF machinery a hash row.
 ORACLE_TEXT["ivf_topk_full_probe"] = ORACLE_TEXT["cosine_topk"]
 
+
+# Spark side: operators/similarity.py ivf_topk (registry defaults:
+# k=5, n_queries=10, n_probe=4, kc=floor(sqrt(N)), 2 Lloyd iterations).
+# Oracle-paired since r8: the quantizer is deterministic exact-integer
+# training (ivf_centroids_int) — micro-unit vectors, farthest-point
+# seeding from the md5-rank-smallest id (sequential by nature, so a
+# RECURSIVE CTE replays it one selection per level, the
+# packing_best_fit_bins pattern), exact BIGINT squared distances with
+# lower-cell ties, centroid = integer round-half-away-from-zero of
+# sum/count (no IEEE quotient anywhere) — so this SQL replays the
+# ENTIRE training, the full-corpus assignment, the probe ranking and
+# the final exact-cosine top-k bit-identically. The md5 sample gate
+# mirrors ivf_topk's n > 2*40*kc rule (never fires at fixture scale;
+# the WHERE keeps the contract honest anyway). Lloyd's empty-cell drop
+# keeps the original cell ids here where numpy compacts them — only
+# the RELATIVE order ever matters (tie-breaks and rank), and
+# compaction preserves it.
+def _ivf_sql(k: int = 5, n_queries: int = 10, n_probe: int = 4,
+             iters: int = 2) -> str:
+    d2 = ("list_sum(list_transform(range(1, len({v}) + 1), "
+          "d -> ({v}[d] - {c}[d]) * ({v}[d] - {c}[d])))")
+    parts = [rf"""
+WITH RECURSIVE p AS (
+    SELECT count(*) AS n,
+           CAST(greatest(2, floor(sqrt(count(*)))) AS BIGINT) AS kc
+    FROM embeddings
+),
+pp AS (SELECT n, kc, greatest(2, n // (40 * kc)) AS denom,
+              (n > 2 * 40 * kc) AS sampled FROM p),
+ei AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+    FROM embeddings
+),
+train AS (
+    SELECT ei.vec_id, ei.v FROM ei, pp
+    WHERE NOT pp.sampled
+       OR ('0x' || substr(md5(CAST(ei.vec_id AS VARCHAR)), 1, 8))::BIGINT
+          % pp.denom = 0
+),
+fsel(lvl, ids) AS (
+    SELECT 1, [(SELECT vec_id FROM train
+                ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                          || '|ivfseed'), 1, 8))::BIGINT, vec_id
+                LIMIT 1)]
+    UNION ALL
+    SELECT f.lvl + 1, list_append(f.ids, (
+        SELECT vec_id FROM (
+            SELECT s.vec_id,
+                   (SELECT min({d2.format(v='s.v', c='t.v')})
+                    FROM train t
+                    WHERE list_contains(f.ids, t.vec_id)) AS md
+            FROM train s WHERE NOT list_contains(f.ids, s.vec_id))
+        ORDER BY md DESC, vec_id LIMIT 1))
+    FROM fsel f, pp
+    WHERE f.lvl < least(pp.kc, (SELECT count(*) FROM train))
+),
+ford AS (SELECT ids FROM fsel ORDER BY lvl DESC LIMIT 1),
+fx AS (SELECT unnest(list_transform(range(1, len(ids) + 1),
+              i -> {{'i': i, 'sid': ids[i]}}), recursive := true)
+       FROM ford),
+c0 AS (
+    SELECT CAST(fx.i - 1 AS INT) AS cell, t.v AS c
+    FROM fx JOIN train t ON t.vec_id = fx.sid
+)"""]
+    mean_cv = ("CAST(CASE WHEN sum(val) >= 0 "
+               "THEN (2 * sum(val) + count(*)) // (2 * count(*)) "
+               "ELSE -((-2 * sum(val) + count(*)) // (2 * count(*))) "
+               "END AS BIGINT)")
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i} AS (
+    SELECT t.vec_id, t.v, c.cell,
+           {d2.format(v='t.v', c='c.c')} AS d2
+    FROM train t CROSS JOIN c{i - 1} c
+),
+b{i} AS (
+    SELECT vec_id, v, cell FROM a{i}
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, cell) = 1
+),
+c{i} AS (
+    SELECT cell, list(cv ORDER BY d) AS c FROM (
+        SELECT cell, d, {mean_cv} AS cv
+        FROM (SELECT cell,
+                     unnest(list_transform(range(1, len(v) + 1),
+                            d -> {{'d': d, 'val': v[d]}}),
+                            recursive := true)
+              FROM b{i})
+        GROUP BY cell, d)
+    GROUP BY cell
+)""")
+    parts.append(f""",
+af AS (
+    SELECT ei.vec_id, ei.e, c.cell,
+           {d2.format(v='ei.v', c='c.c')} AS d2
+    FROM ei CROSS JOIN c{iters} c
+),
+asn AS (
+    SELECT vec_id, e, cell FROM af
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, cell) = 1
+),
+q AS (SELECT vec_id AS query_id, e AS qe, v AS qv FROM ei
+      WHERE vec_id < {n_queries}),
+pq AS (
+    SELECT q.query_id, q.qe, c.cell,
+           {d2.format(v='q.qv', c='c.c')} AS d2
+    FROM q CROSS JOIN c{iters} c
+),
+probes AS (
+    SELECT query_id, qe, cell FROM pq
+    QUALIFY rank() OVER (PARTITION BY query_id
+                         ORDER BY d2, cell) <= {n_probe}
+),
+s AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round(list_dot_product(p.qe, a.e)
+                 / sqrt(list_dot_product(p.qe, p.qe))
+                 / sqrt(list_dot_product(a.e, a.e)) * 1000000)
+               / 1000000.0 AS cos_sim
+    FROM probes p JOIN asn a USING (cell)
+    WHERE a.vec_id <> p.query_id
+),
+r AS (
+    SELECT *, CAST(rank() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id)
+                   AS INT) AS rnk
+    FROM s
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= {k}
+""")
+    return "".join(parts)
+
+
+ORACLE_TEXT["ivf_topk"] = _ivf_sql()
+
 # Spark side: functions/text.py repetition_features — pure array exprs.
 # DuckDB lists are 1-based (Spark subscripts 0-based; both build the same
 # trigram strings); integer-count divisions keep ratios bit-identical.

@@ -42,13 +42,16 @@ from pyspark.sql import functions as F
 from asvsp_spark import tables
 from asvsp_spark.operators.rollups import baselines, centi_avg, value_centi
 from asvsp_spark.plans.base import round_fixed
-from asvsp_spark.streaming.source import (WATERMARK, copy_events_at,
+from asvsp_spark.streaming.source import (WATERMARK, copy_documents_tagged,
+                                          copy_events_at,
                                           copy_events_normalized,
-                                          copy_events_split, drain,
+                                          copy_events_split,
+                                          docs_stream_reader, drain,
                                           drain_to_parquet,
                                           drain_with_late_audit,
                                           events_stream,
                                           events_stream_reader,
+                                          write_doc_rows,
                                           write_event_rows)
 from asvsp_spark.streaming.stateful import hourly_trend_stateful
 
@@ -913,6 +916,131 @@ def sq14_value_percentiles_hourly(spark: SparkSession,
     )
     batch = drain(agg, spark)
     return histogram_percentiles(batch, ["window_start"])
+
+
+# ---------------------------------------------------------------- SQ15
+
+SQ15_BASE_US = 978_307_200 * 1_000_000       # 2001-01-01 00:00:00 UTC
+SQ15_HOUR_US = 3_600_000_000
+SQ15_REPLAY_HOURS = 79                       # batch-3 replay position
+SQ15_SENTINEL_HOURS = 80                     # batch-2 sentinel position
+SQ15_ID_OFFSET = 1_000_000                   # replay ids: near-dups, not
+SQ15_SENTINEL_TEXT = ("sq15 watermark sentinel document far beyond "
+                      "every organic content bucket")
+
+
+def with_doc_band_key(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document MinHash BAND KEY as a pure projection — the
+    streaming-safe variant of operators/dedup.py minhash_signatures
+    (identical seeded-md5 slicing family h_{4j+t}(s) =
+    int(md5(j||'|'||s)[8t:8t+8]); a single 4-hash band, computed
+    row-locally because a streaming dedup key must exist BEFORE the
+    stateful operator — no groupBy, no shuffle, scan speed). Two docs
+    collide at Jaccard j with probability j^4 — the sq15 near-dup
+    criterion. Docs with no 3-gram shingles (< 3 tokens) key by their
+    own id ('e' || id) so they never near-dup-collide. The md5 hex
+    array is materialized as ONE column first: interpreted lambdas get
+    no cross-expression CSE, so inlining it into the four array_min
+    transforms would run 4x the md5 calls."""
+    from asvsp_spark.functions.text import token_ngrams
+    from asvsp_spark.plans.base import hex_slice_long
+    d = (df
+         .withColumn("_tk", F.split(F.trim(F.col(text_col)), r"\s+"))
+         .withColumn("_sh", F.array_distinct(token_ngrams("_tk", 3)))
+         .withColumn("_h", F.transform(
+             "_sh", lambda s: F.md5(F.concat_ws("|", F.lit("0"), s)))))
+    def slot_min(t: int) -> F.Column:
+        # a closure factory, NOT `lambda h, t=t`: a two-arg lambda makes
+        # F.transform pass the ELEMENT INDEX as the second arg, silently
+        # shadowing the slot number (caught by the oracle in r8)
+        return F.array_min(F.transform(
+            "_h", lambda h: hex_slice_long(h, 1 + 8 * t, 8))).cast("string")
+
+    mins = [slot_min(t) for t in range(4)]
+    return (d.withColumn(
+        "band_key",
+        F.when(F.size("_sh") == 0,
+               F.concat(F.lit("e"), F.col(id_col).cast("string")))
+        .otherwise(F.concat_ws("_", *mins)))
+        .drop("_tk", "_sh", "_h"))
+
+
+def sq15_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate document dedup with bounded state — the
+    ingestion-pipeline shape the exact-key family (sq7/sq7b) cannot
+    express: arriving documents are keyed by their content-derived
+    MinHash band key (with_doc_band_key) and deduplicated with
+    ``dropDuplicatesWithinWatermark``, so a re-crawl/mirror of a
+    document seen within the watermark horizon is suppressed WHATEVER
+    its doc_id, while state stays O(watermark window), not O(all
+    content ever).
+
+    Harness (sq7b's 3-batch eviction proof, content-keyed):
+      1. the documents table; event time = BASE + (md5(band_key) % 72)
+         hours — KEY-derived, so whichever same-key copy the in-batch
+         dedup keeps, its (hour, key) projection is identical and the
+         output stays deterministic (the oracle's requirement);
+      2. one future sentinel doc at BASE+80h — its commit runs eviction
+         with the batch-1 watermark (max bucket - 2h), evicting every
+         key whose (event time + 2h) lies AT or behind it, i.e.
+         buckets <= max_bucket - 4 (the eviction comparison is
+         non-strict — this hour-quantized harness pins the boundary
+         sq7b's microsecond timestamps never exercise);
+      3. EVERY document replayed at BASE+79h with doc_id + 1,000,000 —
+         same text, different id: a true NEAR-dup replay. Evicted-key
+         replays re-emit; surviving-key replays are suppressed even
+         though their doc ids are brand-new.
+    Output: per kept-row hour, the row count and a band-key checksum
+    (md5-slice mod 1e6+3) — both pure functions of the kept KEY SET,
+    so the in-batch keep-one arbitrariness cannot leak into the hash.
+
+    Scale notes: the signature projection is row-local (no pre-shuffle),
+    dedup state is one (band_key, expiry) entry per distinct content
+    key inside the watermark horizon, and the per-batch aggregation
+    keeps the drain driver-light. At 100 TB the same plan holds: keys
+    partition the state store uniformly (md5), and no candidate
+    fan-out exists anywhere — this is keyed dedup, not pair generation.
+    """
+    from asvsp_spark.plans.base import md5_slice_long
+    tmp = tempfile.mkdtemp(prefix="asvsp-sq15-")
+    now = time.time()
+    src = f"{sf_dir}/documents.parquet"
+    copy_documents_tagged(src, f"{tmp}/f0.parquet", ts_us=-1,
+                          mtime=now - 100)
+    write_doc_rows(
+        f"{tmp}/f1.parquet",
+        [(-1, SQ15_SENTINEL_TEXT,
+          SQ15_BASE_US + SQ15_SENTINEL_HOURS * SQ15_HOUR_US)],
+        mtime=now - 99)
+    copy_documents_tagged(
+        src, f"{tmp}/f2.parquet",
+        ts_us=SQ15_BASE_US + SQ15_REPLAY_HOURS * SQ15_HOUR_US,
+        id_offset=SQ15_ID_OFFSET, mtime=now - 98)
+
+    raw = docs_stream_reader(spark, tmp, max_files_per_trigger=1)
+    keyed = with_doc_band_key(raw)
+    bucket = F.pmod(md5_slice_long(F.col("band_key")), F.lit(72))
+    ts_us = F.when(F.col("ts_us") >= 0, F.col("ts_us")) \
+        .otherwise(F.lit(SQ15_BASE_US) + bucket * F.lit(SQ15_HOUR_US))
+    stream = keyed.withColumn("ts", F.timestamp_micros(ts_us))
+    deduped = (stream.withWatermark("ts", WATERMARK)
+               .dropDuplicatesWithinWatermark(["band_key"]))
+
+    def per_batch(df: DataFrame) -> DataFrame:
+        ck = F.pmod(md5_slice_long(F.col("band_key")), F.lit(1_000_003))
+        return (df.groupBy(F.date_trunc("hour", "ts").alias("hr"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(ck).alias("ck")))
+
+    out = drain(deduped, spark, batch_transform=per_batch,
+                output_mode="append")
+    return (
+        out.groupBy("hr")
+        .agg(F.sum("n").alias("n_kept"), F.sum("ck").alias("key_checksum"))
+        .select(F.date_format("hr", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"), "n_kept", "key_checksum")
+    )
 
 
 # ------------------------------------------- incremental drain cadence

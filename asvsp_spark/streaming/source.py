@@ -535,6 +535,66 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession,
         return spark.createDataFrame([], stream_df.schema)
 
 
+DOCS_STREAM_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    # microseconds since epoch, or -1 = "derive event time from the
+    # content key" (sq15's organic batch — see queries.sq15)
+    T.StructField("ts_us", T.LongType()),
+])
+
+
+def copy_documents_tagged(src: str, dest: str, ts_us: int = -1,
+                          id_offset: int = 0,
+                          mtime: float | None = None) -> None:
+    """Stage a documents parquet file as a stream micro-batch in the
+    DOCS_STREAM_SCHEMA flavor: (doc_id [+offset], text, ts_us) — the
+    near-dup dedup harness's staging path (id_offset makes replays
+    near-duplicates rather than exact-id duplicates; a constant ts_us
+    positions the whole batch on the event-time axis, -1 defers event
+    time to the content key computed stream-side)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(src, columns=["doc_id", "text"])
+    import pyarrow.compute as pc
+    ids = pc.add(tbl.column("doc_id"), pa.scalar(id_offset, pa.int64()))
+    pq.write_table(pa.table({
+        "doc_id": ids.cast(pa.int64()),
+        "text": tbl.column("text"),
+        "ts_us": pa.array([ts_us] * tbl.num_rows, pa.int64()),
+    }), dest)
+    if mtime is not None:
+        os.utime(dest, (mtime, mtime))
+
+
+def write_doc_rows(dest: str, rows: list[tuple],
+                   mtime: float | None = None) -> None:
+    """Write sentinel document rows ``(doc_id, text, ts_us)`` as one
+    parquet file in the DOCS_STREAM_SCHEMA flavor."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "ts_us": pa.array([r[2] for r in rows], pa.int64()),
+    }), dest)
+    if mtime is not None:
+        os.utime(dest, (mtime, mtime))
+
+
+def docs_stream_reader(spark: SparkSession, path: str, *,
+                       max_files_per_trigger: int | None = None
+                       ) -> DataFrame:
+    """File-source stream over DOCS_STREAM_SCHEMA parquet batches (the
+    staging helpers above write exactly this flavor, so no footer
+    sniffing is needed)."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
 def copy_events_split(src: str, dest: str, mod: int, rem: int,
                       mtime: float | None = None) -> None:
     """Stage the subset of an events parquet file with

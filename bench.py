@@ -28,15 +28,19 @@ from asvsp_spark.plans.registry import all_queries  # noqa: E402
 from asvsp_spark.session import get_session  # noqa: E402
 
 
-def _load_budgets() -> dict[str, float]:
-    """Per-query budget seconds parsed from BASELINE.md's results table
+def _load_budgets() -> tuple[dict[str, float], float | None]:
+    """(per-query budgets, frozen suite-total) parsed from BASELINE.md
     (the single source of truth: r1 medians for the original 50 queries,
-    frozen r4/r5 medians for the rest). Missing file or rows -> empty —
-    budgets are a regression tripwire, never a reason bench can't run."""
+    frozen r4-r8 medians for the rest; the SUITE_TOTAL_BUDGET line is
+    the r8 drift gate — per-query ratios catch 2x cliffs, the suite
+    total catches slow suite-wide drift). Missing file or rows -> empty
+    — budgets are a regression tripwire, never a reason bench can't
+    run."""
     import re
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE.md")
     budgets: dict[str, float] = {}
+    suite_total: float | None = None
     try:
         with open(path) as fh:
             for line in fh:
@@ -44,9 +48,13 @@ def _load_budgets() -> dict[str, float]:
                              r"\s*([0-9.]+)\s*\|", line)
                 if m:
                     budgets[m.group(1)] = float(m.group(2))
+                    continue
+                t = re.match(r"SUITE_TOTAL_BUDGET:\s*([0-9.]+)\s*sec", line)
+                if t:
+                    suite_total = float(t.group(1))
     except OSError:
         pass
-    return budgets
+    return budgets, suite_total
 
 
 def _warm_streaming(spark) -> None:
@@ -110,15 +118,18 @@ def main() -> None:
     # regression gate vs the frozen per-query budgets in BASELINE.md:
     # a query breaches at >2x its budget (the driver's own 2x rule
     # applied per-query); vs_budget_total is suite-level signal
-    budgets = _load_budgets() if sf == "0.1" else {}   # budgets are sf0.1
+    budgets, suite_total = (_load_budgets() if sf == "0.1"
+                            else ({}, None))   # budgets are sf0.1
     common = [n for n, t in timings.items() if t >= 0 and n in budgets]
     breaches = {
         n: {"sec": timings[n], "budget": budgets[n]}
         for n in common if timings[n] > 2.0 * budgets[n]
     }
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    vs_suite = (round(total / suite_total, 3) if suite_total else None)
     result = {
         "metric": "asvsp_spark_query_suite",
-        "value": round(sum(t for t in timings.values() if t >= 0), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "runs": n_runs,
@@ -129,6 +140,10 @@ def main() -> None:
                   / max(sum(budgets[n] for n in common), 1e-9), 3)
             if common else None),
         "budget_breaches": breaches,
+        # r8 drift gate: whole-suite wall vs the frozen SUITE_TOTAL_BUDGET
+        # line in BASELINE.md; breach past 1.25x (noise band + margin)
+        "vs_suite_total": vs_suite,
+        "suite_breach": (vs_suite is not None and vs_suite > 1.25),
     }
     # The driver keeps only a bounded TAIL of this process's output, and
     # round 2's artifact lost the head of the (long) per-query line to

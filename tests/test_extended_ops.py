@@ -161,10 +161,11 @@ def test_cli_list_oracle_paths(capsys):
     assert "q01_yearly_rank_yoy" in out and "rows-only" in out
     assert main(["oracle", "q09_weekend_effect"]) == 0
     assert "SELECT" in capsys.readouterr().out
-    # ivf_topk (partial probe) is rows-only by design — `oracle` must
-    # refuse it (lsh_topk, the previous pick here, earned an oracle in
-    # r5 when its plane signs became md5-derived)
-    assert main(["oracle", "ivf_topk"]) == 1
+    # pq_rerank_topk (learned PQ codebooks) is rows-only by design —
+    # `oracle` must refuse it (lsh_topk earned an oracle in r5 via md5
+    # plane signs; ivf_topk, the previous pick here, in r8 via the
+    # deterministic integer-Lloyd quantizer)
+    assert main(["oracle", "pq_rerank_topk"]) == 1
 
 
 def test_connected_components_chain_and_singletons(spark):

@@ -100,14 +100,22 @@ def test_ivf_full_probe_equals_brute_force(spark):
 
 def test_ivf_partial_probe_recall(spark):
     """Partial probing keeps decent recall on the fixture (the point of a
-    trained quantizer) while scanning a fraction of the cells."""
+    trained quantizer) while scanning a fraction of the cells.
+
+    History: measured at the registry's own n_probe=4 default since r8
+    (mllib KMeans scored 0.50 at probe 3; the deterministic
+    farthest-point + integer-Lloyd quantizer that made ivf_topk
+    oracle-pairable measures 0.46@3 / 0.58@4 on the fixture — the
+    recall-vs-hash-checkability trade is documented in
+    ivf_centroids_int; hash-random seeding without fps measured
+    0.34, which is why the fps stage exists)."""
     from asvsp_spark import tables
     from asvsp_spark.operators.similarity import cosine_topk, ivf_topk
     from tests.conftest import SF_DIR
     emb = tables.load(spark, SF_DIR, "embeddings")
     exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb).collect()}
     approx = {(r.query_id, r.neighbor_id)
-              for r in ivf_topk(emb, n_probe=3).collect()}
+              for r in ivf_topk(emb, n_probe=4).collect()}
     assert len(approx & exact) / len(exact) >= 0.5
 
 
