@@ -96,6 +96,36 @@ def pivot_daily_type(events: DataFrame,
     return out
 
 
+def unpivot_daily_type(events: DataFrame,
+                       types: tuple[str, ...] = ("click", "error",
+                                                 "purchase", "signup",
+                                                 "view")) -> DataFrame:
+    """Melt — the inverse of ``pivot_daily_type``: the wide per-day
+    frame (one avg_<type> column per event type) back to long
+    (day, event_type, avg_value), via Spark's native ``unpivot``
+    (SQL UNPIVOT / pandas melt). Wide->long is the step every
+    feature-store export needs before a typed warehouse load, and the
+    native operator is a zero-shuffle projection (each input row
+    explodes to <= len(types) output rows in place) — never hand-roll
+    it as a union of per-column selects, which re-scans the frame
+    once per measure.
+
+    NULL cells (a day where that type never occurred) are dropped,
+    matching UNPIVOT's EXCLUDE NULLS default; the avg_ prefix is
+    stripped so the long frame round-trips back through the pivot.
+    """
+    wide = pivot_daily_type(events, types)
+    long = wide.unpivot(
+        ["day"], [f"avg_{t}" for t in types], "event_type", "avg_value")
+    return (
+        long.where(F.col("avg_value").isNotNull())
+        .select("day",
+                F.substring("event_type", 5, 2_147_483_647)
+                 .alias("event_type"),
+                "avg_value")
+    )
+
+
 def approx_percentiles(orders: DataFrame, accuracy: int = 10000) -> DataFrame:
     """Sketch-based percentiles: approx_percentile partial-aggregates a
     bounded-size quantile summary map-side, so per-group memory is O(

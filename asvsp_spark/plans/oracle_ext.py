@@ -207,6 +207,42 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
 FROM d GROUP BY day
 """
 
+ORACLE_EXT["unpivot_daily_type"] = """
+WITH d AS (
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+       CAST(round(sum(v) / count(*)) AS BIGINT) / 100.0 AS avg_value
+FROM d
+WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+GROUP BY day, event_type
+"""
+
+# VARIANT decode: the oracle reads the same JSON through DuckDB's json
+# functions (json_extract + cast), groups by the raw event_type (the
+# Spark side re-derives it through a nested $.m.t variant traversal —
+# identical values by construction), and pins schema_of_variant's
+# inference output as the literal Spark reports for {"k": <int>}.
+ORACLE_EXT["variant_props_decode"] = """
+WITH d AS (
+    SELECT event_type AS etype, user_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.retry') AS BIGINT) AS retry
+    FROM events
+)
+SELECT etype,
+       count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(max(k) AS BIGINT) AS k_max,
+       count(CASE WHEN k != 0 THEN 1 END) AS k_nonzero,
+       count(*) - count(retry) AS n_missing_retry,
+       count(DISTINCT user_id) AS n_users,
+       'OBJECT<k: BIGINT>' AS props_schema
+FROM d GROUP BY etype
+"""
+
 # Dedup clustering: min-reachable-id connected components over the exact
 # jaccard near-dup edges, via recursive-CTE reachability (tractable at
 # oracle scale; the engine's iterative min-label propagation computes the
@@ -1296,4 +1332,36 @@ SELECT CAST(rank AS INT) AS rank, key,
        round(cum_rows / total * 1000000) / 1000000.0 AS cum_share,
        CAST(total AS BIGINT) AS total_out_rows
 FROM ranked WHERE rank <= 10
+"""
+
+# S11 collector: the oracle REGENERATES the synthetic pages in pure SQL
+# via the engine's single cross-engine hash contract (md5-slice,
+# plans/base.py md5_slice_long) — hashlib writes the page files, DuckDB
+# reproduces the identical rows from range() + md5, so the comparison
+# proves the DataSource fetch/parse/project path end-to-end without a
+# file ever crossing engines. Types array is 1-indexed in DuckDB.
+ORACLE_EXT["http_collect_rollup"] = """
+WITH idx AS (
+    SELECT p.range AS p, i.range AS i
+    FROM range(0, 24) p CROSS JOIN range(0, 500) i
+),
+r AS (
+    SELECT p * 500 + i AS event_id,
+           ('0x' || substr(md5('u|' || p || '|' || i), 1, 8))::BIGINT
+               % 1000 AS user_id,
+           ['click', 'error', 'purchase', 'signup', 'view']
+               [('0x' || substr(md5('t|' || p || '|' || i), 1, 8))::BIGINT
+                % 5 + 1] AS event_type,
+           ('0x' || substr(md5('v|' || p || '|' || i), 1, 8))::BIGINT
+               % 100000 AS cents
+    FROM idx
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) / 100.0 AS value_sum,
+       CAST(sum(cents % 100) AS BIGINT) AS k_sum,
+       count(DISTINCT user_id) AS n_users,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event
+FROM r GROUP BY event_type
 """

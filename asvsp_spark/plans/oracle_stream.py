@@ -425,3 +425,18 @@ SELECT g AS event_type, week,
        s IS NULL AS filled
 FROM joined
 """
+
+# sq16: the oracle decodes the same JSON through DuckDB's json functions
+# and groups by the raw event_type — the Spark side re-derives it via a
+# nested $.m.t variant traversal over a format_string-built document, so
+# the values are identical by construction (same stance as the batch
+# variant_props_decode oracle).
+ORACLE_STREAM["sq16_variant_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type AS etype,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+       count(*) - count(json_extract(props, '$.retry')) AS n_missing_retry
+FROM events GROUP BY 1, 2
+"""

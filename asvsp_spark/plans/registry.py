@@ -334,6 +334,7 @@ _REGISTRY["sq12_drift_hourly"] = SQ.sq12_drift_hourly
 _REGISTRY["sq13_contract_hourly"] = SQ.sq13_contract_hourly
 _REGISTRY["sq14_value_percentiles_hourly"] = SQ.sq14_value_percentiles_hourly
 _REGISTRY["sq15_neardup_dedup"] = SQ.sq15_neardup_dedup
+_REGISTRY["sq16_variant_hourly"] = SQ.sq16_variant_hourly
 
 
 # The driver's correctness pass records rows for exactly the FIRST 50
@@ -558,6 +559,18 @@ _REGISTRY["sq15_neardup_dedup"] = SQ.sq15_neardup_dedup
 # gapfill_hourly_values (interp/daily/weekly grains stay),
 # dedup_components (stitch_report drives connected_components_star),
 # cohort_retention (corpus_datacard keeps the grouping family).
+# Mid-r8 additions: unpivot_daily_type (native melt, pivot's inverse)
+# and variant_props_decode (Spark 4 VARIANT path extraction) earn
+# birth-round slots, displacing media_image_decode (r6+r7 double-green;
+# multimodal family keeps media_frame_sample) and stratified_sample_docs
+# (r6+r7 double-green; sampling family keeps weighted_sample_docs +
+# dsir_sample); sq16_variant_hourly (VARIANT decode keying a streaming
+# aggregation) displaces lsh_topk (r6+r7 double-green; the similarity
+# family keeps ivf_topk, the stronger hash row); http_collect_rollup
+# (S11 brought IN-ENGINE as a Spark 4 Python DataSource — the last
+# un-implemented SURVEY §2 row) displaces data_quality_report (r6+r7
+# double-green; the quality/drift family keeps sq12 + sq13 window rows
+# and the local hash pin runs every pytest session).
 DRIVER_CHECKED: tuple[str, ...] = (
     # parity core, q-suite
     "q01_yearly_rank_yoy", "q02_peak_month", "q03_cumulative_top10",
@@ -580,11 +593,12 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "dup_substring_runs", "sq14_value_percentiles_hourly",
     "minhash_calibration", "gapfill_hourly_interp", "line_dedup_docs",
     "gapfill_daily_values", "incremental_substring_runs",
-    "dup_substring_table", "pmi_collocations", "data_quality_report",
-    "sq13_contract_hourly", "lsh_topk", "corpus_datacard",
+    "dup_substring_table", "pmi_collocations", "http_collect_rollup",
+    "sq13_contract_hourly", "sq16_variant_hourly", "corpus_datacard",
     "media_frame_sample", "sketch_value_percentiles",
-    "packing_best_fit_bins", "media_image_decode",
-    "stratified_sample_docs",
+    "packing_best_fit_bins",
+    # mid-r8 birth-round slots (see rotation note above)
+    "unpivot_daily_type", "variant_props_decode",
 )
 
 
@@ -749,6 +763,36 @@ def _pivot_daily_type(spark, sf):
     (operators/grouping.py)."""
     from asvsp_spark.operators.grouping import pivot_daily_type
     return pivot_daily_type(_t(spark, sf, "events"))
+
+
+@register("unpivot_daily_type")
+def _unpivot_daily_type(spark, sf):
+    """Native unpivot (melt) — pivot_daily_type's wide frame back to
+    long, EXCLUDE NULLS semantics (operators/grouping.py)."""
+    from asvsp_spark.operators.grouping import unpivot_daily_type
+    return unpivot_daily_type(_t(spark, sf, "events"))
+
+
+@register("http_collect_rollup")
+def _http_collect_rollup(spark, sf):
+    """S11 in-engine: the HTTP API collector as a Spark 4 Python
+    DataSource — executor-parallel page fetch over file:// transport
+    (same code path as https://), per-type rollup with the props JSON
+    decoded back out. Size is sf-independent: the synthetic publisher
+    stands in for an external API whose volume does not scale with the
+    warehouse (sources/http_collector.py)."""
+    from asvsp_spark.sources.http_collector import synthetic_collect_rollup
+    return synthetic_collect_rollup(spark)
+
+
+@register("variant_props_decode")
+def _variant_props_decode(spark, sf):
+    """Spark 4 VARIANT decode of the events props JSON: parse once,
+    typed/nested/try path extraction + schema_of_variant inference,
+    rolled up per nested-extracted event type
+    (operators/semistruct.py)."""
+    from asvsp_spark.operators.semistruct import variant_props_rollup
+    return variant_props_rollup(_t(spark, sf, "events"))
 
 
 # ---- dedup clustering (connected components) ----

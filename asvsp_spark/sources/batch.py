@@ -99,6 +99,89 @@ def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip",
     w.json(path)
 
 
+def read_orc(spark: SparkSession, path: str,
+             schema: T.StructType | None = None) -> DataFrame:
+    """Explicit-schema ORC scan. ORC ships in Spark's distribution (no
+    extra jar) and is the interchange format of Hive-era warehouses —
+    the reference's Hive metastore tables (load_hourly.py:82) would be
+    ORC under many site defaults, so a drop-in engine needs the reader.
+
+    Same discipline as ``read_csv``/``read_jsonl``: pass the schema so
+    the footer-merge inference pass is skipped and column pruning plus
+    predicate pushdown reach the reader (ORC carries min/max stride
+    statistics exactly like parquet; `.explain` shows PushedFilters).
+    ``schema=None`` falls back to footer inference for ad-hoc reads.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str,
+              partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+    """ORC write, optionally hive-partitioned — the ORC twin of
+    ``write_partitioned``: same directory layout, so partition-key
+    filters prune at the scan whichever columnar format the warehouse
+    standardized on. Compression stays at Spark's zstd/snappy default
+    (`spark.sql.orc.compression.codec`), which is the right call at
+    100 TB: per-stripe codec choice belongs in cluster conf, not code.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None,
+                      recursive: bool = False) -> DataFrame:
+    """Raw-file ingestion via the built-in ``binaryFile`` source:
+    one row per file with columns (path, modificationTime, length,
+    content binary). This is the on-ramp for the multimodal operators
+    (operators/multimodal.py): crawl output / image dumps / audio
+    shards land as files; this scan turns them into the opaque-binary
+    column shape `media_features`/`decode_*` consume.
+
+    Scale notes: the source is read-only and splits per FILE (a file
+    is never split), so at 100 TB the parallelism unit is the file —
+    keep shards in the 10–500 MB range upstream. ``glob`` maps to
+    pathGlobFilter (pushed into file listing, so non-matching files
+    are never opened); ``recursive`` maps to recursiveFileLookup.
+    Pair with `spark.sql.files.maxPartitionBytes` to batch many small
+    files into one task rather than one task per tiny file.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
+def read_text_docs(spark: SparkSession, path: str,
+                   wholetext: bool = False,
+                   line_sep: str | None = None) -> DataFrame:
+    """Plain-text ingestion: (file_path, text). ``wholetext=True``
+    reads ONE ROW PER FILE — the document-per-file corpus layout —
+    while the default reads one row per line (``line_sep`` overrides
+    the newline delimiter for e.g. NUL-separated exports).
+
+    file_path comes from the hidden ``_metadata.file_path`` struct
+    (constant-folded per split, no per-row Python), giving downstream
+    dedup/provenance a stable doc key without requiring ids inside the
+    payload. Whole-file rows are not splittable, same caveat as
+    ``read_binary_files``.
+    """
+    # parameters, not .option(): pyspark's text() re-sets wholetext
+    # from its own keyword default, clobbering a reader-level option
+    df = spark.read.text(path, wholetext=wholetext, lineSep=line_sep)
+    return df.select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("value").alias("text"))
+
+
 def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
                       mode: str = "overwrite") -> None:
     """Partitioned parquet write (S3): layout mirrors the reference's

@@ -1043,6 +1043,51 @@ def sq15_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- SQ16
+
+def sq16_variant_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup whose GROUPING KEY is a VARIANT-decoded field —
+    pins that Spark 4's variant kernels (parse_json / variant_get /
+    try_variant_get) run inside Structured Streaming micro-batches and
+    that a variant-derived column can key a watermarked streaming
+    aggregation (the schema-flexible twin of sq3's fixed-schema
+    from_json decode; batch twin: operators/semistruct.py).
+
+    The key rides the nested path `$.m.t` of a format_string-built
+    document (deterministic bytes, same construction as the batch op)
+    so a traversal bug breaks the grouping itself; `k_*` measures
+    decode the real props payload; `n_missing_retry` counts
+    try_variant_get NULLs on a path no document has (must equal
+    n_events). One scan, decodes in the projection, one streaming
+    hash aggregate on (window x 5 etypes) — state is bounded by the
+    watermark horizon times key cardinality, exactly like sq1.
+    """
+    stream = events_stream(spark, sf_dir)
+    v = F.parse_json("props")
+    nested = F.parse_json(F.format_string(
+        '{"u": %d, "m": {"t": "%s"}}', F.col("user_id"),
+        F.col("event_type")))
+    d = stream.select(
+        "ts",
+        F.variant_get(nested, "$.m.t", "string").alias("etype"),
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.retry", "long").alias("retry"))
+    agg = (
+        d.groupBy(F.window("ts", "1 hour").alias("window"), "etype")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("k").alias("k_sum"),
+             F.max("k").alias("k_max"),
+             (F.count(F.lit(1)) - F.count("retry"))
+             .alias("n_missing_retry"))
+    )
+
+    def finish(batch: DataFrame) -> DataFrame:
+        return batch.select(_fmt_window_start(), "etype", "n_events",
+                            "k_sum", "k_max", "n_missing_retry")
+
+    return drain(agg, spark, batch_transform=finish)
+
+
 # ------------------------------------------- incremental drain cadence
 
 def incremental_hourly_drain(spark: SparkSession, events_dir: str,

@@ -293,3 +293,83 @@ def test_foreach_batch_jdbc_exactly_once_replay_converges(spark, monkeypatch):
     before = list(table)
     sink(spark.createDataFrame([], "a int"), 9)
     assert table == before
+
+
+def test_orc_roundtrip_partitioned_and_pruned(spark, tmp_path):
+    """ORC twin of the CSV/parquet round-trips: explicit-schema read
+    returns the exact rows, hive partitioning lays out key=value dirs,
+    and a predicate on a data column reaches the ORC reader as a
+    pushed filter."""
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, "click", 1.5), (2, "view", 2.5), (3, "click", 3.5)], schema)
+    dest = str(tmp_path / "orc")
+    B.write_orc(df, dest, partition_by=["event_type"])
+
+    import os
+    parts = sorted(d for d in os.listdir(dest) if d.startswith("event_type="))
+    assert parts == ["event_type=click", "event_type=view"]
+
+    back_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    back = B.read_orc(spark, dest, back_schema)
+    rows = sorted((r.event_id, r.event_type, r.value) for r in back.collect())
+    assert rows == [(1, "click", 1.5), (2, "view", 2.5), (3, "click", 3.5)]
+
+    plan = back.filter(F.col("value") > 2.0)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(value" in plan
+
+
+def test_binary_files_feed_multimodal_pipeline(spark, tmp_path):
+    """binaryFile scan -> media frame -> media_features: raw files on
+    disk become the opaque-binary column shape the multimodal decoders
+    consume, and the md5 digests match hashlib over the file bytes."""
+    import hashlib
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    blobs = {"7.img": b"RAWI" + bytes(range(48)), "9.img": b"RAWIabcdef"}
+    for name, data in blobs.items():
+        (raw / name).write_bytes(data)
+    (raw / "ignore.txt").write_text("not media")
+
+    files = B.read_binary_files(spark, str(raw), glob="*.img")
+    assert set(files.columns) == {"path", "modificationTime", "length",
+                                  "content"}
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.img$", 1)
+         .cast("long").alias("doc_id"),
+        F.lit("image").alias("media_type"),
+        F.col("content").alias("payload"))
+
+    from asvsp_spark.operators.multimodal import media_features
+    feats = {r.doc_id: r for r in media_features(media).collect()}
+    assert set(feats) == {7, 9}
+    assert feats[7].n_bytes == 52 and feats[9].n_bytes == 10
+    for doc_id, name in ((7, "7.img"), (9, "9.img")):
+        assert feats[doc_id].digest == hashlib.md5(blobs[name]).hexdigest()
+        assert feats[doc_id].head_hex == blobs[name][:8].hex().upper()
+
+
+def test_read_text_docs_lines_and_wholetext(spark, tmp_path):
+    corpus = tmp_path / "txt"
+    corpus.mkdir()
+    (corpus / "a.txt").write_text("alpha\nbeta\n")
+    (corpus / "b.txt").write_text("gamma\n")
+
+    lines = B.read_text_docs(spark, str(corpus))
+    assert lines.columns == ["file_path", "text"]
+    got = sorted((r.file_path.rsplit("/", 1)[-1], r.text)
+                 for r in lines.collect())
+    assert got == [("a.txt", "alpha"), ("a.txt", "beta"), ("b.txt", "gamma")]
+
+    docs = B.read_text_docs(spark, str(corpus), wholetext=True)
+    whole = {r.file_path.rsplit("/", 1)[-1]: r.text for r in docs.collect()}
+    assert whole == {"a.txt": "alpha\nbeta\n", "b.txt": "gamma\n"}

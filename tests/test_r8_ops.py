@@ -328,3 +328,65 @@ def test_pipeline_substring_dedup_stage(spark, tmp_path):
     audit = {r["doc_id"]: r["dropped_at"]
              for r in spark.read.parquet(f"{out}/drop_audit").collect()}
     assert audit[5] == "substring_dedup" and audit[1] == "kept"
+
+
+# ---- mid-r8: source formats, unpivot, VARIANT ----
+
+def test_unpivot_roundtrips_pivot_and_excludes_nulls(spark):
+    """unpivot_daily_type is pivot's inverse: the long frame carries
+    exactly the non-NULL wide cells (EXCLUDE NULLS), with the avg_
+    prefix stripped — a day with no 'error' events yields no error
+    row, not a NULL one."""
+    from asvsp_spark.operators.grouping import (pivot_daily_type,
+                                                unpivot_daily_type)
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "click", 1.0),
+         (2, "2024-01-01 11:00:00", "click", 2.0),
+         (3, "2024-01-01 12:00:00", "view", 5.0),
+         (4, "2024-01-02 09:00:00", "error", 3.0)],
+        "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    long_rows = {(r.day, r.event_type): r.avg_value
+                 for r in unpivot_daily_type(events).collect()}
+    assert long_rows == {
+        ("2024-01-01", "click"): 1.5,
+        ("2024-01-01", "view"): 5.0,
+        ("2024-01-02", "error"): 3.0,
+    }
+    # every non-NULL wide cell appears, NULL cells are absent
+    wide = pivot_daily_type(events).collect()[0]
+    assert wide.avg_signup is None and wide.avg_purchase is None
+
+
+def test_variant_semantics(spark):
+    """The three VARIANT landmines the oracle rides on: typed nested
+    traversal, try_variant_get NULL on an absent path, and
+    schema_of_variant's inference string."""
+    from asvsp_spark.operators.semistruct import variant_props_rollup
+    events = spark.createDataFrame(
+        [(1, 10, "click", '{"k": 7}'),
+         (2, 10, "click", '{"k": 0}'),
+         (3, 11, "view", '{"k": -3}')],
+        "event_id long, user_id long, event_type string, props string")
+    rows = {r.etype: r for r in variant_props_rollup(events).collect()}
+    assert set(rows) == {"click", "view"}  # nested $.m.t traversal
+    c = rows["click"]
+    assert (c.n_events, c.k_sum, c.k_max, c.k_nonzero) == (2, 7, 7, 1)
+    assert c.n_missing_retry == 2          # $.retry never exists
+    assert c.n_users == 1
+    assert c.props_schema == "OBJECT<k: BIGINT>"
+    assert rows["view"].k_sum == -3
+
+
+def test_variant_rollup_plan_is_jvm_only_single_agg(spark):
+    """Variant decode must stay in JVM kernels: no Python evaluation
+    node anywhere, exactly one pair of hash aggregates (partial+final)
+    plus the distinct-count expand."""
+    from asvsp_spark.operators.semistruct import variant_props_rollup
+    from asvsp_spark.tables import load
+    plan = variant_props_rollup(load(spark, "/root/testdata/sf0.001",
+                                     "events"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "MapInPandas" not in plan
