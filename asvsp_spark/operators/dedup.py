@@ -1801,8 +1801,16 @@ def stitch_documents(documents: DataFrame, k: int = 3, max_df: int = 64,
         # must surface as a refused row, not an executor-hanging
         # infinite loop or a KeyError. Free: pdf is already in memory.
         broken = False
+        missing = object()   # distinct from the end-of-chain sentinel:
+        # a successor pointing OUTSIDE the component's vertex set is
+        # exactly the regression class this bound exists to surface —
+        # it must become a refused row, never a silently-truncated
+        # "clean" chain
         while True:
-            nv = nxt.get(order[-1], None if not integral else -1)
+            nv = nxt.get(order[-1], missing)
+            if nv is missing:
+                broken = True
+                break
             if is_end(nv):
                 break
             if len(order) >= len(pdf):   # would revisit: cycle/regression

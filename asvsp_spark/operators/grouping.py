@@ -120,8 +120,7 @@ def unpivot_daily_type(events: DataFrame,
     return (
         long.where(F.col("avg_value").isNotNull())
         .select("day",
-                F.substring("event_type", 5, 2_147_483_647)
-                 .alias("event_type"),
+                F.expr("substring(event_type, 5)").alias("event_type"),
                 "avg_value")
     )
 

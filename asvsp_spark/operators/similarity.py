@@ -469,8 +469,12 @@ def ivf_centroids_int(train_int: DataFrame, kc: int,
     import numpy as np
 
     spark = train_int.sparkSession
-    # driver-ok: bounded training sample (~40*kc rows, guarded below)
-    rows = train_int.select(F.col(id_col).alias("i"), "v").collect()
+    # The size guard must bound the materialization itself, not follow
+    # it: limit(max+1) caps what can ever reach the driver, and seeing
+    # exactly max+1 rows proves the input exceeded the cap.
+    sample = train_int.select(F.col(id_col).alias("i"), "v")
+    # driver-ok: bounded training sample (~40*kc rows, limit-capped)
+    rows = sample.limit(max_train_rows + 1).collect()
     if len(rows) > max_train_rows:
         raise ValueError(
             f"ivf_centroids_int: training sample has {len(rows)} rows "
@@ -557,9 +561,13 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
     to_int = F.transform(
         as_double(F.col(vec_col)),
         lambda x: F.round(x * IVF_QUANT_SCALE, 0).cast("long"))
+    # cache + explicit unpersist (the semantic_dedup convention), NOT
+    # localCheckpoint: checkpoint blocks are only released at driver GC,
+    # so repeated invocations in one session (bench, test suites) would
+    # pin two corpus copies each in executor storage
     emb = (embeddings
            .select(F.col(id_col), F.col(vec_col), to_int.alias("v"))
-           .localCheckpoint(eager=True))
+           .cache())
     n = emb.count()
     kc = n_centroids or max(2, int(n ** 0.5))
     # bounded deterministic training sample (md5, not xxhash64: the
@@ -586,6 +594,7 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
     assigned = (emb.join(argmin, id_col)
                 .select(F.col(id_col), F.col(vec_col), "v", "cell")
                 .localCheckpoint(eager=True))
+    emb.unpersist()   # assigned is materialized; don't leak storage
 
     # probe list: each query's n_probe nearest cells by the quantizer's
     # own (integer euclidean) metric

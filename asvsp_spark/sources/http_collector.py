@@ -92,8 +92,12 @@ class HttpEventsDataSource(DataSource):
       (e.g. ``https://api.example.com/events?page={page}`` or
       ``file:///data/pages/page-{page}.json``);
     - ``pages``: batch page count (one InputPartition each);
-    - ``retries`` (default 2) / ``backoff_s`` (default 0.5):
-      per-request retry policy;
+    - ``retries`` / ``backoff_s``: per-request retry policy. Batch
+      defaults: retries=2, backoff_s=0.5. STREAMING defaults: 0 / 0.0
+      — deliberate: an idle poll probes a page that does not exist yet
+      every trigger, and retry-sleeping on that expected miss would
+      stall the whole query's trigger cadence; set them explicitly for
+      flaky production endpoints;
     - ``schema_ddl``: override the default events shape.
     """
 
@@ -233,6 +237,7 @@ def publish_synthetic_pages(pages: int = 24, per_page: int = 500,
     side and bounded by construction — pages x per_page JSON rows,
     ~1.5 MB at the default 24x500; this stands in for the REMOTE API,
     which in production is someone else's server, not our bytes."""
+    import os
     import tempfile
     from pathlib import Path
 
@@ -240,11 +245,22 @@ def publish_synthetic_pages(pages: int = 24, per_page: int = 500,
     page_dir = root / f"asvsp_http_pages_v1_{pages}x{per_page}"
     done = page_dir / "_COMPLETE"
     if not done.exists():
+        # Concurrency-safe across processes sharing the directory (a
+        # bench run racing a pytest run): every file lands via
+        # write-to-temp + atomic os.replace, so a reader never sees a
+        # truncated page. Racing writers produce byte-identical content
+        # (everything is a pure function of (page, i)), so whichever
+        # replace wins is correct.
         page_dir.mkdir(parents=True, exist_ok=True)
+        pid = os.getpid()
         for p in range(pages):
             recs = [_synth_record(p, i, per_page) for i in range(per_page)]
-            (page_dir / f"page-{p}.json").write_text(json.dumps(recs))
-        done.write_text("ok")
+            tmp = page_dir / f".page-{p}.{pid}.tmp"
+            tmp.write_text(json.dumps(recs))
+            os.replace(tmp, page_dir / f"page-{p}.json")
+        tmp_done = page_dir / f"._COMPLETE.{pid}.tmp"
+        tmp_done.write_text("ok")
+        os.replace(tmp_done, done)
     return str(page_dir)
 
 
