@@ -464,28 +464,53 @@ def ivf_centroids_int(train_int: DataFrame, kc: int,
     materialization (loud raise past ``max_train_rows``), never the
     corpus. Assignment of the actual corpus stays fully distributed
     in ivf_topk."""
+    spark = train_int.sparkSession
+    ids, V = _collect_train_sample(train_int, id_col, max_train_rows,
+                                   "ivf_centroids_int")
+    if not ids:
+        return spark.createDataFrame([], schema="cell int, c array<long>")
+    C = _train_int_kmeans(ids, V, kc, iters)
+    return spark.createDataFrame(
+        [(c, [int(x) for x in C[c]]) for c in range(len(C))],
+        schema="cell int, c array<long>")
+
+
+def _collect_train_sample(train_int: DataFrame, id_col: str,
+                          max_train_rows: int, caller: str):
+    """Bounded driver-side materialization of a (id, v array<long>)
+    training frame. The size guard bounds the materialization itself,
+    not follows it: limit(max+1) caps what can ever reach the driver,
+    and seeing exactly max+1 rows proves the input exceeded the cap."""
+    import numpy as np
+
+    sample = train_int.select(F.col(id_col).alias("i"), "v")
+    # driver-ok: bounded training sample (~40*k rows, limit-capped)
+    rows = sample.limit(max_train_rows + 1).collect()
+    if len(rows) > max_train_rows:
+        raise ValueError(
+            f"{caller}: training sample has {len(rows)} rows "
+            f"(max_train_rows={max_train_rows}) — the driver-side "
+            "quantizer needs a bounded sample; lower the sample target "
+            "or pass a smaller centroid/code count")
+    if not rows:
+        return [], None
+    ids = [r["i"] for r in rows]
+    V = np.array([r["v"] for r in rows], dtype=np.int64)
+    return ids, V
+
+
+def _train_int_kmeans(ids: list, V, kc: int, iters: int):
+    """The numpy core shared by ivf_centroids_int and pq_codebooks_int:
+    farthest-point seeding from the md5-rank-smallest id + ``iters``
+    exact-integer Lloyd steps over already-collected (ids, V int64)
+    training rows. Returns the (<= kc, dim) int64 centroid matrix —
+    empty clusters drop (compacted labels; only the RELATIVE code order
+    matters downstream, which compaction preserves)."""
     import hashlib
 
     import numpy as np
 
-    spark = train_int.sparkSession
-    # The size guard must bound the materialization itself, not follow
-    # it: limit(max+1) caps what can ever reach the driver, and seeing
-    # exactly max+1 rows proves the input exceeded the cap.
-    sample = train_int.select(F.col(id_col).alias("i"), "v")
-    # driver-ok: bounded training sample (~40*kc rows, limit-capped)
-    rows = sample.limit(max_train_rows + 1).collect()
-    if len(rows) > max_train_rows:
-        raise ValueError(
-            f"ivf_centroids_int: training sample has {len(rows)} rows "
-            f"(max_train_rows={max_train_rows}) — the driver-side "
-            "quantizer needs a bounded sample; lower the sample target "
-            "or pass a smaller n_centroids")
-    if not rows:
-        return spark.createDataFrame([], schema="cell int, c array<long>")
-    ids = [r["i"] for r in rows]
-    V = np.array([r["v"] for r in rows], dtype=np.int64)
-    kc = min(kc, len(rows))
+    kc = min(kc, len(ids))
 
     def hk(i) -> int:
         return int(hashlib.md5(
@@ -515,10 +540,7 @@ def ivf_centroids_int(train_int: DataFrame, kc: int,
             n = int(m.sum())
             nxt.append([_round_half_away(int(x), n) for x in s])
         C = np.array(nxt, dtype=np.int64)
-
-    return spark.createDataFrame(
-        [(c, [int(x) for x in C[c]]) for c in range(len(C))],
-        schema="cell int, c array<long>")
+    return C
 
 
 def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
@@ -1231,6 +1253,284 @@ def pq_topk_rerank(codes: DataFrame, codebooks: DataFrame,
                           F.col(vec_col).alias("n_vec"))
             .join(F.broadcast(short), "neighbor_id")
             .join(F.broadcast(q), "query_id")
+            .withColumn("cos_sim",
+                        round_fixed(cosine(as_double(F.col("q_vec")),
+                                           as_double(F.col("n_vec"))), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (cand.withColumn("rnk", F.rank().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rnk"))
+
+
+# ---- exact-integer PQ: the oracle-paired twin of the float path ----
+
+def pq_codebooks_int(train_int: DataFrame, m: int = 8, k_codes: int = 16,
+                     iters: int = IVF_LLOYD_ITERS, id_col: str = "vec_id",
+                     max_train_rows: int = 250_000) -> DataFrame:
+    """Deterministic, cross-engine-EXACT product-quantizer codebooks:
+    the per-subspace k-means of :func:`pq_train` re-expressed with the
+    ``ivf_centroids_int`` arithmetic (micro-unit integer subvectors,
+    farthest-point seeding from the md5-rank-smallest id, exact-BIGINT
+    Lloyd with round-half-away integer means) so a DuckDB oracle can
+    replay the ENTIRE training per subspace — the same rows-only →
+    hash-paired upgrade ivf_topk got, applied to PQ.
+
+    Input: (id_col, v array<long>) micro-unit vectors. Output:
+    (sub int, code int, c array<long>) — m × (<= k_codes) rows, tiny.
+    One bounded driver-side collect serves all m subspaces (slices of
+    the same sample rows); codes within a subspace are compacted to
+    0..k-1 after empty-cluster drops, which preserves relative order —
+    the only property the argmin tie-breaks and ADC joins consume."""
+    spark = train_int.sparkSession
+    ids, V = _collect_train_sample(train_int, id_col, max_train_rows,
+                                   "pq_codebooks_int")
+    schema = "sub int, code int, c array<long>"
+    if not ids:
+        return spark.createDataFrame([], schema=schema)
+    dim = V.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    rows = []
+    for sub in range(m):
+        C = _train_int_kmeans(ids, V[:, sub * d_sub:(sub + 1) * d_sub],
+                              k_codes, iters)
+        rows += [(sub, c, [int(x) for x in C[c]]) for c in range(len(C))]
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def pq_encode_int(emb_int: DataFrame, cb_rows, m: int,
+                  id_col: str = "vec_id") -> DataFrame:
+    """(id, codes array<int>): each micro-unit integer subvector
+    snapped to its nearest codebook centroid by exact int64 squared
+    distance, ties to the lower code (numpy argmin takes the FIRST
+    minimum — deterministic, matching the oracle's ORDER BY d2, code).
+
+    Arrow-batched mapInPandas for the same measured reason as the
+    float :func:`pq_encode`: encode is the corpus-wide hot path, and a
+    literal-codebook expression tree pays m×k interpreted
+    higher-order-function evaluations per row — measured ~5 ms/row at
+    m=8, k=16 vs microseconds here (the jl_project lesson, but at
+    EXECUTION time rather than analysis time). Row-local: no shuffle,
+    the ~m×k×d_sub int codebook tensor ships by closure. Every
+    operation is int64 (broadcast-subtract square-sum, no matmul
+    identity — the cross-term trick is for BLAS floats; these are
+    exact integers), so the result is bit-identical to the DuckDB
+    replay."""
+    import numpy as np
+
+    by_sub: dict[int, list] = {}
+    for r in sorted(cb_rows, key=lambda r: (r["sub"], r["code"])):
+        by_sub.setdefault(r["sub"], []).append(r["c"])
+    cents = [np.array(by_sub[s], dtype=np.int64) for s in range(m)]
+    d_sub = cents[0].shape[1]
+
+    id_type = emb_int.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, codes array<int>"
+
+    def run(batches):
+        for pdf in batches:
+            v = np.array(pdf["v"].tolist(), dtype=np.int64)
+            sv = v.reshape(len(v), m, d_sub)
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for sub in range(m):
+                d2 = ((sv[:, sub, None, :] - cents[sub][None, :, :]) ** 2
+                      ).sum(axis=2)
+                codes[:, sub] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "codes": list(codes)})
+
+    return emb_int.select(id_col, "v").mapInPandas(run, schema=out_schema)
+
+
+def pq_rerank_topk_int(embeddings: DataFrame, k: int = 5,
+                       n_queries: int = 10, m: int = 8, k_codes: int = 16,
+                       shortlist: int = 50, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Oracle-paired PQ ANN with exact reranking — the FAISS
+    IVFPQ+refine shape of :func:`pq_topk_rerank` on the deterministic
+    integer quantizer: micro-unit vectors, ``pq_codebooks_int``
+    training (DuckDB-replayable farthest-point + integer Lloyd per
+    subspace), one shuffle-free Arrow encode pass (pq_encode_int),
+    exact-BIGINT ADC over the 8-byte codes to shortlist candidates,
+    exact cosine (on the ORIGINAL double vectors, round_fixed 6) to
+    rerank. Unlike the float path there is no L2 normalization — the
+    ADC metric is raw squared euclidean, the same metric ivf_topk's
+    cells use — so every intermediate number is exact integer
+    arithmetic and the output hash-checks against the SQL twin.
+
+    Scale shape (billions of vectors): training collects a bounded
+    md5-hash sample (~40·k_codes rows — FAISS practice: codebook
+    quality saturates on a sample, cost independent of corpus size);
+    encode is one row-local Arrow pass (no shuffle); the ADC
+    scan touches the corpus only through (id, sub, code) triples
+    joined to a broadcast queries×m×k LUT, partial-aggregating
+    map-side to one row per (query, id); the rerank fetches original
+    vectors for only queries×shortlist ids via broadcast semi-join.
+    Output (query_id, neighbor_id, cos_sim, rnk) — drop-in comparable
+    with cosine_topk; recall bounds pinned in unit tests."""
+    from asvsp_spark.plans.base import md5_slice_long
+
+    to_int = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.round(x * IVF_QUANT_SCALE, 0).cast("long"))
+    emb = embeddings.select(F.col(id_col), F.col(vec_col),
+                            to_int.alias("v"))
+    # one metadata job for both facts (count gates the sample, dim
+    # fixes the subvector width)
+    n, dim = emb.agg(F.count(F.lit(1)), F.max(F.size(vec_col))).first()
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+
+    train = emb
+    target = 40 * k_codes
+    if n > 2 * target:
+        denom = max(2, n // target)
+        train = emb.filter(
+            F.pmod(md5_slice_long(F.col(id_col).cast("string")),
+                   F.lit(denom)) == 0)
+    cb = pq_codebooks_int(train.select(id_col, "v"), m=m,
+                          k_codes=k_codes, id_col=id_col)
+    # driver-ok: bounded metadata — the m×k codebook rows
+    cb_rows = cb.collect()
+
+    codes = pq_encode_int(emb, cb_rows, m, id_col=id_col)
+
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.col("v").alias("q_v"))
+    # ADC lookup table: queries × m × k partial distances, broadcast
+    lut = (q.crossJoin(F.broadcast(cb))
+           .withColumn("d_part", _int_sq_dist(
+               F.slice("q_v", F.col("sub") * d_sub + 1, d_sub),
+               F.col("c")))
+           .select("query_id", "sub", "code", "d_part"))
+    corpus = codes.select(
+        F.col(id_col), F.posexplode("codes").alias("sub", "code"))
+    scored = (corpus.join(F.broadcast(lut), ["sub", "code"])
+              .filter(F.col(id_col) != F.col("query_id"))
+              .groupBy("query_id", id_col)
+              .agg(F.sum("d_part").alias("approx_dist")))
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc(id_col))
+    short = (scored.withColumn("rnk", F.rank().over(w_short))
+             .filter(F.col("rnk") <= shortlist)
+             .select("query_id", F.col(id_col).alias("neighbor_id")))
+
+    # the shortlist is provably queries×shortlist rows — broadcast it so
+    # the corpus-side vector fetch never shuffles the corpus
+    cand = (emb.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("n_vec"))
+            .join(F.broadcast(short), "neighbor_id")
+            .join(F.broadcast(q.select("query_id", "q_vec")), "query_id")
+            .withColumn("cos_sim",
+                        round_fixed(cosine(as_double(F.col("q_vec")),
+                                           as_double(F.col("n_vec"))), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (cand.withColumn("rnk", F.rank().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rnk"))
+
+
+def ivfpq_rerank_topk_int(embeddings: DataFrame, k: int = 5,
+                          n_queries: int = 10, n_probe: int = 4,
+                          n_centroids: int | None = None, m: int = 8,
+                          k_codes: int = 16, shortlist: int = 50,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Oracle-paired IVF-PQ: the three FAISS stages of
+    :func:`query_ivfpq_index` (probe → ADC shortlist → exact rerank) on
+    the deterministic integer quantizers — coarse cells from
+    ``ivf_centroids_int`` (ivf_topk's trained partition), PQ codes from
+    ``pq_codebooks_int`` over the raw (non-residual) vectors exactly
+    like the float index builder, so a DuckDB twin replays BOTH
+    trainings plus the pruned ADC scan bit-identically.
+
+    Stage shape at scale: cell assignment is one broadcast-argmin pass
+    + an id-keyed join (ivf_topk's reviewed pattern); PQ encode is one
+    row-local Arrow pass (pq_encode_int, no shuffle); the ADC scan
+    touches only the probed cells' (id, sub, code) triples against a
+    broadcast (query, sub, code) LUT with exact-BIGINT partials
+    (map-side combine to one row per (query, id)); the rerank fetches
+    original vectors for queries×shortlist ids via broadcast semi-join.
+    Output (query_id, neighbor_id, cos_sim, rnk) — drop-in comparable
+    with cosine_topk / pq_rerank_topk_int."""
+    from asvsp_spark.plans.base import md5_slice_long
+
+    to_int = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.round(x * IVF_QUANT_SCALE, 0).cast("long"))
+    emb = embeddings.select(F.col(id_col), F.col(vec_col),
+                            to_int.alias("v"))
+    n, dim = emb.agg(F.count(F.lit(1)), F.max(F.size(vec_col))).first()
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    kc = n_centroids or max(2, int(n ** 0.5))
+
+    def gated(target: int) -> DataFrame:
+        if n > 2 * target:
+            denom = max(2, n // target)
+            return emb.filter(
+                F.pmod(md5_slice_long(F.col(id_col).cast("string")),
+                       F.lit(denom)) == 0)
+        return emb
+
+    cents = ivf_centroids_int(
+        gated(40 * kc).select(id_col, "v"), kc, id_col=id_col)
+    cb = pq_codebooks_int(
+        gated(40 * k_codes).select(id_col, "v"), m=m, k_codes=k_codes,
+        id_col=id_col)
+    # driver-ok: bounded metadata — the m×k codebook rows
+    cb_rows = cb.collect()
+
+    codes = pq_encode_int(emb, cb_rows, m, id_col=id_col)
+    argmin = (emb.crossJoin(F.broadcast(cents))
+              .withColumn("d2", _int_sq_dist(F.col("v"), F.col("c")))
+              .groupBy(id_col)
+              .agg(F.min_by("cell", F.struct(F.col("d2"), F.col("cell")))
+                   .alias("cell")))
+    # (id, cell, codes): two narrow corpus-derived frames, id-keyed join
+    assigned = codes.join(argmin, id_col)
+
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.col("v").alias("q_v"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("cell"))
+    probes = (q.crossJoin(F.broadcast(cents))
+              .withColumn("d2", _int_sq_dist(F.col("q_v"), F.col("c")))
+              .withColumn("pr", F.rank().over(w_probe))
+              .filter(F.col("pr") <= n_probe)
+              .select("query_id", "cell"))
+    lut = (q.crossJoin(F.broadcast(cb))
+           .withColumn("d_part", _int_sq_dist(
+               F.slice("q_v", F.col("sub") * d_sub + 1, d_sub),
+               F.col("c")))
+           .select("query_id", "sub", "code", "d_part"))
+
+    # ADC over ONLY the probed cells' members; the LUT join carries
+    # query_id so each query scores just its own probed candidates
+    adc = (assigned.join(F.broadcast(probes), "cell")
+           .filter(F.col(id_col) != F.col("query_id"))
+           .select("query_id", id_col,
+                   F.posexplode("codes").alias("sub", "code"))
+           .join(F.broadcast(lut), ["query_id", "sub", "code"])
+           .groupBy("query_id", id_col)
+           .agg(F.sum("d_part").alias("approx_dist")))
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc(id_col))
+    short = (adc.withColumn("sr", F.rank().over(w_short))
+             .filter(F.col("sr") <= shortlist)
+             .select("query_id", F.col(id_col).alias("neighbor_id")))
+
+    cand = (emb.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("n_vec"))
+            .join(F.broadcast(short), "neighbor_id")
+            .join(F.broadcast(q.select("query_id", "q_vec")), "query_id")
             .withColumn("cos_sim",
                         round_fixed(cosine(as_double(F.col("q_vec")),
                                            as_double(F.col("n_vec"))), 6)))

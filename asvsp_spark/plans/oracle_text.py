@@ -334,6 +334,396 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= {k}
 
 ORACLE_TEXT["ivf_topk"] = _ivf_sql()
 
+
+# Spark side: operators/similarity.py pq_rerank_topk_int (registry
+# defaults: k=5, n_queries=10, m=8, k_codes=16, shortlist=50, 2 Lloyd
+# iterations). The _ivf_sql training replay extended per SUBSPACE: the
+# farthest-point seeding recursion carries ``sub`` as a data dimension
+# (one recursive CTE, 8 rows per level, each advancing its own
+# subspace's chosen set — seed 1 is the same md5-rank-smallest id for
+# every subspace because the seeding hash is on the id, exactly like
+# the numpy loop slicing one collected sample), the Lloyd CTEs group by
+# (sub, code), corpus encoding is the per-(vec_id, sub) integer argmin
+# with lower-code ties, ADC sums the queries' per-(sub, code) exact
+# integer partials, rank keeps shortlist ties, and the final exact
+# cosine rerank over ORIGINAL double vectors copies cosine_topk's
+# formula verbatim. Empty-code drops: numpy compacts labels, this SQL
+# keeps originals — relabeling is order-preserving and both the
+# tie-breaks and the enc↔lut joins are within-engine, so outputs match.
+def _pq_sql(k: int = 5, n_queries: int = 10, m: int = 8,
+            k_codes: int = 16, shortlist: int = 50, iters: int = 2) -> str:
+    d2 = ("list_sum(list_transform(range(1, len({v}) + 1), "
+          "d -> ({v}[d] - {c}[d]) * ({v}[d] - {c}[d])))")
+    target = 40 * k_codes
+    parts = [rf"""
+WITH RECURSIVE p AS (SELECT count(*) AS n FROM embeddings),
+pp AS (SELECT n, greatest(2, n // {target}) AS denom,
+              (n > {2 * target}) AS sampled FROM p),
+ei AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+    FROM embeddings
+),
+dims AS (SELECT CAST(max(len(v)) // {m} AS INT) AS ds FROM ei),
+train AS (
+    SELECT ei.vec_id, ei.v FROM ei, pp
+    WHERE NOT pp.sampled
+       OR ('0x' || substr(md5(CAST(ei.vec_id AS VARCHAR)), 1, 8))::BIGINT
+          % pp.denom = 0
+),
+subs AS (SELECT CAST(s AS INT) AS sub FROM range({m}) r(s)),
+tsub AS (
+    SELECT s.sub, t.vec_id,
+           list_slice(t.v, s.sub * d.ds + 1, s.sub * d.ds + d.ds) AS v
+    FROM train t CROSS JOIN subs s CROSS JOIN dims d
+),
+fsel(lvl, sub, ids) AS (
+    SELECT 1, s.sub, [(SELECT vec_id FROM train
+                ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                          || '|ivfseed'), 1, 8))::BIGINT, vec_id
+                LIMIT 1)]
+    FROM subs s
+    UNION ALL
+    SELECT f.lvl + 1, f.sub, list_append(f.ids, (
+        SELECT vec_id FROM (
+            SELECT s.vec_id,
+                   (SELECT min({d2.format(v='s.v', c='t.v')})
+                    FROM tsub t
+                    WHERE t.sub = f.sub
+                      AND list_contains(f.ids, t.vec_id)) AS md
+            FROM tsub s WHERE s.sub = f.sub
+              AND NOT list_contains(f.ids, s.vec_id))
+        ORDER BY md DESC, vec_id LIMIT 1))
+    FROM fsel f
+    WHERE f.lvl < least({k_codes}, (SELECT count(*) FROM train))
+),
+ford AS (SELECT sub, ids FROM fsel
+         QUALIFY row_number() OVER (PARTITION BY sub
+                                    ORDER BY lvl DESC) = 1),
+fx AS (SELECT sub, unnest(list_transform(range(1, len(ids) + 1),
+              i -> {{'i': i, 'sid': ids[i]}}), recursive := true)
+       FROM ford),
+c0 AS (
+    SELECT fx.sub, CAST(fx.i - 1 AS INT) AS code, t.v AS c
+    FROM fx JOIN tsub t ON t.vec_id = fx.sid AND t.sub = fx.sub
+)"""]
+    mean_cv = ("CAST(CASE WHEN sum(val) >= 0 "
+               "THEN (2 * sum(val) + count(*)) // (2 * count(*)) "
+               "ELSE -((-2 * sum(val) + count(*)) // (2 * count(*))) "
+               "END AS BIGINT)")
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i} AS (
+    SELECT t.sub, t.vec_id, t.v, c.code,
+           {d2.format(v='t.v', c='c.c')} AS d2
+    FROM tsub t JOIN c{i - 1} c ON c.sub = t.sub
+),
+b{i} AS (
+    SELECT sub, vec_id, v, code FROM a{i}
+    QUALIFY row_number() OVER (PARTITION BY sub, vec_id
+                               ORDER BY d2, code) = 1
+),
+c{i} AS (
+    SELECT sub, code, list(cv ORDER BY d) AS c FROM (
+        SELECT sub, code, d, {mean_cv} AS cv
+        FROM (SELECT sub, code,
+                     unnest(list_transform(range(1, len(v) + 1),
+                            d -> {{'d': d, 'val': v[d]}}),
+                            recursive := true)
+              FROM b{i})
+        GROUP BY sub, code, d)
+    GROUP BY sub, code
+)""")
+    parts.append(f""",
+esub AS (
+    SELECT s.sub, ei.vec_id,
+           list_slice(ei.v, s.sub * d.ds + 1, s.sub * d.ds + d.ds) AS v
+    FROM ei CROSS JOIN subs s CROSS JOIN dims d
+),
+enc AS (
+    SELECT sub, vec_id, code FROM (
+        SELECT t.sub, t.vec_id, c.code,
+               {d2.format(v='t.v', c='c.c')} AS d2
+        FROM esub t JOIN c{iters} c ON c.sub = t.sub)
+    QUALIFY row_number() OVER (PARTITION BY sub, vec_id
+                               ORDER BY d2, code) = 1
+),
+lut AS (
+    SELECT t.vec_id AS query_id, t.sub, c.code,
+           {d2.format(v='t.v', c='c.c')} AS d_part
+    FROM esub t JOIN c{iters} c ON c.sub = t.sub
+    WHERE t.vec_id < {n_queries}
+),
+sc AS (
+    SELECT l.query_id, e.vec_id AS neighbor_id,
+           sum(l.d_part) AS approx_dist
+    FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+    WHERE e.vec_id <> l.query_id
+    GROUP BY 1, 2
+),
+short AS (
+    SELECT query_id, neighbor_id FROM sc
+    QUALIFY rank() OVER (PARTITION BY query_id
+                         ORDER BY approx_dist, neighbor_id) <= {shortlist}
+),
+rr AS (
+    SELECT sh.query_id, sh.neighbor_id,
+           round(list_dot_product(q.e, n.e)
+                 / sqrt(list_dot_product(q.e, q.e))
+                 / sqrt(list_dot_product(n.e, n.e)) * 1000000)
+               / 1000000.0 AS cos_sim
+    FROM short sh
+    JOIN ei q ON q.vec_id = sh.query_id
+    JOIN ei n ON n.vec_id = sh.neighbor_id
+),
+r AS (
+    SELECT *, CAST(rank() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id)
+                   AS INT) AS rnk
+    FROM rr
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= {k}
+""")
+    return "".join(parts)
+
+
+# shortlist=100 matches the registry entry (recall 0.86 vs 0.62 at 50
+# on the fixture; constant cost in corpus size)
+ORACLE_TEXT["pq_rerank_topk"] = _pq_sql(shortlist=100)
+
+
+# Spark side: operators/similarity.py ivfpq_rerank_topk_int (registry
+# defaults: k=5, n_queries=10, n_probe=4, kc=floor(sqrt(N)), m=8,
+# k_codes=16, shortlist=50, 2 Lloyd iterations). _ivf_sql's cell
+# training and _pq_sql's per-subspace codebook training COMPOSED in one
+# WITH RECURSIVE (two independent seeding recursions, each with its own
+# md5 sample gate), then the three FAISS stages: probe ranks cells by
+# the quantizer's integer metric, the ADC scan scores only probed-cell
+# members' (sub, code) triples against the per-query exact-BIGINT LUT,
+# and exact cosine (cosine_topk's formula verbatim) reranks the
+# shortlist. PQ codes are over the RAW vectors (non-residual), matching
+# build_ivfpq_index's float layout.
+def _ivfpq_sql(k: int = 5, n_queries: int = 10, n_probe: int = 4,
+               m: int = 8, k_codes: int = 16, shortlist: int = 50,
+               iters: int = 2) -> str:
+    d2 = ("list_sum(list_transform(range(1, len({v}) + 1), "
+          "d -> ({v}[d] - {c}[d]) * ({v}[d] - {c}[d])))")
+    tq = 40 * k_codes
+    parts = [rf"""
+WITH RECURSIVE p AS (
+    SELECT count(*) AS n,
+           CAST(greatest(2, floor(sqrt(count(*)))) AS BIGINT) AS kc
+    FROM embeddings
+),
+ppi AS (SELECT n, kc, greatest(2, n // (40 * kc)) AS denom,
+               (n > 2 * 40 * kc) AS sampled FROM p),
+ppq AS (SELECT n, greatest(2, n // {tq}) AS denom,
+               (n > {2 * tq}) AS sampled FROM p),
+ei AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+    FROM embeddings
+),
+dims AS (SELECT CAST(max(len(v)) // {m} AS INT) AS ds FROM ei),
+traini AS (
+    SELECT ei.vec_id, ei.v FROM ei, ppi
+    WHERE NOT ppi.sampled
+       OR ('0x' || substr(md5(CAST(ei.vec_id AS VARCHAR)), 1, 8))::BIGINT
+          % ppi.denom = 0
+),
+trainq AS (
+    SELECT ei.vec_id, ei.v FROM ei, ppq
+    WHERE NOT ppq.sampled
+       OR ('0x' || substr(md5(CAST(ei.vec_id AS VARCHAR)), 1, 8))::BIGINT
+          % ppq.denom = 0
+),
+subs AS (SELECT CAST(s AS INT) AS sub FROM range({m}) r(s)),
+tsub AS (
+    SELECT s.sub, t.vec_id,
+           list_slice(t.v, s.sub * d.ds + 1, s.sub * d.ds + d.ds) AS v
+    FROM trainq t CROSS JOIN subs s CROSS JOIN dims d
+),
+fseli(lvl, ids) AS (
+    SELECT 1, [(SELECT vec_id FROM traini
+                ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                          || '|ivfseed'), 1, 8))::BIGINT, vec_id
+                LIMIT 1)]
+    UNION ALL
+    SELECT f.lvl + 1, list_append(f.ids, (
+        SELECT vec_id FROM (
+            SELECT s.vec_id,
+                   (SELECT min({d2.format(v='s.v', c='t.v')})
+                    FROM traini t
+                    WHERE list_contains(f.ids, t.vec_id)) AS md
+            FROM traini s WHERE NOT list_contains(f.ids, s.vec_id))
+        ORDER BY md DESC, vec_id LIMIT 1))
+    FROM fseli f, ppi
+    WHERE f.lvl < least(ppi.kc, (SELECT count(*) FROM traini))
+),
+fordi AS (SELECT ids FROM fseli ORDER BY lvl DESC LIMIT 1),
+fxi AS (SELECT unnest(list_transform(range(1, len(ids) + 1),
+               i -> {{'i': i, 'sid': ids[i]}}), recursive := true)
+        FROM fordi),
+ci0 AS (
+    SELECT CAST(fxi.i - 1 AS INT) AS cell, t.v AS c
+    FROM fxi JOIN traini t ON t.vec_id = fxi.sid
+),
+fselq(lvl, sub, ids) AS (
+    SELECT 1, s.sub, [(SELECT vec_id FROM trainq
+                ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                          || '|ivfseed'), 1, 8))::BIGINT, vec_id
+                LIMIT 1)]
+    FROM subs s
+    UNION ALL
+    SELECT f.lvl + 1, f.sub, list_append(f.ids, (
+        SELECT vec_id FROM (
+            SELECT s.vec_id,
+                   (SELECT min({d2.format(v='s.v', c='t.v')})
+                    FROM tsub t
+                    WHERE t.sub = f.sub
+                      AND list_contains(f.ids, t.vec_id)) AS md
+            FROM tsub s WHERE s.sub = f.sub
+              AND NOT list_contains(f.ids, s.vec_id))
+        ORDER BY md DESC, vec_id LIMIT 1))
+    FROM fselq f
+    WHERE f.lvl < least({k_codes}, (SELECT count(*) FROM trainq))
+),
+fordq AS (SELECT sub, ids FROM fselq
+          QUALIFY row_number() OVER (PARTITION BY sub
+                                     ORDER BY lvl DESC) = 1),
+fxq AS (SELECT sub, unnest(list_transform(range(1, len(ids) + 1),
+               i -> {{'i': i, 'sid': ids[i]}}), recursive := true)
+        FROM fordq),
+cq0 AS (
+    SELECT fxq.sub, CAST(fxq.i - 1 AS INT) AS code, t.v AS c
+    FROM fxq JOIN tsub t ON t.vec_id = fxq.sid AND t.sub = fxq.sub
+)"""]
+    mean_cv = ("CAST(CASE WHEN sum(val) >= 0 "
+               "THEN (2 * sum(val) + count(*)) // (2 * count(*)) "
+               "ELSE -((-2 * sum(val) + count(*)) // (2 * count(*))) "
+               "END AS BIGINT)")
+    for i in range(1, iters + 1):
+        parts.append(f""",
+ia{i} AS (
+    SELECT t.vec_id, t.v, c.cell,
+           {d2.format(v='t.v', c='c.c')} AS d2
+    FROM traini t CROSS JOIN ci{i - 1} c
+),
+ib{i} AS (
+    SELECT vec_id, v, cell FROM ia{i}
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, cell) = 1
+),
+ci{i} AS (
+    SELECT cell, list(cv ORDER BY d) AS c FROM (
+        SELECT cell, d, {mean_cv} AS cv
+        FROM (SELECT cell,
+                     unnest(list_transform(range(1, len(v) + 1),
+                            d -> {{'d': d, 'val': v[d]}}),
+                            recursive := true)
+              FROM ib{i})
+        GROUP BY cell, d)
+    GROUP BY cell
+),
+qa{i} AS (
+    SELECT t.sub, t.vec_id, t.v, c.code,
+           {d2.format(v='t.v', c='c.c')} AS d2
+    FROM tsub t JOIN cq{i - 1} c ON c.sub = t.sub
+),
+qb{i} AS (
+    SELECT sub, vec_id, v, code FROM qa{i}
+    QUALIFY row_number() OVER (PARTITION BY sub, vec_id
+                               ORDER BY d2, code) = 1
+),
+cq{i} AS (
+    SELECT sub, code, list(cv ORDER BY d) AS c FROM (
+        SELECT sub, code, d, {mean_cv} AS cv
+        FROM (SELECT sub, code,
+                     unnest(list_transform(range(1, len(v) + 1),
+                            d -> {{'d': d, 'val': v[d]}}),
+                            recursive := true)
+              FROM qb{i})
+        GROUP BY sub, code, d)
+    GROUP BY sub, code
+)""")
+    parts.append(f""",
+asn AS (
+    SELECT vec_id, cell FROM (
+        SELECT ei.vec_id, c.cell,
+               {d2.format(v='ei.v', c='c.c')} AS d2
+        FROM ei CROSS JOIN ci{iters} c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, cell) = 1
+),
+esub AS (
+    SELECT s.sub, ei.vec_id,
+           list_slice(ei.v, s.sub * d.ds + 1, s.sub * d.ds + d.ds) AS v
+    FROM ei CROSS JOIN subs s CROSS JOIN dims d
+),
+enc AS (
+    SELECT sub, vec_id, code FROM (
+        SELECT t.sub, t.vec_id, c.code,
+               {d2.format(v='t.v', c='c.c')} AS d2
+        FROM esub t JOIN cq{iters} c ON c.sub = t.sub)
+    QUALIFY row_number() OVER (PARTITION BY sub, vec_id
+                               ORDER BY d2, code) = 1
+),
+probes AS (
+    SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cell,
+               {d2.format(v='q.v', c='c.c')} AS d2
+        FROM ei q CROSS JOIN ci{iters} c
+        WHERE q.vec_id < {n_queries})
+    QUALIFY rank() OVER (PARTITION BY query_id
+                         ORDER BY d2, cell) <= {n_probe}
+),
+lut AS (
+    SELECT t.vec_id AS query_id, t.sub, c.code,
+           {d2.format(v='t.v', c='c.c')} AS d_part
+    FROM esub t JOIN cq{iters} c ON c.sub = t.sub
+    WHERE t.vec_id < {n_queries}
+),
+sc AS (
+    SELECT pr.query_id, e.vec_id AS neighbor_id,
+           sum(l.d_part) AS approx_dist
+    FROM enc e
+    JOIN asn a ON a.vec_id = e.vec_id
+    JOIN probes pr ON pr.cell = a.cell
+    JOIN lut l ON l.query_id = pr.query_id
+              AND l.sub = e.sub AND l.code = e.code
+    WHERE e.vec_id <> pr.query_id
+    GROUP BY 1, 2
+),
+short AS (
+    SELECT query_id, neighbor_id FROM sc
+    QUALIFY rank() OVER (PARTITION BY query_id
+                         ORDER BY approx_dist, neighbor_id) <= {shortlist}
+),
+rr AS (
+    SELECT sh.query_id, sh.neighbor_id,
+           round(list_dot_product(q.e, n.e)
+                 / sqrt(list_dot_product(q.e, q.e))
+                 / sqrt(list_dot_product(n.e, n.e)) * 1000000)
+               / 1000000.0 AS cos_sim
+    FROM short sh
+    JOIN ei q ON q.vec_id = sh.query_id
+    JOIN ei n ON n.vec_id = sh.neighbor_id
+),
+r AS (
+    SELECT *, CAST(rank() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id)
+                   AS INT) AS rnk
+    FROM rr
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= {k}
+""")
+    return "".join(parts)
+
+
+ORACLE_TEXT["ivfpq_rerank_topk"] = _ivfpq_sql()
+
 # Spark side: functions/text.py repetition_features — pure array exprs.
 # DuckDB lists are 1-based (Spark subscripts 0-based; both build the same
 # trigram strings); integer-count divisions keep ratios bit-identical.

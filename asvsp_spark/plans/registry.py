@@ -559,6 +559,13 @@ _REGISTRY["sq16_variant_hourly"] = SQ.sq16_variant_hourly
 # gapfill_hourly_values (interp/daily/weekly grains stay),
 # dedup_components (stitch_report drives connected_components_star),
 # cohort_retention (corpus_datacard keeps the grouping family).
+# Late-r8 additions: pq_rerank_topk and ivfpq_rerank_topk (both
+# rows-only -> hash-paired via the per-subspace application of the same
+# deterministic integer quantizer that converted ivf_topk) earn
+# birth-round slots, displacing pmi_collocations (r6+r7 double-green;
+# the relevance family keeps dsir_weights + dsir_sample window rows)
+# and sketch_value_percentiles (r6+r7 double-green; the sketch family
+# keeps sq14's streaming twin of the same histogram machinery).
 # Mid-r8 additions: unpivot_daily_type (native melt, pivot's inverse)
 # and variant_props_decode (Spark 4 VARIANT path extraction) earn
 # birth-round slots, displacing media_image_decode (r6+r7 double-green;
@@ -593,12 +600,13 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "dup_substring_runs", "sq14_value_percentiles_hourly",
     "minhash_calibration", "gapfill_hourly_interp", "line_dedup_docs",
     "gapfill_daily_values", "incremental_substring_runs",
-    "dup_substring_table", "pmi_collocations", "http_collect_rollup",
+    "dup_substring_table", "http_collect_rollup",
     "sq13_contract_hourly", "sq16_variant_hourly", "corpus_datacard",
-    "media_frame_sample", "sketch_value_percentiles",
-    "packing_best_fit_bins",
+    "media_frame_sample", "packing_best_fit_bins",
     # mid-r8 birth-round slots (see rotation note above)
     "unpivot_daily_type", "variant_props_decode",
+    # late-r8 birth-round slots: the PQ family oracle-pairing
+    "pq_rerank_topk", "ivfpq_rerank_topk",
 )
 
 
@@ -1666,19 +1674,26 @@ def _skew_join_salted(spark, sf):
 
 
 @register("pq_rerank_topk")
-def _pq_rerank_topk(spark, sf):   # rows-only: per-subspace k-means
+def _pq_rerank_topk(spark, sf):
     """Product-quantized ANN with exact reranking (similarity.py
-    pq_train/encode/topk_rerank, m=8 × 128 codes): the 8-byte-code scan
+    pq_rerank_topk_int, m=8 × 16 codes): the 8-byte-code ADC scan
     shortlists 50, exact cosine reranks — FAISS IVFPQ+refine shape.
-    Deterministic (seeded k-means, lower-code ties) but no DuckDB twin
-    for the trained codebooks; recall bounds pinned in unit tests."""
-    from asvsp_spark.operators.similarity import (pq_encode, pq_topk_rerank,
-                                                  pq_train)
-    emb = _t(spark, sf, "embeddings")
-    cb = pq_train(emb, m=8, k_codes=128)
-    codes = pq_encode(emb, cb, m=8)
-    return pq_topk_rerank(codes, cb, emb.filter(F.col("vec_id") < 10),
-                          emb, k=5, shortlist=50)
+    Oracle-paired since r8 (previously rows-only under float seeded
+    k-means): per-subspace codebooks train with the same exact-integer
+    farthest-point + Lloyd quantizer ivf_topk uses (pq_codebooks_int),
+    corpus encoding is one literal-codebook projection (zero shuffle,
+    zero Python), and the ADC partials are exact BIGINTs, so the DuckDB
+    twin replays training, encoding, the shortlist AND the rerank
+    bit-identically at every SF — including the md5 sample-gate path
+    that fires at sf0.1. The float FAISS-style path (pq_train /
+    pq_encode / pq_topk_rerank) remains the library API for persisted
+    IVFPQ indexes, recall-pinned in unit tests."""
+    from asvsp_spark.operators.similarity import pq_rerank_topk_int
+    # shortlist=100: recall vs exact top-5 measured 0.62@50 / 0.86@100
+    # on the fixture (the raw-L2 ADC metric vs the cosine rerank costs
+    # a few points vs the float path's normalized 128-code ADC; the
+    # shortlist is the cheap knob — its cost is constant in corpus size)
+    return pq_rerank_topk_int(_t(spark, sf, "embeddings"), shortlist=100)
 
 
 @register("join_fanout_report")
@@ -1908,30 +1923,22 @@ def _quality_classifier_scores(spark, sf):   # rows-only: learned floats
 
 
 @register("ivfpq_rerank_topk")
-def _ivfpq_rerank_topk(spark, sf):   # rows-only: learned index
-    """The full persisted FAISS-IVFPQ shape (similarity.py
-    build_ivfpq_index / query_ivfpq_index): cell-partitioned parquet
-    whose partition pruning is the inverted file, ADC over ONLY the
-    probed cells' 8-byte code columns, exact cosine rerank of the
-    shortlist. The index builds once per Spark application under the
-    scratch dir and is reused by later invocations (the production
-    cadence: build amortizes over every query batch); exactness at
-    full probe + recall under pruning are unit-pinned
-    (tests/test_ivfpq.py)."""
-    import os
-    import tempfile
-    from asvsp_spark.operators.similarity import (build_ivfpq_index,
-                                                  query_ivfpq_index)
-    emb = _t(spark, sf, "embeddings")
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        f"asvsp-ivfpq-{spark.sparkContext.applicationId}-"
-        f"{os.path.basename(os.path.normpath(sf))}")
-    if not os.path.isdir(f"{idx}/vectors"):
-        build_ivfpq_index(emb, idx, m=8, k_codes=64)
-    return query_ivfpq_index(
-        spark, idx, emb.filter(F.col("vec_id") < 10), k=5, n_probe=4,
-        shortlist=50)
+def _ivfpq_rerank_topk(spark, sf):
+    """The full FAISS-IVFPQ shape (similarity.py ivfpq_rerank_topk_int):
+    trained coarse cells prune the corpus (the inverted file), ADC over
+    ONLY the probed cells' 8-byte codes shortlists, exact cosine
+    reranks. Oracle-paired since r8 (previously rows-only on the float
+    persisted index): BOTH quantizers are the exact-integer
+    farthest-point + Lloyd training (ivf_centroids_int per-space /
+    pq_codebooks_int per-subspace, raw non-residual codes matching the
+    float index layout), so the DuckDB twin replays the two trainings,
+    the probe ranking, the pruned exact-BIGINT ADC scan and the rerank
+    bit-identically at every SF. The persisted-parquet float index
+    (build_ivfpq_index / query_ivfpq_index — partition pruning as the
+    inverted file) remains the library API, exactness- and
+    recall-pinned in tests/test_ivfpq.py."""
+    from asvsp_spark.operators.similarity import ivfpq_rerank_topk_int
+    return ivfpq_rerank_topk_int(_t(spark, sf, "embeddings"))
 
 
 @register("paragraph_dedup_docs")

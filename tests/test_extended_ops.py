@@ -161,11 +161,13 @@ def test_cli_list_oracle_paths(capsys):
     assert "q01_yearly_rank_yoy" in out and "rows-only" in out
     assert main(["oracle", "q09_weekend_effect"]) == 0
     assert "SELECT" in capsys.readouterr().out
-    # pq_rerank_topk (learned PQ codebooks) is rows-only by design —
-    # `oracle` must refuse it (lsh_topk earned an oracle in r5 via md5
-    # plane signs; ivf_topk, the previous pick here, in r8 via the
-    # deterministic integer-Lloyd quantizer)
-    assert main(["oracle", "pq_rerank_topk"]) == 1
+    # hll_user_rollup (DataSketches HLL — engine-specific estimates) is
+    # rows-only by design — `oracle` must refuse it (lsh_topk earned an
+    # oracle in r5 via md5 plane signs; ivf_topk in r8 via the
+    # deterministic integer-Lloyd quantizer; pq_rerank_topk +
+    # ivfpq_rerank_topk, the previous picks here, later in r8 via the
+    # same quantizer applied per subspace)
+    assert main(["oracle", "hll_user_rollup"]) == 1
 
 
 def test_connected_components_chain_and_singletons(spark):

@@ -390,3 +390,107 @@ def test_variant_rollup_plan_is_jvm_only_single_agg(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "MapInPandas" not in plan
+
+
+# ---- exact-integer PQ (pq_rerank_topk oracle-pairing) ----
+
+def test_pq_int_rerank_recall_bound(spark):
+    """The integer-quantizer PQ rerank must recover >= 0.8 of the exact
+    cosine top-5 at the registry's own params (m=8, k_codes=16,
+    shortlist=100 — measured 0.86; shortlist=50 measured 0.62, which is
+    why the registry widens it: the shortlist is the recall knob whose
+    cost is CONSTANT in corpus size). The float 128-code path keeps its
+    own 0.8 bound in test_drift.py — this pins the hash-checkable twin."""
+    from asvsp_spark.operators.similarity import (cosine_topk,
+                                                  pq_rerank_topk_int)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb).collect()}
+    rr = {(r.query_id, r.neighbor_id)
+          for r in pq_rerank_topk_int(emb, shortlist=100).collect()}
+    assert len(rr & exact) / len(exact) >= 0.8
+
+
+def test_pq_int_encode_is_shuffle_free_arrow_pass(spark):
+    """Corpus encoding must be ONE row-local Arrow pass: a MapInPandas
+    node with no Exchange and no join in the encode subplan — the
+    property that keeps PQ encode at scan speed on a 100 TB corpus.
+    (A literal-codebook expression tree was measured at ~5 ms/row —
+    interpreted HOF evaluation per (sub, code); the Arrow+numpy path is
+    the same measured-justification as the float pq_encode.)"""
+    from asvsp_spark.functions.vectors import as_double
+    from asvsp_spark.operators.similarity import (IVF_QUANT_SCALE,
+                                                  pq_codebooks_int,
+                                                  pq_encode_int)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    to_int = F.transform(as_double(F.col("embedding")),
+                         lambda x: F.round(x * IVF_QUANT_SCALE, 0)
+                         .cast("long"))
+    ei = emb.select("vec_id", to_int.alias("v"))
+    cb_rows = pq_codebooks_int(ei, m=8, k_codes=16).collect()
+    codes = pq_encode_int(ei, cb_rows, 8)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_pq_int_codebooks_shape_and_code_compaction(spark):
+    """pq_codebooks_int: m×(<=k) rows, codes contiguous from 0 per
+    subspace (the compaction invariant the literal-codebook encode and
+    the oracle's order-preservation argument both rely on), subvector
+    width dim/m, and training is deterministic across invocations."""
+    from asvsp_spark.functions.vectors import as_double
+    from asvsp_spark.operators.similarity import (IVF_QUANT_SCALE,
+                                                  pq_codebooks_int)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    to_int = F.transform(as_double(F.col("embedding")),
+                         lambda x: F.round(x * IVF_QUANT_SCALE, 0)
+                         .cast("long"))
+    ei = emb.select("vec_id", to_int.alias("v"))
+    rows = sorted(((r["sub"], r["code"], tuple(r["c"]))
+                   for r in pq_codebooks_int(ei, m=8, k_codes=16)
+                   .collect()))
+    subs = {s for s, _, _ in rows}
+    assert subs == set(range(8))
+    for s in subs:
+        codes = [c for ss, c, _ in rows if ss == s]
+        assert codes == list(range(len(codes))) and len(codes) <= 16
+    assert all(len(v) == 8 for _, _, v in rows)
+    again = sorted(((r["sub"], r["code"], tuple(r["c"]))
+                    for r in pq_codebooks_int(ei, m=8, k_codes=16)
+                    .collect()))
+    assert rows == again
+
+
+def test_ivfpq_int_full_probe_equals_pq_scan(spark):
+    """With every cell probed the IVF pruning is a no-op, so
+    ivfpq_rerank_topk_int must equal pq_rerank_topk_int exactly at the
+    same m/k_codes/shortlist — the same degenerate-configuration
+    identity the float index pins in test_ivfpq.py, now on the
+    hash-checkable twins (both share the PQ sample gate and codebooks
+    by construction)."""
+    from asvsp_spark.operators.similarity import (ivfpq_rerank_topk_int,
+                                                  pq_rerank_topk_int)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fp = sorted(map(tuple, ivfpq_rerank_topk_int(
+        emb, n_probe=10**9, shortlist=100).collect()))
+    pq = sorted(map(tuple, pq_rerank_topk_int(
+        emb, shortlist=100).collect()))
+    assert fp == pq
+
+
+def test_ivfpq_int_pruned_recall_bound(spark):
+    """At the registry's own n_probe=4/shortlist=50 the pruned scan
+    keeps >= 0.5 of the exact top-5 (measured 0.58 — identical to
+    ivf_topk@4, i.e. the cell pruning, not the 8-byte codes, is what
+    recall pays for; the ADC shortlist recovers everything the probes
+    admit)."""
+    from asvsp_spark.operators.similarity import (cosine_topk,
+                                                  ivfpq_rerank_topk_int)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb).collect()}
+    got = {(r.query_id, r.neighbor_id)
+           for r in ivfpq_rerank_topk_int(emb).collect()}
+    assert len(got & exact) / len(exact) >= 0.5
