@@ -761,6 +761,120 @@ def semantic_dedup_report(embeddings: DataFrame, threshold: float = 0.95,
     )
 
 
+def semantic_dedup_int(embeddings: DataFrame, threshold_num: int = 9,
+                       threshold_den: int = 10,
+                       n_cells: int | None = None,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       max_keep_refs: int = 10_000) -> DataFrame:
+    """Oracle-paired SemDeDup: :func:`semantic_dedup`'s blocking +
+    greedy-prune semantics made cross-engine-EXACT. Cells come from the
+    deterministic integer quantizer (``ivf_centroids_int`` — the
+    ivf_topk machinery, DuckDB-replayable training + argmin
+    assignment), and the within-cell greedy decision drops a vector iff
+    its cosine to an already-kept vector reaches the RATIONAL threshold
+    num/den, evaluated without ever computing a cosine:
+
+        cos(x, y) >= num/den
+        <=>  dot > 0  AND  den^2 * dot^2 >= num^2 * |x|^2 * |y|^2
+
+    on micro-unit integer vectors — exact BIGINT dots, exact
+    arbitrary-precision squares (python ints here, HUGEINT in the
+    DuckDB twin), no float anywhere in the decision. Zero vectors have
+    dot = 0 against everything and are always kept, matching the float
+    path's cos-0 convention.
+
+    Scale shape is semantic_dedup's: bounded md5-sample training, one
+    broadcast-argmin assignment pass, one shuffle on the cell id into
+    an applyInPandas whose per-cell work is an exact int64 numpy dot
+    against the kept-reference prefix (``max_keep_refs`` caps it).
+    Output (id, cell, is_keeper) — no cosine column: the decision is
+    exact, so the report needs no float at all."""
+    import numpy as np
+
+    from asvsp_spark.plans.base import md5_slice_long
+
+    to_int = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.round(x * IVF_QUANT_SCALE, 0).cast("long"))
+    emb = embeddings.select(F.col(id_col), to_int.alias("v"))
+    n = emb.count()
+    kc = n_cells or max(2, int(n ** 0.5))
+    train = emb
+    target = 40 * kc
+    if n > 2 * target:
+        denom = max(2, n // target)
+        train = emb.filter(
+            F.pmod(md5_slice_long(F.col(id_col).cast("string")),
+                   F.lit(denom)) == 0)
+    cents = ivf_centroids_int(train.select(id_col, "v"), kc,
+                              id_col=id_col)
+
+    argmin = (emb.crossJoin(F.broadcast(cents))
+              .withColumn("d2", _int_sq_dist(F.col("v"), F.col("c")))
+              .groupBy(id_col)
+              .agg(F.min_by("cell", F.struct(F.col("d2"), F.col("cell")))
+                   .alias("cell")))
+    assigned = emb.join(argmin, id_col)
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, cell int, is_keeper boolean"
+    tn2 = threshold_num * threshold_num
+    td2 = threshold_den * threshold_den
+
+    def prune(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        V = np.asarray(pdf["v"].tolist(), dtype=np.int64)
+        nsq = [int(x) for x in (V * V).sum(axis=1)]
+        buf = np.empty((min(len(pdf), max_keep_refs), V.shape[1]),
+                       dtype=np.int64)
+        ref_nsq: list[int] = []
+        n_ref = 0
+        keep = np.zeros(len(pdf), dtype=bool)
+        for i in range(len(pdf)):
+            dropped = False
+            if n_ref:
+                dots = buf[:n_ref] @ V[i]      # exact int64 (~1e16 max)
+                for j in range(n_ref):
+                    d = int(dots[j])
+                    # python ints: d*d ~ 1e29 needs arbitrary precision
+                    if d > 0 and td2 * d * d >= tn2 * ref_nsq[j] * nsq[i]:
+                        dropped = True
+                        break
+            keep[i] = not dropped
+            if not dropped and n_ref < buf.shape[0]:
+                buf[n_ref] = V[i]
+                ref_nsq.append(nsq[i])
+                n_ref += 1
+        return pd.DataFrame({
+            id_col: pdf[id_col], "cell": pdf["cell"].astype("int32"),
+            "is_keeper": keep})
+
+    return assigned.groupBy("cell").applyInPandas(prune, out_schema)
+
+
+def semantic_dedup_report_int(embeddings: DataFrame,
+                              threshold_num: int = 9,
+                              threshold_den: int = 10,
+                              n_cells: int | None = None,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Per-cell pruning audit over :func:`semantic_dedup_int` — the
+    hash-checkable twin of :func:`semantic_dedup_report` (drop_frac is
+    the only float: one small-integer division rounded once, stable
+    cross-engine)."""
+    return (
+        semantic_dedup_int(embeddings, threshold_num, threshold_den,
+                           n_cells, id_col, vec_col)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.sum(F.col("is_keeper").cast("int")).alias("n_keepers"),
+             F.min(id_col).alias("first_id"))
+        .withColumn("drop_frac",
+                    round_fixed(1 - F.col("n_keepers") / F.col("n_vectors"),
+                                6))
+    )
+
+
 def assign_cells(df: DataFrame, centroids: DataFrame,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:

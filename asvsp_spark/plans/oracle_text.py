@@ -724,6 +724,190 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= {k}
 
 ORACLE_TEXT["ivfpq_rerank_topk"] = _ivfpq_sql()
 
+
+# Spark side: operators/similarity.py semantic_dedup_report_int
+# (registry: threshold 9/10, kc=floor(sqrt(N)), 2 Lloyd iterations,
+# max_keep_refs=10000). _ivf_sql's training replay (same kc and sample
+# gate), then the SemDeDup greedy as a second recursion: each cell
+# advances one member per level in ascending vec_id order, and a member
+# is DROPPED iff some already-kept member of its cell satisfies the
+# exact-rational cosine test
+#   dot > 0 AND den^2 * dot^2 >= num^2 * |x|^2 * |y|^2
+# in HUGEINT (the python twin uses arbitrary-precision ints) — no float
+# anywhere in the decision. Two label conventions reconciled: numpy
+# compacts cell labels after every Lloyd empty-cell drop, the SQL keeps
+# originals — one dense_rank relabel at the end is identical because
+# compaction is order-preserving. kept is capped to the first
+# max_keep_refs keepers (list_slice), mirroring the reference-buffer
+# cap.
+def _semantic_dedup_sql(threshold_num: int = 9, threshold_den: int = 10,
+                        iters: int = 2,
+                        max_keep_refs: int = 10_000) -> str:
+    d2 = ("list_sum(list_transform(range(1, len({v}) + 1), "
+          "d -> ({v}[d] - {c}[d]) * ({v}[d] - {c}[d])))")
+    tn2 = threshold_num * threshold_num
+    td2 = threshold_den * threshold_den
+    parts = [rf"""
+WITH RECURSIVE p AS (
+    SELECT count(*) AS n,
+           CAST(greatest(2, floor(sqrt(count(*)))) AS BIGINT) AS kc
+    FROM embeddings
+),
+pp AS (SELECT n, kc, greatest(2, n // (40 * kc)) AS denom,
+              (n > 2 * 40 * kc) AS sampled FROM p),
+ei AS MATERIALIZED (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+    FROM embeddings
+),
+train AS MATERIALIZED (
+    SELECT ei.vec_id, ei.v FROM ei, pp
+    WHERE NOT pp.sampled
+       OR ('0x' || substr(md5(CAST(ei.vec_id AS VARCHAR)), 1, 8))::BIGINT
+          % pp.denom = 0
+),
+fsel(lvl, ids) AS (
+    SELECT 1, [(SELECT vec_id FROM train
+                ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                          || '|ivfseed'), 1, 8))::BIGINT, vec_id
+                LIMIT 1)]
+    UNION ALL
+    SELECT f.lvl + 1, list_append(f.ids, (
+        SELECT vec_id FROM (
+            SELECT s.vec_id,
+                   (SELECT min({d2.format(v='s.v', c='t.v')})
+                    FROM train t
+                    WHERE list_contains(f.ids, t.vec_id)) AS md
+            FROM train s WHERE NOT list_contains(f.ids, s.vec_id))
+        ORDER BY md DESC, vec_id LIMIT 1))
+    FROM fsel f, pp
+    WHERE f.lvl < least(pp.kc, (SELECT count(*) FROM train))
+),
+ford AS (SELECT ids FROM fsel ORDER BY lvl DESC LIMIT 1),
+fx AS (SELECT unnest(list_transform(range(1, len(ids) + 1),
+              i -> {{'i': i, 'sid': ids[i]}}), recursive := true)
+       FROM ford),
+c0 AS (
+    SELECT CAST(fx.i - 1 AS INT) AS cell, t.v AS c
+    FROM fx JOIN train t ON t.vec_id = fx.sid
+)"""]
+    mean_cv = ("CAST(CASE WHEN sum(val) >= 0 "
+               "THEN (2 * sum(val) + count(*)) // (2 * count(*)) "
+               "ELSE -((-2 * sum(val) + count(*)) // (2 * count(*))) "
+               "END AS BIGINT)")
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i} AS (
+    SELECT t.vec_id, t.v, c.cell,
+           {d2.format(v='t.v', c='c.c')} AS d2
+    FROM train t CROSS JOIN c{i - 1} c
+),
+b{i} AS (
+    SELECT vec_id, v, cell FROM a{i}
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, cell) = 1
+),
+c{i} AS (
+    SELECT cell, list(cv ORDER BY d) AS c FROM (
+        SELECT cell, d, {mean_cv} AS cv
+        FROM (SELECT cell,
+                     unnest(list_transform(range(1, len(v) + 1),
+                            d -> {{'d': d, 'val': v[d]}}),
+                            recursive := true)
+              FROM b{i})
+        GROUP BY cell, d)
+    GROUP BY cell
+)""")
+    parts.append(f""",
+cr AS (
+    SELECT CAST(dense_rank() OVER (ORDER BY cell) - 1 AS INT) AS cell, c
+    FROM c{iters}
+),
+mem AS MATERIALIZED (
+    -- MATERIALIZED is load-bearing: DuckDB inlines plain CTEs into the
+    -- recursive term, re-running the ENTIRE training pipeline once per
+    -- recursion level (measured 37 s for a ~30-level greedy at 500
+    -- vectors with zero conflict pairs; 0.1 s materialized)
+    SELECT vec_id, v, cell,
+           list_sum(list_transform(range(1, len(v) + 1),
+                    d -> v[d] * v[d])) AS nsq,
+           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+    FROM (
+        SELECT ei.vec_id, ei.v, c.cell,
+               {d2.format(v='ei.v', c='c.c')} AS d2
+        FROM ei CROSS JOIN cr c
+        QUALIFY row_number() OVER (PARTITION BY ei.vec_id
+                                   ORDER BY d2, c.cell) = 1)
+),
+prs AS MATERIALIZED (
+    -- every within-cell ordered pair at/above the rational threshold,
+    -- computed ONCE set-based (recomputing dots inside the recursion
+    -- measured ~40 s at 500 vectors); dot via list_zip because DuckDB
+    -- lambdas cannot capture correlated columns, but plain function
+    -- args can — list_sum of the BIGINT products is HUGEINT, exact
+    SELECT cell, i, j FROM (
+        SELECT a.cell, a.vec_id AS i, b.vec_id AS j,
+               a.nsq AS ni, b.nsq AS nj,
+               list_sum(list_transform(list_zip(a.v, b.v),
+                        z -> z[1] * z[2])) AS dot
+        FROM mem a JOIN mem b
+          ON b.cell = a.cell AND a.vec_id < b.vec_id)
+    WHERE dot > 0
+      AND CAST({td2} AS HUGEINT) * dot * dot
+          >= CAST({tn2} AS HUGEINT) * (CAST(ni AS HUGEINT) * nj)
+),
+cfl AS MATERIALIZED (
+    -- per-member list of its earlier in-cell conflicts, so the greedy
+    -- recursion is PURE list expressions (a correlated EXISTS inside
+    -- the recursive term silently stopped matching past ~1000 input
+    -- rows on duckdb 1.0 — zero drops despite thousands of prs pairs,
+    -- caught by the python cross-check; list_has_any has no subquery
+    -- to mis-decorrelate)
+    SELECT m.cell, m.vec_id, m.rn,
+           coalesce(p.lst, CAST([] AS BIGINT[])) AS confl
+    FROM mem m LEFT JOIN (SELECT cell, j, list(i) AS lst
+                          FROM prs GROUP BY cell, j) p
+      ON p.cell = m.cell AND p.j = m.vec_id
+),
+g(cell, rn, kept) AS (
+    SELECT cell, CAST(0 AS BIGINT), CAST([] AS BIGINT[])
+    FROM (SELECT DISTINCT cell FROM mem)
+    UNION ALL
+    SELECT g.cell, g.rn + 1,
+           CASE WHEN list_has_any(
+                    m.confl, list_slice(g.kept, 1, {max_keep_refs}))
+           THEN g.kept
+           ELSE list_append(g.kept, m.vec_id) END
+    FROM g JOIN cfl m ON m.cell = g.cell AND m.rn = g.rn + 1
+),
+fin AS (
+    SELECT cell, kept FROM g
+    QUALIFY row_number() OVER (PARTITION BY cell ORDER BY rn DESC) = 1
+),
+rep AS (
+    SELECT m.cell, count(*) AS n_vectors,
+           CAST(sum(CASE WHEN list_contains(f.kept, m.vec_id)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+           min(m.vec_id) AS first_id
+    FROM mem m JOIN fin f ON f.cell = m.cell
+    GROUP BY m.cell
+)
+SELECT cell, n_vectors, n_keepers, first_id,
+       round((1 - n_keepers / CAST(n_vectors AS DOUBLE)) * 1000000)
+           / 1000000.0 AS drop_frac
+FROM rep
+""")
+    return "".join(parts)
+
+
+# threshold 3/10 matches the registry entry: this synthetic corpus's
+# cosines top out at ~0.6, so the SemDeDup-typical 0.9+ never fires a
+# drop and the hash row would not exercise the greedy at all; at 3/10
+# the scan drops ~28% of vectors at every SF. The rational threshold
+# is a knob, the greedy semantics are not.
+ORACLE_TEXT["semantic_dedup_report"] = _semantic_dedup_sql(3, 10)
+
 # Spark side: functions/text.py repetition_features — pure array exprs.
 # DuckDB lists are 1-based (Spark subscripts 0-based; both build the same
 # trigram strings); integer-count divisions keep ratios bit-identical.

@@ -305,12 +305,24 @@ def _lsh_topk(spark, sf):
 
 @register("semantic_dedup_report")
 def _semantic_dedup_report(spark, sf):
-    """SemDeDup-style per-cell pruning audit: k-means blocking + greedy
-    within-cell cosine dedup at threshold 0.9. Rows-only: cell ids come
-    from the trained quantizer, so no SQL oracle can reproduce them; the
-    unit suite pins the single-cell greedy rule exactly."""
-    return SIM.semantic_dedup_report(_t(spark, sf, "embeddings"),
-                                     threshold=0.9)
+    """SemDeDup-style per-cell pruning audit: trained-cell blocking +
+    greedy within-cell cosine dedup at threshold 0.9. Oracle-paired
+    since r8 (previously rows-only under mllib k-means cells): cells
+    come from the deterministic integer quantizer (ivf_centroids_int)
+    and the greedy decision is the exact-rational cosine test
+    dot > 0 AND den^2*dot^2 >= num^2*|x|^2*|y|^2 on micro-unit integer
+    vectors — no float in any decision, so the DuckDB twin replays
+    training, assignment AND the greedy scan bit-identically. The
+    float path (semantic_dedup / semantic_dedup_report, mllib cells +
+    BLAS prune) remains the library API for the pipeline and the
+    frozen-cell incremental store, unit-pinned as before. Threshold
+    3/10, not the SemDeDup-typical 0.9+: this synthetic corpus's
+    cosines top out at ~0.6, so 0.9 never fires and the hash row would
+    not exercise the greedy at all — at 3/10 it drops ~28% of vectors
+    at every SF (the threshold is a knob, the semantics are not)."""
+    return SIM.semantic_dedup_report_int(_t(spark, sf, "embeddings"),
+                                         threshold_num=3,
+                                         threshold_den=10)
 
 
 # ---- streaming queries SQ1-SQ5 (SURVEY §2.11) ----
@@ -566,6 +578,10 @@ _REGISTRY["sq16_variant_hourly"] = SQ.sq16_variant_hourly
 # the relevance family keeps dsir_weights + dsir_sample window rows)
 # and sketch_value_percentiles (r6+r7 double-green; the sketch family
 # keeps sq14's streaming twin of the same histogram machinery).
+# semantic_dedup_report (rows-only -> hash-paired: integer-quantizer
+# cells + the exact-rational greedy cosine test) earns a birth-round
+# slot, displacing corpus_datacard (r6+r7 double-green; the grouping
+# family keeps unpivot_daily_type's window row).
 # Mid-r8 additions: unpivot_daily_type (native melt, pivot's inverse)
 # and variant_props_decode (Spark 4 VARIANT path extraction) earn
 # birth-round slots, displacing media_image_decode (r6+r7 double-green;
@@ -601,12 +617,12 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "minhash_calibration", "gapfill_hourly_interp", "line_dedup_docs",
     "gapfill_daily_values", "incremental_substring_runs",
     "dup_substring_table", "http_collect_rollup",
-    "sq13_contract_hourly", "sq16_variant_hourly", "corpus_datacard",
+    "sq13_contract_hourly", "sq16_variant_hourly",
     "media_frame_sample", "packing_best_fit_bins",
     # mid-r8 birth-round slots (see rotation note above)
     "unpivot_daily_type", "variant_props_decode",
-    # late-r8 birth-round slots: the PQ family oracle-pairing
-    "pq_rerank_topk", "ivfpq_rerank_topk",
+    # late-r8 birth-round slots: the ANN/semantic oracle-pairings
+    "pq_rerank_topk", "ivfpq_rerank_topk", "semantic_dedup_report",
 )
 
 

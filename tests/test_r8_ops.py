@@ -494,3 +494,70 @@ def test_ivfpq_int_pruned_recall_bound(spark):
     got = {(r.query_id, r.neighbor_id)
            for r in ivfpq_rerank_topk_int(emb).collect()}
     assert len(got & exact) / len(exact) >= 0.5
+
+
+# ---- exact-integer SemDeDup (semantic_dedup_report oracle-pairing) ----
+
+def test_semantic_dedup_int_chain_and_boundary(spark):
+    """Greedy-by-id semantics on a crafted single-cell chain: a~b and
+    b~c above threshold but a!~c — keep a (first), drop b (conflicts
+    with kept a), KEEP c (its only conflict b was dropped, never kept).
+    Plus the exact rational boundary: cos((1,0),(3,4)) = 3/5 exactly,
+    and the decision rule is >=, so at threshold 3/5 the pair drops —
+    pinned in exact integer arithmetic, no float could express this."""
+    from asvsp_spark.operators.similarity import semantic_dedup_int
+    docs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]),
+         (1, [0.9, 0.45, 0.0, 0.0]),     # cos vs 0 = .894, vs 2 = .447
+         (2, [0.45, 0.9, 0.0, 0.0])],    # cos vs 1 = .8
+        "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.is_keeper
+           for r in semantic_dedup_int(docs, threshold_num=4,
+                                       threshold_den=5,
+                                       n_cells=1).collect()}
+    assert out == {0: True, 1: False, 2: True}
+
+    edge = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [3.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.is_keeper
+           for r in semantic_dedup_int(edge, threshold_num=3,
+                                       threshold_den=5,
+                                       n_cells=1).collect()}
+    assert out == {0: True, 1: False}    # cos = 3/5 exactly, >= drops
+
+
+def test_semantic_dedup_int_greedy_invariants_on_fixture(spark):
+    """The two properties that fully characterize greedy-by-order
+    output, checked against an independent python replay of the exact
+    rational test over the fixture: (a) no two KEPT vectors of a cell
+    conflict; (b) every DROPPED vector conflicts with an earlier-id
+    KEPT vector of its cell."""
+    from asvsp_spark.operators.similarity import (IVF_QUANT_SCALE,
+                                                  semantic_dedup_int)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = semantic_dedup_int(emb, threshold_num=3,
+                              threshold_den=10).collect()
+    vecs = {r["vec_id"]: [round(x * IVF_QUANT_SCALE) for x in r["embedding"]]
+            for r in emb.collect()}
+
+    def conflicts(a, b):
+        x, y = vecs[a], vecs[b]
+        dot = sum(p * q for p, q in zip(x, y))
+        nx = sum(p * p for p in x)
+        ny = sum(q * q for q in y)
+        return dot > 0 and 100 * dot * dot >= 9 * nx * ny
+
+    assert sum(1 for r in rows if not r.is_keeper) > 0   # greedy exercised
+    by_cell: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: r.vec_id):
+        by_cell.setdefault(r.cell, []).append(r)
+    for members in by_cell.values():
+        kept = [r.vec_id for r in members if r.is_keeper]
+        for i, a in enumerate(kept):
+            for b in kept[i + 1:]:
+                assert not conflicts(a, b), (a, b)
+        for r in members:
+            if not r.is_keeper:
+                assert any(k < r.vec_id and conflicts(k, r.vec_id)
+                           for k in kept), r.vec_id
