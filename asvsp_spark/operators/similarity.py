@@ -417,6 +417,66 @@ IVF_QUANT_SCALE = 1_000_000      # micro-unit quantization for training
 IVF_LLOYD_ITERS = 2
 
 
+def _to_micro_int(vec_col: str) -> F.Column:
+    """round(x * IVF_QUANT_SCALE) cast to BIGINT — THE cross-engine
+    quantization contract (oracle mirror: ``CAST(round(x * 1000000) AS
+    BIGINT)``). Every hash-paired ANN/semantic operator must use this
+    single definition: one engine changing scale or rounding breaks
+    only its own hash pairing, silently."""
+    return F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.round(x * IVF_QUANT_SCALE, 0).cast("long"))
+
+
+def _md5_sample_gate(emb: DataFrame, n: int, target: int,
+                     id_col: str) -> DataFrame:
+    """Bounded-training sample gate shared by every integer-quantizer
+    caller (oracle mirror: the ``pp`` CTE — fires at n > 2*target,
+    denom = max(2, n // target), md5-slice pmod). md5, not xxhash64:
+    the hash must be DuckDB-reproducible."""
+    from asvsp_spark.plans.base import md5_slice_long
+
+    if n > 2 * target:
+        denom = max(2, n // target)
+        return emb.filter(
+            F.pmod(md5_slice_long(F.col(id_col).cast("string")),
+                   F.lit(denom)) == 0)
+    return emb
+
+
+def _exact_cosine_rerank(emb: DataFrame, q: DataFrame, short: DataFrame,
+                         k: int, id_col: str,
+                         vec_col: str) -> DataFrame:
+    """Shared rerank tail of pq_rerank_topk_int / ivfpq_rerank_topk_int:
+    fetch original vectors for only the queries×shortlist ids via
+    broadcast semi-join and rank by exact cosine (round_fixed 6) —
+    cosine_topk's output contract (query_id, neighbor_id, cos_sim,
+    rnk)."""
+    cand = (emb.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("n_vec"))
+            .join(F.broadcast(short), "neighbor_id")
+            .join(F.broadcast(q.select("query_id", "q_vec")), "query_id")
+            .withColumn("cos_sim",
+                        round_fixed(cosine(as_double(F.col("q_vec")),
+                                           as_double(F.col("n_vec"))), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (cand.withColumn("rnk", F.rank().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rnk"))
+
+
+def _int_adc_lut(q: DataFrame, cb: DataFrame, d_sub: int) -> DataFrame:
+    """Exact-BIGINT ADC lookup table: per (query, sub, code) squared
+    distance of the query's subvector against the broadcast integer
+    codebooks (queries × m × k rows, tiny)."""
+    return (q.crossJoin(F.broadcast(cb))
+            .withColumn("d_part", _int_sq_dist(
+                F.slice("q_v", F.col("sub") * d_sub + 1, d_sub),
+                F.col("c")))
+            .select("query_id", "sub", "code", "d_part"))
+
+
 def _int_sq_dist(v_col: F.Column, c_col: F.Column) -> F.Column:
     """Exact BIGINT squared euclidean distance between two micro-unit
     integer vectors (diff^2 ~ 1e12 x 64 dims ~ 6e13 — far inside
@@ -578,30 +638,18 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
     EXACTLY cosine_topk whatever the quantizer (tested; that full-probe
     twin shares cosine_topk's oracle).
     """
-    from asvsp_spark.plans.base import md5_slice_long
-
-    to_int = F.transform(
-        as_double(F.col(vec_col)),
-        lambda x: F.round(x * IVF_QUANT_SCALE, 0).cast("long"))
     # cache + explicit unpersist (the semantic_dedup convention), NOT
     # localCheckpoint: checkpoint blocks are only released at driver GC,
     # so repeated invocations in one session (bench, test suites) would
     # pin two corpus copies each in executor storage
     emb = (embeddings
-           .select(F.col(id_col), F.col(vec_col), to_int.alias("v"))
+           .select(F.col(id_col), F.col(vec_col),
+                   _to_micro_int(vec_col).alias("v"))
            .cache())
     n = emb.count()
     kc = n_centroids or max(2, int(n ** 0.5))
-    # bounded deterministic training sample (md5, not xxhash64: the
-    # hash must be DuckDB-reproducible); ~40 points per centroid is
-    # plenty for coarse cells
-    train = emb
-    target = 40 * kc
-    if n > 2 * target:
-        denom = max(2, n // target)
-        train = emb.filter(
-            F.pmod(md5_slice_long(F.col(id_col).cast("string")),
-                   F.lit(denom)) == 0)
+    # ~40 points per centroid is plenty for coarse cells
+    train = _md5_sample_gate(emb, n, 40 * kc, id_col)
     cents = ivf_centroids_int(train.select(id_col, "v"), kc,
                               id_col=id_col)
 
@@ -791,21 +839,15 @@ def semantic_dedup_int(embeddings: DataFrame, threshold_num: int = 9,
     exact, so the report needs no float at all."""
     import numpy as np
 
-    from asvsp_spark.plans.base import md5_slice_long
-
-    to_int = F.transform(
-        as_double(F.col(vec_col)),
-        lambda x: F.round(x * IVF_QUANT_SCALE, 0).cast("long"))
-    emb = embeddings.select(F.col(id_col), to_int.alias("v"))
+    emb = embeddings.select(F.col(id_col),
+                            _to_micro_int(vec_col).alias("v"))
     n = emb.count()
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, cell int, is_keeper boolean"
+    if not n:
+        return embeddings.sparkSession.createDataFrame([], out_schema)
     kc = n_cells or max(2, int(n ** 0.5))
-    train = emb
-    target = 40 * kc
-    if n > 2 * target:
-        denom = max(2, n // target)
-        train = emb.filter(
-            F.pmod(md5_slice_long(F.col(id_col).cast("string")),
-                   F.lit(denom)) == 0)
+    train = _md5_sample_gate(emb, n, 40 * kc, id_col)
     cents = ivf_centroids_int(train.select(id_col, "v"), kc,
                               id_col=id_col)
 
@@ -816,10 +858,9 @@ def semantic_dedup_int(embeddings: DataFrame, threshold_num: int = 9,
                    .alias("cell")))
     assigned = emb.join(argmin, id_col)
 
-    id_type = embeddings.schema[id_col].dataType.simpleString()
-    out_schema = f"{id_col} {id_type}, cell int, is_keeper boolean"
     tn2 = threshold_num * threshold_num
     td2 = threshold_den * threshold_den
+    t = threshold_num / threshold_den
 
     def prune(pdf):
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -834,12 +875,28 @@ def semantic_dedup_int(embeddings: DataFrame, threshold_num: int = 9,
             dropped = False
             if n_ref:
                 dots = buf[:n_ref] @ V[i]      # exact int64 (~1e16 max)
-                for j in range(n_ref):
-                    d = int(dots[j])
-                    # python ints: d*d ~ 1e29 needs arbitrary precision
-                    if d > 0 and td2 * d * d >= tn2 * ref_nsq[j] * nsq[i]:
-                        dropped = True
-                        break
+                # float prefilter with a guard band so the exact
+                # arbitrary-precision test runs only near the boundary:
+                # dots are exact in double (< 2^53), the sqrt/divide
+                # carry ~1e-15 relative error, the band is 1e-9 — the
+                # interpreted big-int loop is O(boundary pairs), not
+                # O(all pairs)
+                rn = np.array(ref_nsq[:n_ref], dtype=np.float64)
+                # 0/0 -> nan on zero-norm vectors; nan compares False
+                # everywhere below, i.e. "no conflict" — the exact
+                # rule's dot > 0 can never hold against a zero vector
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    c = dots / np.sqrt(rn * float(nsq[i]))
+                if np.any(c >= t + 1e-9):
+                    dropped = True
+                else:
+                    for j in np.flatnonzero(c >= t - 1e-9):
+                        d = int(dots[j])
+                        if (d > 0
+                                and td2 * d * d
+                                >= tn2 * ref_nsq[j] * nsq[i]):
+                            dropped = True
+                            break
             keep[i] = not dropped
             if not dropped and n_ref < buf.shape[0]:
                 buf[n_ref] = V[i]
@@ -1484,27 +1541,21 @@ def pq_rerank_topk_int(embeddings: DataFrame, k: int = 5,
     vectors for only queries×shortlist ids via broadcast semi-join.
     Output (query_id, neighbor_id, cos_sim, rnk) — drop-in comparable
     with cosine_topk; recall bounds pinned in unit tests."""
-    from asvsp_spark.plans.base import md5_slice_long
-
-    to_int = F.transform(
-        as_double(F.col(vec_col)),
-        lambda x: F.round(x * IVF_QUANT_SCALE, 0).cast("long"))
     emb = embeddings.select(F.col(id_col), F.col(vec_col),
-                            to_int.alias("v"))
+                            _to_micro_int(vec_col).alias("v"))
     # one metadata job for both facts (count gates the sample, dim
     # fixes the subvector width)
     n, dim = emb.agg(F.count(F.lit(1)), F.max(F.size(vec_col))).first()
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    if not n:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, "
+                "cos_sim double, rnk int")
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
 
-    train = emb
-    target = 40 * k_codes
-    if n > 2 * target:
-        denom = max(2, n // target)
-        train = emb.filter(
-            F.pmod(md5_slice_long(F.col(id_col).cast("string")),
-                   F.lit(denom)) == 0)
+    train = _md5_sample_gate(emb, n, 40 * k_codes, id_col)
     cb = pq_codebooks_int(train.select(id_col, "v"), m=m,
                           k_codes=k_codes, id_col=id_col)
     # driver-ok: bounded metadata — the m×k codebook rows
@@ -1516,11 +1567,7 @@ def pq_rerank_topk_int(embeddings: DataFrame, k: int = 5,
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
         F.col("v").alias("q_v"))
     # ADC lookup table: queries × m × k partial distances, broadcast
-    lut = (q.crossJoin(F.broadcast(cb))
-           .withColumn("d_part", _int_sq_dist(
-               F.slice("q_v", F.col("sub") * d_sub + 1, d_sub),
-               F.col("c")))
-           .select("query_id", "sub", "code", "d_part"))
+    lut = _int_adc_lut(q, cb, d_sub)
     corpus = codes.select(
         F.col(id_col), F.posexplode("codes").alias("sub", "code"))
     scored = (corpus.join(F.broadcast(lut), ["sub", "code"])
@@ -1532,21 +1579,7 @@ def pq_rerank_topk_int(embeddings: DataFrame, k: int = 5,
     short = (scored.withColumn("rnk", F.rank().over(w_short))
              .filter(F.col("rnk") <= shortlist)
              .select("query_id", F.col(id_col).alias("neighbor_id")))
-
-    # the shortlist is provably queries×shortlist rows — broadcast it so
-    # the corpus-side vector fetch never shuffles the corpus
-    cand = (emb.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("n_vec"))
-            .join(F.broadcast(short), "neighbor_id")
-            .join(F.broadcast(q.select("query_id", "q_vec")), "query_id")
-            .withColumn("cos_sim",
-                        round_fixed(cosine(as_double(F.col("q_vec")),
-                                           as_double(F.col("n_vec"))), 6)))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (cand.withColumn("rnk", F.rank().over(w))
-            .filter(F.col("rnk") <= k)
-            .select("query_id", "neighbor_id", "cos_sim", "rnk"))
+    return _exact_cosine_rerank(emb, q, short, k, id_col, vec_col)
 
 
 def ivfpq_rerank_topk_int(embeddings: DataFrame, k: int = 5,
@@ -1572,32 +1605,25 @@ def ivfpq_rerank_topk_int(embeddings: DataFrame, k: int = 5,
     original vectors for queries×shortlist ids via broadcast semi-join.
     Output (query_id, neighbor_id, cos_sim, rnk) — drop-in comparable
     with cosine_topk / pq_rerank_topk_int."""
-    from asvsp_spark.plans.base import md5_slice_long
-
-    to_int = F.transform(
-        as_double(F.col(vec_col)),
-        lambda x: F.round(x * IVF_QUANT_SCALE, 0).cast("long"))
     emb = embeddings.select(F.col(id_col), F.col(vec_col),
-                            to_int.alias("v"))
+                            _to_micro_int(vec_col).alias("v"))
     n, dim = emb.agg(F.count(F.lit(1)), F.max(F.size(vec_col))).first()
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    if not n:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, "
+                "cos_sim double, rnk int")
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
     kc = n_centroids or max(2, int(n ** 0.5))
 
-    def gated(target: int) -> DataFrame:
-        if n > 2 * target:
-            denom = max(2, n // target)
-            return emb.filter(
-                F.pmod(md5_slice_long(F.col(id_col).cast("string")),
-                       F.lit(denom)) == 0)
-        return emb
-
     cents = ivf_centroids_int(
-        gated(40 * kc).select(id_col, "v"), kc, id_col=id_col)
+        _md5_sample_gate(emb, n, 40 * kc, id_col).select(id_col, "v"),
+        kc, id_col=id_col)
     cb = pq_codebooks_int(
-        gated(40 * k_codes).select(id_col, "v"), m=m, k_codes=k_codes,
-        id_col=id_col)
+        _md5_sample_gate(emb, n, 40 * k_codes, id_col)
+        .select(id_col, "v"), m=m, k_codes=k_codes, id_col=id_col)
     # driver-ok: bounded metadata — the m×k codebook rows
     cb_rows = cb.collect()
 
@@ -1620,11 +1646,7 @@ def ivfpq_rerank_topk_int(embeddings: DataFrame, k: int = 5,
               .withColumn("pr", F.rank().over(w_probe))
               .filter(F.col("pr") <= n_probe)
               .select("query_id", "cell"))
-    lut = (q.crossJoin(F.broadcast(cb))
-           .withColumn("d_part", _int_sq_dist(
-               F.slice("q_v", F.col("sub") * d_sub + 1, d_sub),
-               F.col("c")))
-           .select("query_id", "sub", "code", "d_part"))
+    lut = _int_adc_lut(q, cb, d_sub)
 
     # ADC over ONLY the probed cells' members; the LUT join carries
     # query_id so each query scores just its own probed candidates
@@ -1640,19 +1662,7 @@ def ivfpq_rerank_topk_int(embeddings: DataFrame, k: int = 5,
     short = (adc.withColumn("sr", F.rank().over(w_short))
              .filter(F.col("sr") <= shortlist)
              .select("query_id", F.col(id_col).alias("neighbor_id")))
-
-    cand = (emb.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("n_vec"))
-            .join(F.broadcast(short), "neighbor_id")
-            .join(F.broadcast(q.select("query_id", "q_vec")), "query_id")
-            .withColumn("cos_sim",
-                        round_fixed(cosine(as_double(F.col("q_vec")),
-                                           as_double(F.col("n_vec"))), 6)))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (cand.withColumn("rnk", F.rank().over(w))
-            .filter(F.col("rnk") <= k)
-            .select("query_id", "neighbor_id", "cos_sim", "rnk"))
+    return _exact_cosine_rerank(emb, q, short, k, id_col, vec_col)
 
 
 # ---- IVF-PQ: pruned cells + 8-byte ADC scan + exact rerank ----

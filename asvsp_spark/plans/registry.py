@@ -306,7 +306,7 @@ def _lsh_topk(spark, sf):
 @register("semantic_dedup_report")
 def _semantic_dedup_report(spark, sf):
     """SemDeDup-style per-cell pruning audit: trained-cell blocking +
-    greedy within-cell cosine dedup at threshold 0.9. Oracle-paired
+    greedy within-cell cosine dedup at threshold 3/10. Oracle-paired
     since r8 (previously rows-only under mllib k-means cells): cells
     come from the deterministic integer quantizer (ivf_centroids_int)
     and the greedy decision is the exact-rational cosine test
@@ -1697,8 +1697,10 @@ def _pq_rerank_topk(spark, sf):
     Oracle-paired since r8 (previously rows-only under float seeded
     k-means): per-subspace codebooks train with the same exact-integer
     farthest-point + Lloyd quantizer ivf_topk uses (pq_codebooks_int),
-    corpus encoding is one literal-codebook projection (zero shuffle,
-    zero Python), and the ADC partials are exact BIGINTs, so the DuckDB
+    corpus encoding is one row-local Arrow int64 pass (pq_encode_int —
+    no shuffle; a literal-codebook expression tree measured ~5 ms/row
+    of interpreted HOF evaluation and was rejected), and the ADC
+    partials are exact BIGINTs, so the DuckDB
     twin replays training, encoding, the shortlist AND the rerank
     bit-identically at every SF — including the md5 sample-gate path
     that fires at sf0.1. The float FAISS-style path (pq_train /

@@ -538,7 +538,15 @@ def test_semantic_dedup_int_greedy_invariants_on_fixture(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     rows = semantic_dedup_int(emb, threshold_num=3,
                               threshold_den=10).collect()
-    vecs = {r["vec_id"]: [round(x * IVF_QUANT_SCALE) for x in r["embedding"]]
+
+    def q(x):
+        # Spark F.round is HALF AWAY FROM ZERO; python round() is
+        # banker's — an exact-.5 micro-unit boundary would diverge
+        import math
+        y = x * IVF_QUANT_SCALE
+        return math.floor(y + 0.5) if y >= 0 else -math.floor(-y + 0.5)
+
+    vecs = {r["vec_id"]: [q(x) for x in r["embedding"]]
             for r in emb.collect()}
 
     def conflicts(a, b):
@@ -561,3 +569,19 @@ def test_semantic_dedup_int_greedy_invariants_on_fixture(spark):
             if not r.is_keeper:
                 assert any(k < r.vec_id and conflicts(k, r.vec_id)
                            for k in kept), r.vec_id
+
+
+def test_int_ann_ops_empty_input(spark):
+    """Empty corpora return empty frames with the contract schema
+    instead of an opaque NoneType crash from the dim metadata agg."""
+    from asvsp_spark.operators.similarity import (ivfpq_rerank_topk_int,
+                                                  pq_rerank_topk_int,
+                                                  semantic_dedup_int)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    for fn in (pq_rerank_topk_int, ivfpq_rerank_topk_int):
+        out = fn(empty)
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rnk"]
+    out = semantic_dedup_int(empty)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cell", "is_keeper"]
