@@ -466,6 +466,45 @@ def _exact_cosine_rerank(emb: DataFrame, q: DataFrame, short: DataFrame,
             .select("query_id", "neighbor_id", "cos_sim", "rnk"))
 
 
+def assign_cells_int(emb_int: DataFrame, cents_rows,
+                     id_col: str = "vec_id") -> DataFrame:
+    """(id, cell) — exact-int64 numpy argmin of every vector against
+    the collected centroid matrix: the integer twin of
+    :func:`assign_cells`, and the scale fix for full-corpus assignment.
+    The crossJoin + interpreted zip_with formulation evaluates the
+    64-dim distance lambda per (row, centroid) PAIR outside codegen —
+    measured 22× at 40k vectors × 200 cells on the 20× probe (the
+    assign_cells lesson, integer edition); this Arrow pass is one
+    row-local batch natively vectorized in int64, no shuffle, the
+    k×dim centroid tensor shipped by closure. Ties → lower cell:
+    centroids are compacted 0..k-1 so np.argmin's first-hit IS the
+    lowest cell id, matching min_by(cell, struct(d2, cell)) and the
+    oracle's ORDER BY d2, cell."""
+    import numpy as np
+
+    C = np.array([r["c"] for r in sorted(cents_rows,
+                                         key=lambda r: r["cell"])],
+                 dtype=np.int64)
+    nC = (C * C).sum(axis=1)
+    id_type = emb_int.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            V = np.array(pdf["v"].tolist(), dtype=np.int64)
+            if len(V) == 0:
+                continue
+            # exact int64 identity ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2
+            # (integer matmul is exact; the (batch, k, dim) broadcast-
+            # subtract allocated ~1 GB per 10k-row batch)
+            nV = (V * V).sum(axis=1)
+            d2 = nV[:, None] - 2 * (V @ C.T) + nC[None, :]
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "cell": d2.argmin(axis=1).astype("int32")})
+
+    return emb_int.select(id_col, "v").mapInPandas(
+        run, schema=f"{id_col} {id_type}, cell int")
+
+
 def _int_adc_lut(q: DataFrame, cb: DataFrame, d_sub: int) -> DataFrame:
     """Exact-BIGINT ADC lookup table: per (query, sub, code) squared
     distance of the query's subvector against the broadcast integer
@@ -576,20 +615,28 @@ def _train_int_kmeans(ids: list, V, kc: int, iters: int):
         return int(hashlib.md5(
             f"{i}|{IVF_SEED_SALT}".encode()).hexdigest()[:8], 16)
 
+    # all distances via the exact int64 identity ||v-c||^2 =
+    # ||v||^2 - 2 v.c + ||c||^2: numpy integer matmul is exact (no
+    # float path) and avoids the (n, k, dim) broadcast-subtract
+    # temporary that dominated training at 8k x 200 x 64 (~820 MB per
+    # Lloyd step, measured ~20 s; the matmul form is ~1 s). Magnitudes:
+    # ||v||^2 <= 1e15, 2 v.c <= 5e14 — far inside int64.
+    nV = (V * V).sum(axis=1)
+
     # farthest-point seeding — exact integer min-distances throughout
     start = min(range(len(ids)), key=lambda j: (hk(ids[j]), ids[j]))
     chosen = [start]
-    d = ((V - V[start]) ** 2).sum(axis=1)
+    d = nV - 2 * (V @ V[start]) + nV[start]
     for _ in range(kc - 1):
         cand = np.flatnonzero(d == d.max())
         j = int(cand[min(range(len(cand)), key=lambda t: ids[cand[t]])])
         chosen.append(j)
-        d = np.minimum(d, ((V - V[j]) ** 2).sum(axis=1))
+        d = np.minimum(d, nV - 2 * (V @ V[j]) + nV[j])
     C = V[chosen].copy()
 
     for _ in range(iters):
-        # int64-safe: micro-unit diffs^2 ~ 1e13, x 64 dims ~ 1e15
-        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        nC = (C * C).sum(axis=1)
+        d2 = nV[:, None] - 2 * (V @ C.T) + nC[None, :]
         assign = d2.argmin(axis=1)          # ties -> lower cell (argmin)
         nxt = []
         for c in range(len(C)):
@@ -653,14 +700,13 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
     cents = ivf_centroids_int(train.select(id_col, "v"), kc,
                               id_col=id_col)
 
-    # full-corpus assignment: broadcast the kc centroids, map-side
-    # min_by argmin — the corpus never shuffles for assignment
-    d2 = _int_sq_dist(F.col("v"), F.col("c"))
-    argmin = (emb.crossJoin(F.broadcast(cents))
-              .withColumn("d2", d2)
-              .groupBy(id_col)
-              .agg(F.min_by("cell", F.struct(F.col("d2"), F.col("cell")))
-                   .alias("cell")))
+    # full-corpus assignment: one row-local Arrow int64 argmin pass
+    # (assign_cells_int) — the corpus never shuffles for assignment,
+    # and no interpreted per-(row, centroid) lambda (22× on the 20×
+    # probe)
+    # driver-ok: kc centroid rows
+    cents_rows = cents.collect()
+    argmin = assign_cells_int(emb, cents_rows, id_col=id_col)
     assigned = (emb.join(argmin, id_col)
                 .select(F.col(id_col), F.col(vec_col), "v", "cell")
                 .localCheckpoint(eager=True))
@@ -851,11 +897,10 @@ def semantic_dedup_int(embeddings: DataFrame, threshold_num: int = 9,
     cents = ivf_centroids_int(train.select(id_col, "v"), kc,
                               id_col=id_col)
 
-    argmin = (emb.crossJoin(F.broadcast(cents))
-              .withColumn("d2", _int_sq_dist(F.col("v"), F.col("c")))
-              .groupBy(id_col)
-              .agg(F.min_by("cell", F.struct(F.col("d2"), F.col("cell")))
-                   .alias("cell")))
+    # Arrow int64 argmin — no interpreted per-(row, centroid) lambda
+    # (22x on the 20x probe)
+    # driver-ok: kc centroid rows
+    argmin = assign_cells_int(emb, cents.collect(), id_col=id_col)
     assigned = emb.join(argmin, id_col)
 
     tn2 = threshold_num * threshold_num
@@ -1628,11 +1673,10 @@ def ivfpq_rerank_topk_int(embeddings: DataFrame, k: int = 5,
     cb_rows = cb.collect()
 
     codes = pq_encode_int(emb, cb_rows, m, id_col=id_col)
-    argmin = (emb.crossJoin(F.broadcast(cents))
-              .withColumn("d2", _int_sq_dist(F.col("v"), F.col("c")))
-              .groupBy(id_col)
-              .agg(F.min_by("cell", F.struct(F.col("d2"), F.col("cell")))
-                   .alias("cell")))
+    # Arrow int64 argmin — no interpreted per-(row, centroid) lambda
+    # (22x on the 20x probe)
+    # driver-ok: kc centroid rows
+    argmin = assign_cells_int(emb, cents.collect(), id_col=id_col)
     # (id, cell, codes): two narrow corpus-derived frames, id-keyed join
     assigned = codes.join(argmin, id_col)
 
