@@ -466,6 +466,27 @@ def _exact_cosine_rerank(emb: DataFrame, q: DataFrame, short: DataFrame,
             .select("query_id", "neighbor_id", "cos_sim", "rnk"))
 
 
+# int64 headroom for the ||v||^2 - 2 v.c + ||c||^2 identity: with
+# |v_i| <= M the worst term is 64 * (2M)^2, so M = 1.5e8 micro-units
+# (raw |x| <= 150) keeps every sum under 2^63 with ~60% margin. The
+# guard must be LOUD: numpy int64 WRAPS silently on overflow while the
+# DuckDB twin's list_sum promotes to HUGEINT — out-of-range embeddings
+# would hash-mismatch instead of erroring.
+_INT_VEC_MAX = 150_000_000
+
+
+def _check_int_vec_range(V, where: str) -> None:
+    import numpy as np
+
+    if len(V) and int(np.abs(V).max()) > _INT_VEC_MAX:
+        raise ValueError(
+            f"{where}: micro-unit vector component exceeds "
+            f"{_INT_VEC_MAX} (raw |x| > 150) — the exact-int64 distance "
+            "identity would overflow (numpy wraps silently; the SQL "
+            "twin promotes to HUGEINT, so results would silently "
+            "diverge). Rescale the embeddings or lower IVF_QUANT_SCALE.")
+
+
 def assign_cells_int(emb_int: DataFrame, cents_rows,
                      id_col: str = "vec_id") -> DataFrame:
     """(id, cell) — exact-int64 numpy argmin of every vector against
@@ -493,6 +514,7 @@ def assign_cells_int(emb_int: DataFrame, cents_rows,
             V = np.array(pdf["v"].tolist(), dtype=np.int64)
             if len(V) == 0:
                 continue
+            _check_int_vec_range(V, "assign_cells_int")
             # exact int64 identity ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2
             # (integer matmul is exact; the (batch, k, dim) broadcast-
             # subtract allocated ~1 GB per 10k-row batch)
@@ -619,8 +641,8 @@ def _train_int_kmeans(ids: list, V, kc: int, iters: int):
     # ||v||^2 - 2 v.c + ||c||^2: numpy integer matmul is exact (no
     # float path) and avoids the (n, k, dim) broadcast-subtract
     # temporary that dominated training at 8k x 200 x 64 (~820 MB per
-    # Lloyd step, measured ~20 s; the matmul form is ~1 s). Magnitudes:
-    # ||v||^2 <= 1e15, 2 v.c <= 5e14 — far inside int64.
+    # Lloyd step, measured ~20 s; the matmul form is ~1 s).
+    _check_int_vec_range(V, "_train_int_kmeans")
     nV = (V * V).sum(axis=1)
 
     # farthest-point seeding — exact integer min-distances throughout
@@ -910,6 +932,7 @@ def semantic_dedup_int(embeddings: DataFrame, threshold_num: int = 9,
     def prune(pdf):
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         V = np.asarray(pdf["v"].tolist(), dtype=np.int64)
+        _check_int_vec_range(V, "semantic_dedup_int")
         nsq = [int(x) for x in (V * V).sum(axis=1)]
         buf = np.empty((min(len(pdf), max_keep_refs), V.shape[1]),
                        dtype=np.int64)
@@ -1548,6 +1571,7 @@ def pq_encode_int(emb_int: DataFrame, cb_rows, m: int,
     def run(batches):
         for pdf in batches:
             v = np.array(pdf["v"].tolist(), dtype=np.int64)
+            _check_int_vec_range(v, "pq_encode_int")
             sv = v.reshape(len(v), m, d_sub)
             codes = np.empty((len(v), m), dtype=np.int32)
             for sub in range(m):

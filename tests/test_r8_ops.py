@@ -585,3 +585,16 @@ def test_int_ann_ops_empty_input(spark):
     out = semantic_dedup_int(empty)
     assert out.count() == 0
     assert out.columns == ["vec_id", "cell", "is_keeper"]
+
+
+def test_int_ann_overflow_guard_is_loud(spark):
+    """Embeddings whose micro-unit components exceed the int64-identity
+    headroom must RAISE, not wrap: numpy int64 overflows silently while
+    the DuckDB twin promotes to HUGEINT, so an unguarded overflow would
+    surface as a hash mismatch instead of an error."""
+    from asvsp_spark.operators.similarity import pq_rerank_topk_int
+    big = spark.createDataFrame(
+        [(i, [500.0] * 8) for i in range(12)],   # 5e8 micro-units
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="micro-unit vector component"):
+        pq_rerank_topk_int(big, m=2, k_codes=2, n_queries=2).count()
