@@ -467,24 +467,34 @@ def _exact_cosine_rerank(emb: DataFrame, q: DataFrame, short: DataFrame,
 
 
 # int64 headroom for the ||v||^2 - 2 v.c + ||c||^2 identity: with
-# |v_i| <= M the worst term is 64 * (2M)^2, so M = 1.5e8 micro-units
-# (raw |x| <= 150) keeps every sum under 2^63 with ~60% margin. The
-# guard must be LOUD: numpy int64 WRAPS silently on overflow while the
-# DuckDB twin's list_sum promotes to HUGEINT — out-of-range embeddings
-# would hash-mismatch instead of erroring.
-_INT_VEC_MAX = 150_000_000
+# |v_i| <= M every term's magnitude is bounded by dim * (2M)^2
+# (||v-c||^2 itself, and |nV - 2 v.c| <= 3*dim*M^2 < dim*(2M)^2), so
+# the guard is DIMENSION-AWARE — a fixed component cap tuned for
+# dim=64 would let a 512-dim corpus wrap silently. We keep ~60%
+# headroom under the 2^63 wrap point (at dim=64 this admits exactly
+# the historical |x| <= 1.5e8 micro-unit / raw |x| <= 150 envelope).
+# The guard must be LOUD: numpy int64 WRAPS silently on overflow while
+# the DuckDB twin's list_sum promotes to HUGEINT — out-of-range
+# embeddings would hash-mismatch instead of erroring.
+_INT_HEADROOM = (2 ** 63) * 5 // 8
 
 
 def _check_int_vec_range(V, where: str) -> None:
     import numpy as np
 
-    if len(V) and int(np.abs(V).max()) > _INT_VEC_MAX:
+    if not len(V):
+        return
+    m = int(np.abs(V).max())
+    dim = int(V.shape[1]) if getattr(V, "ndim", 1) == 2 else int(len(V))
+    # python ints are unbounded, so the check itself cannot wrap
+    if m and dim * (2 * m) ** 2 > _INT_HEADROOM:
         raise ValueError(
-            f"{where}: micro-unit vector component exceeds "
-            f"{_INT_VEC_MAX} (raw |x| > 150) — the exact-int64 distance "
-            "identity would overflow (numpy wraps silently; the SQL "
-            "twin promotes to HUGEINT, so results would silently "
-            "diverge). Rescale the embeddings or lower IVF_QUANT_SCALE.")
+            f"{where}: dim={dim} micro-unit vectors with max "
+            f"component {m} overflow the exact-int64 distance identity "
+            f"(need dim*(2*max)^2 <= {_INT_HEADROOM}) — numpy wraps "
+            "silently; the SQL twin promotes to HUGEINT, so results "
+            "would silently diverge. Rescale the embeddings or lower "
+            "IVF_QUANT_SCALE.")
 
 
 def assign_cells_int(emb_int: DataFrame, cents_rows,
@@ -716,6 +726,15 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
                    _to_micro_int(vec_col).alias("v"))
            .cache())
     n = emb.count()
+    if n == 0:
+        # empty corpus: no centroids to train, and assign_cells_int
+        # with an empty centroid list would AxisError on the driver —
+        # return the empty output contract directly
+        emb.unpersist()
+        id_type = embeddings.schema[id_col].dataType.simpleString()
+        return embeddings.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, "
+                "cos_sim double, rnk int")
     kc = n_centroids or max(2, int(n ** 0.5))
     # ~40 points per centroid is plenty for coarse cells
     train = _md5_sample_gate(emb, n, 40 * kc, id_col)
@@ -945,10 +964,12 @@ def semantic_dedup_int(embeddings: DataFrame, threshold_num: int = 9,
                 dots = buf[:n_ref] @ V[i]      # exact int64 (~1e16 max)
                 # float prefilter with a guard band so the exact
                 # arbitrary-precision test runs only near the boundary:
-                # dots are exact in double (< 2^53), the sqrt/divide
-                # carry ~1e-15 relative error, the band is 1e-9 — the
-                # interpreted big-int loop is O(boundary pairs), not
-                # O(all pairs)
+                # micro-unit dots reach ~1e18 >> 2^53 so the int64 →
+                # double conversion is NOT exact, but its relative
+                # error (plus sqrt/divide) totals ~1e-15 — six orders
+                # of magnitude inside the 1e-9 band, so no pair can be
+                # misclassified past the band. The interpreted big-int
+                # loop is O(boundary pairs), not O(all pairs)
                 rn = np.array(ref_nsq[:n_ref], dtype=np.float64)
                 # 0/0 -> nan on zero-norm vectors; nan compares False
                 # everywhere below, i.e. "no conflict" — the exact

@@ -574,11 +574,12 @@ def test_semantic_dedup_int_greedy_invariants_on_fixture(spark):
 def test_int_ann_ops_empty_input(spark):
     """Empty corpora return empty frames with the contract schema
     instead of an opaque NoneType crash from the dim metadata agg."""
-    from asvsp_spark.operators.similarity import (ivfpq_rerank_topk_int,
+    from asvsp_spark.operators.similarity import (ivf_topk,
+                                                  ivfpq_rerank_topk_int,
                                                   pq_rerank_topk_int,
                                                   semantic_dedup_int)
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
-    for fn in (pq_rerank_topk_int, ivfpq_rerank_topk_int):
+    for fn in (pq_rerank_topk_int, ivfpq_rerank_topk_int, ivf_topk):
         out = fn(empty)
         assert out.count() == 0
         assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rnk"]
@@ -596,5 +597,21 @@ def test_int_ann_overflow_guard_is_loud(spark):
     big = spark.createDataFrame(
         [(i, [500.0] * 8) for i in range(12)],   # 5e8 micro-units
         "vec_id long, embedding array<double>")
-    with pytest.raises(Exception, match="micro-unit vector component"):
+    with pytest.raises(Exception, match="overflow the exact-int64"):
         pq_rerank_topk_int(big, m=2, k_codes=2, n_queries=2).count()
+
+
+def test_int_ann_overflow_guard_is_dimension_aware():
+    """The headroom bound is dim*(2*max)^2, not a fixed component cap:
+    components that are safe at dim=64 (the historical |x|<=1.5e8
+    envelope) overflow at dim=512 — the guard must scale with the
+    actual vector width (r8 ADVICE, similarity.py guard)."""
+    import numpy as np
+    from asvsp_spark.operators.similarity import _check_int_vec_range
+    ok64 = np.full((3, 64), 150_000_000, dtype=np.int64)
+    _check_int_vec_range(ok64, "test")          # boundary of old cap: ok
+    bad512 = np.full((3, 512), 150_000_000, dtype=np.int64)
+    with pytest.raises(ValueError, match="dim=512"):
+        _check_int_vec_range(bad512, "test")
+    # zero vectors are always in range whatever the width
+    _check_int_vec_range(np.zeros((2, 100_000), dtype=np.int64), "test")
