@@ -89,6 +89,145 @@ def score_quality(docs: DataFrame, model, text_col: str = "text",
         F.col("prediction").cast("int").alias("predicted"))
 
 
+def nb_quality_scores(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", vocab_size: int = 2048,
+                      scale: int = 1000,
+                      train_cap: int = 10_000) -> DataFrame:
+    """Exact-integer linear quality scores — the oracle-pairable twin
+    of the mllib path above (r8 verdict item 5): train a multinomial
+    Naive-Bayes-weighted linear classifier (the NB feature weighting
+    of NBSVM, Wang & Manning 2012 — fasttext's classic baseline) on
+    the heuristic-extreme labels, calibrate the decision threshold on
+    the labeled scores, then score EVERY document with the broadcast
+    weight table. Every number is integer or engine-stable-rounded, so
+    DuckDB replays training, calibration AND scoring bit-identically:
+
+    - Features: unigram+bigram token counts — no murmur3 HashingTF,
+      whose hash DuckDB cannot reproduce; instead an explicit bounded
+      vocabulary. (Counts, not binarized presence: the bootstrap label
+      is rate-based — length + stopword ratio — and presence features
+      measured coin-flip agreement on the fixture where counts reach
+      0.93-1.0.)
+    - Vocabulary: top ``vocab_size`` grams by labeled occurrence
+      count, ties to the lexicographically smaller gram —
+      TakeOrderedAndProject (distributed top-k, never a global sort).
+    - Weight per gram: the exact-rational centered class-rate odds
+      ``scale * ((a+1)(B+V) - (b+1)(A+V)) / ((a+1)(B+V) + (b+1)(A+V))``
+      (a/b = gram occurrences in pos/neg, A/B = class totals, V =
+      vocab size as the smoothing mass) rounded HALF AWAY in pure
+      int64 (the _round_half_away formula, similarity.py) — a monotone
+      transform of the smoothed multinomial odds ratio into
+      [-scale, scale] that avoids transcendental log entirely, so no
+      ulp can drift between engines.
+    - Decision: ``predicted = score_micro > cut`` where ``cut`` is the
+      k-th smallest labeled score (k = #negative-labeled docs, ties by
+      doc id) — standard threshold calibration on the training slice,
+      fixing the predicted-positive rate to the labeled rate. Exact
+      integer comparison, no sigmoid.
+
+    Scale shape: training runs on a bounded deterministic md5-hash
+    sample of the labeled slice (``train_cap`` docs — the ANN family's
+    _md5_sample_gate trade: centroids/weights from a sample, scoring
+    over everything; gate fires past 2x the cap, replayed by the
+    oracle with the shared md5-slice construction), then one
+    labeled-scan for counts, top-k to a driver-bounded vocab, one
+    corpus scan joined against the BROADCAST weight table, doc-keyed
+    partial agg — the same single-corpus-scan cost as the mllib
+    scorer. The calibration rank sorts only the labeled-sample's
+    (int64 score, id) pairs; past ~1e9 labeled docs swap it for a
+    fixed or approx-quantile cut, the same documented trade as DSIR's
+    global rank. The class-totals probe is a bounded collect that
+    doubles as the LOUD int64 overflow guard (numpy/JVM wrap silently
+    where DuckDB promotes to HUGEINT — the similarity.py lesson)."""
+    from pyspark.sql import Window
+
+    from asvsp_spark.plans.base import md5_slice_long
+
+    docs = docs.filter(F.col(text_col).isNotNull())
+    if "lang" not in docs.columns:   # the heuristic_labels default
+        docs = docs.withColumn("lang", F.lit("all"))
+
+    labeled = heuristic_labels(docs, text_col=text_col)
+    n_lab = labeled.count()
+    if n_lab > 2 * train_cap:
+        denom = max(2, n_lab // train_cap)
+        labeled = labeled.filter(
+            F.pmod(md5_slice_long(F.col(id_col).cast("string")),
+                   F.lit(denom)) == 0)
+    inst = labeled.select(
+        F.col("label"), F.col(id_col),
+        F.explode(_gram_features(F.col(text_col))).alias("term"))
+    # driver-ok: four scalars; doubles as the loud overflow guard
+    tot = inst.agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("long").alias("ta"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+        .cast("long").alias("tb"),
+        F.countDistinct(F.when(F.col("label") == 0, F.col(id_col)))
+        .cast("long").alias("n_neg_docs")).collect()[0]
+    ta, tb = int(tot["ta"] or 0), int(tot["tb"] or 0)
+    n_neg_docs = int(tot["n_neg_docs"] or 0)
+    worst = scale * (max(ta, tb) + 1) * (max(ta, tb) + vocab_size)
+    if worst >= 2 ** 62:
+        raise ValueError(
+            f"nb_quality_scores: class token totals ({ta}, {tb}) "
+            "overflow the exact-int64 weight identity (JVM wraps "
+            "silently; the SQL twin promotes to HUGEINT, so results "
+            "would silently diverge). Lower `scale` or subsample the "
+            "labeled slice.")
+
+    counts = inst.groupBy("term").agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("long").alias("a"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+        .cast("long").alias("b"))
+    vocab = (counts.orderBy(F.desc(F.col("a") + F.col("b")),
+                            F.asc("term"))
+             .limit(vocab_size))
+    s = (F.lit(int(scale))
+         * ((F.col("a") + 1) * F.lit(tb + vocab_size)
+            - (F.col("b") + 1) * F.lit(ta + vocab_size)))
+    d = ((F.col("a") + 1) * F.lit(tb + vocab_size)
+         + (F.col("b") + 1) * F.lit(ta + vocab_size))
+    # integer round-half-away: s >= 0 -> (2s+d) div (2d); else the
+    # mirrored non-negative form (both DIV operands positive in each
+    # branch, so Spark's truncating div == DuckDB's flooring //)
+    weights = vocab.withColumn("s", s).withColumn("d", d).selectExpr(
+        "term",
+        "CASE WHEN s >= 0 THEN (2*s + d) DIV (2*d) "
+        "ELSE -((-2*s + d) DIV (2*d)) END AS w")
+
+    doc_terms = docs.select(
+        F.col(id_col),
+        F.explode(_gram_features(F.col(text_col))).alias("term"))
+    scored = (doc_terms.join(F.broadcast(weights), "term")
+              .groupBy(id_col)
+              .agg(F.sum("w").alias("score_micro"),
+                   F.count("*").cast("long").alias("n_hits")))
+    all_scores = (docs.select(id_col, "lang")
+                  .join(scored, id_col, "left")
+                  .select(id_col, "lang",
+                          F.coalesce("n_hits", F.lit(0)).cast("long")
+                          .alias("n_hits"),
+                          F.coalesce("score_micro", F.lit(0))
+                          .cast("long").alias("score_micro")))
+
+    if n_neg_docs == 0:   # degenerate corpus: no negative evidence
+        return all_scores.withColumn(
+            "predicted", (F.col("score_micro") > 0).cast("int"))
+    lab_scores = all_scores.join(
+        labeled.select(id_col), id_col, "left_semi")
+    w_rank = Window.orderBy("score_micro", id_col)
+    cut = (lab_scores
+           .withColumn("r", F.row_number().over(w_rank))
+           .filter(F.col("r") == n_neg_docs)
+           .select(F.col("score_micro").alias("cut")))
+    return (all_scores.crossJoin(F.broadcast(cut))
+            .select(id_col, "lang", "n_hits", "score_micro",
+                    (F.col("score_micro") > F.col("cut")).cast("int")
+                    .alias("predicted")))
+
+
 def heuristic_labels(docs: DataFrame, text_col: str = "text",
                      frac: float = 0.25) -> DataFrame:
     """Bootstrap labels when no curated set exists (the standard

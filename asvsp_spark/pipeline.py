@@ -44,6 +44,54 @@ def run_batch_chain(spark: SparkSession, sf_dir: str,
     }
 
 
+# ingest-gate flavor of streaming/source.py DOCS_STREAM_SCHEMA: the
+# corpus pipeline groups by lang from stage 1 on, so the gate carries
+# it through; ts_us is the crawl/arrival event time in microseconds
+INGEST_DOCS_SCHEMA = "doc_id long, text string, lang string, ts_us long"
+
+
+def streaming_ingest_dedup(spark: SparkSession, ingest_dir: str,
+                           staged_dir: str,
+                           checkpoint_dir: str | None = None,
+                           watermark: str = "72 hours") -> DataFrame:
+    """Ingest-time NEAR-duplicate gate (opt-in stage 0s of the corpus
+    pipeline — the sq15 operator productionized): documents arriving
+    as parquet batches under ``ingest_dir`` are keyed by their
+    content-derived MinHash band key (streaming/queries.py
+    with_doc_band_key — a row-local projection, no shuffle) and
+    deduplicated with ``dropDuplicatesWithinWatermark``, so a
+    re-crawl/mirror of a document seen within the watermark horizon is
+    suppressed at the door WHATEVER its doc_id — before a single batch
+    stage spends a scan on it. Survivors land in the ``staged_dir``
+    manifest sink (exactly-once file sink; readers only see committed
+    files) and the returned frame READS THE SINK — the cumulative
+    staged corpus across all drains of this checkpoint.
+
+    With a persistent ``checkpoint_dir`` this is the production
+    cadence (mirror of how stage 2d composes with the incremental
+    substring store): each pipeline run drains only NEW arrivals, and
+    the dedup state carries across runs, so a re-crawl within the
+    horizon of a PRIOR run is suppressed too. State is one
+    (band_key, expiry) entry per distinct content key inside the
+    horizon — O(arrival rate x horizon), never O(corpus).
+    """
+    from pyspark.sql import functions as F
+
+    from asvsp_spark.streaming.queries import with_doc_band_key
+    from asvsp_spark.streaming.source import drain_to_parquet
+
+    raw = spark.readStream.schema(INGEST_DOCS_SCHEMA).parquet(ingest_dir)
+    keyed = (with_doc_band_key(raw)
+             .withColumn("ts", F.timestamp_micros(F.col("ts_us"))))
+    deduped = (keyed.withWatermark("ts", watermark)
+               .dropDuplicatesWithinWatermark(["band_key"])
+               .select("doc_id", "text", "lang", "ts"))
+    return drain_to_parquet(deduped, spark, partition_by=[],
+                            path=staged_dir, sink="append_manifest",
+                            output_mode="append",
+                            checkpoint_dir=checkpoint_dir)
+
+
 def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                         quality_pct: float = 0.25,
                         jaccard_threshold: float = 0.5,
@@ -61,10 +109,25 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                         line_dedup: bool = False,
                         substring_dedup: bool = False,
                         substring_window: int = 8,
+                        ingest_dir: str | None = None,
+                        ingest_checkpoint: str | None = None,
+                        ingest_staged: str | None = None,
+                        ingest_watermark: str = "72 hours",
                         ) -> dict[str, int]:
     """The LLM training-data preparation chain, end to end — what a user
     of this engine actually runs over a raw corpus:
 
+      0s. ingest gate — with ``ingest_dir`` set, documents arrive as a
+                     STREAM (parquet batches of INGEST_DOCS_SCHEMA) and
+                     pass the content-keyed near-dup gate
+                     (streaming_ingest_dedup above: MinHash band key +
+                     dropDuplicatesWithinWatermark) before any batch
+                     stage runs; a re-crawl within ``ingest_watermark``
+                     of a seen document never reaches the pipeline.
+                     With a persistent ``ingest_checkpoint`` the gate
+                     is incremental across runs (the production
+                     cadence). Funnel rows: ``ingest_raw`` (arrivals)
+                     then ``raw`` (staged survivors),
       0. contract  — with ``contract`` set (a list of validate.py check
                      specs), the raw documents must pass the declarative
                      data-quality suite first; any failing check aborts
@@ -178,8 +241,24 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
             f"got {near_dedup!r}")
     pair_gen = pair_generators[near_dedup]
 
-    docs = tables.load(spark, sf_dir, "documents")
-    counts: dict[str, int] = {"raw": docs.count()}
+    counts: dict[str, int] = {}
+    if ingest_dir is not None:
+        # 0s: streaming ingest near-dup gate (opt-in) — re-crawls
+        # within the watermark horizon are suppressed BEFORE the batch
+        # stages ever see them; `raw` below is then the staged-survivor
+        # count, so the monotone funnel's head already reflects the
+        # gate, and ingest_raw records the arrivals it saw
+        counts["ingest_raw"] = (spark.read.schema(INGEST_DOCS_SCHEMA)
+                                .parquet(ingest_dir).count())
+        docs = streaming_ingest_dedup(
+            spark, ingest_dir,
+            ingest_staged or f"{out_dir}/ingest_staged",
+            checkpoint_dir=ingest_checkpoint,
+            watermark=ingest_watermark,
+        ).select("doc_id", "text", "lang")
+    else:
+        docs = tables.load(spark, sf_dir, "documents")
+    counts["raw"] = docs.count()
     # (stage name, surviving doc_id frame) checkpoints for the optional
     # drop audit — id-only projections of frames the funnel already
     # materializes, so recording them is free

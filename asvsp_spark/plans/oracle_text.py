@@ -2595,3 +2595,108 @@ FROM per_pair GROUP BY j_bucket
 
 
 ORACLE_TEXT["minhash_calibration"] = _minhash_calibration_sql()
+
+
+# Spark side: operators/classify.py nb_quality_scores (registry
+# quality_classifier_scores, oracle-paired since r9). Full training
+# replay: heuristic-extreme labels (the quality_filter_report
+# machinery) gated to a deterministic md5 training sample past 2x
+# train_cap=10000 docs (the ANN _md5_sample_gate construction),
+# labeled unigram+bigram OCCURRENCE counts, top-2048 vocabulary (ties
+# to the smaller gram), exact-integer multinomial-NB centered-odds
+# weights (scale 1000) via the shared round-half-away integer formula
+# (no transcendental log -> no ulp drift), int64 count scoring, and
+# the calibrated decision cut = k-th smallest labeled-sample score
+# (k = #negative sampled docs, ties by doc id). DuckDB's integer sums
+# promote to HUGEINT where the Spark side guards loudly; final
+# columns cast back to BIGINT.
+ORACLE_TEXT["quality_classifier_scores"] = rf"""
+WITH t AS (
+    SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+g AS (
+    SELECT doc_id, lang,
+           toks || list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1]) AS grams,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x IN {_STOPLIST})) AS INT)
+               AS n_stop
+    FROM t
+),
+q AS (
+    SELECT *, round((least(n_tokens, 500) / 500.0 + n_stop / n_tokens) / 2
+                    * 1000000) / 1000000.0 AS q
+    FROM g
+),
+th AS (SELECT lang, quantile_cont(q, 0.25) AS lo,
+              quantile_cont(q, 0.75) AS hi
+       FROM q GROUP BY 1),
+lab0 AS (
+    SELECT q.doc_id, q.grams,
+           CASE WHEN q.q >= th.hi THEN 1 WHEN q.q <= th.lo THEN 0 END
+               AS label
+    FROM q JOIN th USING (lang)
+    WHERE q.q >= th.hi OR q.q <= th.lo
+),
+gate AS (SELECT count(*) AS n, greatest(2, count(*) // 10000) AS denom,
+                (count(*) > 20000) AS sampled
+         FROM lab0),
+lab AS (
+    SELECT lab0.* FROM lab0, gate
+    WHERE NOT gate.sampled
+       OR ('0x' || substr(md5(CAST(lab0.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % gate.denom = 0
+),
+inst AS (SELECT doc_id, label, unnest(grams) AS term FROM lab),
+tot AS (
+    SELECT CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ta,
+           CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tb
+    FROM inst
+),
+cnt AS (
+    SELECT term,
+           CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b
+    FROM inst GROUP BY term
+),
+vocab AS (SELECT term, a, b FROM cnt ORDER BY (a + b) DESC, term ASC
+          LIMIT 2048),
+w AS (
+    SELECT term,
+           CAST(CASE WHEN s >= 0 THEN (2*s + d) // (2*d)
+                ELSE -((-2*s + d) // (2*d)) END AS BIGINT) AS w
+    FROM (SELECT term,
+                 1000 * ((a + 1) * (tb + 2048)
+                         - (b + 1) * (ta + 2048)) AS s,
+                 (a + 1) * (tb + 2048) + (b + 1) * (ta + 2048) AS d
+          FROM vocab, tot)
+),
+sc AS (
+    SELECT doc_id, CAST(sum(w.w) AS BIGINT) AS score_micro,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM (SELECT doc_id, unnest(grams) AS term FROM g) dt
+    JOIN w USING (term)
+    GROUP BY doc_id
+),
+allsc AS (
+    SELECT g.doc_id, g.lang,
+           COALESCE(sc.n_hits, 0) AS n_hits,
+           COALESCE(sc.score_micro, 0) AS score_micro
+    FROM g LEFT JOIN sc USING (doc_id)
+),
+ranked AS (
+    SELECT a2.score_micro,
+           row_number() OVER (ORDER BY a2.score_micro, a2.doc_id) AS r
+    FROM allsc a2 JOIN (SELECT doc_id FROM lab) lb USING (doc_id)
+),
+nneg AS (SELECT CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS k FROM lab),
+thr AS (SELECT score_micro AS cut FROM ranked, nneg WHERE r = k)
+SELECT a2.doc_id, a2.lang, a2.n_hits, a2.score_micro,
+       CAST(a2.score_micro > thr.cut AS INT) AS predicted
+FROM allsc a2, thr
+ORDER BY a2.doc_id
+"""

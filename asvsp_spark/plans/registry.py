@@ -594,6 +594,37 @@ _REGISTRY["sq16_variant_hourly"] = SQ.sq16_variant_hourly
 # un-implemented SURVEY §2 row) displaces data_quality_report (r6+r7
 # double-green; the quality/drift family keeps sq12 + sq13 window rows
 # and the local hash pin runs every pytest session).
+# r9 rotation — FRESHNESS round (r8 verdict item 4): the 22 entries
+# whose last green driver row was r2/r3 all enter, because their
+# shared plumbing (dedup.py, relevance.py, the drain) has been edited
+# repeatedly since. 23 slots open up (22 stale + the
+# quality_classifier_scores birth-round re-seat, rows-only ->
+# hash-paired via the exact-integer NBSVM weighting):
+# - 18 r7+r8 double-greens leave: dsir_weights + dsir_sample (stay on
+#   bench.py's _WATCHLIST — perf adjudication is the bench's job now,
+#   with breach-confirmation solo re-runs), shard_assignments,
+#   incremental_paragraph_report, weighted_sample_docs,
+#   token_budget_stats, stitch_report, sq12_drift_hourly,
+#   dup_substring_runs, sq14_value_percentiles_hourly,
+#   minhash_calibration, gapfill_hourly_interp, line_dedup_docs,
+#   gapfill_daily_values, incremental_substring_runs,
+#   dup_substring_table, sq13_contract_hourly, media_frame_sample
+#   (multimodal family keeps the incoming media_features row).
+#   key_skew_report, vocab_coverage and packing_best_fit_bins are NOT
+#   displaced: each is its family's only window row.
+# - 5 r8-greens leave (freshest possible hard signal, all locally
+#   hash-pinned every pytest run): doc_fingerprint + text_quality
+#   (text family keeps lang_id + 5 incoming text rows),
+#   unpivot_daily_type (grouping family gets pivot_daily_type — the
+#   inverse op — plus type_correlation), pq_rerank_topk
+#   (ivfpq_rerank_topk subsumes the PQ machinery and ivf_topk +
+#   semantic_dedup_report keep the int-ANN family), and
+#   variant_props_decode (sq16_variant_hourly exercises the same
+#   VARIANT decode kernels as a streaming group key).
+# Families left without a window row this round (sharding, substring
+# incremental stores, gapfill, streaming drift/contract monitors) are
+# all r7+r8 double-green AND hash-pinned locally per pytest session;
+# they rotate back in r10.
 DRIVER_CHECKED: tuple[str, ...] = (
     # parity core, q-suite
     "q01_yearly_rank_yoy", "q02_peak_month", "q03_cumulative_top10",
@@ -603,26 +634,25 @@ DRIVER_CHECKED: tuple[str, ...] = (
     # parity core, streaming suite
     "sq1_vs_baseline", "sq2_dominant_trend", "sq3_top_users",
     "sq4_engagement_conversion", "sq5_rank_anomaly",
-    # r1-only text greens, refreshed
-    "doc_fingerprint", "lang_id", "text_quality",
-    # new r8 oracle-paired entries (birth-round slots)
+    # text-family keeper
+    "lang_id",
+    # r8 birth-round entries, kept one more round
     "dedup_substring_removed", "gapfill_weekly_values",
-    "sq15_neardup_dedup", "ivf_topk",
-    # holdovers
-    "key_skew_report", "dsir_weights", "dsir_sample",
-    "shard_assignments", "incremental_paragraph_report",
-    "weighted_sample_docs", "token_budget_stats",
-    "vocab_coverage", "stitch_report", "sq12_drift_hourly",
-    "dup_substring_runs", "sq14_value_percentiles_hourly",
-    "minhash_calibration", "gapfill_hourly_interp", "line_dedup_docs",
-    "gapfill_daily_values", "incremental_substring_runs",
-    "dup_substring_table", "http_collect_rollup",
-    "sq13_contract_hourly", "sq16_variant_hourly",
-    "media_frame_sample", "packing_best_fit_bins",
-    # mid-r8 birth-round slots (see rotation note above)
-    "unpivot_daily_type", "variant_props_decode",
-    # late-r8 birth-round slots: the ANN/semantic oracle-pairings
-    "pq_rerank_topk", "ivfpq_rerank_topk", "semantic_dedup_report",
+    "sq15_neardup_dedup", "ivf_topk", "http_collect_rollup",
+    "sq16_variant_hourly", "ivfpq_rerank_topk", "semantic_dedup_report",
+    # sole-family-row holdovers
+    "key_skew_report", "vocab_coverage", "packing_best_fit_bins",
+    # r9 freshness rotation: the stale r2/r3 cohort (verdict item 4)
+    "baselines_events", "bm25_search", "cosine_dup_pairs",
+    "dedup_exact", "doc_length_histogram", "embedding_quantize_int8",
+    "embedding_stats", "events_after_order", "inactive_customers",
+    "media_features", "pivot_daily_type", "priority_percentiles",
+    "repeat_buyer_segments", "rollup_annual_nation",
+    "sample_k_per_group", "sessionize_users", "snapshot_diff_orders",
+    "sq7_dedup_hourly", "text_profile", "tfidf_top_terms",
+    "top_terms_per_lang", "type_correlation",
+    # r9 birth-round slot: rows-only -> oracle-paired this round
+    "quality_classifier_scores",
 )
 
 
@@ -1916,28 +1946,23 @@ def _data_quality_report(spark, sf):
 
 
 @register("quality_classifier_scores")
-def _quality_classifier_scores(spark, sf):   # rows-only: learned floats
+def _quality_classifier_scores(spark, sf):
     """Model-based quality filtering (operators/classify.py — the
     GPT-3/RefinedWeb linear-classifier gate): bootstrap labels from the
-    per-language heuristic extremes, fit hashed unigram+bigram logistic
-    regression on that labeled slice, then score EVERY document with the
-    broadcast 2MB weight vector — one corpus scan, row-local, JVM-side.
-    No DuckDB twin for L-BFGS coefficients; separation, determinism and
-    heuristic-agreement bounds are pinned in unit tests."""
-    from asvsp_spark.operators.classify import (
-        heuristic_labels, score_quality, train_quality_classifier)
-    docs = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
-    labeled = heuristic_labels(docs)
-    # 2^16 features ample for this vocabulary; the L-BFGS gradient is a
-    # dense n_features vector per partition per iteration, so the hash
-    # width is the training-cost knob (the library default stays 2^18
-    # for web-scale vocabularies)
-    # 10 iterations measured at 0.980 heuristic agreement vs 0.986 at
-    # 20 on sf0.1, at half the fit cost
-    model = train_quality_classifier(labeled, n_features=1 << 16,
-                                     max_iter=10)
-    return (score_quality(docs, model, keep_cols=("lang",))
-            .orderBy("doc_id"))
+    per-language heuristic extremes, train an exact-integer smoothed
+    odds-ratio linear model (the NBSVM Naive-Bayes weighting, Wang &
+    Manning 2012) over a bounded top-k unigram+bigram vocabulary, then
+    score EVERY document with the broadcast weight table — one corpus
+    scan, row-local, JVM-side. Oracle-paired since r9 (previously
+    rows-only on mllib L-BFGS floats): labels, vocabulary, weights and
+    scores are all integer or engine-stable-rounded, so the DuckDB
+    twin replays training AND scoring bit-identically. The mllib
+    HashingTF+LogisticRegression path (train_quality_classifier /
+    score_quality) remains the library API for true L-BFGS fits,
+    pinned in tests/test_classify.py."""
+    from asvsp_spark.operators.classify import nb_quality_scores
+    docs = _t(spark, sf, "documents")
+    return nb_quality_scores(docs).orderBy("doc_id")
 
 
 @register("ivfpq_rerank_topk")

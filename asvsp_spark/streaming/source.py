@@ -323,13 +323,29 @@ def _available_now_run(spark: SparkSession,
     cap = shuffle_partitions if shuffle_partitions is not None else int(
         os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
     prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    # One-shot drains reap their checkpoint on exit, so keeping the
+    # query's state-store providers LOADED after commit is pure waste:
+    # the executor maintenance tick (default 60 s) would snapshot /
+    # fsck state whose disk backing we are about to rm -rf, and in a
+    # long suite of short drains those lingering providers accumulate
+    # until the tick (measured as the r8 in-suite streaming-family
+    # drift — sq6b alone leaves 4 stores x 8 partitions x 2 sides
+    # loaded per run). unloadOnCommit (Spark 4) closes them at commit.
+    # Persistent checkpoints keep the default: a same-session re-drain
+    # (incremental stores, sq15's multi-batch harness) reuses the warm
+    # provider.
+    unload_key = "spark.sql.streaming.stateStore.unloadOnCommit"
+    prev_unload = spark.conf.get(unload_key, "false")
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="asvsp-ckpt-")
     try:
         if int(prev) > cap:
             spark.conf.set("spark.sql.shuffle.partitions", str(cap))
+        if checkpoint_dir is None:
+            spark.conf.set(unload_key, "true")
         yield ckpt
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(unload_key, prev_unload)
         if checkpoint_dir is None:
             shutil.rmtree(ckpt, ignore_errors=True)
 

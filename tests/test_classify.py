@@ -88,6 +88,42 @@ def test_classifier_agrees_with_heuristic_on_fixture(spark):
     assert frac >= 0.9, f"agreement {frac:.3f} below sanity floor"
 
 
+def test_nb_quality_scores_separates(spark):
+    """The exact-integer NBSVM-weight scorer (the oracle-paired
+    registry path) separates the constructed corpus: every good doc
+    scores strictly above every bad doc, and the sign gate agrees with
+    the construction on the heuristic-labeled extremes."""
+    from asvsp_spark.operators.classify import nb_quality_scores
+    rows = ([(2 * i, f"{GOOD} part {i}", "en") for i in range(20)]
+            + [(2 * i + 1, f"{BAD} zzz {i}", "en") for i in range(20)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in nb_quality_scores(docs).collect()}
+    assert len(out) == 40
+    worst_good = min(out[i].score_micro for i in out if i % 2 == 0)
+    best_bad = max(out[i].score_micro for i in out if i % 2 == 1)
+    assert worst_good > best_bad
+    # integer contract: exact int64 scores; the calibrated cut puts
+    # every good doc above it and every bad doc at-or-below it on this
+    # cleanly separable corpus
+    assert all(isinstance(out[i].score_micro, int) for i in out)
+    assert all(out[i].predicted == (1 - i % 2) for i in out)
+
+
+def test_nb_quality_scores_agrees_with_heuristic_on_fixture(spark):
+    """On the real documents fixture the integer scorer must agree
+    with the held-out heuristic label on >=90% of labeled docs — the
+    same sanity floor the mllib path is held to."""
+    from tests.conftest import SF_DIR
+    from asvsp_spark.operators.classify import nb_quality_scores
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("text").isNotNull()))
+    labels = heuristic_labels(docs).select("doc_id", "label")
+    scored = nb_quality_scores(docs).join(labels, "doc_id")
+    frac = scored.agg(F.avg(
+        (F.col("predicted") == F.col("label")).cast("int"))).first()[0]
+    assert frac >= 0.9, f"agreement {frac:.3f} below sanity floor"
+
+
 def test_cli_quality_score(spark, tmp_path, capsys):
     """CLI quality-score: bootstrap labels (no lang column), train,
     score every doc, and report the tau gate."""

@@ -1,0 +1,92 @@
+"""Round-9 additions: the streaming ingest near-dup gate wired into the
+corpus pipeline (r8 verdict item 6) and the exact-integer NBSVM quality
+scorer's pipeline-facing behavior (item 5 lives in test_classify.py)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+BASE_US = 1_700_000_000_000_000
+HOUR_US = 3_600_000_000
+
+
+def _write_arrivals(path: str, rows) -> None:
+    ids, texts, langs, ts = zip(*rows)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "ts_us": pa.array(ts, pa.int64()),
+    }), path)
+
+
+def _doc_text(i: int) -> str:
+    # per-doc disjoint vocabulary: zero shared shingles between docs, so
+    # the only band-key collisions are true same-content re-crawls
+    return " ".join(f"w{i}x{j}" for j in range(12))
+
+
+def test_corpus_pipeline_streaming_ingest_gate(spark, tmp_path):
+    """A re-crawled document (same text, brand-new doc_id) arriving
+    within the ingest watermark horizon of a PRIOR pipeline run is
+    suppressed at the gate: it never appears in the staged corpus the
+    batch stages read, and the funnel records it (ingest_raw > raw).
+    The gate is incremental via the persistent checkpoint — run 2
+    drains only the new arrivals."""
+    from asvsp_spark.pipeline import run_corpus_pipeline
+    from tests.conftest import SF_DIR
+
+    ingest = tmp_path / "arrivals"
+    ingest.mkdir()
+    ckpt = str(tmp_path / "ingest_ckpt")
+    staged = str(tmp_path / "staged")
+
+    _write_arrivals(str(ingest / "b0.parquet"),
+                    [(i, _doc_text(i), "en", BASE_US + i * HOUR_US)
+                     for i in range(10)])
+    c1 = run_corpus_pipeline(
+        spark, SF_DIR, str(tmp_path / "out1"),
+        quality_pct=0.0, targets={"en": 1.0},
+        ingest_dir=str(ingest), ingest_checkpoint=ckpt,
+        ingest_staged=staged)
+    assert c1["ingest_raw"] == 10
+    assert c1["raw"] == 10          # all distinct: nothing suppressed
+
+    # run 2: one true re-crawl (doc 3's text verbatim, new id, inside
+    # the 72h horizon of its first sighting) + one genuinely new doc
+    _write_arrivals(str(ingest / "b1.parquet"),
+                    [(1003, _doc_text(3), "en", BASE_US + 50 * HOUR_US),
+                     (11, _doc_text(11), "en", BASE_US + 50 * HOUR_US)])
+    c2 = run_corpus_pipeline(
+        spark, SF_DIR, str(tmp_path / "out2"),
+        quality_pct=0.0, targets={"en": 1.0},
+        ingest_dir=str(ingest), ingest_checkpoint=ckpt,
+        ingest_staged=staged)
+    assert c2["ingest_raw"] == 12   # cumulative arrivals
+    assert c2["raw"] == 11          # the re-crawl never reached batch
+
+    staged_ids = {r.doc_id for r in
+                  spark.read.parquet(staged).select("doc_id").collect()}
+    assert staged_ids == set(range(10)) | {11}
+    assert 1003 not in staged_ids
+    # monotone funnel over the staged survivors
+    assert c2["raw"] >= c2["quality_gated"] >= c2["exact_deduped"] \
+        >= c2["near_deduped"] >= c2["rebalanced"] == c2["written"] > 0
+
+
+def test_streaming_ingest_dedup_standalone_one_shot(spark, tmp_path):
+    """Without a checkpoint the gate still dedups within one drain:
+    same-batch same-content docs collapse to one survivor."""
+    from asvsp_spark.pipeline import streaming_ingest_dedup
+
+    ingest = tmp_path / "arrivals"
+    ingest.mkdir()
+    _write_arrivals(str(ingest / "b0.parquet"),
+                    [(1, _doc_text(1), "en", BASE_US),
+                     (2, _doc_text(1), "en", BASE_US + HOUR_US),  # dup
+                     (3, _doc_text(3), "en", BASE_US)])
+    out = streaming_ingest_dedup(spark, str(ingest),
+                                 str(tmp_path / "staged"))
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    assert len(got) == 2 and 3 in got and len(got & {1, 2}) == 1
