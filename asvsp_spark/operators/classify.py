@@ -147,17 +147,24 @@ def nb_quality_scores(docs: DataFrame, text_col: str = "text",
     if "lang" not in docs.columns:   # the heuristic_labels default
         docs = docs.withColumn("lang", F.lit("all"))
 
-    labeled = heuristic_labels(docs, text_col=text_col)
-    n_lab = labeled.count()
+    # cache + explicit unpersist (the ivf_topk convention): the
+    # labeled lineage (corpus scan + per-lang exact-percentile shuffle)
+    # feeds four actions below — count, the totals probe, the model
+    # collect and the calibration scan — and every derived artifact is
+    # materialized before the return, so the cache never leaks into
+    # the returned plan
+    labeled_all = heuristic_labels(docs, text_col=text_col).cache()
+    n_lab = labeled_all.count()
+    labeled = labeled_all
     if n_lab > 2 * train_cap:
         denom = max(2, n_lab // train_cap)
-        labeled = labeled.filter(
+        labeled = labeled_all.filter(
             F.pmod(md5_slice_long(F.col(id_col).cast("string")),
                    F.lit(denom)) == 0)
     inst = labeled.select(
         F.col("label"), F.col(id_col),
         F.explode(_gram_features(F.col(text_col))).alias("term"))
-    # driver-ok: four scalars; doubles as the loud overflow guard
+    # driver-ok: three scalars; doubles as the loud overflow guard
     tot = inst.agg(
         F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
         .cast("long").alias("ta"),
@@ -167,14 +174,18 @@ def nb_quality_scores(docs: DataFrame, text_col: str = "text",
         .cast("long").alias("n_neg_docs")).collect()[0]
     ta, tb = int(tot["ta"] or 0), int(tot["tb"] or 0)
     n_neg_docs = int(tot["n_neg_docs"] or 0)
+    # headroom: the rounding expression computes 2*s + d with
+    # |s| <= worst and d <= 2*worst/scale, so admitting worst up to
+    # 2^62 would let the SUM wrap for small `scale` — cap at 2^61
+    # (2*worst <= 2^62 and d adds at most another 2*worst, total
+    # always < 2^63 whatever scale >= 1)
     worst = scale * (max(ta, tb) + 1) * (max(ta, tb) + vocab_size)
-    if worst >= 2 ** 62:
+    if worst >= 2 ** 61:
         raise ValueError(
             f"nb_quality_scores: class token totals ({ta}, {tb}) "
             "overflow the exact-int64 weight identity (JVM wraps "
             "silently; the SQL twin promotes to HUGEINT, so results "
-            "would silently diverge). Lower `scale` or subsample the "
-            "labeled slice.")
+            "would silently diverge). Lower `scale` or `train_cap`.")
 
     counts = inst.groupBy("term").agg(
         F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
@@ -192,10 +203,15 @@ def nb_quality_scores(docs: DataFrame, text_col: str = "text",
     # integer round-half-away: s >= 0 -> (2s+d) div (2d); else the
     # mirrored non-negative form (both DIV operands positive in each
     # branch, so Spark's truncating div == DuckDB's flooring //)
-    weights = vocab.withColumn("s", s).withColumn("d", d).selectExpr(
+    # driver-ok: <= vocab_size rows (the ivf cents.collect precedent) —
+    # materializing the model here frees the labeled cache before the
+    # returned plan ever executes
+    w_rows = (vocab.withColumn("s", s).withColumn("d", d).selectExpr(
         "term",
         "CASE WHEN s >= 0 THEN (2*s + d) DIV (2*d) "
-        "ELSE -((-2*s + d) DIV (2*d)) END AS w")
+        "ELSE -((-2*s + d) DIV (2*d)) END AS w")).collect()
+    weights = docs.sparkSession.createDataFrame(
+        w_rows, "term string, w long")
 
     doc_terms = docs.select(
         F.col(id_col),
@@ -212,20 +228,27 @@ def nb_quality_scores(docs: DataFrame, text_col: str = "text",
                           F.coalesce("score_micro", F.lit(0))
                           .cast("long").alias("score_micro")))
 
-    if n_neg_docs == 0:   # degenerate corpus: no negative evidence
-        return all_scores.withColumn(
-            "predicted", (F.col("score_micro") > 0).cast("int"))
+    if n_neg_docs == 0:
+        # degenerate corpus: no negative evidence — the calibrated
+        # predicted-positive rate is the labeled rate, i.e. 100%
+        # (oracle mirror: cut coalesces to int64-min, score > cut
+        # always holds)
+        labeled_all.unpersist()
+        return all_scores.withColumn("predicted", F.lit(1).cast("int"))
+    # cut: k-th smallest labeled score, k = #neg (driver-ok: 1 scalar).
+    # The rank sorts only the labeled sample's (int64, id) pairs.
     lab_scores = all_scores.join(
         labeled.select(id_col), id_col, "left_semi")
     w_rank = Window.orderBy("score_micro", id_col)
-    cut = (lab_scores
-           .withColumn("r", F.row_number().over(w_rank))
-           .filter(F.col("r") == n_neg_docs)
-           .select(F.col("score_micro").alias("cut")))
-    return (all_scores.crossJoin(F.broadcast(cut))
-            .select(id_col, "lang", "n_hits", "score_micro",
-                    (F.col("score_micro") > F.col("cut")).cast("int")
-                    .alias("predicted")))
+    cut_rows = (lab_scores
+                .withColumn("r", F.row_number().over(w_rank))
+                .filter(F.col("r") == n_neg_docs)
+                .select("score_micro").collect())
+    labeled_all.unpersist()
+    cut = int(cut_rows[0][0])   # rank k <= n labeled always exists
+    return all_scores.withColumn(
+        "predicted",
+        (F.col("score_micro") > F.lit(cut)).cast("int"))
 
 
 def heuristic_labels(docs: DataFrame, text_col: str = "text",

@@ -75,11 +75,27 @@ def streaming_ingest_dedup(spark: SparkSession, ingest_dir: str,
     (band_key, expiry) entry per distinct content key inside the
     horizon — O(arrival rate x horizon), never O(corpus).
     """
+    import os
+
     from pyspark.sql import functions as F
 
     from asvsp_spark.streaming.queries import with_doc_band_key
     from asvsp_spark.streaming.source import drain_to_parquet
 
+    if checkpoint_dir is None and os.path.isdir(
+            os.path.join(staged_dir, "_spark_metadata")):
+        # a fresh (ephemeral) checkpoint restarts micro-batch ids at 0,
+        # and the manifest sink already committed a batch 0 — Spark
+        # would log "skipping already committed batch" and SILENTLY
+        # write nothing, so every new arrival would vanish. Refuse
+        # loudly instead (r9 review finding).
+        raise ValueError(
+            f"streaming_ingest_dedup: staged sink {staged_dir!r} has "
+            "committed batches from a previous drain, but no "
+            "checkpoint_dir was given — re-draining with a fresh "
+            "checkpoint would silently skip every new arrival. Pass "
+            "the original checkpoint_dir (the incremental cadence) or "
+            "a fresh staged_dir.")
     raw = spark.readStream.schema(INGEST_DOCS_SCHEMA).parquet(ingest_dir)
     keyed = (with_doc_band_key(raw)
              .withColumn("ts", F.timestamp_micros(F.col("ts_us"))))

@@ -2694,7 +2694,11 @@ ranked AS (
 ),
 nneg AS (SELECT CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)
                      AS BIGINT) AS k FROM lab),
-thr AS (SELECT score_micro AS cut FROM ranked, nneg WHERE r = k)
+-- COALESCE mirrors the engine's degenerate branch: k = 0 (no negative
+-- labels) -> cut = int64-min -> predicted = 1 everywhere
+thr AS (SELECT COALESCE(
+            (SELECT score_micro FROM ranked, nneg WHERE r = k),
+            -9223372036854775807) AS cut)
 SELECT a2.doc_id, a2.lang, a2.n_hits, a2.score_micro,
        CAST(a2.score_micro > thr.cut AS INT) AS predicted
 FROM allsc a2, thr

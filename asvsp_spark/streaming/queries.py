@@ -958,9 +958,15 @@ def with_doc_band_key(df: DataFrame, id_col: str = "doc_id",
             "_h", lambda h: hex_slice_long(h, 1 + 8 * t, 8))).cast("string")
 
     mins = [slot_min(t) for t in range(4)]
+    # coalesce: NULL text -> _sh NULL -> size() NULL, and a bare
+    # when(NULL) falls through to otherwise, where concat_ws SKIPS the
+    # four NULL mins — every null-text doc would share band_key "" and
+    # a streaming dedup would silently collapse them all into one
+    # survivor (r9 review finding). Null-text docs key by id like
+    # sub-3-token docs: never near-dup-collide.
     return (d.withColumn(
         "band_key",
-        F.when(F.size("_sh") == 0,
+        F.when(F.coalesce(F.size("_sh"), F.lit(0)) == 0,
                F.concat(F.lit("e"), F.col(id_col).cast("string")))
         .otherwise(F.concat_ws("_", *mins)))
         .drop("_tk", "_sh", "_h"))

@@ -254,6 +254,10 @@ def main() -> None:
             row["solo_vs_budget"] = round(solo / row["budget"], 3)
             row["breach_confirmed"] = solo > 2.0 * row["budget"]
         except Exception as exc:
+            # keep the row schema uniform: an unmeasurable breach stays
+            # red, with null solo readings marking it unadjudicated
+            row["solo_sec"] = None
+            row["solo_vs_budget"] = None
             row["breach_confirmed"] = True   # cannot exonerate -> keep red
             print(f"# bench: solo confirm failed for {n}: {exc}",
                   file=sys.stderr)

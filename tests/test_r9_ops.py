@@ -90,3 +90,58 @@ def test_streaming_ingest_dedup_standalone_one_shot(spark, tmp_path):
                                  str(tmp_path / "staged"))
     got = {r.doc_id for r in out.select("doc_id").collect()}
     assert len(got) == 2 and 3 in got and len(got & {1, 2}) == 1
+
+
+def test_ingest_gate_refuses_staged_reuse_without_checkpoint(spark, tmp_path):
+    """Re-draining into a staged sink that already committed batches,
+    with a FRESH checkpoint, would make the manifest sink silently skip
+    batch 0 and drop every new arrival — the gate must refuse loudly."""
+    from asvsp_spark.pipeline import streaming_ingest_dedup
+
+    ingest = tmp_path / "arrivals"
+    ingest.mkdir()
+    staged = str(tmp_path / "staged")
+    _write_arrivals(str(ingest / "b0.parquet"),
+                    [(1, _doc_text(1), "en", BASE_US)])
+    assert streaming_ingest_dedup(spark, str(ingest), staged).count() == 1
+    _write_arrivals(str(ingest / "b1.parquet"),
+                    [(2, _doc_text(2), "en", BASE_US)])
+    with pytest.raises(ValueError, match="committed batches"):
+        streaming_ingest_dedup(spark, str(ingest), staged)
+
+
+def test_band_key_null_text_keys_by_id(spark):
+    """NULL-text docs must key by their own id ('e'||id), not collapse
+    onto a shared empty band key that a streaming dedup would then
+    merge into one survivor (r9 review finding)."""
+    from asvsp_spark.streaming.queries import with_doc_band_key
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "ab"), (4, _doc_text(4))],
+        "doc_id long, text string")
+    got = {r.doc_id: r.band_key for r in with_doc_band_key(df).collect()}
+    assert got[1] == "e1" and got[2] == "e2"   # id-keyed, not ""
+    assert got[3] == "e3"                       # < 3 tokens: id-keyed
+    assert "_" in got[4]                        # real 4-hash band key
+
+
+def test_nb_quality_scores_no_negative_labels(spark):
+    """Degenerate corpus where every labeled doc is positive (uniform
+    quality -> lo == hi): the calibrated predicted-positive rate is the
+    labeled rate, i.e. every doc predicts 1 — and the DuckDB oracle's
+    COALESCE(int64-min) branch mirrors it."""
+    import duckdb
+    from asvsp_spark.operators.classify import nb_quality_scores
+    rows = [(i, "alpha beta gamma delta", "en") for i in range(8)]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, lang string")
+    out = nb_quality_scores(docs).collect()
+    assert len(out) == 8 and all(r.predicted == 1 for r in out)
+    # oracle twin agrees on the same degenerate corpus
+    from asvsp_spark.plans.registry import all_oracle_sql
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, 'alpha beta gamma delta', 'en')"
+                            for i in range(8))
+                + ") t(doc_id, text, lang)")
+    orc = con.sql(all_oracle_sql()["quality_classifier_scores"]).fetchall()
+    assert len(orc) == 8 and all(r[4] == 1 for r in orc)
