@@ -166,6 +166,31 @@ def main(argv: list[str] | None = None) -> int:
                            "raw doc with the first stage that dropped "
                            "it (or 'kept') — id-only anti-joins, no "
                            "extra corpus scan")
+    cpip.add_argument("--ingest-dir", default=None,
+                      help="streaming ingest gate (stage 0s): read "
+                           "arriving parquet batches (doc_id, text, "
+                           "lang, ts_us) from this dir and suppress "
+                           "content near-duplicates within "
+                           "--ingest-watermark BEFORE the batch "
+                           "stages; replaces --sf-dir's documents "
+                           "table as the corpus source")
+    cpip.add_argument("--ingest-checkpoint", default=None,
+                      help="persistent checkpoint dir for the ingest "
+                           "gate — reuse it across runs for the "
+                           "incremental cadence (only new arrivals "
+                           "drain; re-crawls within the horizon of a "
+                           "prior run stay suppressed)")
+    cpip.add_argument("--ingest-staged", default=None,
+                      help="staged-survivor sink dir (default "
+                           "OUT_DIR/ingest_staged)")
+    cpip.add_argument("--ingest-watermark", default="72 hours",
+                      help="near-dup suppression horizon for the "
+                           "ingest gate")
+    cpip.add_argument("--classifier-gate", action="store_true",
+                      help="stage 2e: learned quality gate — train the "
+                           "exact-integer NB classifier on the "
+                           "survivors' heuristic extremes and keep "
+                           "docs its calibrated cut predicts positive")
 
     mg = sub.add_parser("merge", help="MERGE updates parquet into a base dataset by key")
     mg.add_argument("base")
@@ -487,7 +512,14 @@ def main(argv: list[str] | None = None) -> int:
                                          args.paragraph_joiner),
                                      line_dedup=args.line_dedup,
                                      substring_dedup=args.substring_dedup,
-                                     substring_window=args.substring_window)
+                                     substring_window=args.substring_window,
+                                     ingest_dir=args.ingest_dir,
+                                     ingest_checkpoint=(
+                                         args.ingest_checkpoint),
+                                     ingest_staged=args.ingest_staged,
+                                     ingest_watermark=(
+                                         args.ingest_watermark),
+                                     classifier_gate=args.classifier_gate)
         for stage, n in counts.items():
             print(f"{stage:16s} {n}")
         return 0

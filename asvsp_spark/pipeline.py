@@ -129,6 +129,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                         ingest_checkpoint: str | None = None,
                         ingest_staged: str | None = None,
                         ingest_watermark: str = "72 hours",
+                        classifier_gate: bool = False,
                         ) -> dict[str, int]:
     """The LLM training-data preparation chain, end to end — what a user
     of this engine actually runs over a raw corpus:
@@ -185,6 +186,13 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                      composes with ``incremental_dup_substring``'s
                      runs (keep='none': the canonical copy lives in a
                      prior batch),
+      2e. classifier gate — with ``classifier_gate=True``, the learned
+                     quality gate (GPT-3/RefinedWeb shape): the exact-
+                     integer NB-weighted classifier trains on the
+                     surviving docs' heuristic extremes and keeps docs
+                     its calibrated cut predicts positive (classify.py
+                     nb_quality_scores — the oracle-paired scorer);
+                     runs on cleaned text, before any dedup,
       3. exact dedup — keep the smallest doc_id per canonical-text
                      fingerprint,
       4. near dedup — candidate pairs from the ``near_dedup`` generator
@@ -383,6 +391,24 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         gated = _rewrite_stage(
             gated, remove_dup_substring_runs(gated, runs),
             "substring_deduped", "substring_dedup")
+
+    # 2e: model-based quality gate (opt-in) — the GPT-3/RefinedWeb
+    # learned gate layered on the heuristic one: train the exact-
+    # integer NB-weighted classifier on the SURVIVORS' heuristic
+    # extremes (classify.py nb_quality_scores — bounded md5-gated
+    # training sample, broadcast weight table, one scan) and keep docs
+    # the calibrated cut predicts positive. Runs after the rewrite
+    # stages (the model should see cleaned text) and before dedup
+    # (dropping low-quality docs first shrinks every pair-generation
+    # stage downstream).
+    if classifier_gate:
+        from asvsp_spark.operators.classify import nb_quality_scores
+        pos_ids = (nb_quality_scores(gated)
+                   .filter(F.col("predicted") == 1).select("doc_id"))
+        gated = gated.join(pos_ids, "doc_id", "left_semi") \
+            .localCheckpoint(eager=False)
+        counts["classifier_gated"] = gated.count()
+        audit_stages.append(("classifier_gate", gated.select("doc_id")))
 
     # 3: exact dedup — keepers only
     keepers = exact_dedup(gated).select(

@@ -33,7 +33,7 @@ changes):
 3. Cohort cadence: the CORE cohort (driver-checked window + watch-list
    + every budget >= 1.3 s + anything without a frozen budget yet) is
    timed every round; the long tail of sub-1.3 s entries joins on
-   EVEN rounds only ($SPARK_GRAFT_BENCH_TAIL=1/0 overrides, auto =
+   ODD rounds only ($SPARK_GRAFT_BENCH_TAIL=1/0 overrides, auto =
    parity of the next BENCH_r{N} artifact). At 145 queries x 3 passes
    the full suite's own warm-state perturbed what it measured; the
    tail is where regressions are least consequential and least likely
@@ -145,7 +145,7 @@ def _timed_cohort(queries: dict,
         return core, "core"
     if not budgets:          # no gate rows (non-sf0.1 run): time it all
         return names, "core+tail"
-    return (names, "core+tail") if _next_round() % 2 == 0 else (core, "core")
+    return (names, "core+tail") if _next_round() % 2 == 1 else (core, "core")
 
 
 def _arrow_warmup(spark, parts: int = 32) -> None:

@@ -145,3 +145,42 @@ def test_nb_quality_scores_no_negative_labels(spark):
                 + ") t(doc_id, text, lang)")
     orc = con.sql(all_oracle_sql()["quality_classifier_scores"]).fetchall()
     assert len(orc) == 8 and all(r[4] == 1 for r in orc)
+
+
+def test_cli_corpus_pipeline_ingest_gate(spark, tmp_path, capsys):
+    """CLI flavor of the ingest gate: --ingest-dir feeds the funnel and
+    the printed counts carry the ingest_raw row."""
+    from asvsp_spark.cli import main
+    ingest = tmp_path / "arrivals"
+    ingest.mkdir()
+    _write_arrivals(str(ingest / "b0.parquet"),
+                    [(i, _doc_text(i), "en", BASE_US + i * HOUR_US)
+                     for i in range(6)]
+                    + [(100, _doc_text(2), "en", BASE_US + 5 * HOUR_US)])
+    out = str(tmp_path / "clean")
+    rc = main(["corpus-pipeline", "--out-dir", out,
+               "--ingest-dir", str(ingest),
+               "--ingest-checkpoint", str(tmp_path / "ckpt")])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "ingest_raw" in printed and "raw" in printed
+    staged = spark.read.parquet(f"{out}/ingest_staged")
+    ids = {r.doc_id for r in staged.select("doc_id").collect()}
+    assert ids == set(range(6))   # the doc-2 re-crawl never staged
+
+
+def test_corpus_pipeline_classifier_gate(spark, tmp_path):
+    """Stage 2e: the learned gate keeps exactly the calibrated-positive
+    docs, slots between the heuristic gate and exact dedup, and the
+    funnel stays monotone."""
+    from asvsp_spark.pipeline import run_corpus_pipeline
+    from tests.conftest import SF_DIR
+    out = str(tmp_path / "clean")
+    counts = run_corpus_pipeline(spark, SF_DIR, out, classifier_gate=True)
+    assert counts["raw"] >= counts["quality_gated"] \
+        >= counts["classifier_gated"] >= counts["exact_deduped"] \
+        >= counts["near_deduped"] >= counts["rebalanced"] \
+        == counts["written"] > 0
+    # the learned gate actually fires (the calibrated cut pins the
+    # predicted-positive rate to the labeled rate, ~50% of extremes)
+    assert counts["classifier_gated"] < counts["quality_gated"]
