@@ -267,3 +267,40 @@ def pii_scrub(text: Column) -> Column:
     for kind, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, pii_replacement(kind))
     return out
+
+
+def gopher_features(text: Column, toks_col_name: str) -> dict[str, Column]:
+    """Gopher data-quality rule inputs (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1 — the public rule set modern
+    pretraining pipelines start from), as PURE INTEGER counts so every
+    downstream flag is an exact integer comparison (ratio bounds become
+    cross-multiplications: mean word length in [3, 10] is
+    ``3*n <= sum_len AND sum_len <= 10*n``) — nothing to round, nothing
+    an engine can drift on.
+
+    Line-structure counts are single-pass ``regexp_count`` over the raw
+    text ((^|\\n) groups rather than a multiline flag: Spark's Java
+    regex and DuckDB's RE2 agree on those, and RE2 has no lookahead so
+    patterns stay in the common subset). Word-level counts reuse the
+    tokens array with JVM higher-order filters (tens of elements per
+    row — the interpreted-HOF cost that bites at per-(row, centroid)
+    scale is negligible at per-doc scale, same trade as
+    stopword_count)."""
+    t = toks_col_name
+    return {
+        "n_words": F.expr(f"size({t})"),
+        "sum_word_len": F.expr(
+            f"aggregate({t}, 0L, (acc, w) -> acc + length(w))"),
+        "n_alpha_words": F.expr(
+            f"size(filter({t}, w -> w rlike '[A-Za-z]'))"),
+        "n_stop_distinct": F.expr(
+            f"size(array_intersect(array_distinct({t}), array("
+            + ", ".join(f"'{w}'" for w in STOPWORDS) + ")))"),
+        "n_symbols": (F.regexp_count(text, F.lit("#"))
+                      + F.regexp_count(text, F.lit(r"\.\.\.|…"))),
+        "n_lines": F.regexp_count(text, F.lit("\n")) + 1,
+        "n_bullet_lines": F.regexp_count(
+            text, F.lit(r"(^|\n)[ \t]*[-*•]")),
+        "n_ellipsis_end": F.regexp_count(
+            text, F.lit(r"(\.\.\.|…)[ \t]*(\n|$)")),
+    }

@@ -2704,3 +2704,59 @@ SELECT a2.doc_id, a2.lang, a2.n_hits, a2.score_micro,
 FROM allsc a2, thr
 ORDER BY a2.doc_id
 """
+
+
+# Spark side: registry gopher_quality_report (functions/text.py
+# gopher_features — Rae et al. 2021 Gopher rules). Every count is a
+# plain integer and every flag a cross-multiplied integer comparison,
+# so no rounding contract is needed anywhere. Regex counts stay inside
+# the Java-regex/RE2 common subset ((^|\n) groups, no lookahead).
+ORACLE_TEXT["gopher_quality_report"] = rf"""
+WITH t AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+c AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(toks, w -> len(w)))
+                AS BIGINT) AS sum_word_len,
+           CAST(len(list_filter(toks,
+                w -> regexp_matches(w, '[A-Za-z]')))
+                AS BIGINT) AS n_alpha_words,
+           CAST(len(list_intersect(list_distinct(toks),
+                ['the','a','of','and','is','in','to']))
+                AS BIGINT) AS n_stop_distinct,
+           CAST(len(regexp_extract_all(text, '#'))
+                + len(regexp_extract_all(text, '\.\.\.|…'))
+                AS BIGINT) AS n_symbols,
+           CAST(len(regexp_extract_all(text, '\n')) + 1
+                AS BIGINT) AS n_lines,
+           CAST(len(regexp_extract_all(text, '(^|\n)[ \t]*[-*•]'))
+                AS BIGINT) AS n_bullet_lines,
+           CAST(len(regexp_extract_all(text, '(\.\.\.|…)[ \t]*(\n|$)'))
+                AS BIGINT) AS n_ellipsis_end
+    FROM t
+)
+SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stop_distinct,
+       n_symbols, n_lines, n_bullet_lines, n_ellipsis_end,
+       CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS f_word_count,
+       CAST(3 * n_words <= sum_word_len
+            AND sum_word_len <= 10 * n_words AS INT) AS f_mean_word_len,
+       CAST(10 * n_symbols <= n_words AS INT) AS f_symbol_ratio,
+       CAST(10 * n_bullet_lines <= 9 * n_lines AS INT) AS f_bullet_lines,
+       CAST(10 * n_ellipsis_end <= 3 * n_lines AS INT) AS f_ellipsis_end,
+       CAST(5 * n_alpha_words >= 4 * n_words AS INT) AS f_alpha_words,
+       CAST(n_stop_distinct >= 2 AS INT) AS f_stopwords,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND 3 * n_words <= sum_word_len
+            AND sum_word_len <= 10 * n_words
+            AND 10 * n_symbols <= n_words
+            AND 10 * n_bullet_lines <= 9 * n_lines
+            AND 10 * n_ellipsis_end <= 3 * n_lines
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND n_stop_distinct >= 2 AS INT) AS gopher_pass
+FROM c
+ORDER BY doc_id
+"""

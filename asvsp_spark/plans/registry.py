@@ -188,6 +188,46 @@ def _text_quality(spark, sf):
     )
 
 
+@register("gopher_quality_report")
+def _gopher_quality_report(spark, sf):
+    """Per-document Gopher rule flags (Rae et al. 2021 §A1.1, the
+    public pretraining-filter rule set; functions/text.py
+    gopher_features): word-count bounds, mean-word-length band,
+    symbol-to-word ratio, bullet-/ellipsis-line fractions,
+    alphabetic-word fraction, distinct-stopword floor — every flag an
+    exact integer comparison (ratio bounds as cross-multiplications),
+    so the DuckDB twin is bit-identical. One scan, row-local JVM
+    expressions, no shuffle; at 100 TB this pipelines with the write
+    stage like every other per-doc profile."""
+    docs = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    d = docs.withColumn("toks", TX.tokens(F.col("text")))
+    g = TX.gopher_features(F.col("text"), "toks")
+    d = d.select("doc_id",
+                 *[c.cast("long").alias(k) for k, c in g.items()])
+    flags = {
+        "f_word_count": (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000),
+        "f_mean_word_len": (3 * F.col("n_words") <= F.col("sum_word_len"))
+        & (F.col("sum_word_len") <= 10 * F.col("n_words")),
+        "f_symbol_ratio": 10 * F.col("n_symbols") <= F.col("n_words"),
+        "f_bullet_lines": 10 * F.col("n_bullet_lines")
+        <= 9 * F.col("n_lines"),
+        "f_ellipsis_end": 10 * F.col("n_ellipsis_end")
+        <= 3 * F.col("n_lines"),
+        "f_alpha_words": 5 * F.col("n_alpha_words")
+        >= 4 * F.col("n_words"),
+        "f_stopwords": F.col("n_stop_distinct") >= 2,
+    }
+    out = d
+    for k, c in flags.items():
+        out = out.withColumn(k, c.cast("int"))
+    passed = flags["f_word_count"]
+    for k in list(flags)[1:]:
+        passed = passed & flags[k]
+    return (out.withColumn("gopher_pass", passed.cast("int"))
+            .orderBy("doc_id"))
+
+
 @register("lang_id")
 def _lang_id(spark, sf):
     docs = _t(spark, sf, "documents").withColumn("toks", TX.tokens(F.col("text")))
@@ -634,8 +674,12 @@ DRIVER_CHECKED: tuple[str, ...] = (
     # parity core, streaming suite
     "sq1_vs_baseline", "sq2_dominant_trend", "sq3_top_users",
     "sq4_engagement_conversion", "sq5_rank_anomaly",
-    # text-family keeper
-    "lang_id",
+    # text-family keeper slot: lang_id ceded its (r8-green) slot to the
+    # late-r9 birth-round entry gopher_quality_report — the text family
+    # keeps five incoming rows (text_profile, tfidf_top_terms,
+    # top_terms_per_lang, doc_length_histogram, bm25_search) and
+    # lang_id stays locally hash-pinned per pytest session
+    "gopher_quality_report",
     # r8 birth-round entries, kept one more round
     "dedup_substring_removed", "gapfill_weekly_values",
     "sq15_neardup_dedup", "ivf_topk", "http_collect_rollup",

@@ -184,3 +184,38 @@ def test_corpus_pipeline_classifier_gate(spark, tmp_path):
     # the learned gate actually fires (the calibrated cut pins the
     # predicted-positive rate to the labeled rate, ~50% of extremes)
     assert counts["classifier_gated"] < counts["quality_gated"]
+
+
+def test_gopher_flags_semantics(spark):
+    """Constructed edge docs pin each Gopher rule: bullet-heavy,
+    ellipsis-heavy, symbol-heavy, non-alphabetic and stopword-free docs
+    each fail exactly their rule; a clean 60-word doc passes all."""
+    from asvsp_spark.plans.registry import all_queries
+    import tempfile, os
+    good = ("the quick brown fox jumps over a lazy dog and keeps "
+            "running through of the field in good weather " * 3
+            + "is to end")                              # ~60 words, stopwords
+    docs = [
+        (0, good),
+        (1, "- one\n- two\n- three\n- four\n- five"),   # all bullet lines
+        (2, ("the story continues... \nmore of it... \n" * 5)
+            + "and is a to end " + "word " * 50),        # ellipsis ends
+        (3, ("# " * 40) + "the of a is to " + "word " * 50),  # symbols
+        (4, "12 34 56 78 90 " * 12 + "the of a is"),     # digits, few alpha
+        (5, "zebra " * 60),                              # no 2nd stopword
+    ]
+    d = tempfile.mkdtemp()
+    (spark.createDataFrame(docs, "doc_id long, text string")
+     .withColumn("lang", F.lit("en"))
+     .withColumn("source", F.lit("test"))
+     .withColumn("n_chars", F.length("text").cast("long"))
+     .write.mode("overwrite")
+     .parquet(os.path.join(d, "documents.parquet")))
+    out = {r.doc_id: r for r in
+           all_queries()["gopher_quality_report"](spark, d).collect()}
+    assert out[0].gopher_pass == 1
+    assert out[1].f_bullet_lines == 0 and out[1].gopher_pass == 0
+    assert out[2].f_ellipsis_end == 0 and out[2].gopher_pass == 0
+    assert out[3].f_symbol_ratio == 0 and out[3].gopher_pass == 0
+    assert out[4].f_alpha_words == 0 and out[4].gopher_pass == 0
+    assert out[5].f_stopwords == 0 and out[5].gopher_pass == 0
