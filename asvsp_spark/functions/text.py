@@ -304,3 +304,33 @@ def gopher_features(text: Column, toks_col_name: str) -> dict[str, Column]:
         "n_ellipsis_end": F.regexp_count(
             text, F.lit(r"(\.\.\.|…)[ \t]*(\n|$)")),
     }
+
+
+def c4_line_keep_expr(lines_col_name: str) -> Column:
+    """C4's line-level keep rule (Raffel et al. 2020 §2.2, the public
+    cleaning recipe behind the C4 corpus): a line survives when it has
+    >= 5 whitespace-separated words AND ends in terminal punctuation
+    (. ! ? or a closing quote). Array HOF over the doc's own lines —
+    per-doc element counts, the same interpreted-HOF trade as
+    stopword_count; '$' anchors the ELEMENT (no newline inside), so
+    the pattern sits in the Java-regex/RE2 common subset."""
+    t = lines_col_name
+    return F.expr(
+        f"filter({t}, l -> size(split(trim(l), '\\\\s+')) >= 5"
+        " AND l rlike '[.!?\"][ \\t]*$')")
+
+
+def c4_features(text: Column, lines_col_name: str) -> dict[str, Column]:
+    """C4 page-level rule inputs as exact integers/booleans: kept-line
+    counts (via c4_line_keep_expr), sentence terminators within the
+    KEPT text (C4 drops pages with < 3 sentences after line cleaning),
+    and the lorem-ipsum / curly-brace page gates."""
+    kept = c4_line_keep_expr(lines_col_name)
+    kept_text = F.array_join(kept, "\n")
+    return {
+        "n_lines": F.expr(f"size({lines_col_name})"),
+        "n_kept_lines": F.size(kept),
+        "n_sentences": F.regexp_count(kept_text, F.lit("[.!?]")),
+        "has_lorem": F.contains(F.lower(text), F.lit("lorem ipsum")),
+        "has_brace": F.contains(text, F.lit("{")),
+    }

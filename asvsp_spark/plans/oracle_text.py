@@ -2760,3 +2760,51 @@ SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stop_distinct,
 FROM c
 ORDER BY doc_id
 """
+
+
+# Spark side: registry c4_quality_report (functions/text.py
+# c4_line_keep_expr / c4_features — Raffel et al. 2020 C4 rules).
+# Kept line = >= 5 whitespace words AND terminal-punctuation ending;
+# sentence count over the kept lines joined with '\n'; page gates on
+# 'lorem ipsum' (lowercased) and '{'. Pure integers + 0/1 flags.
+ORACLE_TEXT["c4_quality_report"] = rf"""
+WITH s AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 17 = 0 THEN rp || '{{'
+                WHEN doc_id % 23 = 0 THEN rp || chr(10) || 'lorem ipsum'
+                ELSE rp END AS text
+    FROM (SELECT doc_id,
+                 regexp_replace(text, '((\S+\s+){{6}}\S+)\s+',
+                                '\1.' || chr(10), 'g') AS rp
+          FROM documents WHERE text IS NOT NULL)
+),
+t AS (
+    SELECT doc_id, text, string_split(text, chr(10)) AS lines
+    FROM s
+),
+k AS (
+    SELECT doc_id, text, lines,
+           list_filter(lines,
+               l -> len(regexp_split_to_array(trim(l), '\s+')) >= 5
+                    AND regexp_matches(l, '[.!?"][ \t]*$')) AS kept
+    FROM t
+),
+c AS (
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CAST(len(regexp_extract_all(
+               list_aggregate(kept, 'string_agg', chr(10)), '[.!?]'))
+               AS BIGINT) AS n_sentences,
+           CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem,
+           CAST(contains(text, '{{') AS INT) AS has_brace
+    FROM k
+)
+SELECT doc_id, n_lines, n_kept_lines,
+       COALESCE(n_sentences, 0) AS n_sentences, has_lorem, has_brace,
+       CAST(COALESCE(n_sentences, 0) >= 3 AS INT) AS f_min_sentences,
+       CAST(COALESCE(n_sentences, 0) >= 3 AND has_lorem = 0
+            AND has_brace = 0 AS INT) AS c4_pass
+FROM c
+ORDER BY doc_id
+"""

@@ -228,6 +228,54 @@ def _gopher_quality_report(spark, sf):
             .orderBy("doc_id"))
 
 
+@register("c4_quality_report")
+def _c4_quality_report(spark, sf):
+    """Per-document C4 cleaning-rule report (Raffel et al. 2020 §2.2,
+    the public recipe behind the C4 corpus; functions/text.py
+    c4_features): line-level keep counts (>= 5 words AND terminal
+    punctuation), sentence count within the kept text, lorem-ipsum and
+    curly-brace page gates, and the page verdict (>= 3 kept sentences,
+    no gate hit). All counts exact integers, all flags 0/1 ints — the
+    DuckDB twin is bit-identical. One row-local scan, no shuffle; the
+    structural complement of gopher_quality_report (C4 cleans LINES
+    then gates pages; Gopher gates on whole-page statistics).
+
+    Staging: the fixture corpus is punctuation- and newline-free, so
+    the raw rules would be vacuously all-zero (a trivially-green
+    hash — the thing the oracle discipline exists to avoid). The entry
+    first applies a DETERMINISTIC re-punctuation (sentence break every
+    7 words via one regexp_replace, identical in Java regex and RE2
+    with DuckDB's 'g' flag) and plants the page-gate markers on fixed
+    id residues, so every rule fires in both directions on real data;
+    the rule logic itself is the library surface
+    (c4_line_keep_expr / c4_features) and is what a punctuated corpus
+    would use directly."""
+    docs = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    repunct = F.regexp_replace(
+        F.col("text"), r"((\S+\s+){6}\S+)\s+", "$1.\n")
+    staged = (F.when(F.col("doc_id") % 17 == 0,
+                     F.concat(repunct, F.lit("{")))
+              .when(F.col("doc_id") % 23 == 0,
+                    F.concat(repunct, F.lit("\nlorem ipsum")))
+              .otherwise(repunct))
+    d = (docs.withColumn("text", staged)
+         .withColumn("lines", F.split(F.col("text"), "\n")))
+    g = TX.c4_features(F.col("text"), "lines")
+    d = d.select(
+        "doc_id",
+        g["n_lines"].cast("long").alias("n_lines"),
+        g["n_kept_lines"].cast("long").alias("n_kept_lines"),
+        g["n_sentences"].cast("long").alias("n_sentences"),
+        g["has_lorem"].cast("int").alias("has_lorem"),
+        g["has_brace"].cast("int").alias("has_brace"))
+    passed = ((F.col("n_sentences") >= 3) & (F.col("has_lorem") == 0)
+              & (F.col("has_brace") == 0))
+    return (d.withColumn("f_min_sentences",
+                         (F.col("n_sentences") >= 3).cast("int"))
+            .withColumn("c4_pass", passed.cast("int"))
+            .orderBy("doc_id"))
+
+
 @register("lang_id")
 def _lang_id(spark, sf):
     docs = _t(spark, sf, "documents").withColumn("toks", TX.tokens(F.col("text")))
@@ -681,9 +729,13 @@ DRIVER_CHECKED: tuple[str, ...] = (
     # lang_id stays locally hash-pinned per pytest session
     "gopher_quality_report",
     # r8 birth-round entries, kept one more round
+    # (semantic_dedup_report, r8-green, ceded its slot to the late-r9
+    # birth entry c4_quality_report — the int-ANN family keeps
+    # ivf_topk + ivfpq_rerank_topk and the local hash pin runs every
+    # pytest session)
     "dedup_substring_removed", "gapfill_weekly_values",
     "sq15_neardup_dedup", "ivf_topk", "http_collect_rollup",
-    "sq16_variant_hourly", "ivfpq_rerank_topk", "semantic_dedup_report",
+    "sq16_variant_hourly", "ivfpq_rerank_topk", "c4_quality_report",
     # sole-family-row holdovers
     "key_skew_report", "vocab_coverage", "packing_best_fit_bins",
     # r9 freshness rotation: the stale r2/r3 cohort (verdict item 4)

@@ -219,3 +219,24 @@ def test_gopher_flags_semantics(spark):
     assert out[3].f_symbol_ratio == 0 and out[3].gopher_pass == 0
     assert out[4].f_alpha_words == 0 and out[4].gopher_pass == 0
     assert out[5].f_stopwords == 0 and out[5].gopher_pass == 0
+
+
+def test_c4_line_keep_rule(spark):
+    """The C4 line rule on crafted lines: >= 5 words AND terminal
+    punctuation survive; short, unpunctuated, or blank lines drop."""
+    from asvsp_spark.functions.text import c4_line_keep_expr
+    doc = "\n".join([
+        "this line has exactly five words.",     # keep
+        "short line.",                           # < 5 words
+        "this line has five words too",          # no terminal punct
+        "",                                      # blank
+        'a longer quoted line ends with a quote."',  # keep
+        "does this question have enough words?",     # keep
+    ])
+    df = (spark.createDataFrame([(1, doc)], "doc_id long, text string")
+          .withColumn("lines", F.split("text", "\n"))
+          .select(c4_line_keep_expr("lines").alias("kept")))
+    kept = df.collect()[0].kept
+    assert len(kept) == 3
+    assert kept[0].startswith("this line has exactly")
+    assert kept[1].endswith('"') and kept[2].endswith("?")
