@@ -31,8 +31,14 @@ STOPWORDS = ("the", "a", "of", "and", "is", "in", "to")
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (regex split, trailing empties dropped by
-    trimming first)."""
-    return F.split(F.trim(text), r"\s+")
+    trimming first). The split class is the EXPLICIT Java∩RE2
+    whitespace set — identical to RE2's \\s, which the DuckDB oracles
+    keep writing as '\\s+' — because Java's \\s additionally matches
+    vertical tab (\\x0B): a VT-bearing document would otherwise
+    tokenize differently between engines (r9 review, empirically
+    divergent). Every Spark-side whitespace split in the engine uses
+    this same class."""
+    return F.split(F.trim(text), r"[ \t\n\f\r]+")
 
 
 def token_count(text: Column) -> Column:
@@ -59,7 +65,7 @@ def quality_score_expr(n_tokens: Column, n_stop: Column) -> Column:
 # counter can ignore): contractions first so they win the leftmost-
 # first alternation in BOTH engines, then space-prefixed letter runs,
 # digit runs, and punctuation runs.
-BPE_PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+BPE_PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+"
 
 
 def subword_tokens(text: Column) -> Column:
@@ -180,7 +186,7 @@ def token_entropy(toks_col_name: str) -> Column:
 def fingerprint(text: Column) -> Column:
     """Canonical-form content fingerprint: lowercase, collapse whitespace,
     md5. Identical in DuckDB (md5 of the same normalized string)."""
-    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"[ \t\n\f\r]+", " ")))
 
 
 def lang_scores(toks_col_name: str) -> dict[str, Column]:
@@ -302,7 +308,12 @@ def gopher_features(text: Column, toks_col_name: str) -> dict[str, Column]:
         "n_bullet_lines": F.regexp_count(
             text, F.lit(r"(^|\n)[ \t]*[-*•]")),
         "n_ellipsis_end": F.regexp_count(
-            text, F.lit(r"(\.\.\.|…)[ \t]*(\n|$)")),
+            # \z, not $: Java's non-MULTILINE '$' also matches BEFORE a
+            # final line terminator (CR, NEL, LS, PS) while RE2's
+            # matches only at end-of-text (r9 review, empirically
+            # divergent on CR-terminated docs); \z is absolute end in
+            # both engines
+            text, F.lit(r"(\.\.\.|…)[ \t]*(\n|\z)")),
     }
 
 
@@ -312,12 +323,17 @@ def c4_line_keep_expr(lines_col_name: str) -> Column:
     >= 5 whitespace-separated words AND ends in terminal punctuation
     (. ! ? or a closing quote). Array HOF over the doc's own lines —
     per-doc element counts, the same interpreted-HOF trade as
-    stopword_count; '$' anchors the ELEMENT (no newline inside), so
-    the pattern sits in the Java-regex/RE2 common subset."""
+    stopword_count. Anchoring is '\\z' (absolute end), NOT '$': after
+    splitting on \\n a CRLF document's elements keep their trailing
+    \\r, and Java's '$' matches BEFORE a final line terminator while
+    RE2's does not (r9 review, empirically divergent) — with \\z both
+    engines consistently DROP CR-terminated lines (strip \\r upstream
+    if CRLF text should pass). The whitespace class is the explicit
+    Java∩RE2 set (== RE2's \\s; Java's adds \\x0B)."""
     t = lines_col_name
     return F.expr(
-        f"filter({t}, l -> size(split(trim(l), '\\\\s+')) >= 5"
-        " AND l rlike '[.!?\"][ \\t]*$')")
+        f"filter({t}, l -> size(split(trim(l), '[ \\\\t\\\\n\\\\f\\\\r]+')) >= 5"
+        " AND l rlike '[.!?\"][ \\t]*\\\\z')")
 
 
 def c4_features(text: Column, lines_col_name: str) -> dict[str, Column]:

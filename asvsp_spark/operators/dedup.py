@@ -66,7 +66,7 @@ def shingle_posting(documents: DataFrame, n: int = 3,
     documents = fanout(documents)
     toks = documents.select(
         F.col(id_col).alias("doc"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+        F.split(F.trim(F.col(text_col)), r"[ \t\n\f\r]+").alias("toks"))
     return toks.select(
         "doc", F.explode(_shingle_array(n)).alias("sh"))
 
@@ -98,7 +98,7 @@ def shingled(documents: DataFrame, n: int = 3,
     documents = fanout(documents)
     toks = documents.select(
         F.col(id_col).alias("doc"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+        F.split(F.trim(F.col(text_col)), r"[ \t\n\f\r]+").alias("toks"))
     return toks.select("doc", _shingle_array(n).alias("shingles"))
 
 
@@ -390,7 +390,7 @@ def simhash64(documents: DataFrame,
     tokens = (
         documents
         .select(F.col(id_col).alias("doc"),
-                F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"))
+                F.explode(F.split(F.trim(F.col(text_col)), r"[ \t\n\f\r]+")).alias("t"))
         .select("doc",
                 md5_slice_long(F.col("t"), 0).alias("h_lo"),
                 md5_slice_long(F.col("t"), 1).alias("h_hi"))
@@ -465,7 +465,7 @@ def winnow_fingerprints(documents: DataFrame, k: int = 3, w: int = 4,
     from asvsp_spark.functions.text import token_ngrams
     kg = documents.select(
         F.col(id_col).alias("doc"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+        F.split(F.trim(F.col(text_col)), r"[ \t\n\f\r]+").alias("toks"))
     kg = kg.select("doc", token_ngrams("toks", k).alias("kg"))
     hs = kg.select("doc", F.expr("transform(kg, g -> md5(g))").alias("hs"))
     return hs.select(
@@ -874,7 +874,7 @@ def _window_hash_arrays(documents: DataFrame, w: int, id_col: str,
     from asvsp_spark.functions.text import token_ngrams
     toks = fanout(documents).select(
         F.col(id_col).alias("doc"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+        F.split(F.trim(F.col(text_col)), r"[ \t\n\f\r]+").alias("toks"))
     if checkpoint_toks:
         toks = toks.localCheckpoint(eager=True)
     wins_arr = toks.select("doc", F.transform(
@@ -988,7 +988,7 @@ def remove_dup_spans(documents: DataFrame, spans: DataFrame,
                .alias("_spans")))
     joined = fanout(documents).join(sp, id_col, "left")
     kept = (
-        "filter(transform(split(trim({text}), '\\\\s+'), "
+        "filter(transform(split(trim({text}), '[ \\\\t\\\\n\\\\f\\\\r]+'), "
         "(t, i) -> struct(t AS t, i + 1 AS p)), "
         "x -> _spans IS NULL OR NOT exists(_spans, "
         "s -> x.p >= s.span_start AND x.p <= s.span_end))"
@@ -999,7 +999,7 @@ def remove_dup_spans(documents: DataFrame, spans: DataFrame,
          .otherwise(F.expr(f"concat_ws(' ', transform({kept}, x -> x.t))"))
          .alias(text_col),
         F.when(F.col("_spans").isNull(), F.lit(0))
-         .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+         .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\f\r]+"))
                     - F.expr(f"size({kept})"))
          .cast("int").alias("n_tokens_removed"))
 
@@ -1596,7 +1596,7 @@ def boundary_overlap_pairs(documents: DataFrame, k: int = 3,
     kk = int(k)
     toks = fanout(documents).select(
         F.col(id_col).alias("doc"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+        F.split(F.trim(F.col(text_col)), r"[ \t\n\f\r]+").alias("toks"))
     toks = toks.filter(F.size("toks") >= kk)
     ends = toks.select(
         "doc",

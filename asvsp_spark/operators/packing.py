@@ -44,7 +44,7 @@ def pack_contiguous(documents: DataFrame, budget: int = 512,
     toked = documents.select(
         F.col(id_col),
         shard.cast("int").alias("shard"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"))
+        F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\f\r]+")).alias("n_tokens"))
     w = (Window.partitionBy("shard").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     return (
@@ -98,7 +98,7 @@ def pack_whole_docs(documents: DataFrame, budget: int = 512,
     toked = documents.select(
         F.col(id_col),
         shard.cast("int").alias("shard"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"))
+        F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\f\r]+")).alias("n_tokens"))
     out_schema = StructType(list(toked.schema.fields)
                             + [StructField("bin_id", LongType(), False)])
 

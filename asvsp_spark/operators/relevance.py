@@ -306,7 +306,7 @@ def dsir_weights(docs: DataFrame, target_filter: F.Column | None = None,
         target_filter = F.col("lang") == "en"
     toks = fanout(docs).select(
         F.col(id_col).alias("doc"), target_filter.alias("is_target"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+        F.split(F.trim(F.col(text_col)), r"[ \t\n\f\r]+").alias("toks"))
     grams = toks.select(
         "doc", "is_target",
         F.explode(TX.token_ngrams("toks", n)).alias("g"))

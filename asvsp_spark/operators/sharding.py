@@ -79,7 +79,7 @@ def shard_assignments(documents: DataFrame, n_shards: int = 16,
     extra = [F.col(curriculum_col).alias("_cur")] if curriculum_col else []
     docs = documents.select(
         F.col(id_col),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"),
+        F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\f\r]+")).alias("n_tokens"),
         _perm_key(id_col, salt).alias("pk"), *extra)
     if by_tokens:
         rk = F.row_number().over(

@@ -230,7 +230,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     With ``audit=True`` the build also writes ``{out_dir}/drop_audit``:
     one row per RAW document with the first stage that dropped it
     (``dropped_at`` ∈ quality_gate / line_dedup / paragraph_dedup /
-    substring_dedup / exact_dedup / near_dedup /
+    substring_dedup / classifier_gate / exact_dedup / near_dedup /
     decontaminate / rebalance, or ``kept``) — the "why is my document
     not in the corpus?" provenance table. Cost: the per-stage id sets
     are already materialized for the funnel counts, so the audit adds
@@ -396,11 +396,15 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     # learned gate layered on the heuristic one: train the exact-
     # integer NB-weighted classifier on the SURVIVORS' heuristic
     # extremes (classify.py nb_quality_scores — bounded md5-gated
-    # training sample, broadcast weight table, one scan) and keep docs
-    # the calibrated cut predicts positive. Runs after the rewrite
-    # stages (the model should see cleaned text) and before dedup
-    # (dropping low-quality docs first shrinks every pair-generation
-    # stage downstream).
+    # training sample, broadcast weight table) and keep docs the
+    # calibrated cut predicts positive. Runs after the rewrite stages
+    # (the model should see the CLEANED text, which is also why the
+    # label bootstrap re-tokenizes rather than reusing stage 1's
+    # pre-rewrite toks — and its 0.25/0.75 extremes percentiles over
+    # the gated subset are different quantiles over a different set
+    # than stage 2's quality_pct threshold, so nothing here is a
+    # redundant recomputation) and before dedup (dropping low-quality
+    # docs first shrinks every pair-generation stage downstream).
     if classifier_gate:
         from asvsp_spark.operators.classify import nb_quality_scores
         pos_ids = (nb_quality_scores(gated)

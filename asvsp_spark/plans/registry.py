@@ -252,7 +252,7 @@ def _c4_quality_report(spark, sf):
     would use directly."""
     docs = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
     repunct = F.regexp_replace(
-        F.col("text"), r"((\S+\s+){6}\S+)\s+", "$1.\n")
+        F.col("text"), r"(([^ \t\n\f\r]+[ \t\n\f\r]+){6}[^ \t\n\f\r]+)[ \t\n\f\r]+", "$1.\n")
     staged = (F.when(F.col("doc_id") % 17 == 0,
                      F.concat(repunct, F.lit("{")))
               .when(F.col("doc_id") % 23 == 0,
@@ -319,7 +319,7 @@ def _token_length_histogram(spark, sf):
     count)); one partial-aggregated shuffle on the tiny (lang, bucket)
     key, token counting stays on the scan."""
     docs = _t(spark, sf, "documents")
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"))
     return (
         docs
         .select("lang", n_tok.alias("n_tokens"))
@@ -701,14 +701,18 @@ _REGISTRY["sq16_variant_hourly"] = SQ.sq16_variant_hourly
 #   key_skew_report, vocab_coverage and packing_best_fit_bins are NOT
 #   displaced: each is its family's only window row.
 # - 5 r8-greens leave (freshest possible hard signal, all locally
-#   hash-pinned every pytest run): doc_fingerprint + text_quality
-#   (text family keeps lang_id + 5 incoming text rows),
+#   hash-pinned every pytest run): doc_fingerprint + text_quality,
 #   unpivot_daily_type (grouping family gets pivot_daily_type — the
 #   inverse op — plus type_correlation), pq_rerank_topk
-#   (ivfpq_rerank_topk subsumes the PQ machinery and ivf_topk +
-#   semantic_dedup_report keep the int-ANN family), and
+#   (ivfpq_rerank_topk subsumes the PQ machinery), and
 #   variant_props_decode (sq16_variant_hourly exercises the same
 #   VARIANT decode kernels as a streaming group key).
+# Late-r9 amendments (birth-round slots for the two new oracle-paired
+# rule reports): lang_id ceded its slot to gopher_quality_report (text
+# family keeps the 5 incoming text rows) and semantic_dedup_report
+# ceded its slot to c4_quality_report (int-ANN family keeps ivf_topk +
+# ivfpq_rerank_topk); both displaced entries stay locally hash-pinned
+# per pytest session and rotate back in r10 with the rest.
 # Families left without a window row this round (sharding, substring
 # incremental stores, gapfill, streaming drift/contract monitors) are
 # all r7+r8 double-green AND hash-pinned locally per pytest session;
@@ -2090,7 +2094,7 @@ def _paragraph_dedup_docs(spark, sf):
     default delimiter is the production '\\n{2,}' paragraph break; the
     segmentation regex is a parameter, the dedup semantics are not."""
     return D.paragraph_dedup(_t(spark, sf, "documents"),
-                             delimiter=r"\s+the\s+", joiner="\n\n")
+                             delimiter=r"[ \t\n\f\r]+the[ \t\n\f\r]+", joiner="\n\n")
 
 
 @register("boundary_overlap_pairs")
@@ -2111,7 +2115,7 @@ def _line_dedup_docs(spark, sf):
     corpus, same convention as the paragraph entries."""
     from asvsp_spark.operators.dedup import line_dedup_docs
     return line_dedup_docs(_t(spark, sf, "documents"),
-                           delimiter=r"\s+the\s+", joiner="\n")
+                           delimiter=r"[ \t\n\f\r]+the[ \t\n\f\r]+", joiner="\n")
 
 
 @register("incremental_substring_runs")
@@ -2165,7 +2169,7 @@ def _incremental_paragraph_report(spark, sf):
             (1, docs.filter(F.col("doc_id") % 2 == 0)),
             (2, docs.filter(F.col("doc_id") % 2 == 1))):
         _docs, c = incremental_paragraph_dedup(
-            spark, batch, store, delimiter=r"\s+the\s+",
+            spark, batch, store, delimiter=r"[ \t\n\f\r]+the[ \t\n\f\r]+",
             batch_id=f"phase{phase}")
         out.append((phase, c["n_segments"], c["within_batch_repeats"],
                     c["known_segments"], c["fresh_segments"]))

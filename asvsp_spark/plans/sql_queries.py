@@ -50,7 +50,7 @@ _DIALECT_SHIMS = (
     # DuckDB list surface -> Spark arrays; Spark SQL string literals
     # treat backslash as an escape, so the regex needs it doubled
     (r"len(regexp_split_to_array(trim(text), '\s+'))",
-     r"size(split(trim(text), '\\s+'))"),
+     r"size(split(trim(text), '[ \\t\\n\\f\\r]+'))"),
     # Spark floor(bigint/double) is fine but 256.0 parses as DECIMAL
     ("/ 256.0", "/ 256.0D"),
     # DuckDB date_diff('day', start, end) == Spark datediff(end, start)
@@ -68,7 +68,7 @@ _DIALECT_SHIMS = (
     # instead of collapsing whitespace) — double it, exactly as the
     # regexp_split_to_array shim above does for token splits
     (r"regexp_replace(trim(text), '\s+', ' ')",
-     r"regexp_replace(trim(text), '\\s+', ' ')"),
+     r"regexp_replace(trim(text), '[ \\t\\n\\f\\r]+', ' ')"),
 )
 
 

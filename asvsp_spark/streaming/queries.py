@@ -946,7 +946,7 @@ def with_doc_band_key(df: DataFrame, id_col: str = "doc_id",
     from asvsp_spark.functions.text import token_ngrams
     from asvsp_spark.plans.base import hex_slice_long
     d = (df
-         .withColumn("_tk", F.split(F.trim(F.col(text_col)), r"\s+"))
+         .withColumn("_tk", F.split(F.trim(F.col(text_col)), r"[ \t\n\f\r]+"))
          .withColumn("_sh", F.array_distinct(token_ngrams("_tk", 3)))
          .withColumn("_h", F.transform(
              "_sh", lambda s: F.md5(F.concat_ws("|", F.lit("0"), s)))))

@@ -132,7 +132,7 @@ def _timed_cohort(queries: dict,
                   budgets: dict[str, float]) -> tuple[set[str], str]:
     """(names to time this run, cohort label). Core = driver window +
     watch-list + budget >= 1.3 s + budget-less entries; the tail joins
-    on even rounds (or SPARK_GRAFT_BENCH_TAIL=1)."""
+    on ODD rounds (or SPARK_GRAFT_BENCH_TAIL=1)."""
     mode = os.environ.get("SPARK_GRAFT_BENCH_TAIL", "auto")
     names = set(queries)
     if mode == "1":

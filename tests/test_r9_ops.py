@@ -163,7 +163,10 @@ def test_cli_corpus_pipeline_ingest_gate(spark, tmp_path, capsys):
                "--ingest-checkpoint", str(tmp_path / "ckpt")])
     assert rc == 0
     printed = capsys.readouterr().out
-    assert "ingest_raw" in printed and "raw" in printed
+    assert "ingest_raw" in printed
+    # the separate raw funnel row, not the 'raw' substring of ingest_raw
+    assert any(line.split() and line.split()[0] == "raw"
+               for line in printed.splitlines())
     staged = spark.read.parquet(f"{out}/ingest_staged")
     ids = {r.doc_id for r in staged.select("doc_id").collect()}
     assert ids == set(range(6))   # the doc-2 re-crawl never staged
@@ -240,3 +243,57 @@ def test_c4_line_keep_rule(spark):
     assert len(kept) == 3
     assert kept[0].startswith("this line has exactly")
     assert kept[1].endswith('"') and kept[2].endswith("?")
+
+
+def test_gopher_c4_cross_engine_on_cr_and_vt_text(spark, tmp_path):
+    """Adversarial line terminators and Java-only whitespace: CRLF
+    docs (Java '$' matches before a final \\r, RE2's does not) and
+    vertical-tab docs (\\x0B is Java-\\s but not RE2-\\s) previously
+    made both new rule reports diverge from their DuckDB oracles while
+    every fixture stayed green (r9 review findings 1-3; fixed via \\z
+    anchors and the explicit whitespace class). Pin full hash parity
+    on exactly those inputs."""
+    import duckdb
+    import hashlib
+    import os
+    from asvsp_spark.plans.registry import all_queries, all_oracle_sql
+
+    docs = [
+        (0, "this line has exactly five words.\r\nsecond line of five"
+            " words.\r\nthird line has five words too.\r\n"),
+        (1, "vertical\x0btab words are strange ... and the of a is to"
+            " more words follow here now.\r"),
+        (2, "ends with ellipsis ...\r"),
+        (3, "clean doc. " + "the quick brown fox jumps over a lazy dog"
+            " and keeps running. " * 4),
+        (4, "a\x0bb c\x0bd " * 20 + "the of."),
+    ]
+    d = str(tmp_path)
+    (spark.createDataFrame(docs, "doc_id long, text string")
+     .withColumn("lang", F.lit("en"))
+     .withColumn("source", F.lit("test"))
+     .withColumn("n_chars", F.length("text").cast("long"))
+     .write.mode("overwrite")
+     .parquet(os.path.join(d, "documents.parquet")))
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM parquet_scan("
+                f"'{os.path.join(d, 'documents.parquet')}/*.parquet')")
+
+    def vhash(rows):
+        h = hashlib.sha256()
+        for r in sorted(tuple(str(v) for v in row) for row in rows):
+            h.update("|".join(r).encode())
+        return h.hexdigest()
+
+    qs, osql = all_queries(), all_oracle_sql()
+    for name in ("gopher_quality_report", "c4_quality_report"):
+        sdf = qs[name](spark, d)
+        scols = sorted(sdf.columns)
+        srows = [[row[c] for c in scols] for row in sdf.collect()]
+        drel = con.sql(osql[name])
+        didx = [drel.columns.index(c) for c in sorted(drel.columns)]
+        drows = [[r[i] for i in didx] for r in drel.fetchall()]
+        assert scols == sorted(drel.columns), name
+        assert len(srows) == len(drows) == 5, name
+        assert vhash(srows) == vhash(drows), f"{name} diverged on CR/VT"

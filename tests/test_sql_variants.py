@@ -25,13 +25,16 @@ def test_sql_variant_matches_dataframe(name, spark):
 
 
 def test_leakage_split_sql_collapses_whitespace(spark):
-    """Regression (r4 review): the ported fingerprint SQL must collapse
-    whitespace, not delete letter-'s' runs — Spark SQL literals eat a
-    single backslash, so '\\s+' must arrive doubled. Pinned on a
-    crafted corpus where the two behaviors give different clusters."""
+    """Regression (r4 review, r9 class sweep): the ported fingerprint
+    SQL must collapse whitespace, not delete letter-'s' runs — Spark
+    SQL literals eat a single backslash, so the class escapes must
+    arrive doubled (since r9 the pattern is the explicit Java∩RE2
+    whitespace class rather than \\s, which Java widens with \\x0B).
+    Pinned on a crafted corpus where eaten-backslash behavior gives
+    different clusters."""
     from asvsp_spark.plans.sql_queries import SPARK_SQL
     sql = SPARK_SQL["leakage_split_report"]
-    assert r"'\\s+'" in sql
+    assert r"'[ \\t\\n\\f\\r]+'" in sql
     spark.createDataFrame(
         [(1, "same text"), (2, "same  text"),   # whitespace variants
          (3, "mass espresso")],                 # letter-s runs intact
