@@ -2111,8 +2111,10 @@ def _boundary_overlap_pairs(spark, sf):
 def _line_dedup_docs(spark, sf):
     """Within-document duplicate-line removal (operators/dedup.py
     line_dedup_docs, the RefinedWeb line-wise cleanup) — keep-first per
-    doc at scan speed; '\\s+the\\s+' segments the newline-free fixture
-    corpus, same convention as the paragraph entries."""
+    doc at scan speed; the explicit-whitespace-class '…the…' delimiter
+    segments the newline-free fixture corpus, same convention as the
+    paragraph entries (the oracle writes it as RE2 '\\s+the\\s+' —
+    identical semantics; see functions/text.py tokens())."""
     from asvsp_spark.operators.dedup import line_dedup_docs
     return line_dedup_docs(_t(spark, sf, "documents"),
                            delimiter=r"[ \t\n\f\r]+the[ \t\n\f\r]+", joiner="\n")
