@@ -717,42 +717,62 @@ _REGISTRY["sq16_variant_hourly"] = SQ.sq16_variant_hourly
 # incremental stores, gapfill, streaming drift/contract monitors) are
 # all r7+r8 double-green AND hash-pinned locally per pytest session;
 # they rotate back in r10.
+# r10 rotation — FRESHNESS round #2 (r9 verdict item 1): the entire
+# 32-entry cohort whose last green driver row was r4 enters (their
+# shared plumbing — dedup.py, relevance.py, functions/text.py — was
+# edited by the r9 whitespace-class/\z regex sweep), plus 5 of the 8
+# r6-stale streaming entries. 40 slots open up:
+# - Parity core shrinks 15 -> 10 for one round: q02/q04/q06/q07/q09
+#   leave (all r8+r9 double-green, hash-pinned locally every pytest
+#   run; the q-family keeps q01/q03/q05/q08/q10 and the whole
+#   streaming core sq1-sq5 stays).
+# - The r8-birth keepers leave after their second green round
+#   (dedup_substring_removed, gapfill_weekly_values, sq15_neardup_dedup,
+#   ivf_topk, http_collect_rollup, sq16_variant_hourly,
+#   ivfpq_rerank_topk) and the whole r9-refresh cohort leaves after
+#   one green round (22 entries, all r9-green + locally pinned).
+# - The r9 BIRTH entries are kept one more round per convention:
+#   gopher_quality_report, c4_quality_report, quality_classifier_scores
+#   (all three are also the entries this round's scale probes and
+#   regex property suite touch).
+# Ledgered deviations (same discipline as r9's forced rotation):
+# - gapfill family exits the window entirely (all four entries r7-r9
+#   green, locally hash-pinned per pytest run); rotates back in r11.
+# - http_collect_rollup (sole S11 row) and sq16_variant_hourly (sole
+#   semistruct row) exit double-green; variant decode kernels stay
+#   covered by the local pin; both rotate back in r11.
+# - 3 of the r6-stale streaming entries are deferred to r11 for slot
+#   budget: sq6_attribution_join (sq6b, the LEFT variant of the same
+#   join, IS in the window), sq9_hourly_daily_chain, sq11_late_audit.
 DRIVER_CHECKED: tuple[str, ...] = (
-    # parity core, q-suite
-    "q01_yearly_rank_yoy", "q02_peak_month", "q03_cumulative_top10",
-    "q04_mom_pct_change", "q05_same_month_yoy", "q06_moving_average",
-    "q07_ntile_quartiles", "q08_period_compare", "q09_weekend_effect",
+    # parity core, reduced to 10 for the rotation round
+    "q01_yearly_rank_yoy", "q03_cumulative_top10",
+    "q05_same_month_yoy", "q08_period_compare",
     "q10_improvement_streaks",
-    # parity core, streaming suite
     "sq1_vs_baseline", "sq2_dominant_trend", "sq3_top_users",
     "sq4_engagement_conversion", "sq5_rank_anomaly",
-    # text-family keeper slot: lang_id ceded its (r8-green) slot to the
-    # late-r9 birth-round entry gopher_quality_report — the text family
-    # keeps five incoming rows (text_profile, tfidf_top_terms,
-    # top_terms_per_lang, doc_length_histogram, bm25_search) and
-    # lang_id stays locally hash-pinned per pytest session
-    "gopher_quality_report",
-    # r8 birth-round entries, kept one more round
-    # (semantic_dedup_report, r8-green, ceded its slot to the late-r9
-    # birth entry c4_quality_report — the int-ANN family keeps
-    # ivf_topk + ivfpq_rerank_topk and the local hash pin runs every
-    # pytest session)
-    "dedup_substring_removed", "gapfill_weekly_values",
-    "sq15_neardup_dedup", "ivf_topk", "http_collect_rollup",
-    "sq16_variant_hourly", "ivfpq_rerank_topk", "c4_quality_report",
-    # sole-family-row holdovers
-    "key_skew_report", "vocab_coverage", "packing_best_fit_bins",
-    # r9 freshness rotation: the stale r2/r3 cohort (verdict item 4)
-    "baselines_events", "bm25_search", "cosine_dup_pairs",
-    "dedup_exact", "doc_length_histogram", "embedding_quantize_int8",
-    "embedding_stats", "events_after_order", "inactive_customers",
-    "media_features", "pivot_daily_type", "priority_percentiles",
-    "repeat_buyer_segments", "rollup_annual_nation",
-    "sample_k_per_group", "sessionize_users", "snapshot_diff_orders",
-    "sq7_dedup_hourly", "text_profile", "tfidf_top_terms",
-    "top_terms_per_lang", "type_correlation",
-    # r9 birth-round slot: rows-only -> oracle-paired this round
+    # r9 birth-round entries, kept one more round
+    "gopher_quality_report", "c4_quality_report",
     "quality_classifier_scores",
+    # r10 freshness rotation: the full r4-stale cohort (verdict item 1)
+    "asof_last_order", "bigram_backoff_score", "chunk_documents",
+    "cosine_topk", "cube_revenue_nation_year",
+    "customer_retention_setops", "decontaminate_report",
+    "dedup_components_star", "dedup_representative",
+    "distinct_users_daily", "doc_repetition", "funnel_daily",
+    "heavy_hitters_users", "incremental_dedup_report",
+    "label_centroids", "leakage_split_report", "mixture_rebalance",
+    "nation_revenue_distribution", "packing_bins",
+    "q11_pricing_summary", "q12_late_shipments",
+    "q13_supplier_margin_topk", "quality_filter_report",
+    "rollup_daily_events", "rollup_monthly_events",
+    "rollup_revenue_region_nation", "scd2_user_state",
+    "token_length_histogram", "top_bigrams", "unigram_logprob_score",
+    "user_day_bookends", "winnow_pairs",
+    # r6-stale streaming cohort (5 of 8; remainder ledgered above)
+    "sq2c_stateful_trend", "sq6b_attribution_left",
+    "sq7b_dedup_within_watermark", "sq8_session_windows",
+    "sq10_funnel_hourly",
 )
 
 
