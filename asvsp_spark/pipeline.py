@@ -82,20 +82,33 @@ def streaming_ingest_dedup(spark: SparkSession, ingest_dir: str,
     from asvsp_spark.streaming.queries import with_doc_band_key
     from asvsp_spark.streaming.source import drain_to_parquet
 
-    if checkpoint_dir is None and os.path.isdir(
-            os.path.join(staged_dir, "_spark_metadata")):
-        # a fresh (ephemeral) checkpoint restarts micro-batch ids at 0,
-        # and the manifest sink already committed a batch 0 — Spark
-        # would log "skipping already committed batch" and SILENTLY
-        # write nothing, so every new arrival would vanish. Refuse
-        # loudly instead (r9 review finding).
+    def _has_entries(path: str) -> bool:
+        try:
+            return any(not e.startswith(".") for e in os.listdir(path))
+        except OSError:
+            return False
+
+    if _has_entries(os.path.join(staged_dir, "_spark_metadata")) and (
+            checkpoint_dir is None
+            or not _has_entries(os.path.join(checkpoint_dir, "offsets"))):
+        # a fresh checkpoint (None, a not-yet-created dir, or a dir
+        # with no recorded offsets — i.e. one that never ran against
+        # this sink) restarts micro-batch ids at 0, and the manifest
+        # sink already committed a batch 0 — Spark would log "skipping
+        # already committed batch" and SILENTLY write nothing, so
+        # every new arrival would vanish. Refuse loudly instead (r9
+        # review finding; widened from the checkpoint_dir-is-None case
+        # to ANY offset-less checkpoint by the r10 ADVICE finding).
+        # A checkpoint WITH offsets replaying over the sink is the
+        # legitimate crash-recovery path and passes through.
         raise ValueError(
             f"streaming_ingest_dedup: staged sink {staged_dir!r} has "
-            "committed batches from a previous drain, but no "
-            "checkpoint_dir was given — re-draining with a fresh "
-            "checkpoint would silently skip every new arrival. Pass "
-            "the original checkpoint_dir (the incremental cadence) or "
-            "a fresh staged_dir.")
+            "committed batches from a previous drain, but "
+            f"checkpoint_dir {checkpoint_dir!r} has no recorded "
+            "offsets — re-draining with a fresh checkpoint would "
+            "silently skip every new arrival. Pass the original "
+            "checkpoint_dir (the incremental cadence) or a fresh "
+            "staged_dir.")
     raw = spark.readStream.schema(INGEST_DOCS_SCHEMA).parquet(ingest_dir)
     keyed = (with_doc_band_key(raw)
              .withColumn("ts", F.timestamp_micros(F.col("ts_us"))))

@@ -406,8 +406,14 @@ WITH tk AS (
     FROM documents
 ),
 sh AS (
-    SELECT doc, list_distinct(list_transform(range(1, len(t) - 1),
-        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+    -- COALESCE to []: NULL text gives t = NULL, so the transform is
+    -- NULL and a bare len(shingles) = 0 branch would match NEITHER arm
+    -- — the doc would silently vanish from the oracle while the engine
+    -- keys it 'e'||id (with_doc_band_key's r9 fix). Empty-list'ing it
+    -- routes NULL-text docs through the same len=0 branch as sub-3-
+    -- token docs, mirroring the engine exactly (r10 ADVICE finding).
+    SELECT doc, COALESCE(list_distinct(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])), []) AS shingles
     FROM tk
 ),
 post AS (SELECT doc, unnest(shingles) AS s FROM sh

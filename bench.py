@@ -186,6 +186,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()
+    # the static cohort sets are maintained by hand; a renamed or
+    # mistyped entry would otherwise be silently ignored (no warm-up /
+    # no always-timed coverage) with no signal (r10 ADVICE finding).
+    # Warn loudly AND surface it in the artifact — a hard assert would
+    # cost the round's bench artifact over a label bug.
+    unknown_cohort = sorted((_ARROW_COHORT | _WATCHLIST) - set(queries))
+    if unknown_cohort:
+        print(f"# bench: _ARROW_COHORT/_WATCHLIST names not in the "
+              f"registry (stale after a rename?): {unknown_cohort}",
+              file=sys.stderr)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     budgets, suite_total = (_load_budgets() if sf == "0.1"
                             else ({}, None))   # budgets are sf0.1
@@ -275,6 +285,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # r9 protocol fields — see module docstring + BASELINE.md
         "protocol": "r9: arrow-warmup + breach-confirm + cohort cadence",
+        "unknown_cohort_names": unknown_cohort,
         "timed_cohort": cohort_label,
         "n_timed": len(cohort),
         "n_tail_skipped": len(queries) - len(cohort),

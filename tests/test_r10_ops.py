@@ -1,0 +1,104 @@
+"""Round-10 regression tests.
+
+- sq15 oracle NULL-text branch: the engine keys NULL-text docs as
+  'e'||doc_id (with_doc_band_key's r9 fix); the DuckDB oracle must do
+  the same instead of silently dropping the doc (r10 ADVICE finding —
+  latent because the fixture corpus has no NULL-text docs).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tests.conftest import compare_frames
+
+
+def test_sq15_oracle_keeps_null_text_docs(spark, tmp_path):
+    """Cross-engine parity of sq15 on a crafted corpus containing a
+    NULL-text doc (plus an exact dup, a sub-3-token doc, and normal
+    docs): before the r10 fix the oracle's len(shingles)=0 branch
+    matched neither arm for NULL shingles and the doc vanished from
+    the oracle while the engine kept it under 'e'||doc_id."""
+    from asvsp_spark.plans.oracle_ext import ORACLE_EXT
+    from asvsp_spark.streaming.queries import sq15_neardup_dedup
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "one two three four five six seven eight nine",
+        2: "alpha beta gamma delta epsilon zeta eta theta",  # exact dup
+        3: "two tokens",                                      # no shingles
+        4: None,                                              # NULL text
+        5: "iota kappa lambda mu nu xi omicron pi rho sigma",
+    }
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+    }), f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"parquet_scan('{sf}/documents.parquet')")
+
+    spark_df = sq15_neardup_dedup(spark, sf)
+    duck_rel = con.sql(ORACLE_EXT["sq15_neardup_dedup"])
+    compare_frames(spark_df, duck_rel, context="sq15 NULL-text corpus")
+
+    # the NULL-text doc must actually be REPRESENTED on both sides:
+    # total kept across batch 1 = distinct content keys (4 distinct
+    # texts key by signature/e-key; doc 2 collapses into doc 0) + the
+    # NULL-text doc's e-key = 5, plus 1 sentinel, plus batch-3 re-emits
+    total_kept = sum(r["n_kept"] for r in spark_df.collect())
+    oracle_kept = con.sql(
+        "SELECT sum(n_kept) FROM (" + ORACLE_EXT["sq15_neardup_dedup"]
+        + ")").fetchone()[0]
+    assert total_kept == oracle_kept
+    # batch-1 keys: 3 signature keys + e3 + e4 = 5 (not 4 — the NULL
+    # doc survives)
+    n_batch1 = 5
+    assert total_kept >= n_batch1 + 1  # + sentinel (+ any re-emits)
+
+
+def test_ingest_gate_refuses_offsetless_checkpoint_on_used_sink(
+        spark, tmp_path):
+    """Widened r9 silent-skip guard (r10 ADVICE finding): passing an
+    explicit but FRESH/mismatched checkpoint_dir (no recorded offsets)
+    against a staged sink with committed batches must refuse exactly
+    like the checkpoint_dir=None case — Spark would otherwise skip
+    'already committed' batch 0 and silently drop every new arrival.
+    The legitimate recovery path (the ORIGINAL checkpoint, which has
+    offsets) must still pass."""
+    import pytest
+
+    from asvsp_spark.pipeline import streaming_ingest_dedup
+    from tests.test_r9_ops import BASE_US, _doc_text, _write_arrivals
+
+    ingest = tmp_path / "arrivals"
+    ingest.mkdir()
+    staged = str(tmp_path / "staged")
+    ckpt = str(tmp_path / "ckpt")
+    _write_arrivals(str(ingest / "b0.parquet"),
+                    [(1, _doc_text(1), "en", BASE_US)])
+    assert streaming_ingest_dedup(spark, str(ingest), staged,
+                                  checkpoint_dir=ckpt).count() == 1
+
+    _write_arrivals(str(ingest / "b1.parquet"),
+                    [(2, _doc_text(2), "en", BASE_US)])
+    # a brand-new checkpoint path (never created) -> refuse
+    with pytest.raises(ValueError, match="no recorded offsets"):
+        streaming_ingest_dedup(spark, str(ingest), staged,
+                               checkpoint_dir=str(tmp_path / "ckpt2"))
+    # an existing-but-empty checkpoint dir -> refuse
+    (tmp_path / "ckpt3").mkdir()
+    with pytest.raises(ValueError, match="no recorded offsets"):
+        streaming_ingest_dedup(spark, str(ingest), staged,
+                               checkpoint_dir=str(tmp_path / "ckpt3"))
+    # the original checkpoint (has offsets): incremental drain works
+    out = streaming_ingest_dedup(spark, str(ingest), staged,
+                                 checkpoint_dir=ckpt)
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {1, 2}
