@@ -143,6 +143,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                         ingest_staged: str | None = None,
                         ingest_watermark: str = "72 hours",
                         classifier_gate: bool = False,
+                        classifier_train_cap: int = 10_000,
                         ) -> dict[str, int]:
     """The LLM training-data preparation chain, end to end — what a user
     of this engine actually runs over a raw corpus:
@@ -204,8 +205,10 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                      integer NB-weighted classifier trains on the
                      surviving docs' heuristic extremes and keeps docs
                      its calibrated cut predicts positive (classify.py
-                     nb_quality_scores — the oracle-paired scorer);
-                     runs on cleaned text, before any dedup,
+                     nb_quality_scores — the oracle-paired scorer;
+                     ``classifier_train_cap`` bounds its md5-sampled
+                     training slice); runs on cleaned text, before any
+                     dedup,
       3. exact dedup — keep the smallest doc_id per canonical-text
                      fingerprint,
       4. near dedup — candidate pairs from the ``near_dedup`` generator
@@ -420,7 +423,13 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     # docs first shrinks every pair-generation stage downstream).
     if classifier_gate:
         from asvsp_spark.operators.classify import nb_quality_scores
-        pos_ids = (nb_quality_scores(gated)
+        # classifier_train_cap bounds the md5-sampled training slice
+        # (classify.py gate) — the production knob for corpora whose
+        # labeled extremes exceed what a driver-side calibration rank
+        # should sort; threaded so the sampled path is testable
+        # end-to-end (r9 verdict item 3)
+        pos_ids = (nb_quality_scores(gated,
+                                     train_cap=classifier_train_cap)
                    .filter(F.col("predicted") == 1).select("doc_id"))
         gated = gated.join(pos_ids, "doc_id", "left_semi") \
             .localCheckpoint(eager=False)

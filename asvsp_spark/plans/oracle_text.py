@@ -2610,7 +2610,12 @@ ORACLE_TEXT["minhash_calibration"] = _minhash_calibration_sql()
 # (k = #negative sampled docs, ties by doc id). DuckDB's integer sums
 # promote to HUGEINT where the Spark side guards loudly; final
 # columns cast back to BIGINT.
-ORACLE_TEXT["quality_classifier_scores"] = rf"""
+def _nb_quality_sql(train_cap: int = 10_000) -> str:
+    """Parameterized on train_cap so the md5-sampled training path
+    (gate fires past 2x the cap) can be oracle-verified end-to-end on
+    a small corpus (r10: verdict item 3) — the registered default
+    replays the engine's default cap."""
+    return rf"""
 WITH t AS (
     SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
     FROM documents WHERE text IS NOT NULL
@@ -2639,8 +2644,8 @@ lab0 AS (
     FROM q JOIN th USING (lang)
     WHERE q.q >= th.hi OR q.q <= th.lo
 ),
-gate AS (SELECT count(*) AS n, greatest(2, count(*) // 10000) AS denom,
-                (count(*) > 20000) AS sampled
+gate AS (SELECT count(*) AS n, greatest(2, count(*) // {train_cap}) AS denom,
+                (count(*) > {2 * train_cap}) AS sampled
          FROM lab0),
 lab AS (
     SELECT lab0.* FROM lab0, gate
@@ -2704,6 +2709,9 @@ SELECT a2.doc_id, a2.lang, a2.n_hits, a2.score_micro,
 FROM allsc a2, thr
 ORDER BY a2.doc_id
 """
+
+
+ORACLE_TEXT["quality_classifier_scores"] = _nb_quality_sql()
 
 
 # Spark side: registry gopher_quality_report (functions/text.py

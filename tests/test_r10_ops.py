@@ -64,6 +64,75 @@ def test_sq15_oracle_keeps_null_text_docs(spark, tmp_path):
     assert total_kept >= n_batch1 + 1  # + sentinel (+ any re-emits)
 
 
+def test_nb_quality_sampled_path_oracle_parity(spark, duck):
+    """The md5 training-sample gate path (labeled extremes > 2x
+    train_cap), previously only reachable at >20k labeled docs: with
+    train_cap=60 the sf0.001 fixture fires it, and the engine must
+    stay bit-identical to the parameterized oracle replay — training,
+    calibration AND scoring all run off the SAMPLED labeled slice."""
+    import duckdb
+
+    from asvsp_spark.operators.classify import (heuristic_labels,
+                                                nb_quality_scores)
+    from asvsp_spark.plans.oracle_text import _nb_quality_sql
+    from asvsp_spark.tables import load
+    from tests.conftest import SF_DIR, compare_frames, duck_with_views
+
+    cap = 60
+    docs = load(spark, SF_DIR, "documents").filter(
+        "text IS NOT NULL").select("doc_id", "text", "lang")
+    n_lab = heuristic_labels(docs).count()
+    assert n_lab > 2 * cap, "fixture must fire the gate for this test"
+
+    duck_with_views(duck, SF_DIR)
+    # the md5-slice replay: the sampled slice the engine trains on
+    denom = max(2, n_lab // cap)
+    n_sampled = duck.sql(f"""
+        WITH t AS (SELECT doc_id, lang,
+                          regexp_split_to_array(trim(text), '\\s+') AS toks
+                   FROM documents WHERE text IS NOT NULL),
+        g AS (SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens
+              FROM t)
+        SELECT count(*) FROM g
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {denom} = 0""").fetchone()[0]
+    # the bound train_cap exists to enforce: the sampled slice is
+    # ~n_lab/denom <= ~cap, never the full labeled set
+    assert 0 < n_sampled < n_lab
+
+    got = nb_quality_scores(docs, train_cap=cap)
+    want = duck.sql(_nb_quality_sql(train_cap=cap))
+    compare_frames(got, want, context="nb sampled path")
+
+
+def test_pipeline_classifier_gate_sampled_path_funnel_exact(
+        spark, tmp_path):
+    """End-to-end: stage 2e with a train_cap small enough that the md5
+    gate fires on the fixture — the funnel must stay monotone and the
+    drop audit exact (one row per raw doc, per-stage audit counts ==
+    funnel diffs, kept == written) even when the classifier trained on
+    a sampled labeled slice."""
+    from asvsp_spark.pipeline import run_corpus_pipeline
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "out")
+    counts = run_corpus_pipeline(spark, SF_DIR, out, classifier_gate=True,
+                                 classifier_train_cap=60, audit=True)
+    assert counts["raw"] >= counts["quality_gated"] \
+        >= counts["classifier_gated"] >= counts["exact_deduped"] \
+        >= counts["near_deduped"] >= counts["rebalanced"] \
+        == counts["written"] > 0
+    audit = spark.read.parquet(f"{out}/drop_audit")
+    rows = audit.groupBy("dropped_at").count().collect()
+    by_stage = {r["dropped_at"]: r["count"] for r in rows}
+    assert sum(by_stage.values()) == counts["raw"]
+    assert by_stage.get("kept", 0) == counts["written"]
+    assert by_stage.get("classifier_gate", 0) \
+        == counts["quality_gated"] - counts["classifier_gated"]
+    assert by_stage.get("exact_dedup", 0) \
+        == counts["classifier_gated"] - counts["exact_deduped"]
+
+
 def test_ingest_gate_refuses_offsetless_checkpoint_on_used_sink(
         spark, tmp_path):
     """Widened r9 silent-skip guard (r10 ADVICE finding): passing an
