@@ -37,7 +37,10 @@ def tokens(text: Column) -> Column:
     vertical tab (\\x0B): a VT-bearing document would otherwise
     tokenize differently between engines (r9 review, empirically
     divergent). Every Spark-side whitespace split in the engine uses
-    this same class."""
+    this same class. The DuckDB twin must write ``trim(text, ' ')``,
+    never bare ``trim(text)``: DuckDB's default trim strips Unicode Zs
+    (NBSP etc.) where F.trim strips ASCII space only (r10 property
+    suite, empirically divergent on NBSP-edged docs)."""
     return F.split(F.trim(text), r"[ \t\n\f\r]+")
 
 
@@ -183,10 +186,29 @@ def token_entropy(toks_col_name: str) -> Column:
             .otherwise(F.lit(0.0))
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def lower_ascii(text: Column) -> Column:
+    """ASCII-only case folding via translate — the cross-engine-stable
+    subset of lower(). Full Unicode case mapping is ENGINE-DIVERGENT:
+    Java's toLowerCase applies contextual rules (final sigma: 'ΣΙΓΜΑΣ'
+    -> 'σιγμας') and multi-codepoint mappings (Turkish 'İ' -> 'i' +
+    U+0307) where DuckDB's utf8proc does simple 1:1 mapping ('σιγμασ',
+    'i') — found empirically by the r10 adversarial property suite.
+    Every case-insensitive canonicalization shared with a DuckDB twin
+    must use this helper, mirrored as translate() in the oracle SQL."""
+    return F.translate(text, _ASCII_UPPER, _ASCII_LOWER)
+
+
 def fingerprint(text: Column) -> Column:
-    """Canonical-form content fingerprint: lowercase, collapse whitespace,
-    md5. Identical in DuckDB (md5 of the same normalized string)."""
-    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"[ \t\n\f\r]+", " ")))
+    """Canonical-form content fingerprint: ASCII-case-fold, collapse
+    whitespace, md5. Identical in DuckDB (md5 of the same normalized
+    string; case folding is lower_ascii — see its engine-divergence
+    note)."""
+    return F.md5(lower_ascii(
+        F.regexp_replace(F.trim(text), r"[ \t\n\f\r]+", " ")))
 
 
 def lang_scores(toks_col_name: str) -> dict[str, Column]:
@@ -216,6 +238,19 @@ def lang_pick(score_cols: dict[str, Column]) -> Column:
 # intersection (no lookarounds, no backrefs), so DuckDB reproduces the
 # exact same matches — redaction is auditable cross-engine, which
 # matters because a silent dialect divergence here IS a privacy bug.
+# the Java∩RE2 word-boundary emulation: Java's \b is UNICODE-aware
+# regardless of flags ('β123' has no \b between β and 1) while RE2's
+# is ASCII ('β' is a boundary) — found empirically by the r10
+# adversarial property suite ('β123-45-6789' counted 0 vs 1). No \b
+# may appear in a shared pattern; boundaries are consumed one-char
+# ASCII non-word context groups instead (the r7 phone-guard trick,
+# generalized), with \z — not $ — as the end anchor (the r9 lesson).
+# Deliberate residual of consumed context: two PII matches separated
+# by a SINGLE character share that character, so the second is missed
+# (identically in both engines) — '123-45-6789 999-99-9999' redacts
+# the first only; a second scrub pass catches stragglers if needed.
+_NW = "[^0-9A-Za-z_]"
+
 PII_PATTERNS: dict[str, str] = {
     # ordering matters for pii_scrub (sequential replacement: an email
     # is redacted whole before the digit patterns can see its
@@ -224,39 +259,49 @@ PII_PATTERNS: dict[str, str] = {
     # (an SSN-shaped run in an email local part) counts under both
     # kinds — per-kind counts can overlap by design.
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
-    # \b guards keep the 3-3-4 shape from matching inside longer digit
-    # runs ('123-456-78901' / '...9123-456-7890'); the optional '+'
-    # sits BEFORE the leading \b because '+' is a non-word char (a \b
-    # ahead of it could never match after whitespace). RE2 has no
-    # lookbehind, so the "(?<!\d)(?<!\d\.)" guard (a 3-3-4 run embedded
-    # in a longer DOTTED number like '1.234.567.8901' is not a phone)
-    # is expressed as a consumed one-char context group instead:
-    # start-of-string, any char that is neither digit nor dot, a dot
-    # preceded by a non-digit ('call.555-...' still matches), or a dot
-    # AT string start ('.555-...' — the r7 guard under-redacted it).
-    # The sole deliberate residual is the digit-dot prefix
-    # ('1.555-123-4567'): indistinguishable from a segment of a longer
-    # dotted number without lookbehind, and under-redacting that one
-    # shape is the price of not redacting version strings/IP-adjacent
-    # ids wholesale. Group 2 is the phone; scrubbing must keep group 1
-    # — see pii_replacement for the per-engine template.
-    "phone": r"(^|[^.\d]|[^\d]\.|^\.)(\+?\b\d{3}[-. ]\d{3}[-. ]\d{4})\b",
-    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # boundary groups keep the 3-3-4 shape from matching inside longer
+    # digit runs ('123-456-78901' / '...9123-456-7890')
+    "ssn": rf"(^|{_NW})(\d{{3}}-\d{{2}}-\d{{4}})(\z|{_NW})",
+    # Two branches (leftmost-first in both engines), because the char
+    # BEFORE an explicit '+' may be anything non-digit-non-dot (even a
+    # letter: 'x+555-...' is a phone) while a BARE number must not
+    # follow a word char. Each branch's prefix alternatives: start,
+    # one-char non-digit[-non-word] context, a dot preceded by a
+    # non-digit ('call.555-...' still matches), or a dot AT string
+    # start. RE2 has no lookbehind, so the "(?<!\d)(?<!\d\.)" guard (a
+    # 3-3-4 run embedded in a longer DOTTED number like
+    # '1.234.567.8901' is not a phone) stays a consumed context group;
+    # the digit-dot prefix ('1.555-123-4567') remains the documented
+    # under-redaction, the price of not redacting version strings
+    # wholesale. Groups: 1/3 = branch-A context, 2 = '+'-phone;
+    # 4/6 = branch-B context, 5 = bare phone — pii_replacement
+    # re-emits all four context groups (non-participating -> empty in
+    # both engines, verified).
+    "phone": (rf"(^|[^.\d]|[^\d]\.|^\.)(\+\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}})(\z|{_NW})"
+              rf"|(^|[^.0-9A-Za-z_]|[^\d]\.|^\.)(\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}})(\z|{_NW})"),
+    "ipv4": rf"(^|{_NW})(\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}})(\z|{_NW})",
 }
 
-# patterns whose group(1) is consumed pre-match context that the
-# redaction must re-emit (Java backrefs are $1, RE2/DuckDB are \1)
-PII_KEEP_PREFIX: frozenset[str] = frozenset({"phone"})
+# per-kind (prefix groups, suffix groups) the redaction must re-emit
+# around the tag (Java backrefs are $n, RE2/DuckDB are \n; a group
+# from the non-matching alternation branch substitutes as empty in
+# both engines)
+_PII_REPL_GROUPS: dict[str, tuple[tuple[int, ...], tuple[int, ...]]] = {
+    "email": ((), ()),
+    "ssn": ((1,), (3,)),
+    "phone": ((1, 4), (3, 6)),
+    "ipv4": ((1,), (3,)),
+}
 
 
 def pii_replacement(kind: str, engine: str = "java") -> str:
     """Redaction replacement template for PII_PATTERNS[kind] in the
     given regex dialect ('java' for Spark, 're2' for DuckDB)."""
     tag = f"<{kind.upper()}>"
-    if kind in PII_KEEP_PREFIX:
-        return ("$1" if engine == "java" else r"\1") + tag
-    return tag
+    pre, suf = _PII_REPL_GROUPS[kind]
+    ref = (lambda n: f"${n}") if engine == "java" else (lambda n: rf"\{n}")
+    return ("".join(ref(n) for n in pre) + tag
+            + "".join(ref(n) for n in suf))
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
@@ -347,6 +392,9 @@ def c4_features(text: Column, lines_col_name: str) -> dict[str, Column]:
         "n_lines": F.expr(f"size({lines_col_name})"),
         "n_kept_lines": F.size(kept),
         "n_sentences": F.regexp_count(kept_text, F.lit("[.!?]")),
-        "has_lorem": F.contains(F.lower(text), F.lit("lorem ipsum")),
+        # lower_ascii, not lower: Java's Unicode lowercasing diverges
+        # from DuckDB's (see lower_ascii) — 'LOREM İPSUM' would match
+        # in one engine and not the other
+        "has_lorem": F.contains(lower_ascii(text), F.lit("lorem ipsum")),
         "has_brace": F.contains(text, F.lit("{")),
     }

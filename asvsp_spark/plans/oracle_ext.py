@@ -86,7 +86,7 @@ SELECT status, n_keys FROM (
 
 ORACLE_EXT["top_terms_per_lang"] = r"""
 WITH t AS (
-    SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+    SELECT lang, unnest(regexp_split_to_array(trim(text, ' '), '\s+')) AS term
     FROM documents
 ),
 c AS (SELECT lang, term, count(*) AS tf FROM t GROUP BY 1, 2),
@@ -252,7 +252,7 @@ _JACCARD_EDGES = """
         SELECT doc_id AS doc,
                list_distinct(list_transform(range(1, len(toks) - 1),
                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\\s+') AS toks
               FROM documents)
     ),
     nonempty AS (SELECT doc, shingles FROM sh WHERE len(shingles) > 0),
@@ -402,7 +402,7 @@ def _sq15_sql() -> str:
     return rf"""
 WITH tk AS (
     SELECT doc_id AS doc,
-           regexp_split_to_array(trim(text), '\s+') AS t
+           regexp_split_to_array(trim(text, ' '), '\s+') AS t
     FROM documents
 ),
 sh AS (
@@ -436,7 +436,7 @@ sent AS (
               range(1, len(t) - 1),
               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
           FROM (SELECT regexp_split_to_array(
-                    trim('{SQ15_SENTINEL_TEXT}'), '\s+') AS t))
+                    trim('{SQ15_SENTINEL_TEXT}', ' '), '\s+') AS t))
 ),
 live AS (SELECT band_key FROM bh, mx WHERE bucket > mxh - 4),
 k3 AS (
@@ -480,14 +480,14 @@ FROM events GROUP BY 1
 """
 
 # ---- relevance / vocabulary scoring (operators/relevance.py) ----
-# Tokenization mirror: regexp_split_to_array(trim(text), '\s+') ==
-# Spark F.split(F.trim(text), '\s+'). Scores round to 4 decimals after
+# Tokenization mirror: regexp_split_to_array(trim(text, ' '), '\s+') ==
+# Spark F.split(F.trim(text, ' '), '\s+'). Scores round to 4 decimals after
 # all float math; every rank orders by the ROUNDED score + lexical
 # tie-break so both engines rank identical values.
 
 ORACLE_EXT["top_bigrams"] = r"""
 WITH toks AS (
-    SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    SELECT regexp_split_to_array(trim(text, ' '), '\s+') AS t FROM documents
 ),
 bg AS (
     SELECT unnest(list_transform(range(1, len(t)),
@@ -506,7 +506,7 @@ SELECT bigram, tf, rk FROM r WHERE rk <= 20
 ORACLE_EXT["tfidf_top_terms"] = r"""
 WITH toks AS (
     SELECT doc_id, lang,
-           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           unnest(regexp_split_to_array(trim(text, ' '), '\s+')) AS term
     FROM documents
 ),
 tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -530,13 +530,13 @@ SELECT lang, term, tf, df, tfidf, rk FROM r WHERE rk <= 10
 # idf floored positive via ln(1 + ...) exactly as the engine side.
 ORACLE_EXT["bm25_search"] = r"""
 WITH dl AS (
-    SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS dl
+    SELECT doc_id, len(regexp_split_to_array(trim(text, ' '), '\s+')) AS dl
     FROM documents
 ),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
 toks AS (
     SELECT doc_id,
-           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           unnest(regexp_split_to_array(trim(text, ' '), '\s+')) AS term
     FROM documents
 ),
 hits AS (
@@ -594,7 +594,7 @@ sizes AS (SELECT cluster_id, count(*) AS cluster_size
           FROM assigned GROUP BY 1),
 tok AS (
     SELECT doc_id,
-           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+           CAST(len(regexp_split_to_array(trim(text, ' '), '\\s+')) AS INT)
            AS n_tokens
     FROM documents
 ),

@@ -11,7 +11,20 @@ from __future__ import annotations
 
 ORACLE_TEXT: dict[str, str] = {}
 
-_FP = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+# Every DuckDB trim/rtrim in the oracle SQL carries an EXPLICIT ' '
+# charset: DuckDB's default trim strips Unicode Zs (NBSP, ideographic
+# space, ...) while Spark's F.trim strips ASCII 0x20 only — a
+# NBSP-edged document tokenized differently between engines until the
+# r10 adversarial property suite caught it (tests/
+# test_regex_parity_properties.py).
+# Case folding is ASCII-only translate, NOT lower(): DuckDB's utf8proc
+# lower() does simple 1:1 mapping while Spark's Java toLowerCase applies
+# contextual/multi-codepoint rules (final sigma, Turkish İ) — see
+# functions/text.py lower_ascii (r10 property-suite finding)
+_LOWER_ASCII = ("translate({}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+                "'abcdefghijklmnopqrstuvwxyz')")
+_CANON = r"regexp_replace(trim(text, ' '), '\s+', ' ', 'g')"
+_FP = "md5(" + _LOWER_ASCII.format(_CANON) + ")"
 
 ORACLE_TEXT["dedup_exact"] = f"""
 SELECT {_FP} AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
@@ -22,7 +35,7 @@ _SHINGLES = r"""
     SELECT doc_id AS doc,
            list_distinct(list_transform(range(1, len(toks) - 1),
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\s+') AS toks
           FROM documents)
 """
 
@@ -50,7 +63,7 @@ _STOPLIST = "('the','a','of','and','is','in','to')"
 ORACLE_TEXT["text_quality"] = rf"""
 WITH t AS (
     SELECT doc_id, text,
-           regexp_split_to_array(trim(text), '\s+') AS toks
+           regexp_split_to_array(trim(text, ' '), '\s+') AS toks
     FROM documents
 ),
 m AS (
@@ -74,7 +87,7 @@ _LANG_COUNTS = r"""
            CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS INT) AS s_de,
            CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','est'))) AS INT) AS s_fr,
            CAST(len(list_filter(toks, x -> x IN ('的','是','了','在','和'))) AS INT) AS s_zh
-    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\s+') AS toks
           FROM documents)
 """
 
@@ -102,7 +115,7 @@ SELECT doc_id, {_FP} AS fp FROM documents
 ORACLE_TEXT["text_profile"] = rf"""
 WITH t AS (
     SELECT doc_id, text,
-           regexp_split_to_array(trim(text), '\s+') AS toks
+           regexp_split_to_array(trim(text, ' '), '\s+') AS toks
     FROM documents
 ),
 m AS (
@@ -913,7 +926,7 @@ ORACLE_TEXT["semantic_dedup_report"] = _semantic_dedup_sql(3, 10)
 # trigram strings); integer-count divisions keep ratios bit-identical.
 ORACLE_TEXT["doc_repetition"] = r"""
 WITH t AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\s+') AS toks
     FROM documents
 ),
 g AS (
@@ -953,14 +966,14 @@ FROM g
 ORACLE_TEXT["bpe_merge_table"] = r"""
 WITH RECURSIVE uni AS (
     SELECT w, count(*) AS f
-    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+    FROM (SELECT unnest(regexp_split_to_array(trim(text, ' '), '\s+')) AS w
           FROM documents)
     WHERE w <> ''
     GROUP BY 1
 ),
 st AS (
     SELECT 0 AS iter,
-           list({'s': rtrim(regexp_replace(w, '(.)', '\1 ', 'g')),
+           list({'s': rtrim(regexp_replace(w, '(.)', '\1 ', 'g'), ' '),
                  'f': f}) AS words,
            CAST([] AS STRUCT(l VARCHAR, r VARCHAR, cnt BIGINT)[]) AS merges
     FROM uni
@@ -1012,7 +1025,7 @@ FROM final,
 # error ~1e-15 sits far from the 5e-7 rounding boundary).
 ORACLE_TEXT["token_entropy"] = r"""
 WITH t AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\s+') AS toks
     FROM documents
 ),
 c AS (
@@ -1150,7 +1163,7 @@ def _simhash_sql(max_hamming: int = 3) -> str:
     return rf"""
 WITH toks AS (
     SELECT doc_id AS doc,
-           unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+           unnest(regexp_split_to_array(trim(text, ' '), '\s+')) AS t
     FROM documents
 ),
 h AS (
@@ -1257,7 +1270,7 @@ ORACLE_TEXT["lsh_topk"] = _lsh_topk_sql()
 # DuckDB list slicing is 1-based inclusive (hs[i+1:i+w] = w elements).
 ORACLE_TEXT["winnow_pairs"] = r"""
 WITH t AS (
-    SELECT doc_id AS doc, regexp_split_to_array(trim(text), '\s+') AS toks
+    SELECT doc_id AS doc, regexp_split_to_array(trim(text, ' '), '\s+') AS toks
     FROM documents
 ),
 kg AS (
@@ -1344,7 +1357,7 @@ WHERE r.rk <= q.quota
 ORACLE_TEXT["unigram_logprob_score"] = r"""
 WITH toks AS (
     SELECT doc_id, lang,
-           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           unnest(regexp_split_to_array(trim(text, ' '), '\s+')) AS tok
     FROM documents
 ),
 model AS (SELECT lang, tok, count(*) AS c_lt FROM toks GROUP BY 1, 2),
@@ -1397,7 +1410,7 @@ GROUP BY day
 # Spark side: registry quality_filter_report (p25 percentile gate).
 ORACLE_TEXT["quality_filter_report"] = rf"""
 WITH t AS (
-    SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+    SELECT doc_id, lang, regexp_split_to_array(trim(text, ' '), '\s+') AS toks
     FROM documents
 ),
 m AS (
@@ -1435,7 +1448,7 @@ WITH sh AS (
            list_distinct(list_transform(range(1, len(toks) - 1),
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
                AS shingles
-    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\s+') AS toks
           FROM documents)
 ),
 corpus AS (SELECT doc, unnest(shingles) AS s FROM sh WHERE doc % 37 != 0),
@@ -1458,7 +1471,7 @@ LEFT JOIN hits h ON h.doc = d.doc_id
 ORACLE_TEXT["packing_bins"] = r"""
 WITH t AS (
     SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
-           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+           len(regexp_split_to_array(trim(text, ' '), '\s+')) AS n_tokens
     FROM documents
 ),
 off AS (
@@ -1532,7 +1545,7 @@ FROM spl GROUP BY 1
 ORACLE_TEXT["token_length_histogram"] = r"""
 WITH t AS (
     SELECT lang,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+           CAST(len(regexp_split_to_array(trim(text, ' '), '\s+')) AS INT)
                AS n_tokens
     FROM documents
 )
@@ -1550,7 +1563,7 @@ FROM t GROUP BY 1, 2
 # inclusive like Spark's slice(start, length) start.
 ORACLE_TEXT["chunk_documents"] = r"""
 WITH t AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\s+') AS toks
     FROM documents
 ),
 n AS (
@@ -1580,7 +1593,7 @@ FROM c
 ORACLE_TEXT["bigram_backoff_score"] = r"""
 WITH t AS (
     SELECT doc_id, lang, doc_id % 2 = 0 AS tr,
-           regexp_split_to_array(trim(text), '\s+') AS toks
+           regexp_split_to_array(trim(text, ' '), '\s+') AS toks
     FROM documents
 ),
 pairs AS (
@@ -1619,7 +1632,7 @@ FROM s GROUP BY 1, 2
 _DSIR_W = r"""
 WITH toks AS (
     SELECT doc_id AS doc, lang = 'en' AS is_target,
-           regexp_split_to_array(trim(text), '\s+') AS toks
+           regexp_split_to_array(trim(text, ' '), '\s+') AS toks
     FROM documents
 ),
 grams AS (
@@ -1680,7 +1693,7 @@ WHERE rk <= floor(0.4 * n_scored)
 # Kept as a WITH-prefix constant so dedup_spans_removed can extend it.
 _DUP_SPANS_CTE = r"""
 WITH toks AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\s+') AS t
     FROM documents
 ),
 wins AS (
@@ -1729,7 +1742,7 @@ ORACLE_TEXT["dup_spans"] = _DUP_SPANS_CTE + "SELECT * FROM spans"
 # mirror Spark's slice(toks, p1, p2 - p1 + 8)).
 _DUP_SUBSTR_WINS = r"""
 WITH toks AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\s+') AS t
     FROM documents
 ),
 wins AS (
@@ -1784,7 +1797,7 @@ ORACLE_TEXT["line_dedup_docs"] = r"""
 WITH l AS (
     SELECT doc_id,
            list_filter(regexp_split_to_array(text, '\s+the\s+'),
-                       x -> trim(x) <> '') AS lines
+                       x -> trim(x, ' ') <> '') AS lines
     FROM documents
 ),
 k AS (
@@ -1905,7 +1918,7 @@ FROM kept
 ORACLE_TEXT["shard_assignments"] = r"""
 WITH d AS (
     SELECT doc_id,
-           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           len(regexp_split_to_array(trim(text, ' '), '\s+')) AS n_tokens,
            substr(md5(CAST(doc_id AS VARCHAR) || '|shard42'), 1, 16) AS pk
     FROM documents
 ),
@@ -1924,7 +1937,7 @@ FROM s
 ORACLE_TEXT["shard_manifest_lpt"] = r"""
 WITH d AS (
     SELECT doc_id,
-           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+           len(regexp_split_to_array(trim(text, ' '), '\s+')) AS n_tokens
     FROM documents
 ),
 r AS (
@@ -1944,14 +1957,14 @@ FROM a GROUP BY shard
 # matches identically) via the token_budget_stats registry entry.
 ORACLE_TEXT["token_budget_stats"] = r"""
 SELECT doc_id,
-       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+       CAST(len(regexp_split_to_array(trim(text, ' '), '\s+')) AS INT)
            AS n_ws_tokens,
        CAST(len(regexp_extract_all(text,
            '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
            AS INT) AS n_subword_tokens,
        round(len(regexp_extract_all(text,
            '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
-           / len(regexp_split_to_array(trim(text), '\s+'))
+           / len(regexp_split_to_array(trim(text, ' '), '\s+'))
            * 1000000) / 1000000.0 AS subword_per_ws
 FROM documents
 """
@@ -1961,7 +1974,7 @@ FROM documents
 # with t tokens has t-1 adjacent pairs); PMI in nats, round_fixed(6).
 ORACLE_TEXT["pmi_collocations"] = r"""
 WITH toks AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\s+') AS t
     FROM documents
 ),
 uni AS (
@@ -2016,7 +2029,7 @@ SELECT w1, w2, n_pair, pmi, rk FROM r WHERE rk <= 50
 ORACLE_TEXT["packing_best_fit_bins"] = r"""
 WITH RECURSIVE d AS (
     SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           CAST(len(regexp_split_to_array(trim(text, ' '), '\s+')) AS BIGINT)
                AS tok
     FROM documents
 ),
@@ -2149,7 +2162,7 @@ WITH perdoc AS (
            list_distinct(list_transform(range(1, len(toks) - 1),
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
                AS shingles
-    FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM (SELECT source, regexp_split_to_array(trim(text, ' '), '\s+') AS toks
           FROM documents)
 ),
 post AS (
@@ -2243,7 +2256,7 @@ WHERE rk <= 5
 ORACLE_TEXT["curriculum_shards"] = r"""
 WITH d AS (
     SELECT doc_id, n_chars,
-           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           len(regexp_split_to_array(trim(text, ' '), '\s+')) AS n_tokens,
            substr(md5(CAST(doc_id AS VARCHAR) || '|shard42'), 1, 16) AS pk
     FROM documents
 ),
@@ -2275,7 +2288,7 @@ WITH segs0 AS (
 ),
 segs AS (
     SELECT doc_id, pos, seg, md5(seg) AS h
-    FROM segs0 WHERE trim(seg) <> ''
+    FROM segs0 WHERE trim(seg, ' ') <> ''
 ),
 flagged AS (
     SELECT doc_id, pos, seg,
@@ -2305,7 +2318,7 @@ FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
 # stitch oracle must walk EXACTLY the pair set the detector emits).
 _BOUNDARY_CTE = r"""
 WITH RECURSIVE toks AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\s+') AS t
     FROM documents
 ),
 ends AS (
@@ -2368,7 +2381,7 @@ parts AS (
     SELECT w.chain_id, w.cur, w.pos,
            CASE WHEN w.pos = 1 THEN d.text
                 ELSE array_to_string(
-                    regexp_split_to_array(trim(d.text), '\s+')[4:],
+                    regexp_split_to_array(trim(d.text, ' '), '\s+')[4:],
                     ' ')
            END AS part
     FROM walk w JOIN documents d ON d.doc_id = w.cur
@@ -2395,7 +2408,7 @@ WITH segs AS (
     FROM (SELECT doc_id,
                  unnest(regexp_split_to_array(text, '\s+the\s+')) AS seg
           FROM documents)
-    WHERE trim(seg) <> ''
+    WHERE trim(seg, ' ') <> ''
 ),
 p1 AS (SELECT count(*) AS n, count(DISTINCT h) AS d FROM segs WHERE ph1),
 p2 AS (SELECT count(*) AS n, count(DISTINCT h) AS d
@@ -2418,7 +2431,7 @@ FROM p2, known2
 # cutoff (cum*100 >= pct*total) are bit-identical across engines.
 ORACLE_TEXT["vocab_coverage"] = r"""
 WITH words AS (
-    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+    SELECT unnest(regexp_split_to_array(trim(text, ' '), '\s+')) AS word
     FROM documents
 ),
 freq AS (
@@ -2452,9 +2465,11 @@ WITH per_doc AS (
     SELECT source, lang,
            len(toks) AS nt,
            len(list_filter(toks, x -> x IN {_STOPLIST})) AS ns,
-           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           md5(translate(regexp_replace(trim(text, ' '), '\s+', ' ', 'g'),
+               'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+               'abcdefghijklmnopqrstuvwxyz')) AS fp
     FROM (SELECT source, lang, text,
-                 regexp_split_to_array(trim(text), '\s+') AS toks
+                 regexp_split_to_array(trim(text, ' '), '\s+') AS toks
           FROM documents)
 ),
 q AS (
@@ -2617,7 +2632,7 @@ def _nb_quality_sql(train_cap: int = 10_000) -> str:
     replays the engine's default cap."""
     return rf"""
 WITH t AS (
-    SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+    SELECT doc_id, lang, regexp_split_to_array(trim(text, ' '), '\s+') AS toks
     FROM documents WHERE text IS NOT NULL
 ),
 g AS (
@@ -2722,7 +2737,7 @@ ORACLE_TEXT["quality_classifier_scores"] = _nb_quality_sql()
 ORACLE_TEXT["gopher_quality_report"] = rf"""
 WITH t AS (
     SELECT doc_id, text,
-           regexp_split_to_array(trim(text), '\s+') AS toks
+           regexp_split_to_array(trim(text, ' '), '\s+') AS toks
     FROM documents WHERE text IS NOT NULL
 ),
 c AS (
@@ -2793,7 +2808,7 @@ t AS (
 k AS (
     SELECT doc_id, text, lines,
            list_filter(lines,
-               l -> len(regexp_split_to_array(trim(l), '\s+')) >= 5
+               l -> len(regexp_split_to_array(trim(l, ' '), '\s+')) >= 5
                     AND regexp_matches(l, '[.!?"][ \t]*$')) AS kept
     FROM t
 ),
@@ -2804,7 +2819,10 @@ c AS (
            CAST(len(regexp_extract_all(
                list_aggregate(kept, 'string_agg', chr(10)), '[.!?]'))
                AS BIGINT) AS n_sentences,
-           CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem,
+           CAST(contains(translate(text,
+                    'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                    'abcdefghijklmnopqrstuvwxyz'),
+                'lorem ipsum') AS INT) AS has_lorem,
            CAST(contains(text, '{{') AS INT) AS has_brace
     FROM k
 )

@@ -1,0 +1,185 @@
+"""Adversarial cross-engine regex parity (hypothesis) — r9 verdict
+item 5 generalized: the r9 review found two empirically-divergent
+Java-vs-RE2 classes ('$' before a final \\r; Java-\\s containing VT) by
+hand; this suite searches for the rest mechanically. Strings are built
+from fragments heavy in control characters, Unicode line terminators,
+exotic case mappings and PII-shaped runs, then every oracle-paired
+regex surface is compared against its DuckDB twin:
+
+- the registered doc-profile entries end-to-end against their REAL
+  oracle SQL (tokens split, fingerprint canonicalization, gopher line
+  rules, C4 line-keep + page gates, language ID),
+- the PII patterns (counts + sequential scrub) and the BPE
+  pre-tokenizer against test-local DuckDB twins built from the same
+  shared pattern constants the engine uses.
+
+First catch (r10, before this file was committed): Java toLowerCase
+applies contextual/multi-codepoint case rules (final sigma, Turkish İ)
+where DuckDB's utf8proc maps 1:1 — fingerprint() and C4's has_lorem
+diverged on such text. Fixed by ASCII-only case folding (lower_ascii /
+translate) on both sides; the FRAGMENTS list keeps those trigger
+strings so the suite re-proves the fix every run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import duckdb
+import pytest  # noqa: F401
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SET_HEAVY = settings(max_examples=6, deadline=None,
+                     suppress_health_check=[
+                         HealthCheck.function_scoped_fixture,
+                         HealthCheck.too_slow])
+SET_LIGHT = settings(max_examples=20, deadline=None,
+                     suppress_health_check=[
+                         HealthCheck.function_scoped_fixture,
+                         HealthCheck.too_slow])
+
+# words / case traps / digits / PII shapes / punctuation / bullets /
+# ellipses / braces / control chars and Unicode terminators
+FRAGMENTS = [
+    "the", "a", "of", "word", "Alpha", "naïve", "β", "数",
+    "İstanbul", "ΣΙΓΜΑΣ", "STRASSE ß", "ĲSSel", "ﬁne",
+    "LOREM İPSUM", "lorem ipsum", "Lorem Ipsum dolor",
+    "123", "4567", "12345678901",
+    "a@b.co", "x.y+z@mail.example.com", "not@at",
+    "123-45-6789", "555-123-4567", "+1 555-123-4567",
+    "1.555-123-4567", "1.2.3.4", "10.0.0.255", "1.234.567.8901",
+    ".", "!", "?", "...", "…", "....", "\"", "'", "'s", "'ll",
+    "{", "}", "-", "*", "•", "#", "- item", "* bullet",
+    " ", "  ", "\t", "\n", "\r", "\r\n", "\x0b", "\f",
+    "\x85", " ", " ", " ", "　",
+    "ends with ...", "five words on this line.",
+]
+
+adversarial_text = st.lists(
+    st.sampled_from(FRAGMENTS), min_size=0, max_size=30).map("".join)
+
+# the registered doc-profile entries whose oracles carry regex logic;
+# all row-local per doc, so ANY text is in-contract
+ENTRIES = ("gopher_quality_report", "c4_quality_report",
+           "doc_fingerprint", "text_profile", "lang_id",
+           "token_length_histogram")
+
+
+def _vhash(rows):
+    h = hashlib.sha256()
+    for r in sorted(tuple(str(v) for v in row) for row in rows):
+        h.update("|".join(r).encode())
+    return h.hexdigest()
+
+
+@given(texts=st.lists(adversarial_text, min_size=1, max_size=5))
+@SET_HEAVY
+def test_doc_entries_cross_engine_on_adversarial_text(spark, texts):
+    from asvsp_spark.plans.registry import all_oracle_sql, all_queries
+
+    d = tempfile.mkdtemp(prefix="regexprop-")
+    (spark.createDataFrame(list(enumerate(texts)),
+                           "doc_id long, text string")
+     .withColumn("lang", F.lit("en"))
+     .withColumn("source", F.lit("prop"))
+     .withColumn("n_chars", F.length("text").cast("long"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(d, "documents.parquet")))
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM parquet_scan("
+                f"'{os.path.join(d, 'documents.parquet')}/*.parquet')")
+    qs, osql = all_queries(), all_oracle_sql()
+    for name in ENTRIES:
+        sdf = qs[name](spark, d)
+        scols = sorted(sdf.columns)
+        srows = [[row[c] for c in scols] for row in sdf.collect()]
+        drel = con.sql(osql[name])
+        didx = [drel.columns.index(c) for c in sorted(drel.columns)]
+        drows = [[r[i] for i in didx] for r in drel.fetchall()]
+        assert scols == sorted(drel.columns), name
+        assert len(srows) == len(drows), (
+            f"{name}: rows {len(srows)} vs {len(drows)} on {texts!r}")
+        assert _vhash(srows) == _vhash(drows), (
+            f"{name} diverged on {texts!r}")
+
+
+@given(texts=st.lists(adversarial_text, min_size=1, max_size=8))
+@SET_LIGHT
+def test_pii_patterns_cross_engine_adversarial(spark, texts):
+    """Per-kind match counts and the sequential scrub must agree with
+    DuckDB built from the SAME pattern constants (pii_replacement's
+    re2 templates exist for exactly this)."""
+    from asvsp_spark.functions.text import (PII_PATTERNS, pii_counts,
+                                            pii_replacement, pii_scrub)
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "id long, text string")
+    got = df.select(
+        "id",
+        *[c.alias(k) for k, c in pii_counts(F.col("text")).items()],
+        pii_scrub(F.col("text")).alias("redacted")).collect()
+
+    con = duckdb.connect()
+    for r in got:
+        text = texts[r["id"]]
+        for kind, pat in PII_PATTERNS.items():
+            n = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))",
+                [text, pat]).fetchone()[0]
+            assert r[f"n_{kind}"] == n, (kind, text)
+        red = text
+        for kind, pat in PII_PATTERNS.items():
+            red = con.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')",
+                [red, pat, pii_replacement(kind, "re2")]).fetchone()[0]
+        assert r["redacted"] == red, text
+
+
+@given(texts=st.lists(adversarial_text, min_size=1, max_size=8))
+@SET_LIGHT
+def test_bpe_pretokens_cross_engine_adversarial(spark, texts):
+    """The GPT-2-style pre-tokenizer pattern (shared constant) must
+    extract identical token sequences in Java regex and RE2 — it feeds
+    bpe_merge_table / vocab_coverage whose oracles replay it."""
+    from asvsp_spark.functions.text import BPE_PRETOKEN_PATTERN
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "id long, text string")
+    got = {r["id"]: list(r["pre"]) for r in df.select(
+        "id", F.regexp_extract_all(
+            "text", F.lit(BPE_PRETOKEN_PATTERN), 0).alias("pre"))
+        .collect()}
+    con = duckdb.connect()
+    for i, text in enumerate(texts):
+        want = con.execute("SELECT regexp_extract_all(?, ?)",
+                           [text, BPE_PRETOKEN_PATTERN]).fetchone()[0]
+        assert got[i] == list(want), text
+
+
+@given(texts=st.lists(adversarial_text, min_size=1, max_size=8))
+@SET_LIGHT
+def test_tokens_and_fingerprint_cross_engine_adversarial(spark, texts):
+    """The two most-shared primitives, compared directly: the explicit
+    Java∩RE2 whitespace split against RE2's '\\s+', and the fingerprint
+    canonicalization (trim -> collapse -> ASCII case fold -> md5)."""
+    from asvsp_spark.functions.text import fingerprint, tokens
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "id long, text string")
+    got = {r["id"]: (list(r["toks"]), r["fp"]) for r in df.select(
+        "id", tokens(F.col("text")).alias("toks"),
+        fingerprint(F.col("text")).alias("fp")).collect()}
+    con = duckdb.connect()
+    for i, text in enumerate(texts):
+        toks, fp = con.execute(
+            r"""SELECT regexp_split_to_array(trim(?, ' '), '\s+'),
+                 md5(translate(regexp_replace(trim(?, ' '), '\s+', ' ', 'g'),
+                     'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                     'abcdefghijklmnopqrstuvwxyz'))""",
+            [text, text]).fetchone()
+        assert got[i][0] == list(toks), text
+        assert got[i][1] == fp, text
