@@ -246,9 +246,10 @@ def lang_pick(score_cols: dict[str, Column]) -> Column:
 # ASCII non-word context groups instead (the r7 phone-guard trick,
 # generalized), with \z — not $ — as the end anchor (the r9 lesson).
 # Deliberate residual of consumed context: two PII matches separated
-# by a SINGLE character share that character, so the second is missed
-# (identically in both engines) — '123-45-6789 999-99-9999' redacts
-# the first only; a second scrub pass catches stragglers if needed.
+# by a SINGLE character share that character, so a single pass misses
+# the second (identically in both engines) — pii_scrub defaults to TWO
+# passes for exactly this; pii_counts still under-counts such adjacent
+# pairs by one, in both engines alike.
 _NW = "[^0-9A-Za-z_]"
 
 PII_PATTERNS: dict[str, str] = {
@@ -310,13 +311,24 @@ def pii_counts(text: Column) -> dict[str, Column]:
             for kind, pat in PII_PATTERNS.items()}
 
 
-def pii_scrub(text: Column) -> Column:
+def pii_scrub(text: Column, passes: int = 2) -> Column:
     """Redact every PII match with a typed placeholder (<EMAIL>, <SSN>,
     <PHONE>, <IPV4>), applied in PII_PATTERNS order so overlapping
-    shapes resolve deterministically."""
+    shapes resolve deterministically.
+
+    ``passes=2`` (default) because the boundary groups CONSUME one
+    context character: two matches separated by a single char share it,
+    so pass 1 redacts only the first ('123-45-6789 999-99-9999' ->
+    '<SSN> 999-99-9999'); the replacement re-emits the context, so
+    pass 2 catches the straggler. Two passes suffice for any input —
+    a pass-2 miss would need a NEW single-char-separated pair, whose
+    left side pass 2 just redacted. A redaction tag never matches any
+    pattern, so extra passes are no-ops (idempotent), and a
+    no-PII-adjacency corpus is byte-identical under passes=1."""
     out = text
-    for kind, pat in PII_PATTERNS.items():
-        out = F.regexp_replace(out, pat, pii_replacement(kind))
+    for _ in range(passes):
+        for kind, pat in PII_PATTERNS.items():
+            out = F.regexp_replace(out, pat, pii_replacement(kind))
     return out
 
 

@@ -81,9 +81,16 @@ _ARROW_COHORT = {
 
 # Always timed regardless of budget size: the entries with open perf
 # findings or a history of in-suite drift (r8 verdict items 1-3).
+# r10 retirements (verdict item 6, decision ledger): dsir_sample /
+# dsir_weights left after two clean rounds under the breach-confirm
+# protocol — their budgets were re-frozen at position-inclusive
+# in-suite medians (BASELINE.md PROFILE rows) which keep both in the
+# every-round core cohort on budget size; sq6b_attribution_left left
+# after the unloadOnCommit fix held two rounds (1.22x r9, 1.28x r10 —
+# its 3.827 budget keeps it always-timed anyway). media_frame_sample /
+# bpe_merge_table stay one more round (sub-1.3 budgets: the watch-list
+# is what keeps them timed on even rounds after their r9 re-freeze).
 _WATCHLIST = {
-    "dsir_sample", "dsir_weights",
-    "sq6b_attribution_left",
     "media_frame_sample", "bpe_merge_table",
     "sq2_dominant_trend", "sq3_top_users", "sq7_dedup_hourly",
     "sq12_drift_hourly",

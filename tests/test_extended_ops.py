@@ -879,6 +879,10 @@ def test_pii_scrub_matches_duckdb(spark):
         (3, "no pii here just words"),
         (4, "mixed: a@b.io +122 333 4444 and 10.0.0.255 end"),
         (5, "build 1.234.567.8901 is not a phone but 555.123.4567 is"),
+        # single-char-separated pair: the consumed boundary hides the
+        # second match from pass 1 (and from the count — identically in
+        # both engines); the default two-pass scrub catches it
+        (6, "pair 123-45-6789 999-99-9999 done"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = df.select(
@@ -894,6 +898,9 @@ def test_pii_scrub_matches_duckdb(spark):
     assert got[4][:4] == (1, 0, 1, 1)
     assert got[5][2] == 1 and "<PHONE>" in got[5][4] \
         and "1.234.567.8901" in got[5][4]  # dotted run left intact
+    # adjacency: count sees 1 (consumed boundary, same in both
+    # engines), but the two-pass scrub redacts BOTH
+    assert got[6][1] == 1 and got[6][4] == "pair <SSN> <SSN> done"
 
     con = duckdb.connect()
     con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
@@ -902,9 +909,10 @@ def test_pii_scrub_matches_duckdb(spark):
         f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
         for kind, pat in PII_PATTERNS.items())
     red = "text"
-    for kind, pat in PII_PATTERNS.items():
-        repl = pii_replacement(kind, engine="re2")
-        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    for _ in range(2):   # mirror pii_scrub's default two passes
+        for kind, pat in PII_PATTERNS.items():
+            repl = pii_replacement(kind, engine="re2")
+            red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
     duck = {r[0]: tuple(r[1:])
             for r in con.execute(
                 f"SELECT doc_id, {counts}, {red} AS redacted FROM t"
