@@ -83,9 +83,14 @@ def streaming_ingest_dedup(spark: SparkSession, ingest_dir: str,
     from asvsp_spark.streaming.source import drain_to_parquet
 
     def _has_entries(path: str) -> bool:
+        # ONLY the not-yet-created cases may read as "no committed
+        # batches"; any other OSError (EACCES on a shared staging
+        # volume, EIO) must propagate — treating an unreadable sink as
+        # fresh would bypass the silent-skip guard below and drop every
+        # new arrival (r10 review finding)
         try:
             return any(not e.startswith(".") for e in os.listdir(path))
-        except OSError:
+        except (FileNotFoundError, NotADirectoryError):
             return False
 
     if _has_entries(os.path.join(staged_dir, "_spark_metadata")) and (

@@ -982,7 +982,7 @@ st AS (
            list_transform(st.words, w -> {'s': trim(replace(replace(
                ' ' || replace(w.s, ' ', '  ') || ' ',
                ' ' || b.l || '  ' || b.r || ' ',
-               ' ' || b.l || b.r || ' '), '  ', ' ')), 'f': w.f}),
+               ' ' || b.l || b.r || ' '), '  ', ' '), ' '), 'f': w.f}),
            list_append(st.merges, b)
     FROM st, LATERAL (
         SELECT {'l': split_part(bg, chr(9), 1),

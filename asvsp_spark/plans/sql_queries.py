@@ -34,6 +34,14 @@ Q_NAMES = (
 )
 
 _DIALECT_SHIMS = (
+    # FIRST (later shims match on the one-arg form): DuckDB's
+    # trim(text, ' ') — the explicit space charset the r10 NBSP fix
+    # added, because DuckDB's DEFAULT trim strips Unicode Zs — maps to
+    # Spark's one-arg trim, which strips ASCII space only (the unified
+    # semantics). Spark's own two-arg trim(a, b) is trim(trimStr=a
+    # FROM b) — arguments REVERSED vs DuckDB — so passing the DuckDB
+    # form through unchanged would silently swap string and charset.
+    ("trim(text, ' ')", "trim(text)"),
     ("strftime(day, '%Y-%m-%d')", "date_format(day, 'yyyy-MM-dd')"),
     ("dayofweek(day) IN (0, 6)", "dayofweek(day) IN (1, 7)"),
     # Spark SQL parses bare decimal literals as DECIMAL, so BIGINT/100.0

@@ -88,13 +88,9 @@ def test_nb_quality_sampled_path_oracle_parity(spark, duck):
     # the md5-slice replay: the sampled slice the engine trains on
     denom = max(2, n_lab // cap)
     n_sampled = duck.sql(f"""
-        WITH t AS (SELECT doc_id, lang,
-                          regexp_split_to_array(trim(text), '\\s+') AS toks
-                   FROM documents WHERE text IS NOT NULL),
-        g AS (SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens
-              FROM t)
-        SELECT count(*) FROM g
-        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        SELECT count(*) FROM documents
+        WHERE text IS NOT NULL
+          AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
               % {denom} = 0""").fetchone()[0]
     # the bound train_cap exists to enforce: the sampled slice is
     # ~n_lab/denom <= ~cap, never the full labeled set
