@@ -61,11 +61,15 @@ FRAGMENTS = [
 adversarial_text = st.lists(
     st.sampled_from(FRAGMENTS), min_size=0, max_size=30).map("".join)
 
-# the registered doc-profile entries whose oracles carry regex logic;
-# all row-local per doc, so ANY text is in-contract
+# the registered doc-profile entries whose oracles carry regex logic
+# and whose outputs are integers/strings or single-division rounds (ANY
+# text is in-contract; float-FOLD entries like token_entropy are out of
+# the regex-parity charter — their FP summation order legitimately
+# differs between engines below the rounding contract)
 ENTRIES = ("gopher_quality_report", "c4_quality_report",
            "doc_fingerprint", "text_profile", "lang_id",
-           "token_length_histogram")
+           "token_length_histogram", "text_quality", "doc_repetition",
+           "top_bigrams", "chunk_documents")
 
 
 def _vhash(rows):
