@@ -114,6 +114,27 @@ def streaming_ingest_dedup(spark: SparkSession, ingest_dir: str,
             "silently skip every new arrival. Pass the original "
             "checkpoint_dir (the incremental cadence) or a fresh "
             "staged_dir.")
+    if (checkpoint_dir is not None
+            and _has_entries(os.path.join(checkpoint_dir, "commits"))
+            and not _has_entries(os.path.join(staged_dir,
+                                              "_spark_metadata"))):
+        # the CONVERSE mismatch: a checkpoint with COMMITTED batches
+        # against a sink with none means the checkpoint ran with a
+        # DIFFERENT staged_dir — Spark would resume past the committed
+        # batches, so every arrival they covered would never be
+        # written to THIS empty sink and the returned frame would
+        # silently read an incomplete corpus (r10 review of the
+        # guard's symmetry). Keyed on commits/, not offsets/: a crash
+        # between the offset write and the first sink commit leaves
+        # offsets-but-no-commits, and THAT restart is legitimate
+        # (Spark re-runs the in-flight batch against this sink).
+        raise ValueError(
+            f"streaming_ingest_dedup: checkpoint_dir {checkpoint_dir!r}"
+            " has committed batches but staged sink "
+            f"{staged_dir!r} has none — resuming this checkpoint "
+            "against a fresh sink would silently skip the batches it "
+            "already committed elsewhere. Pair the checkpoint with ITS "
+            "staged_dir, or start both fresh.")
     raw = spark.readStream.schema(INGEST_DOCS_SCHEMA).parquet(ingest_dir)
     keyed = (with_doc_band_key(raw)
              .withColumn("ts", F.timestamp_micros(F.col("ts_us"))))

@@ -167,3 +167,10 @@ def test_ingest_gate_refuses_offsetless_checkpoint_on_used_sink(
     out = streaming_ingest_dedup(spark, str(ingest), staged,
                                  checkpoint_dir=ckpt)
     assert {r.doc_id for r in out.select("doc_id").collect()} == {1, 2}
+    # the CONVERSE mismatch: a used checkpoint against a fresh sink
+    # would resume past recorded batches and silently never write them
+    with pytest.raises(ValueError,
+                       match="committed batches but staged sink"):
+        streaming_ingest_dedup(spark, str(ingest),
+                               str(tmp_path / "staged2"),
+                               checkpoint_dir=ckpt)
