@@ -83,17 +83,27 @@ def streaming_ingest_dedup(spark: SparkSession, ingest_dir: str,
     from asvsp_spark.streaming.source import drain_to_parquet
 
     def _has_entries(path: str) -> bool:
-        # ONLY the not-yet-created cases may read as "no committed
-        # batches"; any other OSError (EACCES on a shared staging
-        # volume, EIO) must propagate — treating an unreadable sink as
-        # fresh would bypass the silent-skip guard below and drop every
-        # new arrival (r10 review finding)
-        try:
-            return any(not e.startswith(".") for e in os.listdir(path))
-        except (FileNotFoundError, NotADirectoryError):
+        # Hadoop-FS listing, not os.listdir: staged_dir/checkpoint_dir
+        # may be any Hadoop-resolvable URI (hdfs://, s3a://) and a
+        # driver-local listdir would misread a remote sink as fresh —
+        # either bypassing the silent-skip guard (guard 1 fails open)
+        # or refusing a legitimate resume (guard 2 fails closed; both
+        # r10 review findings). Same resolution as dedup._store_exists.
+        # A missing/empty dir reads as "no entries"; any OTHER access
+        # failure (permissions, I/O) propagates — treating an
+        # unreadable sink as fresh would drop every new arrival.
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
             return False
+        return any(not st.getPath().getName().startswith(".")
+                   for st in fs.listStatus(hpath))
 
-    if _has_entries(os.path.join(staged_dir, "_spark_metadata")) and (
+    # one probe, used by both symmetric guards below (r10 review:
+    # spelling it twice invites drift)
+    sink_used = _has_entries(os.path.join(staged_dir, "_spark_metadata"))
+    if sink_used and (
             checkpoint_dir is None
             or not _has_entries(os.path.join(checkpoint_dir, "offsets"))):
         # a fresh checkpoint (None, a not-yet-created dir, or a dir
@@ -114,10 +124,8 @@ def streaming_ingest_dedup(spark: SparkSession, ingest_dir: str,
             "silently skip every new arrival. Pass the original "
             "checkpoint_dir (the incremental cadence) or a fresh "
             "staged_dir.")
-    if (checkpoint_dir is not None
-            and _has_entries(os.path.join(checkpoint_dir, "commits"))
-            and not _has_entries(os.path.join(staged_dir,
-                                              "_spark_metadata"))):
+    if (checkpoint_dir is not None and not sink_used
+            and _has_entries(os.path.join(checkpoint_dir, "commits"))):
         # the CONVERSE mismatch: a checkpoint with COMMITTED batches
         # against a sink with none means the checkpoint ran with a
         # DIFFERENT staged_dir — Spark would resume past the committed
