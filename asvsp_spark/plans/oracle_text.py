@@ -1807,7 +1807,11 @@ k AS (
     FROM l
 )
 SELECT doc_id,
-       array_to_string(kept, chr(10)) AS text,
+       -- COALESCE: DuckDB's array_to_string returns NULL on an empty
+       -- list where Spark's array_join returns '' (oracle-trap #8); a
+       -- doc with no non-blank lines must empty to '' like the engine
+       -- (caught by the r10 dedup-family fuzz on a corpus of '' docs)
+       COALESCE(array_to_string(kept, chr(10)), '') AS text,
        CAST(len(lines) AS INT) AS n_lines,
        CAST(len(lines) - len(kept) AS INT) AS n_removed
 FROM k

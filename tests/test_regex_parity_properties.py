@@ -111,6 +111,55 @@ def test_doc_entries_cross_engine_on_adversarial_text(spark, texts):
             f"{name} diverged on {texts!r}")
 
 
+# the dedup/near-dup family: shingle construction, md5 banding,
+# winnowing fingerprints, span windows — all token-regex consumers with
+# integer/string outputs. Near-dup structure is injected (some docs are
+# perturbed copies of earlier ones) so the pair operators emit real
+# candidates instead of vacuously-empty frames.
+ENTRIES_DEDUP = ("dedup_exact", "jaccard_pairs", "minhash_lsh_pairs",
+                 "simhash_pairs", "winnow_pairs", "dup_spans",
+                 "line_dedup_docs", "paragraph_dedup_docs",
+                 "decontaminate_report", "doc_length_histogram")
+
+
+@given(texts=st.lists(adversarial_text, min_size=2, max_size=5),
+       copies=st.lists(st.tuples(st.integers(0, 4), adversarial_text),
+                       min_size=0, max_size=4))
+@SET_HEAVY
+def test_dedup_entries_cross_engine_on_adversarial_text(
+        spark, texts, copies):
+    from asvsp_spark.plans.registry import all_oracle_sql, all_queries
+
+    docs = list(texts)
+    for src_idx, suffix in copies:   # near/exact copies of earlier docs
+        docs.append(docs[src_idx % len(texts)] + suffix)
+    d = tempfile.mkdtemp(prefix="regexprop-dedup-")
+    (spark.createDataFrame(list(enumerate(docs)),
+                           "doc_id long, text string")
+     .withColumn("lang", F.lit("en"))
+     .withColumn("source", F.lit("prop"))
+     .withColumn("n_chars", F.length("text").cast("long"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(d, "documents.parquet")))
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM parquet_scan("
+                f"'{os.path.join(d, 'documents.parquet')}/*.parquet')")
+    qs, osql = all_queries(), all_oracle_sql()
+    for name in ENTRIES_DEDUP:
+        sdf = qs[name](spark, d)
+        scols = sorted(sdf.columns)
+        srows = [[row[c] for c in scols] for row in sdf.collect()]
+        drel = con.sql(osql[name])
+        didx = [drel.columns.index(c) for c in sorted(drel.columns)]
+        drows = [[r[i] for i in didx] for r in drel.fetchall()]
+        assert scols == sorted(drel.columns), name
+        assert len(srows) == len(drows), (
+            f"{name}: rows {len(srows)} vs {len(drows)} on {docs!r}")
+        assert _vhash(srows) == _vhash(drows), (
+            f"{name} diverged on {docs!r}")
+
+
 @given(texts=st.lists(adversarial_text, min_size=1, max_size=8))
 @SET_LIGHT
 def test_pii_patterns_cross_engine_adversarial(spark, texts):
