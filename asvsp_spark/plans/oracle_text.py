@@ -1509,9 +1509,17 @@ UNION ALL
 SELECT 2,
        CAST((SELECT COALESCE(sum(c), 0) FROM b2) AS BIGINT),
        CAST((SELECT COALESCE(sum(c), 0) - count(*) FROM b2) AS BIGINT),
-       CAST((SELECT count(*) FROM b2 WHERE fp IN (SELECT fp FROM b1))
+       -- EXISTS, not IN/NOT IN: the engine's store check is a
+       -- null-UNSAFE left_anti join (a NULL fingerprint — NULL text —
+       -- never matches the store, so it is always fresh and never
+       -- known), while `fp NOT IN (...)` yields NULL for a NULL fp
+       -- (dropping it from fresh) and a NULL IN THE STORE would poison
+       -- NOT IN for every row (r10 NULL-corpus probe)
+       CAST((SELECT count(*) FROM b2
+             WHERE EXISTS (SELECT 1 FROM b1 WHERE b1.fp = b2.fp))
             AS BIGINT),
-       CAST((SELECT count(*) FROM b2 WHERE fp NOT IN (SELECT fp FROM b1))
+       CAST((SELECT count(*) FROM b2
+             WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.fp = b2.fp))
             AS BIGINT)
 """
 
@@ -1807,11 +1815,14 @@ k AS (
     FROM l
 )
 SELECT doc_id,
-       -- COALESCE: DuckDB's array_to_string returns NULL on an empty
-       -- list where Spark's array_join returns '' (oracle-trap #8); a
-       -- doc with no non-blank lines must empty to '' like the engine
-       -- (caught by the r10 dedup-family fuzz on a corpus of '' docs)
-       COALESCE(array_to_string(kept, chr(10)), '') AS text,
+       -- empty-vs-NULL split (both r10 fuzz/probe catches): a doc with
+       -- no non-blank LINES empties to '' like the engine (DuckDB's
+       -- array_to_string returns NULL on an empty list where Spark's
+       -- array_join returns '' — oracle-trap #8), but a NULL-TEXT doc
+       -- passes through as NULL (lines itself is NULL; the engine's
+       -- split(NULL) propagates)
+       CASE WHEN lines IS NULL THEN NULL
+            ELSE COALESCE(array_to_string(kept, chr(10)), '') END AS text,
        CAST(len(lines) AS INT) AS n_lines,
        CAST(len(lines) - len(kept) AS INT) AS n_removed
 FROM k

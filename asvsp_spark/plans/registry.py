@@ -1974,9 +1974,12 @@ def _dedup_spans_removed(spark, sf):
     from asvsp_spark.operators.dedup import dup_spans, remove_dup_spans
     docs = _t(spark, sf, "documents")
     # reference the rebuilt text through a filter so bench's .count()
-    # cannot prune the removal projection (the skew_join entries' trick)
+    # cannot prune the removal projection (the skew_join entries'
+    # trick). coalesce: length(NULL) >= 0 is NULL, so the bare form
+    # silently DROPPED NULL-text docs from the rewrite — against
+    # remove_dup_spans' one-row-per-input contract (r10 NULL probe)
     return (remove_dup_spans(docs, dup_spans(docs))
-            .filter(F.length("text") >= 0))
+            .filter(F.coalesce(F.length("text"), F.lit(0)) >= 0))
 
 
 @register("dedup_substring_removed")
@@ -1989,9 +1992,9 @@ def _dedup_substring_removed(spark, sf):
                                              remove_dup_substring_runs)
     docs = _t(spark, sf, "documents")
     # the filter keeps the rebuilt-text projection visible to bench's
-    # .count() (the dedup_spans_removed trick)
+    # .count() (the dedup_spans_removed trick, NULL-safe form)
     return (remove_dup_substring_runs(docs, dup_substring_runs(docs))
-            .filter(F.length("text") >= 0))
+            .filter(F.coalesce(F.length("text"), F.lit(0)) >= 0))
 
 
 @register("token_budget_stats")

@@ -13,6 +13,7 @@ import os
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from tests.conftest import compare_frames
 
@@ -62,6 +63,74 @@ def test_sq15_oracle_keeps_null_text_docs(spark, tmp_path):
     # doc survives)
     n_batch1 = 5
     assert total_kept >= n_batch1 + 1  # + sentinel (+ any re-emits)
+
+
+def test_null_and_empty_text_cross_engine_parity(spark, tmp_path):
+    """NULL-text and empty-text docs through every text-consuming
+    oracle pair on one crafted corpus (r10 NULL probe, promoted to a
+    pin): NULL text must flow with null-UNSAFE join semantics (a NULL
+    fingerprint never matches a store — always fresh, never known),
+    rewrites must pass NULL docs through as NULL with exact row
+    cardinality (the length-filter projection trick silently DROPPED
+    them until r10), and empty docs must rebuild to '' in both engines
+    (DuckDB's array_to_string on [] is NULL — oracle-trap #8)."""
+    import duckdb
+    import hashlib
+
+    from asvsp_spark.plans.registry import all_oracle_sql, all_queries
+
+    def vhash(rows):   # the driver's str()-canonical compare — NULLs
+        h = hashlib.sha256()   # sort as the string 'None' in both frames
+        for r in sorted(tuple(str(v) for v in row) for row in rows):
+            h.update("|".join(r).encode())
+        return h.hexdigest()
+
+    docs = [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, None),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, None),
+            (4, "one two three four five six seven eight nine ten"),
+            (5, "")]
+    d = str(tmp_path)
+    (spark.createDataFrame(docs, "doc_id long, text string")
+     .withColumn("lang", F.lit("en"))
+     .withColumn("source", F.lit("p"))
+     .withColumn("n_chars", F.length("text").cast("long"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(d, "documents.parquet")))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM parquet_scan("
+                f"'{os.path.join(d, 'documents.parquet')}/*.parquet')")
+    qs, osql = all_queries(), all_oracle_sql()
+    for name in ("dedup_exact", "jaccard_pairs", "minhash_lsh_pairs",
+                 "simhash_pairs", "winnow_pairs", "dup_spans",
+                 "line_dedup_docs", "paragraph_dedup_docs",
+                 "decontaminate_report", "doc_length_histogram",
+                 "chunk_documents", "dedup_substring_removed",
+                 "dedup_spans_removed", "dedup_components",
+                 "dedup_representative", "incremental_dedup_report",
+                 "doc_repetition", "text_profile", "lang_id",
+                 "doc_fingerprint", "corpus_datacard",
+                 "leakage_split_report", "dup_substring_runs",
+                 "dup_substring_table", "incremental_substring_runs",
+                 "incremental_paragraph_report",
+                 "boundary_overlap_pairs", "gopher_quality_report",
+                 "c4_quality_report", "quality_classifier_scores"):
+        sdf = qs[name](spark, d)
+        scols = sorted(sdf.columns)
+        srows = [[row[c] for c in scols] for row in sdf.collect()]
+        drel = con.sql(osql[name])
+        didx = [drel.columns.index(c) for c in sorted(drel.columns)]
+        drows = [[r[i] for i in didx] for r in drel.fetchall()]
+        assert scols == sorted(drel.columns), name
+        assert len(srows) == len(drows), (
+            f"NULL-corpus {name}: {len(srows)} vs {len(drows)} rows")
+        assert vhash(srows) == vhash(drows), f"NULL-corpus {name}"
+    # the rewrite entries keep corpus cardinality: one row per input
+    # doc, NULL docs included
+    for name in ("dedup_substring_removed", "dedup_spans_removed",
+                 "line_dedup_docs"):
+        assert qs[name](spark, d).count() == len(docs), name
 
 
 def test_nb_quality_sampled_path_oracle_parity(spark, duck):

@@ -122,7 +122,8 @@ ENTRIES_DEDUP = ("dedup_exact", "jaccard_pairs", "minhash_lsh_pairs",
                  "decontaminate_report", "doc_length_histogram")
 
 
-@given(texts=st.lists(adversarial_text, min_size=2, max_size=5),
+@given(texts=st.lists(st.one_of(adversarial_text, st.none()),
+                      min_size=2, max_size=5),
        copies=st.lists(st.tuples(st.integers(0, 4), adversarial_text),
                        min_size=0, max_size=4))
 @SET_HEAVY
@@ -130,9 +131,10 @@ def test_dedup_entries_cross_engine_on_adversarial_text(
         spark, texts, copies):
     from asvsp_spark.plans.registry import all_oracle_sql, all_queries
 
-    docs = list(texts)
-    for src_idx, suffix in copies:   # near/exact copies of earlier docs
-        docs.append(docs[src_idx % len(texts)] + suffix)
+    docs = list(texts)   # may contain NULL texts (pinned semantics:
+    for src_idx, suffix in copies:   # test_null_and_empty_text_...)
+        src = docs[src_idx % len(texts)]
+        docs.append(src + suffix if src is not None else suffix)
     d = tempfile.mkdtemp(prefix="regexprop-dedup-")
     (spark.createDataFrame(list(enumerate(docs)),
                            "doc_id long, text string")
