@@ -133,6 +133,76 @@ def test_null_and_empty_text_cross_engine_parity(spark, tmp_path):
         assert qs[name](spark, d).count() == len(docs), name
 
 
+def test_edge_vectors_cross_engine_parity(spark, tmp_path):
+    """Edge vectors through the embedding/ANN oracle pairs (r10 probe,
+    promoted to a pin): zero vectors, an exact duplicate, and
+    magnitude-1e-8 vectors must hash-match the DuckDB twins end to end
+    (zero-norm guards, int8 amax gate, cosine/IVF/PQ paths), and a
+    1e8-magnitude vector must trip the r9 dimension-aware int64
+    overflow guard LOUDLY at the entry level rather than silently
+    diverge."""
+    import duckdb
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    from asvsp_spark.plans.registry import all_oracle_sql, all_queries
+
+    def vhash(rows):
+        h = hashlib.sha256()
+        for r in sorted(tuple(str(v) for v in row) for row in rows):
+            h.update("|".join(r).encode())
+        return h.hexdigest()
+
+    rng = np.random.RandomState(7)
+    dim = 64
+    vecs = [(i, [float(x) for x in rng.randn(dim).astype("float32") * 0.1],
+             int(i % 8)) for i in range(40)]
+    vecs += [(40, [0.0] * dim, 1),        # zero vector
+             (41, vecs[0][1], 2),         # exact duplicate of vec 0
+             (42, [1e-8] * dim, 4),       # tiny magnitude
+             (43, [0.0] * dim, 5)]        # second zero vector
+    d = str(tmp_path)
+
+    def write(rows, path):
+        pq.write_table(pa.table({
+            "vec_id": pa.array([v[0] for v in rows], pa.int64()),
+            "embedding": pa.array([v[1] for v in rows],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([v[2] for v in rows], pa.int32())}), path)
+
+    write(vecs, os.path.join(d, "embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM parquet_scan("
+                f"'{os.path.join(d, 'embeddings.parquet')}')")
+    qs, osql = all_queries(), all_oracle_sql()
+    for name in ("embedding_stats", "embedding_quantize_int8",
+                 "cosine_topk", "cosine_dup_pairs", "jl_projection",
+                 "label_centroids", "lsh_topk", "ivf_topk",
+                 "ivfpq_rerank_topk", "pq_rerank_topk",
+                 "semantic_dedup_report", "ivf_topk_full_probe"):
+        sdf = qs[name](spark, d)
+        scols = sorted(sdf.columns)
+        srows = [[row[c] for c in scols] for row in sdf.collect()]
+        drel = con.sql(osql[name])
+        didx = [drel.columns.index(c) for c in sorted(drel.columns)]
+        drows = [[r[i] for i in didx] for r in drel.fetchall()]
+        assert scols == sorted(drel.columns), name
+        assert len(srows) == len(drows), (
+            f"edge-vec {name}: {len(srows)} vs {len(drows)} rows")
+        assert vhash(srows) == vhash(drows), f"edge-vec {name}"
+
+    # a huge-magnitude vector overflows the exact-int64 distance
+    # identity; the guard must refuse loudly, never wrap
+    d2 = str(tmp_path / "overflow")
+    os.makedirs(d2)
+    write(vecs + [(44, [1e8] * dim, 3)],
+          os.path.join(d2, "embeddings.parquet"))
+    with pytest.raises(ValueError, match="overflow the exact-int64"):
+        qs["ivf_topk"](spark, d2).collect()
+
+
 def test_nb_quality_sampled_path_oracle_parity(spark, duck):
     """The md5 training-sample gate path (labeled extremes > 2x
     train_cap), previously only reachable at >20k labeled docs: with
