@@ -77,6 +77,38 @@ def compare_frames(spark_df, duck_rel, context: str = "") -> None:
         f"{context}: {len(mismatches)} row mismatches; first 5: {mismatches[:5]}")
 
 
+def compare_frames_hashed(spark_df, duck_rel, context: str = "") -> int:
+    """Driver-style compare: collect both sides, sort columns by name,
+    canonicalize every value with str() (so NULLs sort as 'None' and
+    never break tuple ordering — compare_frames' pandas path can't mix
+    None and str in a sort key), and assert equal sha256 value hashes.
+    This is bit-for-bit the check the round driver runs. Returns the
+    Spark row count so callers can assert cardinality without
+    re-executing the plan. THE single copy of this comparator — the
+    adversarial/NULL parity pins all route here (r10 review: three
+    divergent copies invited silent drift)."""
+    import hashlib
+
+    def vhash(rows):
+        h = hashlib.sha256()
+        for r in sorted(tuple(str(v) for v in row) for row in rows):
+            h.update("|".join(r).encode())
+        return h.hexdigest()
+
+    scols = sorted(spark_df.columns)
+    srows = [[row[c] for c in scols] for row in spark_df.collect()]
+    didx = [duck_rel.columns.index(c) for c in sorted(duck_rel.columns)]
+    drows = [[r[i] for i in didx] for r in duck_rel.fetchall()]
+    assert scols == sorted(duck_rel.columns), (
+        f"{context}: columns differ: spark={scols} "
+        f"duck={sorted(duck_rel.columns)}")
+    assert len(srows) == len(drows), (
+        f"{context}: row counts differ: spark={len(srows)} "
+        f"duck={len(drows)}")
+    assert vhash(srows) == vhash(drows), f"{context}: value hash differs"
+    return len(srows)
+
+
 def py_bucket_lo(cents: int, prefix_digits: int = 2) -> int:
     """Driver-side reference of operators/sketches.bucket_lo_expr
     (single copy shared by the unit and hypothesis suites), including

@@ -75,15 +75,9 @@ def test_null_and_empty_text_cross_engine_parity(spark, tmp_path):
     them until r10), and empty docs must rebuild to '' in both engines
     (DuckDB's array_to_string on [] is NULL — oracle-trap #8)."""
     import duckdb
-    import hashlib
 
     from asvsp_spark.plans.registry import all_oracle_sql, all_queries
-
-    def vhash(rows):   # the driver's str()-canonical compare — NULLs
-        h = hashlib.sha256()   # sort as the string 'None' in both frames
-        for r in sorted(tuple(str(v) for v in row) for row in rows):
-            h.update("|".join(r).encode())
-        return h.hexdigest()
+    from tests.conftest import compare_frames_hashed
 
     docs = [(0, "alpha beta gamma delta epsilon zeta eta theta"),
             (1, None),
@@ -116,21 +110,15 @@ def test_null_and_empty_text_cross_engine_parity(spark, tmp_path):
                  "incremental_paragraph_report",
                  "boundary_overlap_pairs", "gopher_quality_report",
                  "c4_quality_report", "quality_classifier_scores"):
-        sdf = qs[name](spark, d)
-        scols = sorted(sdf.columns)
-        srows = [[row[c] for c in scols] for row in sdf.collect()]
-        drel = con.sql(osql[name])
-        didx = [drel.columns.index(c) for c in sorted(drel.columns)]
-        drows = [[r[i] for i in didx] for r in drel.fetchall()]
-        assert scols == sorted(drel.columns), name
-        assert len(srows) == len(drows), (
-            f"NULL-corpus {name}: {len(srows)} vs {len(drows)} rows")
-        assert vhash(srows) == vhash(drows), f"NULL-corpus {name}"
-    # the rewrite entries keep corpus cardinality: one row per input
-    # doc, NULL docs included
-    for name in ("dedup_substring_removed", "dedup_spans_removed",
-                 "line_dedup_docs"):
-        assert qs[name](spark, d).count() == len(docs), name
+        n_rows = compare_frames_hashed(qs[name](spark, d),
+                                       con.sql(osql[name]),
+                                       context=f"NULL-corpus {name}")
+        if name in ("dedup_substring_removed", "dedup_spans_removed",
+                    "line_dedup_docs"):
+            # the rewrite entries keep corpus cardinality: one row per
+            # input doc, NULL docs included (no plan re-execution — the
+            # count comes from the compare's collect)
+            assert n_rows == len(docs), name
 
 
 def test_edge_vectors_cross_engine_parity(spark, tmp_path):
@@ -142,18 +130,12 @@ def test_edge_vectors_cross_engine_parity(spark, tmp_path):
     overflow guard LOUDLY at the entry level rather than silently
     diverge."""
     import duckdb
-    import hashlib
 
     import numpy as np
     import pytest
 
     from asvsp_spark.plans.registry import all_oracle_sql, all_queries
-
-    def vhash(rows):
-        h = hashlib.sha256()
-        for r in sorted(tuple(str(v) for v in row) for row in rows):
-            h.update("|".join(r).encode())
-        return h.hexdigest()
+    from tests.conftest import compare_frames_hashed
 
     rng = np.random.RandomState(7)
     dim = 64
@@ -182,16 +164,8 @@ def test_edge_vectors_cross_engine_parity(spark, tmp_path):
                  "label_centroids", "lsh_topk", "ivf_topk",
                  "ivfpq_rerank_topk", "pq_rerank_topk",
                  "semantic_dedup_report", "ivf_topk_full_probe"):
-        sdf = qs[name](spark, d)
-        scols = sorted(sdf.columns)
-        srows = [[row[c] for c in scols] for row in sdf.collect()]
-        drel = con.sql(osql[name])
-        didx = [drel.columns.index(c) for c in sorted(drel.columns)]
-        drows = [[r[i] for i in didx] for r in drel.fetchall()]
-        assert scols == sorted(drel.columns), name
-        assert len(srows) == len(drows), (
-            f"edge-vec {name}: {len(srows)} vs {len(drows)} rows")
-        assert vhash(srows) == vhash(drows), f"edge-vec {name}"
+        compare_frames_hashed(qs[name](spark, d), con.sql(osql[name]),
+                              context=f"edge-vec {name}")
 
     # a huge-magnitude vector overflows the exact-int64 distance
     # identity; the guard must refuse loudly, never wrap

@@ -23,14 +23,16 @@ strings so the suite re-proves the fix every run.
 
 from __future__ import annotations
 
-import hashlib
 import os
+import shutil
 import tempfile
 
 import duckdb
 import pytest  # noqa: F401
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
+
+from tests.conftest import compare_frames_hashed
 
 SET_HEAVY = settings(max_examples=6, deadline=None,
                      suppress_health_check=[
@@ -72,43 +74,41 @@ ENTRIES = ("gopher_quality_report", "c4_quality_report",
            "top_bigrams", "chunk_documents")
 
 
-def _vhash(rows):
-    h = hashlib.sha256()
-    for r in sorted(tuple(str(v) for v in row) for row in rows):
-        h.update("|".join(r).encode())
-    return h.hexdigest()
+def _compare_corpus_entries(spark, docs, entry_names):
+    """Write (doc_id, text) docs as a documents.parquet corpus, run
+    each registered entry against its real DuckDB oracle, and
+    hash-compare via the shared driver-style comparator. Temp corpus
+    and connection cleaned up per call (they leaked per hypothesis
+    example before the r10 review)."""
+    from asvsp_spark.plans.registry import all_oracle_sql, all_queries
+
+    d = tempfile.mkdtemp(prefix="regexprop-")
+    con = duckdb.connect()
+    try:
+        (spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+         .withColumn("lang", F.lit("en"))
+         .withColumn("source", F.lit("prop"))
+         .withColumn("n_chars", F.length("text").cast("long"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(d, "documents.parquet")))
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM parquet_scan("
+            f"'{os.path.join(d, 'documents.parquet')}/*.parquet')")
+        qs, osql = all_queries(), all_oracle_sql()
+        for name in entry_names:
+            compare_frames_hashed(
+                qs[name](spark, d), con.sql(osql[name]),
+                context=f"{name} on {docs!r}")
+    finally:
+        con.close()
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @given(texts=st.lists(adversarial_text, min_size=1, max_size=5))
 @SET_HEAVY
 def test_doc_entries_cross_engine_on_adversarial_text(spark, texts):
-    from asvsp_spark.plans.registry import all_oracle_sql, all_queries
-
-    d = tempfile.mkdtemp(prefix="regexprop-")
-    (spark.createDataFrame(list(enumerate(texts)),
-                           "doc_id long, text string")
-     .withColumn("lang", F.lit("en"))
-     .withColumn("source", F.lit("prop"))
-     .withColumn("n_chars", F.length("text").cast("long"))
-     .coalesce(1).write.mode("overwrite")
-     .parquet(os.path.join(d, "documents.parquet")))
-
-    con = duckdb.connect()
-    con.execute("CREATE VIEW documents AS SELECT * FROM parquet_scan("
-                f"'{os.path.join(d, 'documents.parquet')}/*.parquet')")
-    qs, osql = all_queries(), all_oracle_sql()
-    for name in ENTRIES:
-        sdf = qs[name](spark, d)
-        scols = sorted(sdf.columns)
-        srows = [[row[c] for c in scols] for row in sdf.collect()]
-        drel = con.sql(osql[name])
-        didx = [drel.columns.index(c) for c in sorted(drel.columns)]
-        drows = [[r[i] for i in didx] for r in drel.fetchall()]
-        assert scols == sorted(drel.columns), name
-        assert len(srows) == len(drows), (
-            f"{name}: rows {len(srows)} vs {len(drows)} on {texts!r}")
-        assert _vhash(srows) == _vhash(drows), (
-            f"{name} diverged on {texts!r}")
+    _compare_corpus_entries(spark, texts, ENTRIES)
 
 
 # the dedup/near-dup family: shingle construction, md5 banding,
@@ -129,37 +129,11 @@ ENTRIES_DEDUP = ("dedup_exact", "jaccard_pairs", "minhash_lsh_pairs",
 @SET_HEAVY
 def test_dedup_entries_cross_engine_on_adversarial_text(
         spark, texts, copies):
-    from asvsp_spark.plans.registry import all_oracle_sql, all_queries
-
     docs = list(texts)   # may contain NULL texts (pinned semantics:
     for src_idx, suffix in copies:   # test_null_and_empty_text_...)
         src = docs[src_idx % len(texts)]
         docs.append(src + suffix if src is not None else suffix)
-    d = tempfile.mkdtemp(prefix="regexprop-dedup-")
-    (spark.createDataFrame(list(enumerate(docs)),
-                           "doc_id long, text string")
-     .withColumn("lang", F.lit("en"))
-     .withColumn("source", F.lit("prop"))
-     .withColumn("n_chars", F.length("text").cast("long"))
-     .coalesce(1).write.mode("overwrite")
-     .parquet(os.path.join(d, "documents.parquet")))
-
-    con = duckdb.connect()
-    con.execute("CREATE VIEW documents AS SELECT * FROM parquet_scan("
-                f"'{os.path.join(d, 'documents.parquet')}/*.parquet')")
-    qs, osql = all_queries(), all_oracle_sql()
-    for name in ENTRIES_DEDUP:
-        sdf = qs[name](spark, d)
-        scols = sorted(sdf.columns)
-        srows = [[row[c] for c in scols] for row in sdf.collect()]
-        drel = con.sql(osql[name])
-        didx = [drel.columns.index(c) for c in sorted(drel.columns)]
-        drows = [[r[i] for i in didx] for r in drel.fetchall()]
-        assert scols == sorted(drel.columns), name
-        assert len(srows) == len(drows), (
-            f"{name}: rows {len(srows)} vs {len(drows)} on {docs!r}")
-        assert _vhash(srows) == _vhash(drows), (
-            f"{name} diverged on {docs!r}")
+    _compare_corpus_entries(spark, docs, ENTRIES_DEDUP)
 
 
 @given(texts=st.lists(adversarial_text, min_size=1, max_size=8))
