@@ -46,13 +46,28 @@ def variant_props_rollup(events: DataFrame) -> DataFrame:
 
     Plan shape: one scan, all decodes in the projection (JVM-side
     variant kernels, no Python), one hash aggregate on a 5-value key.
+
+    Malformed payloads: the REAL props decode is ``try_parse_json`` —
+    a malformed document yields a NULL variant (NULL k/retry/schema,
+    still counted in n_events), never a job abort; at 100 TB one bad
+    crawl record must not kill the rollup (the read_jsonl PERMISSIVE
+    posture; r10 events edge probe — parse_json FAILFAST aborted on
+    'not json'). The engine-BUILT nested doc keeps strict parse_json:
+    its bytes are deterministic, so a parse failure there is a bug
+    that should be loud.
     """
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     nested = F.parse_json(F.format_string(
         '{"u": %d, "m": {"t": "%s"}}', F.col("user_id"),
         F.col("event_type")))
     d = events.select(
-        F.variant_get(nested, "$.m.t", "string").alias("etype"),
+        # format_string renders a NULL event_type as the literal string
+        # "null" inside the synthetic doc — guard so a NULL type groups
+        # as NULL, not as a 'null' string key (r10 events edge probe)
+        F.when(F.col("event_type").isNull(),
+               F.lit(None).cast("string"))
+         .otherwise(F.variant_get(nested, "$.m.t", "string"))
+         .alias("etype"),
         F.variant_get(nested, "$.u", "long").alias("u"),
         F.variant_get(v, "$.k", "long").alias("k"),
         F.try_variant_get(v, "$.retry", "long").alias("retry"),

@@ -218,6 +218,11 @@ SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
 FROM d
 WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
 GROUP BY day, event_type
+-- a group whose values are all NULL pivots to a NULL cell, and the
+-- engine's unpivot DROPS NULL cells (UNPIVOT's EXCLUDE NULLS default,
+-- documented in grouping.unpivot_daily_type) — mirror it (r10 events
+-- edge probe)
+HAVING sum(v) IS NOT NULL
 """
 
 # VARIANT decode: the oracle reads the same JSON through DuckDB's json
@@ -227,9 +232,18 @@ GROUP BY day, event_type
 # inference output as the literal Spark reports for {"k": <int>}.
 ORACLE_EXT["variant_props_decode"] = """
 WITH d AS (
+    -- json_valid guards mirror the engine's try_parse_json: a
+    -- malformed or NULL payload decodes to NULL everywhere but still
+    -- counts as an event (r10 events edge probe — the unguarded
+    -- json_extract errors on malformed text exactly like the old
+    -- FAILFAST parse_json did)
     SELECT event_type AS etype, user_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-           CAST(json_extract(props, '$.retry') AS BIGINT) AS retry
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract(props, '$.retry') AS BIGINT)
+           END AS retry,
+           json_valid(props) AS ok
     FROM events
 )
 SELECT etype,
@@ -239,7 +253,7 @@ SELECT etype,
        count(CASE WHEN k != 0 THEN 1 END) AS k_nonzero,
        count(*) - count(retry) AS n_missing_retry,
        count(DISTINCT user_id) AS n_users,
-       'OBJECT<k: BIGINT>' AS props_schema
+       max(CASE WHEN ok THEN 'OBJECT<k: BIGINT>' END) AS props_schema
 FROM d GROUP BY etype
 """
 
@@ -989,10 +1003,15 @@ FROM closed
 # Spark side: operators/sketches.py heavy_hitters — integer cross-
 # multiplied threshold (count * 1000 >= n * 7), no float rounding.
 ORACLE_EXT["heavy_hitters_users"] = """
+-- NULL keys excluded on BOTH sides of the threshold (rows and n):
+-- the engine's documented contract (sketches.heavy_hitters na.drop —
+-- NULL is a data-quality count, not a frequency key; r10 events edge
+-- probe caught the oracle counting the NULL group)
 SELECT user_id, count(*) AS n_occurrences
-FROM events
+FROM events WHERE user_id IS NOT NULL
 GROUP BY 1
-HAVING count(*) * 1000 >= (SELECT count(*) FROM events) * 7
+HAVING count(*) * 1000
+    >= (SELECT count(*) FROM events WHERE user_id IS NOT NULL) * 7
 """
 
 # Spark side: registry _skew_join_demo (operators/skew.py salted_join).

@@ -11,7 +11,11 @@ from __future__ import annotations
 SQL_EVENTS_DAILY = """
     SELECT event_type, day_d,
            CAST(sum(v) AS BIGINT) AS vs,
-           count(*) AS n_events,
+           -- count(value), not count(*): the engine counts non-NULL
+           -- MEASUREMENTS (F.count("value")); an all-NULL-value day
+           -- groups with n_events = 0 and NULL avg/max in both engines
+           -- (r10 events edge probe)
+           count(value) AS n_events,
            max(value) AS daily_max
     FROM (
         SELECT event_type, CAST(ts AS DATE) AS day_d,
@@ -82,7 +86,9 @@ WITH k AS (
 ),
 a AS (
     SELECT event_type, mon, hr, is_weekend,
-           count(*) AS n_obs,
+           -- count(v), not count(*): mirrors F.count("v") on NULL
+           -- values (r10 events edge probe)
+           count(v) AS n_obs,
            CAST(sum(v) AS BIGINT) AS s1,
            CAST(sum(v * v) AS BIGINT) AS s2
     FROM k GROUP BY 1, 2, 3, 4

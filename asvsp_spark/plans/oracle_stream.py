@@ -109,7 +109,12 @@ WITH agg AS (
     SELECT date_trunc('hour', ts) AS ws, user_id,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_sum,
            count(*) AS n_events,
-           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+           -- json_valid guard: the engine's from_json is PERMISSIVE
+           -- (malformed props -> NULL k); unguarded json_extract
+           -- errors on malformed text (r10 events edge probe)
+           CAST(sum(CASE WHEN json_valid(props)
+                    THEN CAST(json_extract(props, '$.k') AS INT) END)
+                AS BIGINT) AS k_sum
     FROM events GROUP BY 1, 2
 ),
 r AS (
@@ -432,11 +437,22 @@ FROM joined
 # the values are identical by construction (same stance as the batch
 # variant_props_decode oracle).
 ORACLE_STREAM["sq16_variant_hourly"] = """
+WITH d AS (
+    -- json_valid guards mirror the engine's try_parse_json (malformed
+    -- props decode to NULL, still counted — see the batch
+    -- variant_props_decode oracle)
+    SELECT ts, event_type,
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
+           CASE WHEN json_valid(props)
+                THEN json_extract(props, '$.retry') END AS retry
+    FROM events
+)
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type AS etype,
        count(*) AS n_events,
-       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
-       count(*) - count(json_extract(props, '$.retry')) AS n_missing_retry
-FROM events GROUP BY 1, 2
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(max(k) AS BIGINT) AS k_max,
+       count(*) - count(retry) AS n_missing_retry
+FROM d GROUP BY 1, 2
 """

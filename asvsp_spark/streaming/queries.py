@@ -1069,13 +1069,21 @@ def sq16_variant_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark horizon times key cardinality, exactly like sq1.
     """
     stream = events_stream(spark, sf_dir)
-    v = F.parse_json("props")
+    # try_parse_json on the REAL payload: malformed props = NULL
+    # decodes, never a stream abort (semistruct.variant_props_rollup's
+    # contract); strict parse_json stays on the engine-built nested doc
+    v = F.try_parse_json("props")
     nested = F.parse_json(F.format_string(
         '{"u": %d, "m": {"t": "%s"}}', F.col("user_id"),
         F.col("event_type")))
     d = stream.select(
         "ts",
-        F.variant_get(nested, "$.m.t", "string").alias("etype"),
+        # NULL event_type must group as NULL, not as format_string's
+        # literal 'null' rendering (semistruct.variant_props_rollup)
+        F.when(F.col("event_type").isNull(),
+               F.lit(None).cast("string"))
+         .otherwise(F.variant_get(nested, "$.m.t", "string"))
+         .alias("etype"),
         F.variant_get(v, "$.k", "long").alias("k"),
         F.try_variant_get(v, "$.retry", "long").alias("retry"))
     agg = (

@@ -121,6 +121,80 @@ def test_null_and_empty_text_cross_engine_parity(spark, tmp_path):
             assert n_rows == len(docs), name
 
 
+def test_events_edge_corpus_cross_engine_parity(spark, tmp_path):
+    """NULL values / NULL event_type / NULL user_id / malformed and
+    NULL JSON props / single-event groups / leap-day and year-end
+    timestamps through 27 events-based oracle pairs (r10 events edge
+    probe, promoted to a pin). The probe found and fixed: count(*) vs
+    count(value) in the daily/baseline oracles (an all-NULL-value
+    group has n = 0 in both engines), the heavy-hitters oracle
+    counting the NULL key its engine contract excludes, the unpivot
+    oracle emitting the NULL cells Spark's UNPIVOT drops, FAILFAST
+    parse_json aborting both variant entries on one malformed record
+    (now try_parse_json: NULL decodes, still counted), format_string
+    rendering NULL event_type as a literal 'null' group key, and the
+    sq3 oracle's unguarded json_extract erroring where the engine's
+    from_json is PERMISSIVE."""
+    import datetime
+
+    import duckdb
+
+    from asvsp_spark.plans.registry import all_oracle_sql, all_queries
+    from tests.conftest import compare_frames_hashed
+
+    TS = datetime.datetime
+    rows = [
+        # single-event day+type group; n=1 stddev -> NULL in both
+        (0, TS(2024, 1, 1, 0, 0, 1), 1, "error", 185.22, '{"k": 1}'),
+        # two identical values (stddev exactly 0)
+        (1, TS(2024, 1, 2, 5, 0, 0), 2, "signup", 10.0, '{"k": 2}'),
+        (2, TS(2024, 1, 2, 6, 0, 0), 3, "signup", 10.0, '{"k": 3}'),
+        # NULL value / NULL event_type / NULL user_id
+        (3, TS(2024, 1, 3, 1, 0, 0), 4, "purchase", None, '{"k": 4}'),
+        (4, TS(2024, 1, 3, 2, 0, 0), 5, None, 7.25, '{"k": 5}'),
+        (5, TS(2024, 1, 3, 3, 0, 0), None, "view", 1.0, '{"k": 6}'),
+        # leap day midnight; year-end microsecond boundary
+        (6, TS(2024, 2, 29, 0, 0, 0), 6, "view", 2.5, '{"k": 7}'),
+        (7, TS(2024, 12, 31, 23, 59, 59, 999999), 7, "view", 3.75,
+         '{"k": 8}'),
+        # negative and huge values
+        (8, TS(2024, 3, 1, 12, 0, 0), 8, "error", -50.5, '{"k": 9}'),
+        (9, TS(2024, 3, 1, 13, 0, 0), 8, "error", 1e7, '{"k": 10}'),
+        # malformed and NULL props
+        (10, TS(2024, 3, 2, 9, 0, 0), 9, "view", 4.0, 'not json'),
+        (11, TS(2024, 3, 2, 10, 0, 0), 9, "view", 5.0, None),
+    ]
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM parquet_scan("
+                f"'{os.path.join(d, 'events.parquet')}')")
+    qs, osql = all_queries(), all_oracle_sql()
+    for name in ("rollup_daily_events", "rollup_monthly_events",
+                 "baselines_events", "distinct_users_daily",
+                 "funnel_daily", "user_day_bookends",
+                 "sessionize_users", "heavy_hitters_users",
+                 "key_skew_report", "gapfill_daily_values",
+                 "gapfill_weekly_values", "gapfill_hourly_interp",
+                 "sketch_value_percentiles", "pivot_daily_type",
+                 "unpivot_daily_type", "type_correlation",
+                 "distribution_drift_daily", "variant_props_decode",
+                 "sq16_variant_hourly", "sq1_vs_baseline",
+                 "sq2_dominant_trend", "sq3_top_users",
+                 "sq5_rank_anomaly", "sq7_dedup_hourly",
+                 "sq12_drift_hourly", "sq13_contract_hourly",
+                 "sq14_value_percentiles_hourly"):
+        compare_frames_hashed(qs[name](spark, d), con.sql(osql[name]),
+                              context=f"events-edge {name}")
+
+
 def test_edge_vectors_cross_engine_parity(spark, tmp_path):
     """Edge vectors through the embedding/ANN oracle pairs (r10 probe,
     promoted to a pin): zero vectors, an exact duplicate, and
