@@ -304,8 +304,14 @@ def dsir_weights(docs: DataFrame, target_filter: F.Column | None = None,
     from asvsp_spark.plans.base import round_fixed
     if target_filter is None:
         target_filter = F.col("lang") == "en"
+    # NULL predicate (e.g. lang IS NULL under the default filter) means
+    # "not target", not "unknown": an un-coalesced NULL poisons c_tgt's
+    # sum for every bucket whose grams come only from such docs (sum of
+    # all-NULL is NULL, not 0), which NULLs the log-ratio and corrupts
+    # the weight of every doc touching those buckets (r10 edge probe).
     toks = fanout(docs).select(
-        F.col(id_col).alias("doc"), target_filter.alias("is_target"),
+        F.col(id_col).alias("doc"),
+        F.coalesce(target_filter, F.lit(False)).alias("is_target"),
         F.split(F.trim(F.col(text_col)), r"[ \t\n\f\r]+").alias("toks"))
     grams = toks.select(
         "doc", "is_target",

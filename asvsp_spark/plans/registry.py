@@ -2011,8 +2011,10 @@ def _token_budget_stats(spark, sf):
         n_ws.cast("int").alias("n_ws_tokens"),
         n_sub.cast("int").alias("n_subword_tokens"),
         round_fixed(n_sub / n_ws, 6).alias("subword_per_ws"))
-        # keep the regexp work visible to bench's .count() (no pruning)
-        .filter(F.col("n_subword_tokens") >= 0))
+        # keep the regexp work visible to bench's .count() (no pruning);
+        # coalesce so a NULL-text doc's NULL count is KEPT, not dropped
+        # (the bare >= 0 silently ate the row — r10 edge probe)
+        .filter(F.coalesce(F.col("n_subword_tokens"), F.lit(0)) >= 0))
 
 
 @register("pmi_collocations")

@@ -361,3 +361,92 @@ def test_ingest_gate_refuses_offsetless_checkpoint_on_used_sink(
         streaming_ingest_dedup(spark, str(ingest),
                                str(tmp_path / "staged2"),
                                checkpoint_dir=ckpt)
+
+
+def test_relevance_sampling_edge_corpus_cross_engine_parity(
+        spark, tmp_path):
+    """NULL lang / NULL source / NULL+empty text / single-token,
+    zero-entropy and frequency-tie docs through 28 relevance + sampling
+    + packing oracle pairs, plus a crafted embeddings table (NULL
+    vector, empty vector, NULL label, near-zero norm) through
+    label_centroids (r10 relevance/sampling edge probe, promoted to a
+    pin). The probe found and fixed two engine bugs: (1) dsir's
+    is_target predicate stayed NULL for NULL-lang docs, so any hash
+    bucket fed only by such docs got c_tgt = sum(all-NULL) = NULL,
+    NULLing its log-ratio and corrupting the weight of EVERY doc
+    touching the bucket (doc-5 weight became NULL, doc-12 silently
+    skipped buckets — at corpus scale a NULL-lang subpopulation poisons
+    its neighbors' weights); (2) token_budget_stats' count()-visibility
+    filter `n_subword_tokens >= 0` silently dropped NULL-text docs —
+    the same projection-trick row-loss the r10 NULL-text pin closed
+    elsewhere."""
+    import duckdb
+
+    from asvsp_spark.plans.registry import all_oracle_sql, all_queries
+    from tests.conftest import compare_frames_hashed
+
+    docs = [
+        (0, "the cat sat on the mat and the cat sat again", "en", "web"),
+        (1, None, "en", "web"),
+        (2, "", "en", "books"),
+        (3, "spark spark spark spark spark", "en", "web"),
+        (4, "one", "en", "books"),
+        (5, "the quick brown fox jumps over the lazy dog", None, "web"),
+        (6, "alpha beta gamma alpha beta gamma alpha beta", "de", None),
+        (7, "tie tie bird bird", "de", "web"),
+        (8, "zebra yak xylophone wombat vulture unicorn", "fr", "news"),
+        (9, "the cat sat on the mat and the dog sat too", "en", "news"),
+        (10, "a b c d e f g h i j k l m n o p q r s t", "fr", "news"),
+        (11, "supercalifragilisticexpialidocious", "en", "web"),
+        (12, "the the the cat cat dog", None, None),
+        (13, "query terms cat dog fox present here", "en", "web"),
+    ]
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+        "text": pa.array([r[1] for r in docs], pa.string()),
+        "lang": pa.array([r[2] for r in docs], pa.string()),
+        "source": pa.array([r[3] for r in docs], pa.string()),
+        "n_chars": pa.array([len(r[1]) if r[1] is not None else None
+                             for r in docs], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    emb = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 1.0, 0.0], 1),
+        (3, None, 1),
+        (4, [0.5, 0.5, 0.5, 0.5], None),
+        (5, [], 2),
+        (6, [-1.0, -1.0, 1.0, 1.0], 2),
+        (7, [1e-30, 0.0, 0.0, 0.0], 2),
+    ]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in emb], pa.int64()),
+        "embedding": pa.array([r[1] for r in emb],
+                              pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in emb], pa.int32()),
+    }), os.path.join(d, "embeddings.parquet"))
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan("
+            f"'{os.path.join(d, t + '.parquet')}')")
+    qs, osql = all_queries(), all_oracle_sql()
+    for name in ("text_quality", "token_length_histogram",
+                 "top_terms_per_lang", "top_bigrams", "tfidf_top_terms",
+                 "bm25_search", "token_entropy", "unigram_logprob_score",
+                 "bigram_backoff_score", "quality_filter_report",
+                 "token_budget_stats", "pmi_collocations",
+                 "vocab_coverage", "bpe_merge_table", "label_centroids",
+                 "sample_k_per_group", "stratified_sample_docs",
+                 "weighted_sample_docs", "curriculum_shards",
+                 "token_budget_mixing_plan", "mixture_rebalance",
+                 "source_overlap_matrix", "packing_bins",
+                 "packing_best_fit_bins", "shard_assignments",
+                 "shard_manifest_lpt", "dsir_weights", "dsir_sample"):
+        n = compare_frames_hashed(qs[name](spark, d),
+                                  con.sql(osql[name]),
+                                  context=f"relevance-edge {name}")
+        if name == "token_budget_stats":
+            # NULL-text docs must be KEPT (one row per input doc)
+            assert n == len(docs), name
