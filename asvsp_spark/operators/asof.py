@@ -41,6 +41,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     ``left_ts - tolerance`` are nulled out (pandas merge_asof semantics).
     """
     payload_cols = [c for c in right.columns if c not in (on, right_ts)]
+    # Standard join semantics: a NULL key never matches (the window's
+    # partitionBy would otherwise group NULL with NULL), and a NULL
+    # right timestamp carries no ordering evidence (NULLS FIRST would
+    # otherwise make it "the match" for left rows that precede every
+    # real right row) — drop both from the match index. Left rows keep
+    # left-join semantics: they surface with an all-NULL payload.
+    right = (right.filter(F.col(on).isNotNull())
+             .filter(F.col(right_ts).isNotNull()))
     r_tagged = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).cast("timestamp").alias("_t"),
@@ -57,7 +65,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.lit(None).cast(r_tagged.schema["_p"].dataType).alias("_p"),
         *[F.col(c) for c in left.columns],
     )
-    w = (Window.partitionBy("_k").orderBy("_t", "_side")
+    # NULLS FIRST is load-bearing: a left row with a NULL timestamp
+    # sorts before every real right row and therefore matches nothing.
+    w = (Window.partitionBy("_k")
+         .orderBy(F.asc_nulls_first("_t"), F.asc("_side"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = (
         l_tagged.unionByName(r_tagged)

@@ -39,8 +39,15 @@ def value_centi(col: Column) -> Column:
 
 
 def centi_avg(centi_sum: Column, n: Column) -> Column:
-    """Integer-space rounded average: identical doubles in every engine."""
-    return F.round(centi_sum / n, 0).cast("long") / float(VALUE_SCALE)
+    """Integer-space rounded average: identical doubles in every engine.
+
+    Zero-guard: under ANSI mode (Spark 4 default) a bare x/0 ABORTS the
+    whole job — one degenerate group must not kill a corpus-scale
+    rollup. DuckDB yields NULL for x/0; the guard makes both engines
+    return NULL (r10 NULL-ts edge probe).
+    """
+    return F.when(
+        n > 0, F.round(centi_sum / n, 0).cast("long") / float(VALUE_SCALE))
 
 
 def daily_rollup(events: DataFrame) -> DataFrame:
@@ -86,7 +93,11 @@ def monthly_rollup(daily: DataFrame,
         .groupBy("event_type", "yr", "mon")
         .agg(
             F.sum("davg_centi").alias("davg_centi_sum"),
-            F.count("day").alias("days_with_data"),
+            # rows, not non-null days: after daily_rollup each row IS a
+            # day (a NULL-day group still contributed one daily row, and
+            # the oracle counts it — count("day") read 0 there and the
+            # downstream division aborted under ANSI; r10 edge probe)
+            F.count(F.lit(1)).alias("days_with_data"),
             F.max("daily_max").alias("monthly_max"),
             F.sum(F.when(F.col("daily_avg") > threshold, 1).otherwise(0))
              .alias("exceedance_days"),
@@ -94,8 +105,8 @@ def monthly_rollup(daily: DataFrame,
         .withColumn("monthly_avg",
                     centi_avg(F.col("davg_centi_sum"), F.col("days_with_data")))
     )
-    w_mom = Window.partitionBy("event_type").orderBy("yr", "mon")
-    w_yoy = Window.partitionBy("event_type", "mon").orderBy("yr")
+    w_mom = Window.partitionBy("event_type").orderBy(F.asc_nulls_last("yr"), F.asc_nulls_last("mon"))
+    w_yoy = Window.partitionBy("event_type", "mon").orderBy(F.asc_nulls_last("yr"))
     return (
         monthly
         .withColumn("prev_month_avg", F.lag("monthly_avg").over(w_mom))
@@ -152,7 +163,7 @@ def annual_nation_rollup(yearly_revenue: DataFrame) -> DataFrame:
     conformed fact (plans/base.py).
     """
     from pyspark.sql import Window
-    w_lag = Window.partitionBy("nation").orderBy("yr")
+    w_lag = Window.partitionBy("nation").orderBy(F.asc_nulls_last("yr"))
     w_cum = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         yearly_revenue

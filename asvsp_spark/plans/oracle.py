@@ -21,11 +21,11 @@ ORACLE["q01_yearly_rank_yoy"] = f"""
 WITH yearly AS ({SQL_YEARLY_REVENUE}),
 ranked AS (
     SELECT nation, yr, revenue,
-           CAST(rank() OVER (PARTITION BY yr ORDER BY revenue DESC, nation) AS INT) AS rnk
+           CAST(rank() OVER (PARTITION BY yr ORDER BY revenue DESC, nation NULLS LAST) AS INT) AS rnk
     FROM yearly
 ),
 lagged AS (
-    SELECT *, lag(rnk) OVER (PARTITION BY nation ORDER BY yr) AS prev_rnk
+    SELECT *, lag(rnk) OVER (PARTITION BY nation ORDER BY yr NULLS LAST) AS prev_rnk
     FROM ranked
 )
 SELECT nation, yr, revenue, rnk,
@@ -38,7 +38,7 @@ WITH monthly AS ({SQL_MONTHLY_REVENUE}),
 peaks AS (
     SELECT nation, yr, mon AS peak_month, revenue AS peak_revenue
     FROM (
-        SELECT *, rank() OVER (PARTITION BY nation, yr ORDER BY revenue DESC, mon) AS rn
+        SELECT *, rank() OVER (PARTITION BY nation, yr ORDER BY revenue DESC, mon NULLS LAST) AS rn
         FROM monthly
     ) WHERE rn = 1
 ),
@@ -47,7 +47,7 @@ freq AS (
            n_years AS peak_month_frequency
     FROM (
         SELECT nation, peak_month, count(*) AS n_years,
-               rank() OVER (PARTITION BY nation ORDER BY count(*) DESC, peak_month) AS freq_rank
+               rank() OVER (PARTITION BY nation ORDER BY count(*) DESC, peak_month NULLS LAST) AS freq_rank
         FROM peaks GROUP BY nation, peak_month
     ) WHERE freq_rank = 1
 )
@@ -68,7 +68,7 @@ WITH yearly AS (
 ),
 traced AS (
     SELECT *, CAST(sum(high_value_orders) OVER (
-        PARTITION BY nation ORDER BY yr
+        PARTITION BY nation ORDER BY yr NULLS LAST
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         AS cumulative_high_value_orders
     FROM yearly
@@ -76,7 +76,7 @@ traced AS (
 totals AS (
     SELECT nation, max(cumulative_high_value_orders) AS total_high_value_orders
     FROM traced GROUP BY nation
-    ORDER BY total_high_value_orders DESC, nation
+    ORDER BY total_high_value_orders DESC, nation NULLS LAST
     LIMIT 10
 )
 SELECT t.nation, t.yr, t.high_value_orders,
@@ -87,9 +87,9 @@ FROM traced t JOIN totals s ON t.nation = s.nation
 ORACLE["q04_mom_pct_change"] = f"""
 WITH monthly AS ({SQL_MONTHLY_REVENUE})
 SELECT nation, yr, mon, revenue,
-       lag(revenue) OVER (PARTITION BY nation ORDER BY yr, mon) AS prev_month_revenue,
-       round((revenue - lag(revenue) OVER (PARTITION BY nation ORDER BY yr, mon))
-             / lag(revenue) OVER (PARTITION BY nation ORDER BY yr, mon) * 100.0
+       lag(revenue) OVER (PARTITION BY nation ORDER BY yr NULLS LAST, mon NULLS LAST) AS prev_month_revenue,
+       round((revenue - lag(revenue) OVER (PARTITION BY nation ORDER BY yr NULLS LAST, mon NULLS LAST))
+             / lag(revenue) OVER (PARTITION BY nation ORDER BY yr NULLS LAST, mon NULLS LAST) * 100.0
              * 100) / 100.0
            AS mom_pct_change
 FROM monthly
@@ -99,7 +99,7 @@ ORACLE["q05_same_month_yoy"] = f"""
 WITH monthly AS ({SQL_MONTHLY_REVENUE}),
 changes AS (
     SELECT nation, yr, mon, revenue_cents,
-           lag(revenue_cents) OVER (PARTITION BY nation, mon ORDER BY yr) AS prev_year_cents
+           lag(revenue_cents) OVER (PARTITION BY nation, mon ORDER BY yr NULLS LAST) AS prev_year_cents
     FROM monthly
 ),
 avg_change AS (
@@ -111,8 +111,8 @@ avg_change AS (
 ),
 ranked AS (
     SELECT nation, avg_yoy_change,
-           CAST(rank() OVER (ORDER BY avg_yoy_change ASC, nation) AS INT) AS rank_declining,
-           CAST(rank() OVER (ORDER BY avg_yoy_change DESC, nation) AS INT) AS rank_growing
+           CAST(rank() OVER (ORDER BY avg_yoy_change ASC NULLS LAST, nation NULLS LAST) AS INT) AS rank_declining,
+           CAST(rank() OVER (ORDER BY avg_yoy_change DESC, nation NULLS LAST) AS INT) AS rank_growing
     FROM avg_change
 )
 SELECT nation, avg_yoy_change, rank_declining, rank_growing,
@@ -125,17 +125,17 @@ WITH daily AS ({SQL_DAILY_PRIO_REVENUE}),
 mov AS (
     SELECT prio, day, CAST(year(day) AS INT) AS yr,
            CAST(round(sum(revenue_cents) OVER (
-               PARTITION BY prio ORDER BY day
+               PARTITION BY prio ORDER BY day NULLS LAST
                ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
              / count(*) OVER (
-               PARTITION BY prio ORDER BY day
+               PARTITION BY prio ORDER BY day NULLS LAST
                ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)) AS BIGINT) / 100.0
                AS moving_avg_30d
     FROM daily
 ),
 ranked AS (
     SELECT *, rank() OVER (PARTITION BY prio, yr
-                           ORDER BY moving_avg_30d DESC, day) AS rn
+                           ORDER BY moving_avg_30d DESC, day NULLS LAST) AS rn
     FROM mov
 )
 SELECT prio, yr, strftime(day, '%Y-%m-%d') AS peak_day, moving_avg_30d
@@ -146,7 +146,7 @@ ORACLE["q07_ntile_quartiles"] = f"""
 WITH daily AS ({SQL_DAILY_PRIO_REVENUE}),
 tiled AS (
     SELECT prio, day, revenue, revenue_cents, CAST(year(day) AS INT) AS yr,
-           CAST(ntile(4) OVER (PARTITION BY prio ORDER BY revenue DESC, day) AS INT)
+           CAST(ntile(4) OVER (PARTITION BY prio ORDER BY revenue DESC, day NULLS LAST) AS INT)
                AS quartile
     FROM daily
 )
@@ -183,7 +183,7 @@ joined AS (
     FROM base b JOIN comp c ON b.nation = c.nation
 ),
 ranked AS (
-    SELECT *, CAST(rank() OVER (ORDER BY pct_change ASC, nation) AS INT) AS drop_rank
+    SELECT *, CAST(rank() OVER (ORDER BY pct_change ASC NULLS LAST, nation NULLS LAST) AS INT) AS drop_rank
     FROM joined
 )
 SELECT nation, base_revenue, comp_revenue, pct_change, drop_rank
@@ -209,8 +209,8 @@ ratio AS (
     SELECT *, round(weekend_avg / weekday_avg * 10000) / 10000.0 AS weekend_ratio FROM agg
 )
 SELECT prio, weekend_avg, weekday_avg, weekend_ratio,
-       CAST(rank() OVER (ORDER BY weekend_ratio ASC, prio) AS INT) AS rank_lowest,
-       CAST(rank() OVER (ORDER BY weekend_ratio DESC, prio) AS INT) AS rank_highest,
+       CAST(rank() OVER (ORDER BY weekend_ratio ASC NULLS LAST, prio NULLS LAST) AS INT) AS rank_lowest,
+       CAST(rank() OVER (ORDER BY weekend_ratio DESC, prio NULLS LAST) AS INT) AS rank_highest,
        CASE WHEN weekend_ratio > 1.0 THEN 'weekend_heavy'
             WHEN weekend_ratio < 1.0 THEN 'weekday_heavy'
             ELSE 'neutral' END AS weekend_effect
@@ -221,7 +221,7 @@ ORACLE["q10_improvement_streaks"] = f"""
 WITH monthly AS ({SQL_MONTHLY_REVENUE}),
 flagged AS (
     SELECT nation, yr, mon, revenue,
-           lag(revenue) OVER (PARTITION BY nation ORDER BY yr, mon) AS prev_revenue
+           lag(revenue) OVER (PARTITION BY nation ORDER BY yr NULLS LAST, mon NULLS LAST) AS prev_revenue
     FROM monthly
 ),
 grouped AS (
@@ -229,7 +229,7 @@ grouped AS (
            (prev_revenue IS NOT NULL AND revenue < prev_revenue) AS declining,
            sum(CASE WHEN prev_revenue IS NOT NULL AND revenue < prev_revenue
                     THEN 0 ELSE 1 END)
-               OVER (PARTITION BY nation ORDER BY yr, mon
+               OVER (PARTITION BY nation ORDER BY yr NULLS LAST, mon NULLS LAST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
     FROM flagged
 ),
@@ -244,7 +244,7 @@ best AS (
 ),
 top AS (
     SELECT nation, longest_streak,
-           CAST(rank() OVER (ORDER BY longest_streak DESC, nation) AS INT) AS rnk
+           CAST(rank() OVER (ORDER BY longest_streak DESC, nation NULLS LAST) AS INT) AS rnk
     FROM best
 )
 SELECT t.nation, CAST(t.longest_streak AS BIGINT) AS longest_streak,
@@ -293,6 +293,11 @@ WITH e AS (
     SELECT user_id, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
            CAST(round(value * 100) AS BIGINT) AS v
     FROM events
+    -- an event with no timestamp belongs to no session: Spark's
+    -- session_window drops NULL event-time rows by design, and that is
+    -- the semantic we keep (deliberate exclusion, not silent loss —
+    -- NULL-ts rows surface in data_quality_report; r10 edge probe)
+    WHERE ts IS NOT NULL
 ),
 flagged AS (
     SELECT *, CASE WHEN lag(us) OVER w IS NULL

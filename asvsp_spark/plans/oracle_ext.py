@@ -793,8 +793,8 @@ WITH rev AS (
 )
 SELECT nation,
        CAST(revenue_cents AS BIGINT) / 100.0 AS revenue,
-       percent_rank() OVER (ORDER BY revenue_cents, nation) AS pct_rank,
-       cume_dist() OVER (ORDER BY revenue_cents, nation) AS cume_dist
+       percent_rank() OVER (ORDER BY revenue_cents NULLS LAST, nation NULLS LAST) AS pct_rank,
+       cume_dist() OVER (ORDER BY revenue_cents NULLS LAST, nation NULLS LAST) AS cume_dist
 FROM rev
 """
 
@@ -962,7 +962,7 @@ WITH rev AS (
     FROM lineitem GROUP BY 1
 ),
 topk AS (
-    SELECT *, CAST(row_number() OVER (ORDER BY rev_e4 DESC, l_suppkey)
+    SELECT *, CAST(row_number() OVER (ORDER BY rev_e4 DESC, l_suppkey NULLS LAST)
                    AS INT) AS rk
     FROM rev
 )
@@ -979,7 +979,7 @@ ORACLE_EXT["scd2_user_state"] = """
 WITH ordered AS (
     SELECT user_id, event_type, ts, event_id,
            lag(event_type) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS prev_state
+                                 ORDER BY ts NULLS LAST, event_id NULLS LAST) AS prev_state
     FROM events
 ),
 runs AS (
@@ -990,7 +990,7 @@ runs AS (
 closed AS (
     SELECT user_id, state, valid_from,
            lead(valid_from) OVER (PARTITION BY user_id
-                                  ORDER BY valid_from, event_id) AS valid_to
+                                  ORDER BY valid_from NULLS LAST, event_id NULLS LAST) AS valid_to
     FROM runs
 )
 SELECT user_id, state,
@@ -1039,11 +1039,11 @@ j AS (SELECT b.skew_key, b.cents, d.w
 SELECT skew_key,
        count(*) AS n_rows,
        CAST(sum(cents * w) AS BIGINT) AS weighted_cents,
-       CAST(sum(('0x' || substr(md5(skew_key || '|' || cents || '|' || w),
+       CAST(sum(('0x' || substr(md5(skew_key || '|' || COALESCE(cents::VARCHAR, 'null') || '|' || w),
                                 1, 8))::BIGINT % 1000003) AS BIGINT) AS checksum
 FROM j
 GROUP BY 1
-HAVING CAST(sum(('0x' || substr(md5(skew_key || '|' || cents || '|' || w),
+HAVING CAST(sum(('0x' || substr(md5(skew_key || '|' || COALESCE(cents::VARCHAR, 'null') || '|' || w),
                                 1, 8))::BIGINT % 1000003) AS BIGINT) IS NOT NULL
 """
 

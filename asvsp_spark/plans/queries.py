@@ -43,8 +43,8 @@ def q01_yearly_rank_yoy(orders: DataFrame, customer: DataFrame, nation: DataFram
     rank per state, NVL, rank<=10 filter).
     """
     yearly = yearly_nation_revenue(orders, customer, nation)
-    w_rank = Window.partitionBy("yr").orderBy(F.desc("revenue"), F.asc("nation"))
-    w_lag = Window.partitionBy("nation").orderBy("yr")
+    w_rank = Window.partitionBy("yr").orderBy(F.desc("revenue"), F.asc_nulls_last("nation"))
+    w_lag = Window.partitionBy("nation").orderBy(F.asc_nulls_last("yr"))
     return (
         yearly
         .withColumn("rnk", F.rank().over(w_rank))
@@ -64,7 +64,7 @@ def q02_peak_month(orders: DataFrame, customer: DataFrame, nation: DataFrame) ->
     predicate).
     """
     monthly = monthly_nation_revenue(orders, customer, nation)
-    w_peak = Window.partitionBy("nation", "yr").orderBy(F.desc("revenue"), F.asc("mon"))
+    w_peak = Window.partitionBy("nation", "yr").orderBy(F.desc("revenue"), F.asc_nulls_last("mon"))
     peaks = (
         monthly
         .withColumn("rn", F.rank().over(w_peak))
@@ -72,7 +72,7 @@ def q02_peak_month(orders: DataFrame, customer: DataFrame, nation: DataFrame) ->
         .select("nation", "yr", F.col("mon").alias("peak_month"),
                 F.col("revenue").alias("peak_revenue"))
     )
-    w_freq = Window.partitionBy("nation").orderBy(F.desc("n_years"), F.asc("peak_month"))
+    w_freq = Window.partitionBy("nation").orderBy(F.desc("n_years"), F.asc_nulls_last("peak_month"))
     freq = (
         peaks.groupBy("nation", "peak_month")
         .agg(F.count(F.lit(1)).alias("n_years"))
@@ -106,7 +106,7 @@ def q03_cumulative_top10(orders: DataFrame, customer: DataFrame, nation: DataFra
         .agg(F.count(F.lit(1)).alias("high_value_orders"))
     )
     w_cum = (
-        Window.partitionBy("nation").orderBy("yr")
+        Window.partitionBy("nation").orderBy(F.asc_nulls_last("yr"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     traced = yearly.withColumn(
@@ -114,7 +114,7 @@ def q03_cumulative_top10(orders: DataFrame, customer: DataFrame, nation: DataFra
     totals = (
         traced.groupBy("nation")
         .agg(F.max("cumulative_high_value_orders").alias("total_high_value_orders"))
-        .orderBy(F.desc("total_high_value_orders"), F.asc("nation"))
+        .orderBy(F.desc("total_high_value_orders"), F.asc_nulls_last("nation"))
         .limit(10)
     )
     return traced.join(F.broadcast(totals), "nation", "inner").select(
@@ -130,7 +130,7 @@ def q04_mom_pct_change(orders: DataFrame, customer: DataFrame, nation: DataFrame
     rollup's LAG columns (monthly_aggregation.py:39-47).
     """
     monthly = monthly_nation_revenue(orders, customer, nation)
-    w = Window.partitionBy("nation").orderBy("yr", "mon")
+    w = Window.partitionBy("nation").orderBy(F.asc_nulls_last("yr"), F.asc_nulls_last("mon"))
     return (
         monthly
         .withColumn("prev_month_revenue", F.lag("revenue").over(w))
@@ -150,7 +150,7 @@ def q05_same_month_yoy(orders: DataFrame, customer: DataFrame, nation: DataFrame
     per state, dual RANK asc/desc, CASE label).
     """
     monthly = monthly_nation_revenue(orders, customer, nation)
-    w_yoy = Window.partitionBy("nation", "mon").orderBy("yr")
+    w_yoy = Window.partitionBy("nation", "mon").orderBy(F.asc_nulls_last("yr"))
     changes = (
         monthly
         .withColumn("prev_year_cents", F.lag("revenue_cents").over(w_yoy))
@@ -159,8 +159,8 @@ def q05_same_month_yoy(orders: DataFrame, customer: DataFrame, nation: DataFrame
     )
     avg_change = changes.groupBy("nation").agg(
         avg_dollars(F.sum("yoy_change_cents"), F.count(F.lit(1))).alias("avg_yoy_change"))
-    w_best = Window.orderBy(F.asc("avg_yoy_change"), F.asc("nation"))
-    w_worst = Window.orderBy(F.desc("avg_yoy_change"), F.asc("nation"))
+    w_best = Window.orderBy(F.asc_nulls_last("avg_yoy_change"), F.asc_nulls_last("nation"))
+    w_worst = Window.orderBy(F.desc("avg_yoy_change"), F.asc_nulls_last("nation"))
     return (
         avg_change
         .withColumn("rank_declining", F.rank().over(w_best))
@@ -183,10 +183,10 @@ def q06_moving_average(orders: DataFrame) -> DataFrame:
     """
     daily = daily_priority_revenue(orders)
     w_mov = (
-        Window.partitionBy("prio").orderBy("day").rowsBetween(-29, 0)
+        Window.partitionBy("prio").orderBy(F.asc_nulls_last("day")).rowsBetween(-29, 0)
     )
     w_rank = Window.partitionBy("prio", "yr").orderBy(
-        F.desc("moving_avg_30d"), F.asc("day"))
+        F.desc("moving_avg_30d"), F.asc_nulls_last("day"))
     return (
         daily
         .withColumn("moving_avg_30d",
@@ -209,7 +209,7 @@ def q07_ntile_quartiles(orders: DataFrame) -> DataFrame:
     partitioning (SURVEY W7).
     """
     daily = daily_priority_revenue(orders)
-    w_ntile = Window.partitionBy("prio").orderBy(F.desc("revenue"), F.asc("day"))
+    w_ntile = Window.partitionBy("prio").orderBy(F.desc("revenue"), F.asc_nulls_last("day"))
     return (
         daily
         .withColumn("quartile", F.ntile(4).over(w_ntile))
@@ -248,7 +248,7 @@ def q08_period_compare(orders: DataFrame, customer: DataFrame, nation: DataFrame
 
     base = period(base_year, "base_revenue")
     comp = period(comp_year, "comp_revenue")
-    w = Window.orderBy(F.asc("pct_change"), F.asc("nation"))
+    w = Window.orderBy(F.asc_nulls_last("pct_change"), F.asc_nulls_last("nation"))
     return (
         # both sides aggregate to |nations| rows — broadcast dodges the
         # sort-merge shuffle Catalyst's static size estimate would pick
@@ -281,8 +281,8 @@ def q09_weekend_effect(orders: DataFrame) -> DataFrame:
         .alias("weekday_avg"),
     ).withColumn("weekend_ratio",
                  round_fixed(F.col("weekend_avg") / F.col("weekday_avg"), RATE_SCALE))
-    w_low = Window.orderBy(F.asc("weekend_ratio"), F.asc("prio"))
-    w_high = Window.orderBy(F.desc("weekend_ratio"), F.asc("prio"))
+    w_low = Window.orderBy(F.asc_nulls_last("weekend_ratio"), F.asc_nulls_last("prio"))
+    w_high = Window.orderBy(F.desc("weekend_ratio"), F.asc_nulls_last("prio"))
     return (
         agg
         .withColumn("rank_lowest", F.rank().over(w_low))
@@ -304,9 +304,9 @@ def q10_improvement_streaks(orders: DataFrame, customer: DataFrame, nation: Data
     = value going down; kept as declining revenue here.
     """
     monthly = monthly_nation_revenue(orders, customer, nation)
-    w_seq = Window.partitionBy("nation").orderBy("yr", "mon")
+    w_seq = Window.partitionBy("nation").orderBy(F.asc_nulls_last("yr"), F.asc_nulls_last("mon"))
     w_grp = (
-        Window.partitionBy("nation").orderBy("yr", "mon")
+        Window.partitionBy("nation").orderBy(F.asc_nulls_last("yr"), F.asc_nulls_last("mon"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     flagged = (
@@ -329,7 +329,7 @@ def q10_improvement_streaks(orders: DataFrame, customer: DataFrame, nation: Data
         streaks.groupBy("nation")
         .agg(F.max("streak_len").alias("longest_streak"))
     )
-    w_top = Window.orderBy(F.desc("longest_streak"), F.asc("nation"))
+    w_top = Window.orderBy(F.desc("longest_streak"), F.asc_nulls_last("nation"))
     top = (
         best.withColumn("rnk", F.rank().over(w_top))
         .filter(F.col("rnk") <= 15)

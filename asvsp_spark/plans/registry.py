@@ -1811,7 +1811,14 @@ def _skew_join_demo(spark, sf: str, salted: bool):
     joined = (salted_join(big, dim, on="skew_key", buckets=32)
               if salted else big.join(dim, "skew_key"))
     from asvsp_spark.plans.base import md5_slice_long
-    digest = md5_slice_long(F.concat_ws("|", "skew_key", "cents", "w"))
+    # NULL cents renders as an explicit sentinel so the integrity sum
+    # still covers the row: concat_ws would silently SKIP the NULL
+    # component (digesting "0|5" — indistinguishable from a missing
+    # field) while the oracle's || propagates NULL and drops the row
+    # from the sum entirely (r10 edge probe divergence).
+    digest = md5_slice_long(F.concat_ws(
+        "|", "skew_key",
+        F.coalesce(F.col("cents").cast("string"), F.lit("null")), "w"))
     # checksum sums the digest REDUCED mod a prime, not the raw 32-bit
     # digest: the hot group's raw sum crosses 2^63 around sf75 (Spark
     # wraps silently, DuckDB HUGEINTs — the parity the entry proves

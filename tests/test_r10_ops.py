@@ -8,6 +8,7 @@
 
 from __future__ import annotations
 
+import datetime
 import os
 
 import duckdb
@@ -450,3 +451,249 @@ def test_relevance_sampling_edge_corpus_cross_engine_parity(
         if name == "token_budget_stats":
             # NULL-text docs must be KEPT (one row per input doc)
             assert n == len(docs), name
+
+
+def _duck_views(tmpdir, tables):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan("
+            f"'{os.path.join(tmpdir, t + '.parquet')}')")
+    return con
+
+
+def test_tpch_edge_corpus_cross_engine_parity(spark, tmp_path):
+    """Crafted relational edge corpus through 29 TPC-H-family oracle
+    pairs: orders with no lineitems, orphan lineitems/custkeys, NULL
+    keys/dates/prices/flags, discount 0 and 1, negative price, two
+    nations with bit-identical yearly revenue (rank tie), an event
+    exactly ON the order day (inclusive as-of tie), interval-join
+    events at exactly +7d and +7d+1us, leap days, a year-end
+    microsecond timestamp, and single-row percentile groups.
+
+    The probe found and fixed four divergence classes (r10):
+    - Spark ASC windows default NULLS FIRST where DuckDB defaults
+      NULLS LAST — every LAG/cumulative/rank over a NULL-bearing key
+      (NULL o_orderdate -> NULL yr/mon) silently shifted; swept every
+      ASC window key in plans/queries.py + operators/rollups.py to
+      asc_nulls_last and annotated the shared oracle/SQL-twin strings
+      with explicit NULLS LAST (DESC already agreed).
+    - asof_join matched NULL keys to NULL keys (window partitionBy
+      groups NULLs) and let a NULL right-timestamp row — which sorts
+      NULLS FIRST — become "the most recent prior" for left rows that
+      precede every real right row. Both violate join semantics: the
+      match index now drops NULL-key/NULL-ts right rows, left rows
+      keep left-join semantics.
+    - skew_join checksum: concat_ws silently SKIPS a NULL component
+      (integrity digest can't see the field) while the oracle's ||
+      propagates NULL and drops the row from the sum; both sides now
+      render NULL cents as an explicit sentinel.
+    """
+    from asvsp_spark.plans.registry import all_oracle_sql, all_queries
+    from tests.conftest import compare_frames_hashed
+
+    TS = datetime.datetime
+    d = str(tmp_path)
+
+    def write(name, cols):
+        pq.write_table(pa.table(cols), os.path.join(d, name + ".parquet"))
+
+    write("region", {
+        "r_regionkey": pa.array([0, 1, 2, 3], pa.int32()),
+        "r_name": pa.array(["AMERICA", "EUROPE", "EMPTYREG", None]),
+    })
+    write("nation", {
+        "n_nationkey": pa.array([0, 1, 2, 3, 4, 5], pa.int32()),
+        "n_name": pa.array(["USA", "GERMANY", "FRANCE", None,
+                            "ORPHANIA", "QUIETLAND"]),
+        "n_regionkey": pa.array([0, 1, 1, 0, 99, 3], pa.int32()),
+    })
+    write("customer", {
+        "c_custkey": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        "c_name": pa.array(["Alice", "Bob", "Carol", "Dave", "Eve",
+                            "NoOrders", "Alice", "Heidi"]),
+        "c_nationkey": pa.array([0, 1, 2, None, 0, 1, 0, 4], pa.int32()),
+        "c_acctbal": pa.array([100.0, -50.25, None, 10.0, 0.0, 5.0,
+                               100.0, 3.0], pa.float64()),
+        "c_mktsegment": pa.array(["BUILDING", "AUTOMOBILE", "MACHINERY",
+                                  "BUILDING", None, "FURNITURE",
+                                  "BUILDING", "HOUSEHOLD"]),
+    })
+    write("supplier", {
+        "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "s_name": pa.array(["S1", "S2", "SNull", "SNoItems"]),
+        "s_nationkey": pa.array([0, 1, None, 2], pa.int32()),
+        "s_acctbal": pa.array([100.0, None, 5.0, 1.0], pa.float64()),
+    })
+    write("part", {
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_name": pa.array(["p-alpha", "p-beta", "p-unused"]),
+        "p_brand": pa.array(["B1", "B2", "B1"]),
+        "p_type": pa.array(["TYPE A", None, "TYPE B"]),
+        "p_size": pa.array([5, None, 9], pa.int32()),
+        "p_retailprice": pa.array([100.0, None, 50.0], pa.float64()),
+    })
+    ORD = [
+        (1, 1, "O", 1000.0, TS(1995, 3, 1), "1-URGENT"),
+        (2, 1, "F", 1500.0, TS(1996, 2, 29), "2-HIGH"),
+        (3, 1, "O", 1200.0, TS(1998, 6, 15), "3-MEDIUM"),
+        (4, 1, "P", 2000.0, TS(2000, 2, 29), "1-URGENT"),
+        (5, 1, "O", 2500.0, TS(2001, 8, 1), "5-LOW"),
+        (6, 2, "O", 1000.0, TS(1995, 7, 4), "2-HIGH"),
+        (7, 2, "F", 900.0, TS(1996, 1, 1), "4-NOT SPECIFIED"),
+        (8, 2, "O", 800.0, TS(2000, 12, 31, 23, 59, 59, 999999),
+         "1-URGENT"),
+        (9, 3, "O", 700.0, TS(2001, 1, 1), "3-MEDIUM"),
+        (10, 3, "O", 300.0, TS(1996, 5, 5), "5-LOW"),
+        (11, 5, "O", 250000.0, TS(2001, 5, 5), "1-URGENT"),
+        (12, 5, "F", 100.0, TS(2001, 5, 5), "2-HIGH"),
+        (13, 8, "O", 450.0, TS(1995, 9, 9), "3-MEDIUM"),
+        (17, 8, "O", 550.0, TS(1996, 9, 9), "3-MEDIUM"),
+        (90, 1, "O", 333.0, None, "1-URGENT"),
+        (91, None, "O", 444.0, TS(1998, 4, 4), "2-HIGH"),
+        (92, 2, "F", None, TS(1999, 3, 3), "3-MEDIUM"),
+        (93, 3, "O", 555.0, TS(1999, 6, 6), None),
+        (94, 1, None, 666.0, TS(1999, 9, 9), "4-NOT SPECIFIED"),
+        (95, 42, "O", 777.0, TS(2000, 1, 1), "5-LOW"),
+        (65, 5, "O", 888.0, TS(2000, 6, 6), "1-URGENT"),
+        (85, 2, "O", 999.0, TS(1998, 8, 8), "2-HIGH"),
+    ]
+    write("orders", {
+        "o_orderkey": pa.array([r[0] for r in ORD], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in ORD], pa.int64()),
+        "o_orderstatus": pa.array([r[2] for r in ORD]),
+        "o_totalprice": pa.array([r[3] for r in ORD], pa.float64()),
+        "o_orderdate": pa.array([r[4] for r in ORD], pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[5] for r in ORD]),
+    })
+    LI = [
+        (1, 1, 1, 1, 5.0, 500.0, 0.1, 0.05, "N", "O", TS(1995, 3, 5)),
+        (1, 2, 2, 2, 3.0, 300.0, 0.0, 0.0, "A", "F", TS(1995, 3, 10)),
+        (2, 1, 1, 1, 2.0, 800.0, 0.2, 0.08, "R", "F", TS(1996, 3, 1)),
+        (3, 2, 2, 1, 1.0, 1200.0, 0.05, 0.02, "N", "O", TS(1998, 6, 20)),
+        (4, 1, 1, 1, 4.0, 2000.0, 0.15, 0.04, "N", "O", TS(2000, 3, 15)),
+        (5, 3, 1, 1, 7.0, 2500.0, 0.0, 0.01, "R", "O", TS(2001, 8, 3)),
+        (6, 1, 2, 1, 2.0, 1000.0, 0.1, 0.05, "A", "O", TS(1995, 7, 10)),
+        (7, 2, 1, 1, 1.0, 900.0, 0.3, 0.0, "N", "F", TS(1996, 1, 20)),
+        (8, 1, 1, 1, 3.0, 800.0, 0.25, 0.06, "R", "O", TS(2001, 1, 15)),
+        (9, 3, 2, 1, 2.0, 700.0, 0.0, 0.03, "N", "O", TS(2001, 1, 4)),
+        (10, 1, 1, 1, 1.0, 300.0, 0.05, 0.01, "A", "F", TS(1996, 5, 25)),
+        (11, 2, 2, 1, 9.0, 250000.0, 0.02, 0.07, "N", "O",
+         TS(2001, 5, 9)),
+        (12, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", TS(2001, 5, 6)),
+        (13, 3, 1, 1, 2.0, 450.0, 0.1, 0.02, "R", "F", TS(1995, 9, 12)),
+        (17, 1, 1, 1, 2.0, 550.0, 0.1, 0.02, "R", "F", TS(1996, 9, 12)),
+        (1, 1, 1, 3, None, 50.0, 0.1, 0.0, "N", "O", TS(1995, 4, 1)),
+        (2, 2, 2, 2, 1.0, None, 0.0, None, "A", "O", TS(1996, 3, 2)),
+        (3, 1, 1, 2, 1.0, 10.0, None, 0.0, None, None, TS(1998, 7, 1)),
+        (4, 2, 2, 2, 1.0, 20.0, 1.0, 0.0, "R", "F", TS(2000, 4, 1)),
+        (5, 1, 3, 2, 1.0, -10.0, 0.0, 0.0, "R", "O", TS(2001, 8, 2)),
+        (6, 2, 3, 2, 1.0, 30.0, 0.5, 0.0, "N", "O", None),
+        (7, 1, 1, 2, 1.0, 40.0, 0.0, 0.0, "A", "F", TS(1995, 12, 1)),
+        (9, 2, 2, 2, 1.0, 15.0, 0.0, 0.0, "N", "O", TS(2004, 1, 1)),
+        (999, 1, 1, 1, 1.0, 25.0, 0.0, 0.0, "N", "O", TS(1997, 1, 1)),
+        (8, 3, 1, 1, 1.0, 5.0, 0.0, 0.0, "R", "O", TS(2001, 2, 1)),
+    ]
+    write("lineitem", {
+        "l_orderkey": pa.array([r[0] for r in LI], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in LI], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in LI], pa.int64()),
+        "l_linenumber": pa.array([r[3] for r in LI], pa.int32()),
+        "l_quantity": pa.array([r[4] for r in LI], pa.float64()),
+        "l_extendedprice": pa.array([r[5] for r in LI], pa.float64()),
+        "l_discount": pa.array([r[6] for r in LI], pa.float64()),
+        "l_tax": pa.array([r[7] for r in LI], pa.float64()),
+        "l_returnflag": pa.array([r[8] for r in LI]),
+        "l_linestatus": pa.array([r[9] for r in LI]),
+        "l_shipdate": pa.array([r[10] for r in LI], pa.timestamp("us")),
+    })
+    EV = [
+        (1, TS(2001, 8, 1, 0, 0, 0), 1, "purchase", 10.0, None),
+        (2, TS(2001, 8, 8, 0, 0, 0), 1, "view", 5.0, "{}"),
+        (3, TS(2001, 8, 8, 0, 0, 0, 1), 1, "view", 1.0, "{}"),
+        (4, TS(2024, 1, 5, 12, 0, 0), 2, "error", 2.0, '{"k":1}'),
+        (5, TS(1994, 1, 1, 0, 0, 0), 1, "view", 3.0, "{}"),
+        (6, TS(2001, 6, 15, 0, 0, 0), None, "view", 1.5, "{}"),
+        (7, TS(2001, 6, 15, 0, 0, 0), 42, "view", None, "{}"),
+        (8, TS(2001, 5, 5, 0, 0, 0), 5, "signup", 4.0, "{}"),
+        (9, TS(2000, 3, 1, 0, 0, 0), 5, "purchase", 6.0, "{}"),
+    ]
+    write("events", {
+        "event_id": pa.array([r[0] for r in EV], pa.int64()),
+        "ts": pa.array([r[1] for r in EV], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in EV], pa.int64()),
+        "event_type": pa.array([r[3] for r in EV]),
+        "value": pa.array([r[4] for r in EV], pa.float64()),
+        "props": pa.array([r[5] for r in EV]),
+    })
+    con = _duck_views(d, ("region", "nation", "customer", "supplier",
+                          "part", "orders", "lineitem", "events"))
+    qs, osql = all_queries(), all_oracle_sql()
+    for name in ("q01_yearly_rank_yoy", "q02_peak_month",
+                 "q03_cumulative_top10", "q04_mom_pct_change",
+                 "q05_same_month_yoy", "q06_moving_average",
+                 "q07_ntile_quartiles", "q08_period_compare",
+                 "q09_weekend_effect", "q10_improvement_streaks",
+                 "q11_pricing_summary", "q12_late_shipments",
+                 "q13_supplier_margin_topk", "rollup_annual_nation",
+                 "asof_last_order", "snapshot_diff_orders",
+                 "inactive_customers", "repeat_buyer_segments",
+                 "customer_retention_setops", "cohort_retention",
+                 "cube_revenue_nation_year", "priority_percentiles",
+                 "rollup_revenue_region_nation",
+                 "nation_revenue_distribution", "join_fanout_report",
+                 "events_after_order", "skew_join_plain",
+                 "skew_join_salted", "sq11_late_audit"):
+        compare_frames_hashed(qs[name](spark, d), con.sql(osql[name]),
+                              context=f"tpch-edge {name}")
+
+
+def test_null_ts_events_cross_engine_parity(spark, tmp_path):
+    """A NULL-timestamp event and a fully-NULL event row through 20
+    events-family oracle pairs. The probe found and fixed (r10):
+    rollup_monthly_events counted days_with_data as count(day) — 0 for
+    the NULL-day group — and the downstream division ABORTED the whole
+    job under ANSI mode (one degenerate row must not kill a 100 TB
+    rollup; now count(*) with a zero-guarded centi_avg matching
+    DuckDB's NULL-on-/0); sessionize_users' oracle kept NULL-ts rows
+    as phantom sessions where Spark's session_window drops NULL
+    event-time by design (the oracle now mirrors the deliberate
+    exclusion)."""
+    from asvsp_spark.plans.registry import all_oracle_sql, all_queries
+    from tests.conftest import compare_frames_hashed
+
+    TS = datetime.datetime
+    rows = [
+        (0, TS(2024, 1, 1, 0, 0, 1), 1, "error", 185.22, '{"k": 1}'),
+        (1, TS(2024, 1, 2, 5, 0, 0), 2, "signup", 10.0, '{"k": 2}'),
+        (2, TS(2024, 1, 2, 6, 0, 0), 3, "signup", 10.0, '{"k": 3}'),
+        (3, TS(2024, 1, 3, 1, 0, 0), 4, "purchase", None, '{"k": 4}'),
+        (4, None, 5, "view", 7.25, '{"k": 5}'),
+        (5, None, None, None, None, None),
+        (6, TS(2024, 2, 29, 0, 0, 0), 6, "view", 2.5, '{"k": 7}'),
+    ]
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    con = _duck_views(d, ("events",))
+    qs, osql = all_queries(), all_oracle_sql()
+    for name in ("rollup_daily_events", "rollup_monthly_events",
+                 "baselines_events", "distinct_users_daily",
+                 "funnel_daily", "user_day_bookends", "sessionize_users",
+                 "heavy_hitters_users", "key_skew_report",
+                 "gapfill_daily_values", "gapfill_weekly_values",
+                 "gapfill_hourly_values", "gapfill_hourly_interp",
+                 "sketch_value_percentiles", "pivot_daily_type",
+                 "unpivot_daily_type", "type_correlation",
+                 "distribution_drift_daily", "variant_props_decode",
+                 "scd2_user_state"):
+        compare_frames_hashed(qs[name](spark, d), con.sql(osql[name]),
+                              context=f"null-ts {name}")
