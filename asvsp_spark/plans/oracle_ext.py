@@ -375,12 +375,15 @@ ORACLE_EXT["sq7b_dedup_within_watermark"] = """
 WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
 base AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
 allr AS (
-    SELECT event_id, ts FROM base
+    SELECT event_id, ts FROM base WHERE ts IS NOT NULL
     UNION ALL
     SELECT CAST(-1 AS BIGINT), mx + INTERVAL 8 HOUR FROM m
     UNION ALL
+    -- replay re-stamps EVERY record at mx+7h; rows whose state was
+    -- evicted (ts < mx-4h) re-emit, and NULL-ts rows (never delivered
+    -- by the stream reader, so no state exists) emit too
     SELECT b.event_id, m.mx + INTERVAL 7 HOUR
-    FROM base b, m WHERE b.ts < m.mx - INTERVAL 4 HOUR
+    FROM base b, m WHERE b.ts < m.mx - INTERVAL 4 HOUR OR b.ts IS NULL
 )
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        count(*) AS n_events,
@@ -490,7 +493,7 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        count(*) AS n_events,
        CAST(round(sum(CAST(round(value * 100) AS BIGINT)) / count(*))
             AS BIGINT) / 100.0 AS avg_value
-FROM events GROUP BY 1
+FROM events WHERE ts IS NOT NULL GROUP BY 1
 """
 
 # ---- relevance / vocabulary scoring (operators/relevance.py) ----
@@ -670,7 +673,7 @@ WITH c AS (
     SELECT date_trunc('hour', ts) AS ws,
            COALESCE(CAST(event_type AS VARCHAR), '<null>') AS key,
            count(*) AS c
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 b AS (SELECT COALESCE(CAST(event_type AS VARCHAR), '<null>') AS key,
              count(*) AS cb FROM events GROUP BY 1),
@@ -1191,7 +1194,7 @@ WITH w AS (
                                            'signup', 'view')
                     THEN 1 ELSE 0 END) AS bt,
            sum(CASE WHEN value > 200.0 THEN 1 ELSE 0 END) AS hi
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 f AS (
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -1278,7 +1281,7 @@ WITH c AS (
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                AS window_start,
            CAST(round(value * 100) AS BIGINT) AS cents
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ),
 pwed AS (
     SELECT window_start, cents,

@@ -31,7 +31,7 @@ _HOURLY_TYPE = """
     SELECT event_type, date_trunc('hour', ts) AS ws,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_sum,
            count(*) AS n_events
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 ORACLE_STREAM["sq1_vs_baseline"] = f"""
@@ -55,6 +55,7 @@ _SLIDING = """
            event_type,
            CAST(round(value * 100) AS BIGINT) AS v
     FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS off)
+    WHERE ts IS NOT NULL
 """
 
 
@@ -115,7 +116,7 @@ WITH agg AS (
            CAST(sum(CASE WHEN json_valid(props)
                     THEN CAST(json_extract(props, '$.k') AS INT) END)
                 AS BIGINT) AS k_sum
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 r AS (
     SELECT *,
@@ -237,7 +238,7 @@ WITH per_user AS (
            min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
            min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
            min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 flags AS (
     SELECT w,
@@ -446,7 +447,7 @@ WITH d AS (
                 THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
            CASE WHEN json_valid(props)
                 THEN json_extract(props, '$.retry') END AS retry
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 )
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type AS etype,

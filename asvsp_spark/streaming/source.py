@@ -99,11 +99,19 @@ def events_stream_reader(spark: SparkSession, path: str, *,
     if flavor == "nanos":
         # integer division: nanos-since-epoch (~1.7e18) exceeds double's
         # 2^53 exact range, so float division would corrupt timestamps
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    if flavor == "ntz":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif flavor == "ntz":
         # same wall-clock instant under the pinned UTC session timezone
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Event-time contract: a NULL ts is not placeable on the event-time
+    # axis. Spark's watermarked window aggregations already drop such
+    # rows; the stateful/dedup paths instead behave inconsistently
+    # (dropDuplicatesWithinWatermark keeps them with no evictable state;
+    # a NULL reaching applyInPandasWithState crashed on int cast — r10
+    # NULL-ts probe). One explicit filter at ingestion makes every
+    # event-time entry share the SAME documented semantics; NULL-ts rows
+    # remain visible to the batch surface and data_quality_report.
+    return raw.filter(F.col("ts").isNotNull())
 
 
 _TS_US_UTC = "us-utc sentinel"  # documentation anchor only

@@ -63,6 +63,63 @@ TREND_STATE_SCHEMA = (
 HOUR = 3600
 
 
+def _merge_trend_batch(open_w: dict, pdf) -> None:
+    """Accumulate {hour-bucket: [centi-sum-or-None, n_rows]} from one
+    Arrow batch. A NULL value counts toward n_rows but not the sum —
+    count(*) / sum-skips-NULL, the same semantics as the windowed-agg
+    siblings and the DuckDB oracle. A window that has only seen NULL
+    values keeps sum None so its average emits NULL (the bare int64
+    cast CRASHED the whole query on the first NULL value — r10 probe).
+    """
+    import pandas as pd
+
+    g = (pd.DataFrame({
+            "b": (pdf["secs"].astype("int64") // HOUR) * HOUR,
+            "v": pdf["v"].astype("Int64"),
+         }).groupby("b")["v"].agg(["size", "count", "sum"]))
+    for b, row in g.iterrows():
+        ent = open_w.setdefault(int(b), [None, 0])
+        if int(row["count"]) > 0:
+            ent[0] = (0 if ent[0] is None else ent[0]) + int(row["sum"])
+        ent[1] += int(row["size"])
+
+
+def _close_trend_windows(open_w: dict, wm_s: int, etype, last_avg,
+                         has_last, rise: float, fall: float):
+    """Emit every window whose end <= watermark, advancing the lag.
+
+    Average parity: half-up AWAY FROM ZERO in centi space == Spark
+    F.round(s/c, 0) == DuckDB round(s/c) — floor(x + 0.5) diverged on
+    negative halves once negative values entered the corpus. Trend
+    parity mirrors the oracle's CASE exactly: a NULL previous average
+    reads 'unknown' (prev_avg IS NULL), a NULL current average falls
+    through both comparisons to 'stable'.
+    """
+    out = []
+    for b in sorted(open_w):
+        if b + HOUR > wm_s:
+            break
+        s, c = open_w.pop(b)
+        if s is None:
+            avg = None
+        else:
+            sign = 1 if s >= 0 else -1
+            avg = sign * ((abs(s) * 2 + c) // (2 * c)) / 100.0
+        if not has_last or last_avg is None:
+            trend = "unknown"
+        elif avg is not None and avg > last_avg * rise:
+            trend = "rising"
+        elif avg is not None and avg < last_avg * fall:
+            trend = "falling"
+        else:
+            trend = "stable"
+        start = datetime.fromtimestamp(b, tz=timezone.utc)
+        out.append((etype, start.strftime("%Y-%m-%d %H:%M:%S"), c, avg,
+                    last_avg if has_last else None, trend))
+        last_avg, has_last = avg, True
+    return out, last_avg, has_last
+
+
 def hourly_trend_stateful(stream: DataFrame, rise: float = 1.1,
                           fall: float = 0.9) -> DataFrame:
     """Per event_type: hourly average value + trend label vs the previous
@@ -75,14 +132,12 @@ def hourly_trend_stateful(stream: DataFrame, rise: float = 1.1,
     """
 
     def fn(key: tuple, pdfs, state: GroupState):
-        import math
-
         import pandas as pd
 
         (etype,) = key
         if state.exists:
             wins, sums, counts, last_avg, has_last = state.get
-            open_w: dict[int, list[int]] = {
+            open_w: dict[int, list] = {
                 w: [s, c] for w, s, c in zip(wins, sums, counts)
             }
         else:
@@ -91,39 +146,11 @@ def hourly_trend_stateful(stream: DataFrame, rise: float = 1.1,
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            g = (
-                pd.DataFrame({
-                    "b": (pdf["secs"].astype("int64") // HOUR) * HOUR,
-                    "v": pdf["v"].astype("int64"),
-                })
-                .groupby("b")["v"].agg(["sum", "count"])
-            )
-            for b, row in g.iterrows():
-                ent = open_w.setdefault(int(b), [0, 0])
-                ent[0] += int(row["sum"])
-                ent[1] += int(row["count"])
+            _merge_trend_batch(open_w, pdf)
 
         wm_s = state.getCurrentWatermarkMs() // 1000
-        out = []
-        for b in sorted(open_w):
-            if b + HOUR > wm_s:
-                break
-            s, c = open_w.pop(b)
-            # half-up in centi space on non-negative values == Spark
-            # F.round(s/c, 0) == DuckDB round(s/c): exact parity
-            avg = math.floor(s / c + 0.5) / 100.0
-            if not has_last:
-                trend = "unknown"
-            elif avg > last_avg * rise:
-                trend = "rising"
-            elif avg < last_avg * fall:
-                trend = "falling"
-            else:
-                trend = "stable"
-            start = datetime.fromtimestamp(b, tz=timezone.utc)
-            out.append((etype, start.strftime("%Y-%m-%d %H:%M:%S"), c, avg,
-                        last_avg if has_last else None, trend))
-            last_avg, has_last = avg, True
+        out, last_avg, has_last = _close_trend_windows(
+            open_w, wm_s, etype, last_avg, has_last, rise, fall)
 
         keys = sorted(open_w)
         state.update((keys, [open_w[k][0] for k in keys],
@@ -185,8 +212,6 @@ def hourly_trend_tws(stream: DataFrame, rise: float = 1.1,
             self._st = handle.getValueState("trend", state_schema)
 
         def handleInputRows(self, key, rows, timerValues):
-            import math
-
             import pandas as pd
 
             (etype,) = key
@@ -200,37 +225,11 @@ def hourly_trend_tws(stream: DataFrame, rise: float = 1.1,
             for pdf in rows:
                 if len(pdf) == 0:
                     continue
-                g = (
-                    pd.DataFrame({
-                        "b": (pdf["secs"].astype("int64") // HOUR) * HOUR,
-                        "v": pdf["v"].astype("int64"),
-                    })
-                    .groupby("b")["v"].agg(["sum", "count"])
-                )
-                for b, row in g.iterrows():
-                    ent = open_w.setdefault(int(b), [0, 0])
-                    ent[0] += int(row["sum"])
-                    ent[1] += int(row["count"])
+                _merge_trend_batch(open_w, pdf)
 
             wm_s = timerValues.getCurrentWatermarkInMs() // 1000
-            out = []
-            for b in sorted(open_w):
-                if b + HOUR > wm_s:
-                    break
-                s, c = open_w.pop(b)
-                avg = math.floor(s / c + 0.5) / 100.0
-                if not has_last:
-                    trend = "unknown"
-                elif avg > last_avg * rise:
-                    trend = "rising"
-                elif avg < last_avg * fall:
-                    trend = "falling"
-                else:
-                    trend = "stable"
-                start = datetime.fromtimestamp(b, tz=timezone.utc)
-                out.append((etype, start.strftime("%Y-%m-%d %H:%M:%S"), c,
-                            avg, last_avg if has_last else None, trend))
-                last_avg, has_last = avg, True
+            out, last_avg, has_last = _close_trend_windows(
+                open_w, wm_s, etype, last_avg, has_last, rise, fall)
 
             keys = sorted(open_w)
             self._st.update((keys, [open_w[k][0] for k in keys],

@@ -697,3 +697,123 @@ def test_null_ts_events_cross_engine_parity(spark, tmp_path):
                  "scd2_user_state"):
         compare_frames_hashed(qs[name](spark, d), con.sql(osql[name]),
                               context=f"null-ts {name}")
+
+
+def test_streaming_null_ts_edge_corpus_cross_engine_parity(
+        spark, tmp_path):
+    """NULL-ts / all-NULL / NULL-value / malformed-props events through
+    every streaming (sq*) oracle pair, plus data_quality_report,
+    stitch_report and dedup_components_star on edge tables — closing
+    the last un-edge-pinned oracle entries (r10).
+
+    Event-time contract established by this probe: a NULL event
+    timestamp is not placeable on the event-time axis, so
+    events_stream_reader excludes such rows AT INGESTION (one
+    documented filter) — Spark's watermarked window aggregations
+    already dropped them, but the stateful/dedup paths behaved
+    inconsistently: dropDuplicatesWithinWatermark kept them with no
+    evictable state, and the FIRST NULL value reaching
+    applyInPandasWithState CRASHED the whole query on an int64 cast
+    (IntCastingNaNError). The stateful trend operators now mirror the
+    windowed-agg siblings exactly: sum skips NULL values, count
+    includes the rows, an all-NULL window emits a NULL average whose
+    trend falls through the oracle's CASE to 'stable', and the
+    rounding is half-away-from-zero (floor(x+0.5) diverged on negative
+    halves once negative values entered the corpus). Every streaming
+    oracle gained the matching `ts IS NOT NULL` at its event scan;
+    sq7b's replay branch additionally re-stamps NULL-ts rows with a
+    valid event time (no state exists for them, so they flow as new
+    arrivals — exactly what the engine's replay harness does)."""
+    import datetime as _dt
+
+    from asvsp_spark.plans.registry import all_oracle_sql, all_queries
+    from tests.conftest import compare_frames_hashed
+
+    TS = _dt.datetime
+    d = str(tmp_path)
+    rows = [
+        (0, TS(2024, 1, 1, 0, 0, 1), 1, "error", 185.22, '{"k": 1}'),
+        (1, TS(2024, 1, 2, 5, 0, 0), 2, "signup", 10.0, '{"k": 2}'),
+        (2, TS(2024, 1, 2, 6, 0, 0), 3, "signup", 10.0, '{"k": 3}'),
+        (3, TS(2024, 1, 3, 1, 0, 0), 4, "purchase", None, '{"k": 4}'),
+        (4, None, 5, "view", 7.25, '{"k": 5}'),
+        (5, None, None, None, None, None),
+        (6, TS(2024, 2, 29, 0, 0, 0), 6, "view", 2.5, '{"k": 7}'),
+        (7, TS(2024, 1, 2, 5, 30, 0), 2, "purchase", 20.0, '{"k": 8}'),
+        (8, TS(2024, 1, 2, 5, 45, 0), 2, "view", 1.0, 'not json'),
+        (9, TS(2024, 1, 3, 2, 0, 0), 4, "view", 3.0, None),
+        (10, TS(2024, 12, 31, 23, 59, 59, 999999), 7, "error", -5.0,
+         '{"k": 9}'),
+        (11, TS(2024, 1, 2, 5, 0, 0), 2, "signup", 10.0, '{"k": 10}'),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    docs = [
+        (0, "the cat sat on the mat and the cat sat again", "en", "web"),
+        (1, None, "en", "web"),
+        (2, "", "en", "books"),
+        (3, "the cat sat on the mat and the cat sat again", "de", "web"),
+        (4, "one", "en", "books"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+         None, None),
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+        "text": pa.array([r[1] for r in docs], pa.string()),
+        "lang": pa.array([r[2] for r in docs], pa.string()),
+        "source": pa.array([r[3] for r in docs], pa.string()),
+        "n_chars": pa.array([len(r[1]) if r[1] is not None else None
+                             for r in docs], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    TSO = TS
+    ORD = [(1, 1, "O", 100.0, TSO(1995, 1, 1), "1-URGENT"),
+           (2, None, "X", -5.0, None, None),
+           (3, 2, "F", 2e7, TSO(1996, 1, 1), "5-LOW")]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([r[0] for r in ORD], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in ORD], pa.int64()),
+        "o_orderstatus": pa.array([r[2] for r in ORD]),
+        "o_totalprice": pa.array([r[3] for r in ORD], pa.float64()),
+        "o_orderdate": pa.array([r[4] for r in ORD], pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[5] for r in ORD]),
+    }), os.path.join(d, "orders.parquet"))
+    LI = [(1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", TSO(1995, 1, 2)),
+          (999, 1, 1, 1, None, None, None, None, None, None, None),
+          (3, 1, 1, 1, 1.0, 50.0, 1.5, 0.0, "Z", "O", TSO(1996, 1, 2))]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in LI], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in LI], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in LI], pa.int64()),
+        "l_linenumber": pa.array([r[3] for r in LI], pa.int32()),
+        "l_quantity": pa.array([r[4] for r in LI], pa.float64()),
+        "l_extendedprice": pa.array([r[5] for r in LI], pa.float64()),
+        "l_discount": pa.array([r[6] for r in LI], pa.float64()),
+        "l_tax": pa.array([r[7] for r in LI], pa.float64()),
+        "l_returnflag": pa.array([r[8] for r in LI]),
+        "l_linestatus": pa.array([r[9] for r in LI]),
+        "l_shipdate": pa.array([r[10] for r in LI], pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, None], pa.int64()),
+        "c_name": pa.array(["A", None, "C"]),
+        "c_nationkey": pa.array([0, None, 1], pa.int32()),
+        "c_acctbal": pa.array([1.0, None, -2.0], pa.float64()),
+        "c_mktsegment": pa.array(["BUILDING", "BOGUS", None]),
+    }), os.path.join(d, "customer.parquet"))
+    con = _duck_views(d, ("events", "documents", "orders", "lineitem",
+                          "customer"))
+    qs, osql = all_queries(), all_oracle_sql()
+    names = sorted(n for n in qs
+                   if n.startswith("sq") and n in osql)
+    names += ["data_quality_report", "stitch_report",
+              "dedup_components_star"]
+    assert len([n for n in names if n.startswith("sq")]) >= 19
+    for name in names:
+        compare_frames_hashed(qs[name](spark, d), con.sql(osql[name]),
+                              context=f"stream-null-ts {name}")
