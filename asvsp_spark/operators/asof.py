@@ -47,8 +47,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     # otherwise make it "the match" for left rows that precede every
     # real right row) — drop both from the match index. Left rows keep
     # left-join semantics: they surface with an all-NULL payload.
+    # Filter on the CASTED timestamp: a string right_ts whose value
+    # fails the cast would pass a raw isNotNull and resurrect the
+    # phantom match (r10 review).
     right = (right.filter(F.col(on).isNotNull())
-             .filter(F.col(right_ts).isNotNull()))
+             .filter(F.col(right_ts).cast("timestamp").isNotNull()))
     r_tagged = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).cast("timestamp").alias("_t"),

@@ -75,9 +75,13 @@ def scd2_intervals(events: DataFrame, key_col: str, state_col: str,
     only (merge_upsert applies the result).
     """
     from pyspark.sql import Window
-    order = [F.col(ts_col)]
+    # NULLS LAST: an unknown-time state change sorts after every dated
+    # one, matching the DuckDB oracle / Spark-SQL twin (Spark's bare ASC
+    # default is NULLS FIRST — the r10 review caught this three-way
+    # divergence on NULL-ts events)
+    order = [F.asc_nulls_last(ts_col)]
     if tiebreak_col:
-        order.append(F.col(tiebreak_col))
+        order.append(F.asc_nulls_last(tiebreak_col))
     w = Window.partitionBy(key_col).orderBy(*order)
     runs = (
         events

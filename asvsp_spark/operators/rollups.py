@@ -111,8 +111,9 @@ def monthly_rollup(daily: DataFrame,
         monthly
         .withColumn("prev_month_avg", F.lag("monthly_avg").over(w_mom))
         .withColumn("mom_pct_change",
-                    round_fixed((F.col("monthly_avg") - F.col("prev_month_avg"))
-                                / F.col("prev_month_avg") * 100.0, 2))
+                    round_fixed(F.try_divide(
+                        F.col("monthly_avg") - F.col("prev_month_avg"),
+                        F.col("prev_month_avg")) * 100.0, 2))
         .withColumn("same_month_prev_year_avg", F.lag("monthly_avg").over(w_yoy))
         .withColumn("yoy_month_change",
                     round_fixed(F.col("monthly_avg") - F.col("same_month_prev_year_avg"), 4))
@@ -169,8 +170,9 @@ def annual_nation_rollup(yearly_revenue: DataFrame) -> DataFrame:
         yearly_revenue
         .withColumn("prev_year_revenue", F.lag("revenue").over(w_lag))
         .withColumn("yoy_pct_change",
-                    round_fixed((F.col("revenue") - F.col("prev_year_revenue"))
-                                / F.col("prev_year_revenue") * 100.0, 2))
+                    round_fixed(F.try_divide(
+                        F.col("revenue") - F.col("prev_year_revenue"),
+                        F.col("prev_year_revenue")) * 100.0, 2))
         .withColumn("cumulative_revenue",
                     F.sum("revenue_cents").over(w_cum) / 100.0)
         .select("nation", "yr", "revenue", "prev_year_revenue",

@@ -106,7 +106,7 @@ def q13_supplier_margin_topk(lineitem: DataFrame, supplier: DataFrame,
         .groupBy("l_suppkey")
         .agg(F.sum("disc_e4").alias("rev_e4"),
              F.count(F.lit(1)).alias("n_lines"))
-        .orderBy(F.desc("rev_e4"), F.asc("l_suppkey"))
+        .orderBy(F.desc("rev_e4"), F.asc_nulls_last("l_suppkey"))
         .limit(top_k)
     )
     named = (
@@ -115,7 +115,7 @@ def q13_supplier_margin_topk(lineitem: DataFrame, supplier: DataFrame,
         .join(F.broadcast(nation),
               supplier.s_nationkey == nation.n_nationkey)
     )
-    w = Window.orderBy(F.desc("rev_e4"), F.asc("l_suppkey"))
+    w = Window.orderBy(F.desc("rev_e4"), F.asc_nulls_last("l_suppkey"))
     return (
         named.withColumn("rk", F.row_number().over(w))
         .select("rk", F.col("l_suppkey").alias("suppkey"),

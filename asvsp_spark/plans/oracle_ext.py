@@ -69,7 +69,11 @@ GROUP BY 1, 2, 3
 ORACLE_EXT["snapshot_diff_orders"] = """
 WITH o AS (
     SELECT o_orderkey % 13 = 0 AS removed_,
-           o_orderkey % 5 = 0 AS changed_,
+           -- the synthetic snapshot bumps o_totalprice by 1.0 on %5
+           -- keys, but NULL + 1.0 is still NULL: a NULL-price key's
+           -- value genuinely does not change, and the engine's
+           -- null-safe comparison correctly reports it unchanged
+           o_orderkey % 5 = 0 AND o_totalprice IS NOT NULL AS changed_,
            o_orderkey % 17 = 0 AS added_src
     FROM orders
 )

@@ -136,8 +136,9 @@ def q04_mom_pct_change(orders: DataFrame, customer: DataFrame, nation: DataFrame
         .withColumn("prev_month_revenue", F.lag("revenue").over(w))
         .withColumn(
             "mom_pct_change",
-            round_fixed((F.col("revenue") - F.col("prev_month_revenue"))
-                        / F.col("prev_month_revenue") * 100.0, MONEY_SCALE))
+            round_fixed(F.try_divide(
+                F.col("revenue") - F.col("prev_month_revenue"),
+                F.col("prev_month_revenue")) * 100.0, MONEY_SCALE))
         .select("nation", "yr", "mon", "revenue", "prev_month_revenue", "mom_pct_change")
     )
 
@@ -254,8 +255,9 @@ def q08_period_compare(orders: DataFrame, customer: DataFrame, nation: DataFrame
         # sort-merge shuffle Catalyst's static size estimate would pick
         base.join(F.broadcast(comp), "nation", "inner")
         .withColumn("pct_change",
-                    round_fixed((F.col("comp_revenue") - F.col("base_revenue"))
-                                / F.col("base_revenue") * 100.0, MONEY_SCALE))
+                    round_fixed(F.try_divide(
+                        F.col("comp_revenue") - F.col("base_revenue"),
+                        F.col("base_revenue")) * 100.0, MONEY_SCALE))
         .withColumn("drop_rank", F.rank().over(w))
         .filter(F.col("drop_rank") <= 15)
         .select("nation", "base_revenue", "comp_revenue", "pct_change", "drop_rank")
@@ -280,7 +282,8 @@ def q09_weekend_effect(orders: DataFrame) -> DataFrame:
                     F.count(F.when(~F.col("is_weekend"), F.col("revenue_cents"))))
         .alias("weekday_avg"),
     ).withColumn("weekend_ratio",
-                 round_fixed(F.col("weekend_avg") / F.col("weekday_avg"), RATE_SCALE))
+                 round_fixed(F.try_divide(F.col("weekend_avg"),
+                                          F.col("weekday_avg")), RATE_SCALE))
     w_low = Window.orderBy(F.asc_nulls_last("weekend_ratio"), F.asc_nulls_last("prio"))
     w_high = Window.orderBy(F.desc("weekend_ratio"), F.asc_nulls_last("prio"))
     return (

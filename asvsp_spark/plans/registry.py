@@ -1292,7 +1292,8 @@ def _nation_revenue_distribution(spark, sf):
            .groupBy(F.col("n_name").alias("nation"))
            .agg(F.sum(money_cents(F.col("o_totalprice")))
                 .alias("revenue_cents")))
-    w = Window.orderBy(F.asc("revenue_cents"), F.asc("nation"))
+    w = Window.orderBy(F.asc_nulls_last("revenue_cents"),
+                       F.asc_nulls_last("nation"))
     return rev.select(
         "nation",
         cents_to_dollars(F.col("revenue_cents")).alias("revenue"),

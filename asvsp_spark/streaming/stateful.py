@@ -29,9 +29,13 @@ Scale notes:
   window aggs, so an Arrow-batched stateful pandas function is the
   idiomatic escape hatch.
 
-Rounding parity: averages are rounded half-up in integer centi space
-(values are non-negative in this engine), mirroring rollups.centi_avg /
-DuckDB round() so the oracle hash-compares exactly.
+Rounding parity: averages are rounded half-AWAY-FROM-ZERO in integer
+centi space, mirroring Spark F.round / DuckDB round() so the oracle
+hash-compares exactly — floor(x+0.5) diverges on negative halves, and
+values CAN be negative. NULL values count toward n_events but not the
+sum (count(*) / sum-skips-NULL, like the windowed-agg siblings); an
+all-NULL window emits a NULL average. See _merge_trend_batch /
+_close_trend_windows.
 """
 
 from __future__ import annotations

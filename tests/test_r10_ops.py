@@ -427,11 +427,7 @@ def test_relevance_sampling_edge_corpus_cross_engine_parity(
                               pa.list_(pa.float32())),
         "label": pa.array([r[2] for r in emb], pa.int32()),
     }), os.path.join(d, "embeddings.parquet"))
-    con = duckdb.connect()
-    for t in ("documents", "embeddings"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan("
-            f"'{os.path.join(d, t + '.parquet')}')")
+    con = _duck_views(d, ("documents", "embeddings"))
     qs, osql = all_queries(), all_oracle_sql()
     for name in ("text_quality", "token_length_histogram",
                  "top_terms_per_lang", "top_bigrams", "tfidf_top_terms",
@@ -511,15 +507,19 @@ def test_tpch_edge_corpus_cross_engine_parity(spark, tmp_path):
         "n_regionkey": pa.array([0, 1, 1, 0, 99, 3], pa.int32()),
     })
     write("customer", {
-        "c_custkey": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        "c_custkey": pa.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+                              pa.int64()),
         "c_name": pa.array(["Alice", "Bob", "Carol", "Dave", "Eve",
-                            "NoOrders", "Alice", "Heidi"]),
-        "c_nationkey": pa.array([0, 1, 2, None, 0, 1, 0, 4], pa.int32()),
+                            "NoOrders", "Alice", "Heidi", "Nullia",
+                            "Quinn"]),
+        "c_nationkey": pa.array([0, 1, 2, None, 0, 1, 0, 4, 3, 5],
+                                pa.int32()),
         "c_acctbal": pa.array([100.0, -50.25, None, 10.0, 0.0, 5.0,
-                               100.0, 3.0], pa.float64()),
+                               100.0, 3.0, 7.0, 9.0], pa.float64()),
         "c_mktsegment": pa.array(["BUILDING", "AUTOMOBILE", "MACHINERY",
                                   "BUILDING", None, "FURNITURE",
-                                  "BUILDING", "HOUSEHOLD"]),
+                                  "BUILDING", "HOUSEHOLD", "BUILDING",
+                                  "MACHINERY"]),
     })
     write("supplier", {
         "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
@@ -559,6 +559,13 @@ def test_tpch_edge_corpus_cross_engine_parity(spark, tmp_path):
         (95, 42, "O", 777.0, TS(2000, 1, 1), "5-LOW"),
         (65, 5, "O", 888.0, TS(2000, 6, 6), "1-URGENT"),
         (85, 2, "O", 999.0, TS(1998, 8, 8), "2-HIGH"),
+        # r10 review additions: an order for the NULL-named nation's
+        # customer (NULL nation key flows into every nation grouping)
+        # and a QUIETLAND order with NULL totalprice (a nation whose
+        # revenue aggregates to NULL — exercises the NULLS LAST rank
+        # in nation_revenue_distribution)
+        (18, 9, "O", 600.0, TS(1997, 5, 5), "2-HIGH"),
+        (20, 10, "O", None, TS(1998, 2, 2), "3-MEDIUM"),
     ]
     write("orders", {
         "o_orderkey": pa.array([r[0] for r in ORD], pa.int64()),
@@ -595,6 +602,11 @@ def test_tpch_edge_corpus_cross_engine_parity(spark, tmp_path):
         (9, 2, 2, 2, 1.0, 15.0, 0.0, 0.0, "N", "O", TS(2004, 1, 1)),
         (999, 1, 1, 1, 1.0, 25.0, 0.0, 0.0, "N", "O", TS(1997, 1, 1)),
         (8, 3, 1, 1, 1.0, 5.0, 0.0, 0.0, "R", "O", TS(2001, 2, 1)),
+        # NULL l_suppkey: a NULL supplier group at the q13 top-k
+        # boundary must cut/rank identically in both engines
+        (18, 1, None, 1, 1.0, 600.0, 0.0, 0.0, "N", "O",
+         TS(1997, 5, 10)),
+        (20, 2, 2, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", TS(1998, 2, 5)),
     ]
     write("lineitem", {
         "l_orderkey": pa.array([r[0] for r in LI], pa.int64()),
@@ -673,6 +685,11 @@ def test_null_ts_events_cross_engine_parity(spark, tmp_path):
         (4, None, 5, "view", 7.25, '{"k": 5}'),
         (5, None, None, None, None, None),
         (6, TS(2024, 2, 29, 0, 0, 0), 6, "view", 2.5, '{"k": 7}'),
+        # NULL-ts event for a user who ALSO has real events: scd2's
+        # interval ordering must place it NULLS LAST in both engines
+        # (r10 review: the first corpus only gave NULL-ts rows to
+        # userless/otherwise-eventless rows, so the path was unpinned)
+        (7, None, 1, "signup", 2.0, '{"k": 8}'),
     ]
     d = str(tmp_path)
     pq.write_table(pa.table({
