@@ -640,6 +640,17 @@ def test_tpch_edge_corpus_cross_engine_parity(spark, tmp_path):
         "value": pa.array([r[4] for r in EV], pa.float64()),
         "props": pa.array([r[5] for r in EV]),
     })
+    docs = [(0, "the cat sat on the mat", "en", "web"),
+            (1, None, "en", None), (2, "", None, "books"),
+            (3, "alpha beta gamma delta", "de", "web")]
+    write("documents", {
+        "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+        "text": pa.array([r[1] for r in docs], pa.string()),
+        "lang": pa.array([r[2] for r in docs], pa.string()),
+        "source": pa.array([r[3] for r in docs], pa.string()),
+        "n_chars": pa.array([len(r[1]) if r[1] is not None else None
+                             for r in docs], pa.int64()),
+    })
     con = _duck_views(d, ("region", "nation", "customer", "supplier",
                           "part", "orders", "lineitem", "events"))
     qs, osql = all_queries(), all_oracle_sql()
@@ -660,6 +671,23 @@ def test_tpch_edge_corpus_cross_engine_parity(spark, tmp_path):
                  "skew_join_salted", "sq11_late_audit"):
         compare_frames_hashed(qs[name](spark, d), con.sql(osql[name]),
                               context=f"tpch-edge {name}")
+    # three-way coherence: every Spark-SQL twin (built from the SAME
+    # oracle strings via the dialect shims, NULLS LAST included) must
+    # agree with its DataFrame builder on this corpus too -- the twins
+    # had only ever been compared on NULL-free fixtures (r10 review)
+    import collections
+
+    from asvsp_spark.plans.sql_queries import (EXT_NAMES, Q_NAMES,
+                                               run_sql_variant)
+    for name in Q_NAMES + EXT_NAMES:
+        a, b = qs[name](spark, d), run_sql_variant(spark, d, name)
+        cols = sorted(a.columns)
+        assert cols == sorted(b.columns), name
+        ra = collections.Counter(
+            tuple(str(r[c]) for c in cols) for r in a.collect())
+        rb = collections.Counter(
+            tuple(str(r[c]) for c in cols) for r in b.collect())
+        assert ra == rb, f"sql-twin {name}"
 
 
 def test_null_ts_events_cross_engine_parity(spark, tmp_path):
