@@ -247,7 +247,26 @@ WITH d AS (
            CASE WHEN json_valid(props)
                 THEN CAST(json_extract(props, '$.retry') AS BIGINT)
            END AS retry,
-           json_valid(props) AS ok
+           -- schema_of_variant mirror for the props CONTRACT (flat
+           -- objects with integer-or-null members): keys ASCII-sorted,
+           -- json-null -> VOID, integer -> BIGINT. A key listed by
+           -- json_keys whose extract is NULL IS a json null (presence
+           -- is established) — the two-arg json_type form returns SQL
+           -- NULL inside list_transform (DuckDB lambda-correlation
+           -- trap), so the IS NULL route is the reliable one; the
+           -- COALESCE closes array_to_string-on-[]-is-NULL (trap #8)
+           -- for '{}'. Nested/typed payloads are outside the schema
+           -- pin's charter (the engine handles them; the corpus
+           -- contract never emits them).
+           CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
+                THEN 'OBJECT<' || COALESCE(array_to_string(
+                     list_transform(list_sort(json_keys(props)),
+                         k -> k || ': ' ||
+                              CASE WHEN json_extract(props, '$.' || k)
+                                        IS NULL
+                                   THEN 'VOID' ELSE 'BIGINT' END),
+                     ', '), '') || '>'
+           END AS sch
     FROM events
 )
 SELECT etype,
@@ -257,7 +276,7 @@ SELECT etype,
        count(CASE WHEN k != 0 THEN 1 END) AS k_nonzero,
        count(*) - count(retry) AS n_missing_retry,
        count(DISTINCT user_id) AS n_users,
-       max(CASE WHEN ok THEN 'OBJECT<k: BIGINT>' END) AS props_schema
+       max(sch) AS props_schema
 FROM d GROUP BY etype
 """
 
@@ -986,13 +1005,21 @@ ORACLE_EXT["scd2_user_state"] = """
 WITH ordered AS (
     SELECT user_id, event_type, ts, event_id,
            lag(event_type) OVER (PARTITION BY user_id
-                                 ORDER BY ts NULLS LAST, event_id NULLS LAST) AS prev_state
+                                 ORDER BY ts NULLS LAST, event_id NULLS LAST) AS prev_state,
+           -- lag of a constant is NULL only on the FIRST row: it
+           -- distinguishes "no previous event" from "previous state
+           -- was NULL", exactly like the engine's _has_prev column —
+           -- the bare prev_state IS NULL test split consecutive
+           -- NULL-state events into separate runs where the engine's
+           -- null-safe comparison collapses them (r10 events fuzzer)
+           lag(1) OVER (PARTITION BY user_id
+                        ORDER BY ts NULLS LAST, event_id NULLS LAST) AS has_prev
     FROM events
 ),
 runs AS (
     SELECT user_id, event_type AS state, ts AS valid_from, event_id
     FROM ordered
-    WHERE prev_state IS NULL OR event_type <> prev_state
+    WHERE has_prev IS NULL OR event_type IS DISTINCT FROM prev_state
 ),
 closed AS (
     SELECT user_id, state, valid_from,

@@ -23,6 +23,7 @@ strings so the suite re-proves the fix every run.
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 import tempfile
@@ -213,3 +214,77 @@ def test_tokens_and_fingerprint_cross_engine_adversarial(spark, texts):
             [text, text]).fetchone()
         assert got[i][0] == list(toks), text
         assert got[i][1] == fp, text
+
+
+# ---- events-corpus fuzz: randomized NULL-bearing event tables ----
+# The r10 edge-corpus pins freeze six crafted corpora; this property
+# keeps GENERATING new ones. Fields are independently nullable, values
+# come from a fixed decimal-safe pool (the centi-rounding contract
+# covers them; free-form floats would fuzz IEEE formatting, not engine
+# semantics), timestamps include leap-day and year-end-microsecond
+# boundaries plus NULL (the r10 NULL-event-time contract), and props
+# mixes valid / malformed / NULL JSON.
+
+_EVT_TS = st.one_of(
+    st.none(),
+    st.sampled_from([
+        datetime.datetime(2024, 2, 29, 0, 0, 0),
+        datetime.datetime(2024, 12, 31, 23, 59, 59, 999999),
+        datetime.datetime(2024, 1, 1, 0, 0, 0),
+    ]),
+    st.integers(0, 365 * 24 * 3600 - 1).map(
+        lambda s: datetime.datetime(2024, 1, 1) +
+        datetime.timedelta(seconds=s)),
+)
+_EVT_ROW = st.tuples(
+    _EVT_TS,
+    st.one_of(st.none(), st.integers(0, 4)),                 # user_id
+    st.one_of(st.none(), st.sampled_from(
+        ["click", "view", "error", "signup", "purchase", "weird"])),
+    st.one_of(st.none(), st.sampled_from(
+        [0.0, -0.005, 0.005, 185.22, -5.5, 1e7, -1e7, 50.0,
+         49.995, 123.456])),                                  # value
+    st.one_of(st.none(), st.sampled_from(
+        ['{"k": 1}', '{"k": 7}', '{"k": null}', "{}", "not json",
+         '{"k": 1, "retry": 2}'])),                           # props
+)
+
+EVENT_ENTRIES = ("rollup_daily_events", "rollup_monthly_events",
+                 "baselines_events", "distinct_users_daily",
+                 "user_day_bookends", "sessionize_users",
+                 "heavy_hitters_users", "key_skew_report",
+                 "pivot_daily_type", "unpivot_daily_type",
+                 "distribution_drift_daily", "variant_props_decode",
+                 "scd2_user_state", "sketch_value_percentiles")
+
+
+@given(rows=st.lists(_EVT_ROW, min_size=1, max_size=10))
+@SET_HEAVY
+def test_events_entries_cross_engine_on_fuzzed_corpora(spark, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from asvsp_spark.plans.registry import all_oracle_sql, all_queries
+
+    d = tempfile.mkdtemp(prefix="evtprop-")
+    con = duckdb.connect()
+    try:
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array([r[4] for r in rows], pa.string()),
+        }), os.path.join(d, "events.parquet"))
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM parquet_scan("
+            f"'{os.path.join(d, 'events.parquet')}')")
+        qs, osql = all_queries(), all_oracle_sql()
+        for name in EVENT_ENTRIES:
+            compare_frames_hashed(
+                qs[name](spark, d), con.sql(osql[name]),
+                context=f"{name} on {rows!r}")
+    finally:
+        con.close()
+        shutil.rmtree(d, ignore_errors=True)
