@@ -826,7 +826,14 @@ FROM rev
 
 # Ordering key = zero-padded (epoch_us, event_id) string -> tie-free;
 # epoch_us(CAST(ts AS TIMESTAMP)) truncates nanos to the same micros
-# Spark sees (dialect note at module top).
+# Spark sees (dialect note at module top). first_type struct-wraps the
+# arg: DuckDB's plain arg_min SKIPS rows whose arg is NULL (returning
+# the next type up the ordering) where Spark's min_by returns the NULL
+# event_type of the true first row — the r10 events fuzzer caught the
+# divergence on a NULL-type first event. The one-field struct is never
+# NULL itself, so no row is skipped; .v unwraps after the aggregate.
+# (The twin port shims this form back to plain min_by, whose NULL-arg
+# semantics are already Spark's.)
 ORACLE_EXT["user_day_bookends"] = """
 WITH ev AS (
     SELECT user_id, event_id, event_type,
@@ -838,7 +845,7 @@ WITH ev AS (
 SELECT user_id, day,
        arg_min(event_id, ord) AS first_event_id,
        arg_max(event_id, ord) AS last_event_id,
-       arg_min(event_type, ord) AS first_type,
+       arg_min({'v': event_type}, ord).v AS first_type,
        count(*) AS n_events
 FROM ev GROUP BY 1, 2
 """

@@ -64,7 +64,12 @@ _DIALECT_SHIMS = (
     # DuckDB date_diff('day', start, end) == Spark datediff(end, start)
     ("date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))",
      "datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))"),
-    # DuckDB arg_min/arg_max == Spark min_by/max_by; epoch_us == unix_micros
+    # DuckDB arg_min/arg_max == Spark min_by/max_by; epoch_us == unix_micros.
+    # The struct-wrapped form exists only to stop DuckDB's arg_min from
+    # skipping NULL args (oracle_ext user_day_bookends); Spark's min_by
+    # already keeps them, so the port is plain min_by. Must precede the
+    # generic rewrite (shims apply in order).
+    ("arg_min({'v': event_type}, ord).v", "min_by(event_type, ord)"),
     ("arg_min(", "min_by("),
     ("arg_max(", "max_by("),
     ("epoch_us(", "unix_micros("),

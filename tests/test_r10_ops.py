@@ -196,6 +196,57 @@ def test_events_edge_corpus_cross_engine_parity(spark, tmp_path):
                               context=f"events-edge {name}")
 
 
+def test_events_null_ts_corpus_cross_engine_parity(spark, tmp_path):
+    """NULL event_time rows through the 14 batch events oracle pairs
+    (the r10 events fuzzer's falsifying corpus, promoted to a pin).
+    The fuzzer caught: DuckDB's plain arg_min/arg_max SKIP rows whose
+    arg is NULL, so on a (user, day) group whose first-by-ord event
+    has NULL event_type the bookends oracle returned the NEXT type up
+    the ordering where Spark's min_by returns the true first row's
+    NULL — fixed by struct-wrapping the arg (oracle_ext). The corpus
+    also pins the all-NULL-ord group (every engine pair must agree on
+    NULL bookends there) and NULL-ts rows sharing a user with real
+    ones."""
+    from tests.conftest import compare_frames_hashed
+
+    from asvsp_spark.plans.registry import all_oracle_sql, all_queries
+
+    TS = datetime.datetime
+    rows = (
+        [(None, None, None, None, None)] * 2
+        # first-by-ord row of (NULL user, 2024-01-01) has NULL type …
+        + [(TS(2024, 1, 1, 0, 0), None, None, None, None)]
+        + [(None, None, None, None, None)] * 6
+        # … and the later row has a real one the oracle must NOT pick
+        + [(TS(2024, 1, 1, 10, 54, 16), None, "click", None, None)]
+        # NULL-ts rows sharing a user with real events
+        + [(None, 3, "view", 1.5, '{"k": 1}'),
+           (TS(2024, 1, 2, 1, 0), 3, None, None, "not json"),
+           (TS(2024, 1, 2, 2, 0), 3, "view", 2.5, None)])
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array([r[4] for r in rows], pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM parquet_scan("
+                f"'{os.path.join(d, 'events.parquet')}')")
+    qs, osql = all_queries(), all_oracle_sql()
+    for name in ("rollup_daily_events", "rollup_monthly_events",
+                 "baselines_events", "distinct_users_daily",
+                 "user_day_bookends", "sessionize_users",
+                 "heavy_hitters_users", "key_skew_report",
+                 "pivot_daily_type", "unpivot_daily_type",
+                 "distribution_drift_daily", "variant_props_decode",
+                 "scd2_user_state", "sketch_value_percentiles"):
+        compare_frames_hashed(qs[name](spark, d), con.sql(osql[name]),
+                              context=f"events-null-ts {name}")
+
+
 def test_edge_vectors_cross_engine_parity(spark, tmp_path):
     """Edge vectors through the embedding/ANN oracle pairs (r10 probe,
     promoted to a pin): zero vectors, an exact duplicate, and
