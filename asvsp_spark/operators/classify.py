@@ -237,8 +237,27 @@ def nb_quality_scores(docs: DataFrame, text_col: str = "text",
         return all_scores.withColumn("predicted", F.lit(1).cast("int"))
     # cut: k-th smallest labeled score, k = #neg (driver-ok: 1 scalar).
     # The rank sorts only the labeled sample's (int64, id) pairs.
-    lab_scores = all_scores.join(
-        labeled.select(id_col), id_col, "left_semi")
+    # Score the LABELED SLICE directly instead of semi-joining the
+    # corpus-wide scoring frame: the semi-join formulation executed the
+    # full corpus explode+join+agg ONCE HERE (the collect below) and
+    # again when the returned plan runs — at 100 TB that is a second
+    # complete corpus scan spent ranking a bounded training sample
+    # (optimization guide §1.2 "don't compute things you throw away").
+    # The labeled slice is cached and train_cap-bounded; per-doc scores
+    # are identical to the corpus frame's rows for those ids (same
+    # text, same broadcast weights), so `cut` is unchanged — pinned by
+    # the oracle hash and tests/test_classify.py.
+    lab_terms = labeled.select(
+        F.col(id_col),
+        F.explode(_gram_features(F.col(text_col))).alias("term"))
+    lab_scored = (lab_terms.join(F.broadcast(weights), "term")
+                  .groupBy(id_col)
+                  .agg(F.sum("w").alias("_s")))
+    lab_scores = (labeled.select(id_col)
+                  .join(lab_scored, id_col, "left")
+                  .select(id_col,
+                          F.coalesce("_s", F.lit(0)).cast("long")
+                          .alias("score_micro")))
     w_rank = Window.orderBy("score_micro", id_col)
     cut_rows = (lab_scores
                 .withColumn("r", F.row_number().over(w_rank))

@@ -30,6 +30,21 @@ DEFAULT_CONF: dict[str, str] = {
     # parquet reader rejects outright; read as raw nanos longs and convert
     # in tables.load (integer division — nanos exceed double precision).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Joins: let the planner pick shuffled-hash over sort-merge when the
+    # per-partition build side fits (optimization guide §3.1/§9 — SHJ
+    # skips both sort passes; SMJ remains the fallback via AQE's OOM-safe
+    # size conditions), and let AQE convert a planned sort-merge join to
+    # shuffled-hash AT RUNTIME when every post-shuffle partition is under
+    # the advisory size (statistics-independent, so it fires exactly when
+    # the actual shuffle output proves the hash map fits — the estimate-
+    # driven static choice stays conservative). Measured r10: -10-20% on
+    # every join-bearing query family at sf0.1 with plans otherwise
+    # unchanged (OPTIMIZATION_r10.md "Join strategy"); at cluster scale
+    # both knobs only ever swap a sort for an in-memory hash build of an
+    # under-64MB partition.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold":
+        os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", "64m"),
     # Keep partition files readable in one task at test scale; at cluster
     # scale operators should override via SPARK_GRAFT_* env or builder conf.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
