@@ -32,11 +32,40 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     component = min vertex id reachable over undirected edges."""
     a = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = a.unionByName(a.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    # partition the STATIC edge side by the per-round join key (v) ONCE:
+    # every iteration joins sym.v == labels.vertex, so a sym checkpointed
+    # as hash-partitioned-on-v needs no exchange in any round — only the
+    # (narrower, changing) label side moves (guide §2.4: operations keyed
+    # the same way share one exchange). The (u,v) dedup runs WITHIN that
+    # layout for free: HashPartitioning(v) satisfies the aggregate's
+    # (u,v)-clustered requirement (same v ⇒ same partition), so
+    # dropDuplicates adds no second shuffle. The partition count is
+    # pinned to spark.sql.shuffle.partitions (scale-adaptive via conf,
+    # not a local constant) because an explicit count exempts this one
+    # exchange from AQE coalescing, whose UnknownPartitioning would
+    # defeat the reuse. Materialized with persist(), NOT localCheckpoint:
+    # a checkpoint's LogicalRDD drops outputPartitioning (verified
+    # empirically on 4.1.2 — the per-round join re-exchanged the edge
+    # side), while InMemoryRelation keeps it, so every round's join
+    # plans with ZERO exchange over the edge list. Unpersisted after
+    # the loop (labels is independently materialized by then).
+    n_parts = int(edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    sym = (sym.repartition(n_parts, F.col("v"))
+           .dropDuplicates(["u", "v"])
+           .persist())
+    sym.count()
 
-    labels = (sym.select(F.col("u").alias("vertex"))
-              .distinct()
-              .withColumn("label", F.col("vertex")))
+    # seed labels with the FIRST propagation round folded into the init
+    # aggregate: label(u) = min(u, min over neighbors v) — one shuffle,
+    # same as the old `.distinct()` init, but a whole join+aggregate
+    # round of the loop happens for free (near-dup graphs converge in
+    # 2-3 rounds, so this is ~a third of the iterations gone at any
+    # scale)
+    labels = (sym.groupBy(F.col("u").alias("vertex"))
+              .agg(F.min("v").alias("_mv"))
+              .select("vertex",
+                      F.least("vertex", "_mv").alias("label")))
 
     for _ in range(max_iter):
         neigh = (
@@ -57,6 +86,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    sym.unpersist()
     return labels.select("vertex", F.col("label").alias("component"))
 
 
@@ -70,9 +100,12 @@ def connected_components_star(edges: DataFrame, src: str = "doc_a",
     where plain label propagation needs diameter rounds (a 10k-vertex
     chain = 10k rounds).
 
-    Round shape: each star step is one groupBy(u).min + one
-    co-partitioned join back on u — two shuffles per step, four per
-    round, independent of diameter. Same fixpoint as
+    Round shape: each star step attaches the per-key min with ONE
+    window aggregate over the star key — one shuffle per step, two per
+    round, independent of diameter (r10: the groupBy(key).min +
+    join-back formulation paid two exchanges of the edge list per step;
+    the window computes the same per-key constant in the single
+    exchange the step fundamentally needs — guide §2.4). Same fixpoint as
     ``connected_components``: every vertex labeled with the min vertex
     id reachable from it (both steps only ever connect vertices to
     smaller reachable ids, and at fixpoint every non-root points
@@ -103,19 +136,23 @@ def connected_components_star(edges: DataFrame, src: str = "doc_a",
                      F.sum(h).alias("h")).collect()[0]
         return (row["n"], row["h"])
 
+    from pyspark.sql import Window
+
     prev_sig = checksum(cur)
     for _ in range(max_iter):
         # LARGE-STAR: at each vertex u, connect all strictly larger
-        # neighbors to m = min(neighbors(u) + {u})
+        # neighbors to m = min(neighbors(u) + {u}). m is a per-u
+        # constant: a window min over the u-partitioning attaches it in
+        # the ONE exchange this step needs (the old groupBy(u).min +
+        # join-back re-shuffled the edge list a second time).
         sym = cur.unionByName(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
-                .select("u", F.least("u", "mv").alias("m")))
-        # no distinct here: small-star's groupBy(v).min is insensitive to
+        # no distinct here: small-star's window min is insensitive to
         # duplicate edges and ss dedups its own output — dropping the
         # mid-round Exchange saves one shuffle per round
         ls = (
-            sym.join(mins, "u")
+            sym.withColumn(
+                "m", F.least("u", F.min("v").over(Window.partitionBy("u"))))
             .filter(F.col("v") > F.col("u"))
             .select(F.least("v", "m").alias("u"),
                     F.greatest("v", "m").alias("v"))
@@ -124,8 +161,8 @@ def connected_components_star(edges: DataFrame, src: str = "doc_a",
         # SMALL-STAR: key each edge by its LARGER endpoint u (neighbors
         # all smaller); connect u and its non-min neighbors to the min
         ss_in = ls  # already canonical (u < v) -> key by v
-        mins2 = ss_in.groupBy("v").agg(F.min("u").alias("m"))
-        joined = ss_in.join(mins2, "v")
+        joined = ss_in.withColumn(
+            "m", F.min("u").over(Window.partitionBy("v")))
         ss = (
             joined.filter(F.col("u") != F.col("m"))
             .select(F.col("u"), F.col("m").alias("vv"))

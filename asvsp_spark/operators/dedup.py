@@ -142,17 +142,34 @@ def jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
 
     The posting list feeds several branches; localCheckpoint
     materializes it once instead of recomputing the window+dedup
-    pipeline per branch."""
-    posting = shingle_posting(documents, n, id_col, text_col) \
-        .localCheckpoint(eager=False)
-    sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    pipeline per branch. The per-doc shingle count rides ON the posting
+    rows (F.size of the pre-explode array — free at build time) instead
+    of a posting-wide groupBy(doc) + two pair-list joins at the end:
+    that removes one full posting shuffle and two shuffles of the pair
+    list for 8 bytes per posting row through the sh self-join
+    (guide §2.3/§2.4; r10)."""
+    # the ARRAY form is what gets checkpointed (minhash_lsh_pairs'
+    # staging rule): size() and explode() must read the MATERIALIZED
+    # column — deriving them straight off the lazy shingled() projection
+    # lets Catalyst collapse the projects and inline the interpreted
+    # n-gram expression once under each consumer (measured 6x slower at
+    # sf0.1, the same trap the shingled() docstring documents)
+    sets = (shingled(documents, n, id_col, text_col)
+            .localCheckpoint(eager=False))
+    posting = sets.select(
+        "doc", F.size("shingles").cast("long").alias("n_sh"),
+        F.explode("shingles").alias("sh"))
     if max_df is not None:
         # <= posting_rows/max_df distinct hot shingles: broadcastable by
-        # construction (each one occurs in > max_df posting rows)
+        # construction (each one occurs in > max_df posting rows).
+        # Checkpointed: THREE consumers below (anti, semi, and their
+        # broadcasts) would otherwise each re-run the posting-wide df
+        # aggregate — no cross-branch CSE in Catalyst (r10).
         hot = (posting.groupBy("sh")
                .agg(F.count(F.lit(1)).alias("df"))
                .filter(F.col("df") > max_df)
-               .select("sh"))
+               .select("sh")
+               .localCheckpoint(eager=False))
         pruned = posting.join(F.broadcast(hot), "sh", "left_anti")
         hot_sets = (posting.join(F.broadcast(hot), "sh", "left_semi")
                     .groupBy("doc")
@@ -165,7 +182,9 @@ def jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_rare"))
+        .agg(F.count(F.lit(1)).alias("n_rare"),
+             F.min(F.col("a.n_sh")).alias("n_a"),
+             F.min(F.col("b.n_sh")).alias("n_b"))
     )
     if hot_sets is not None:
         ha = hot_sets.select(F.col("doc").alias("doc_a"),
@@ -180,15 +199,14 @@ def jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
                     F.col("hot_a").isNotNull() & F.col("hot_b").isNotNull(),
                     F.size(F.array_intersect("hot_a", "hot_b"))
                 ).otherwise(F.lit(0)))
-            .select("doc_a", "doc_b", "n_inter")
+            .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
         )
     else:
         inter = inter.select("doc_a", "doc_b",
-                             F.col("n_rare").alias("n_inter"))
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+                             F.col("n_rare").alias("n_inter"),
+                             "n_a", "n_b")
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
+        inter
         .withColumn("jaccard",
                     F.col("n_inter")
                     / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
@@ -1624,6 +1642,13 @@ def boundary_overlap_pairs(documents: DataFrame, k: int = 3,
         "doc", "head", "tail",
         F.substring(F.md5(F.col("head")), 1, 16).alias("hh"),
         F.substring(F.md5(F.col("tail")), 1, 16).alias("th"))
+    # four consumers below (two df-cap aggregates + both join sides);
+    # without materialization each one re-executes the corpus scan +
+    # tokenize pipeline — FOUR full corpus passes in one plan (no
+    # cross-branch CSE in Catalyst). Checkpointing the narrow
+    # per-doc boundary table (two k-grams + two 16-byte hashes per
+    # doc) makes it ONE corpus pass at any scale (guide §1.2).
+    ends = ends.localCheckpoint(eager=False)
     head_df = (ends.groupBy("hh").agg(F.count(F.lit(1)).alias("n"))
                .filter(F.col("n") <= int(max_df)).select("hh"))
     tail_df = (ends.groupBy("th").agg(F.count(F.lit(1)).alias("n"))
@@ -1765,14 +1790,54 @@ def stitch_documents(documents: DataFrame, k: int = 3, max_df: int = 64,
              .join(uniq_r, "right_id", "left_semi")
              .select("left_id", "right_id")
              .localCheckpoint(eager=True))
-    # chain membership via the existing CC operator; heads = vertices
-    # with no predecessor (drops pure cycles, which have no head)
-    from asvsp_spark.operators.components import connected_components_star
-    # star contraction, NOT min-label propagation: chains are exactly
-    # the adversarial-diameter graphs (a d-doc chain needs d label
-    # rounds but O(log d) star rounds), and star RAISES past max_iter
-    # where min-label would silently split the path into two "chains"
-    comp = connected_components_star(edges, src="left_id", dst="right_id")
+    # chain membership by POINTER DOUBLING on the predecessor map — the
+    # ambiguity semi-joins above guarantee in-degree <= 1 and out-degree
+    # <= 1, so every component is a simple path or a simple cycle, and
+    # the general-graph CC machinery (star contraction: ~4 edge-list
+    # shuffles + a checksum collect per round) is overkill. Doubling
+    # does ONE self-join of the tiny pair-scale pointer table per round
+    # and halves every vertex's distance to its chain head, so it
+    # resolves ALL paths in ceil(log2(longest chain)) rounds — the same
+    # O(log d) bound star contraction has, at a quarter of the per-round
+    # shuffles (guide §1.2 / §2.4; r10 plan diff in plans/r10/). Cycle
+    # members never resolve (no head to reach); they are dropped here,
+    # exactly as the old CC+assemble path dropped them (assemble
+    # returned no row for a headless component).
+    ptr = edges.select(F.col("right_id").alias("vertex"),
+                       F.col("left_id").alias("anc"))
+    verts = (edges.select(F.col("left_id").alias("vertex"))
+             .unionByName(edges.select(F.col("right_id").alias("vertex")))
+             .distinct())
+    # heads have no predecessor row: they are their own chain id
+    heads_self = (verts.join(ptr.select("vertex"), "vertex", "left_anti")
+                  .select("vertex", F.col("vertex").alias("component")))
+    ptr = ptr.withColumn("done", F.lit(False)).localCheckpoint(eager=True)
+    unresolved = ptr.count()
+    # ceil(log2(chain)) rounds; 64 bounds chains past any physical id
+    # space, so exhausting it means a bug upstream, not a deep chain
+    for _ in range(64):
+        if unresolved == 0:
+            break
+        p2 = ptr.select(F.col("vertex").alias("_av"),
+                        F.col("anc").alias("_aa"),
+                        F.col("done").alias("_ad"))
+        ptr = (ptr.join(p2, ptr.anc == p2._av, "left")
+               .select(
+                   "vertex",
+                   F.coalesce("_aa", "anc").alias("anc"),
+                   # resolved when anc has no pointer row (anc IS a
+                   # head) or anc's pointer already reached its head
+                   (F.col("_av").isNull() | F.col("_ad")).alias("done"))
+               ).localCheckpoint(eager=False)
+        still = ptr.filter(~F.col("done")).count()
+        if still == unresolved:
+            break   # only cycles remain: every acyclic vertex strictly
+            # approaches its head each round, so a stalled count means
+            # no path vertices are left unresolved
+        unresolved = still
+    comp = (ptr.filter(F.col("done"))
+            .select("vertex", F.col("anc").alias("component"))
+            .unionByName(heads_self))
     members = (comp.join(
         documents.select(F.col(id_col).alias("vertex"),
                          F.col(text_col).alias("_text")), "vertex"))
