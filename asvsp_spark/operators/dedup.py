@@ -711,19 +711,32 @@ def incremental_exact_dedup(spark, new_docs: DataFrame, store_path: str,
     and at warehouse scale the store would be bucketed by fp
     (sources/bucketing.py) to make this anti-join shuffle-free.
     """
+    # ONE fingerprint pass over the delta: the grouped frame carries a
+    # per-fingerprint occurrence count and is checkpointed, so the
+    # funnel's n_batch (sum of counts) and n_delta (row count) fall out
+    # of one scalar agg over the cached groups instead of two extra
+    # full-delta scans, and the anti-join below reuses the same
+    # materialization rather than re-running the fingerprint shuffle
+    # (guide §1.2 — the un-checkpointed spelling paid THREE delta
+    # fingerprint/scan passes per arriving batch)
     delta = (new_docs
              .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
              .groupBy("fp")
-             .agg(F.min(id_col).alias("keeper_id")))
-    n_batch = new_docs.count()
-    n_delta = delta.count()
+             .agg(F.min(id_col).alias("keeper_id"),
+                  F.count(F.lit(1)).alias("_cnt"))
+             .localCheckpoint(eager=True))
+    drow = delta.agg(F.sum("_cnt").alias("nb"),
+                     F.count(F.lit(1)).alias("nd")).collect()[0]
+    n_batch = int(drow["nb"] or 0)
+    n_delta = int(drow["nd"])
 
     if _store_exists(spark, store_path):
         store_fps = spark.read.parquet(store_path).select("fp")
         fresh_fps = delta.join(store_fps, "fp", "left_anti")
     else:
         fresh_fps = delta
-    fresh_fps = fresh_fps.localCheckpoint(eager=True)
+    # _cnt is funnel-local: the store schema stays (fp, keeper_id)
+    fresh_fps = fresh_fps.drop("_cnt").localCheckpoint(eager=True)
     n_fresh = fresh_fps.count()
 
     fresh_fps.write.mode("append").parquet(store_path)
@@ -1253,12 +1266,6 @@ def incremental_dup_substring(spark, new_docs: DataFrame, store_path: str,
                     F.col("win.h").alias("h")))
     delta_counts = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
                     .localCheckpoint(eager=True))
-    # one single-row agg instead of two count jobs (sum(n) over the
-    # per-hash counts IS the occurrence total)
-    frow = delta_counts.agg(F.sum("n").alias("occ"),
-                            F.count(F.lit(1)).alias("dst")).collect()[0]
-    n_occurrences = int(frow["occ"] or 0)
-    n_distinct = int(frow["dst"])
 
     replayed = False
     store_counts = None
@@ -1292,18 +1299,28 @@ def incremental_dup_substring(spark, new_docs: DataFrame, store_path: str,
 
     if store_counts is not None:
         combined = (delta_counts.join(store_counts, "h", "left")
-                    .select("h", (F.col("n")
-                                  + F.coalesce("n_store", F.lit(0)))
+                    .select("h", "n", (F.col("n")
+                                       + F.coalesce("n_store", F.lit(0)))
                             .alias("total"),
                             F.col("n_store").isNotNull().alias("known")))
     else:
         combined = delta_counts.select(
-            "h", F.col("n").alias("total"), F.lit(False).alias("known"))
+            "h", "n", F.col("n").alias("total"),
+            F.lit(False).alias("known"))
     combined = combined.localCheckpoint(eager=True)
     hot = combined.filter(F.col("total") >= mc)
+    # ONE scalar agg over the checkpointed per-hash frame answers the
+    # whole funnel (occurrence total, distinct, hot, store-known) —
+    # delta_counts' n rides combined so the former separate
+    # sum-over-delta_counts job is folded in (guide §1.2: don't run two
+    # jobs where one pass answers both)
     crow = combined.agg(
+        F.sum("n").alias("occ"),
+        F.count(F.lit(1)).alias("dst"),
         F.sum((F.col("total") >= mc).cast("long")).alias("hot"),
         F.sum(F.col("known").cast("long")).alias("known")).collect()[0]
+    n_occurrences = int(crow["occ"] or 0)
+    n_distinct = int(crow["dst"])
     n_hot = int(crow["hot"] or 0)
     n_known = int(crow["known"] or 0)
 

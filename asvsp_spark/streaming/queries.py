@@ -664,10 +664,15 @@ def sq6b_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     # append_manifest, NOT overwrite_partitions: a day's matches emit in
     # batch 1 but its null-flush arrives in the final watermark batch —
     # partition overwrite would clobber the matches.
+    # files_per_partition=1: without it each of the join's shuffle tasks
+    # writes its own file into every eng_day dir it touches (measured:
+    # 480 files for 40k rows across the two batches); one exchange of
+    # the joined rows per batch keys each day to one file — the same
+    # output-sizing rule as sq6, applied through the manifest sink.
     sunk = drain_to_parquet(
         result.withColumn("eng_day", F.substring("eng_time", 1, 10)),
         spark, partition_by=["eng_day"], output_mode="append",
-        sink="append_manifest")
+        sink="append_manifest", files_per_partition=1)
     return sunk.select(
         "eng_event_id", "user_id", "eng_type", "eng_time",
         "conv_event_id", "conv_type", "lag_micros")

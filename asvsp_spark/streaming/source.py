@@ -520,10 +520,34 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession,
       arrives in the final watermark batch, after day X's matches: the
       overwrite sink would clobber the earlier batch. Only supports
       append mode (a file sink can't retract).
+
+    ``files_per_partition`` bounds the sink's file count for BOTH
+    contracts (optimization guide §6 output sizing). Without it the
+    manifest sink writes one file per upstream task per partition dir it
+    touches — shuffle_partitions x |partition values| files per batch
+    (sq6b measured 480 files for 40k rows) — paying a commit per file
+    now and file-open overhead on every later scan. ``1`` repartitions
+    each batch by the partition columns (one stateless exchange of the
+    already-joined/aggregated rows, never of source state) so each
+    partition value lands in one file; ``n > 1`` adds a deterministic
+    row-hash salt so a hot partition value still spreads over n write
+    tasks — the knob to raise when a single day/key outgrows one task
+    at cluster scale.
     """
     sink_path = path or tempfile.mkdtemp(prefix="asvsp-sink-")
     with _available_now_run(spark, shuffle_partitions,
                             checkpoint_dir) as ckpt:
+        if sink == "append_manifest" and files_per_partition:
+            if files_per_partition == 1 and partition_by:
+                stream_df = stream_df.repartition(
+                    *[F.col(c) for c in partition_by])
+            elif files_per_partition > 1 and partition_by:
+                salt = F.pmod(F.xxhash64(F.struct(*stream_df.columns)),
+                              F.lit(files_per_partition))
+                stream_df = stream_df.repartition(
+                    *[F.col(c) for c in partition_by], salt)
+            else:
+                stream_df = stream_df.repartition(files_per_partition)
         writer = stream_df.writeStream.outputMode(output_mode)
         if sink == "append_manifest":
             if output_mode != "append":

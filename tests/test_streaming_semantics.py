@@ -379,6 +379,52 @@ def test_append_manifest_sink_keeps_rows_across_batches(spark):
     assert 4 not in by_id  # above horizon, held in state
 
 
+def test_manifest_sink_files_per_partition_bounds_file_count(spark):
+    """r10 output-sizing optimization (guide §6): with
+    ``files_per_partition=1`` the append_manifest sink repartitions each
+    micro-batch by the partition columns, so a partition value gets at
+    most ONE file per batch instead of one per upstream shuffle task
+    (sq6b measured 480 files for 40k rows without it). Rows must be
+    bit-identical to the unbounded spelling — the repartition is a
+    stateless exchange of the batch's output rows only."""
+    import glob as g
+
+    from asvsp_spark.streaming.source import drain_to_parquet
+
+    tmp = tempfile.mkdtemp(prefix="fpp-src-")
+    H = 3600 * 10**9
+    D0 = 1704067200 * 10**9
+    rows = [(i, int(D0 + (i % 40) * H), i % 7, "click") for i in range(200)]
+    _write_events_nanos(rows, tmp)
+
+    def run(**kw):
+        from asvsp_spark.streaming.source import events_stream_reader
+        s = (events_stream_reader(spark, tmp)
+             .withWatermark("ts", "2 hours")
+             .withColumn("day", F.to_date("ts").cast("string")))
+        sink = tempfile.mkdtemp(prefix="fpp-sink-")
+        out = drain_to_parquet(s, spark, partition_by=["day"],
+                               path=sink, output_mode="append",
+                               sink="append_manifest", **kw)
+        rows_out = sorted(tuple(r) for r in
+                          out.select("event_id", "day").collect())
+        files = g.glob(f"{sink}/day=*/*.parquet")
+        per_dir: dict = {}
+        for f in files:
+            d = f.rsplit("/", 2)[1]
+            per_dir[d] = per_dir.get(d, 0) + 1
+        return rows_out, per_dir
+
+    rows_free, dirs_free = run()
+    rows_one, dirs_one = run(files_per_partition=1)
+    assert rows_one == rows_free            # identical output rows
+    # single availableNow batch: exactly one file per day with the
+    # bound, >= one (and with >1 shuffle partitions typically more)
+    # without it
+    assert all(n == 1 for n in dirs_one.values())
+    assert set(dirs_one) == set(dirs_free)
+
+
 def test_sq9_emits_complete_days_only(spark):
     """Chained hourly->daily append aggregation: only days whose end
     fell at or before the final watermark (max ts - 2h) emit."""
