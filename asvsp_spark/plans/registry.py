@@ -657,7 +657,10 @@ _REGISTRY["sq16_variant_hourly"] = SQ.sq16_variant_hourly
 # dup_spans + dedup_spans_removed (dup_substring_runs/table stay and
 # dedup_substring_removed is the incoming removal row),
 # gapfill_hourly_values (interp/daily/weekly grains stay),
-# dedup_components (stitch_report drives connected_components_star),
+# dedup_components (dedup_components_star carries CC coverage that
+# round; NB r10 moved stitch_documents off star contraction onto
+# pointer doubling, so dedup_components_star is now the ONLY driver
+# entry exercising connected_components_star),
 # cohort_retention (corpus_datacard keeps the grouping family).
 # Late-r8 additions: pq_rerank_topk and ivfpq_rerank_topk (both
 # rows-only -> hash-paired via the per-subspace application of the same

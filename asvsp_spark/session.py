@@ -30,19 +30,24 @@ DEFAULT_CONF: dict[str, str] = {
     # parquet reader rejects outright; read as raw nanos longs and convert
     # in tables.load (integer division — nanos exceed double precision).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # Joins: let the planner pick shuffled-hash over sort-merge when the
-    # per-partition build side fits (optimization guide §3.1/§9 — SHJ
-    # skips both sort passes; SMJ remains the fallback via AQE's OOM-safe
-    # size conditions), and let AQE convert a planned sort-merge join to
-    # shuffled-hash AT RUNTIME when every post-shuffle partition is under
-    # the advisory size (statistics-independent, so it fires exactly when
-    # the actual shuffle output proves the hash map fits — the estimate-
-    # driven static choice stays conservative). Measured r10: -10-20% on
-    # every join-bearing query family at sf0.1 with plans otherwise
-    # unchanged (OPTIMIZATION_r10.md "Join strategy"); at cluster scale
-    # both knobs only ever swap a sort for an in-memory hash build of an
-    # under-64MB partition.
-    "spark.sql.join.preferSortMergeJoin": "false",
+    # Joins (optimization guide §3.1/§9): two knobs with different risk
+    # profiles. (1) preferSortMergeJoin=false lets the PLANNER pick
+    # shuffled-hash when its size conditions are met — those conditions
+    # are ESTIMATE-driven, so with stale/absent stats a post-filter side
+    # can be mis-sized and an SHJ build cannot spill back to sort-merge:
+    # on a cluster where estimates are unreliable and executors are
+    # memory-tight, set SPARK_GRAFT_PREFER_SMJ=1 to restore the default
+    # and rely solely on knob 2. (2) The AQE
+    # maxShuffledHashJoinLocalMapThreshold converts planned sort-merge
+    # to shuffled-hash AT RUNTIME from ACTUAL post-shuffle partition
+    # sizes — that one only ever swaps a sort for an in-memory hash
+    # build of an under-64MB partition and is the statistics-independent,
+    # OOM-safe half. Measured r10: -10-20% on every join-bearing query
+    # family at sf0.1 with plans otherwise unchanged
+    # (OPTIMIZATION_r10.md "Join strategy").
+    "spark.sql.join.preferSortMergeJoin":
+        "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") == "1"
+        else "false",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold":
         os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", "64m"),
     # Keep partition files readable in one task at test scale; at cluster

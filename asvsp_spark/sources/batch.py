@@ -346,7 +346,10 @@ def foreach_batch_overwrite_partitions(path: str, partition_by: list[str],
         if files_per_partition == 1:
             out = out.repartition(*[F.col(c) for c in partition_by])
         elif files_per_partition and files_per_partition > 1:
-            salt = F.pmod(F.xxhash64(F.struct(*batch_df.columns)),
+            # to_json, not the raw struct: xxhash64 rejects MapType
+            # columns; see streaming/source.py drain_to_parquet for the
+            # determinism + identical-rows caveats (same contract)
+            salt = F.pmod(F.xxhash64(F.to_json(F.struct(*batch_df.columns))),
                           F.lit(files_per_partition))
             out = out.repartition(
                 *[F.col(c) for c in partition_by], salt)

@@ -542,8 +542,17 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession,
                 stream_df = stream_df.repartition(
                     *[F.col(c) for c in partition_by])
             elif files_per_partition > 1 and partition_by:
-                salt = F.pmod(F.xxhash64(F.struct(*stream_df.columns)),
-                              F.lit(files_per_partition))
+                # deterministic row-hash salt (guide §2.5: never rand()
+                # — a retried task must land rows identically). to_json
+                # rather than hashing the raw struct: xxhash64 rejects
+                # MapType columns outright, and every sink schema
+                # json-serializes. Caveat: content-IDENTICAL rows share
+                # a salt by construction — the spread guarantee is over
+                # distinct rows, which is what a near-dup-deduped
+                # pipeline emits.
+                salt = F.pmod(
+                    F.xxhash64(F.to_json(F.struct(*stream_df.columns))),
+                    F.lit(files_per_partition))
                 stream_df = stream_df.repartition(
                     *[F.col(c) for c in partition_by], salt)
             else:
