@@ -344,16 +344,33 @@ def _available_now_run(spark: SparkSession,
     # provider.
     unload_key = "spark.sql.streaming.stateStore.unloadOnCommit"
     prev_unload = spark.conf.get(unload_key, "false")
+    # Spark 4.1 pairs every checkpoint file with an async-written
+    # .checksum file (spark.sql.streaming.checkpoint.fileChecksum.enabled,
+    # default true). For an EPHEMERAL drain the checkpoint is rm -rf'd in
+    # the finally below, so integrity checksums of those files are pure
+    # overhead (one extra file create + close per WAL/commit/state file),
+    # and the checksum manager's per-provider write pool is exactly what
+    # the unloadOnCommit provider close races against — observed once
+    # under heavy host load as CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT
+    # (RejectedExecutionException from the terminated checksum pool) on
+    # sq6b's symmetric-hash-join commit. Disabling it on the one-shot
+    # path removes the race surface with the files. Persistent
+    # checkpoints keep the default: there the checksums guard real
+    # recovery state and unloadOnCommit is never set.
+    cksum_key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    prev_cksum = spark.conf.get(cksum_key, "true")
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="asvsp-ckpt-")
     try:
         if int(prev) > cap:
             spark.conf.set("spark.sql.shuffle.partitions", str(cap))
         if checkpoint_dir is None:
             spark.conf.set(unload_key, "true")
+            spark.conf.set(cksum_key, "false")
         yield ckpt
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set(unload_key, prev_unload)
+        spark.conf.set(cksum_key, prev_cksum)
         if checkpoint_dir is None:
             shutil.rmtree(ckpt, ignore_errors=True)
 

@@ -837,3 +837,56 @@ def test_state_rows_report_measures_bounded_state(spark):
     stateless = events_stream(spark, SF_DIR).select("event_id", "value")
     rep0 = state_rows_report(stateless, spark, output_mode="append")
     assert rep0["max_state_rows"] == 0
+
+
+def test_ephemeral_drain_skips_checkpoint_checksums_and_restores_conf(
+        spark, monkeypatch):
+    """One-shot drains (fresh temp checkpoint, reaped on exit) disable
+    Spark 4.1's checkpoint fileChecksum manager: its paired visible
+    ``<file>.crc`` companions are pure overhead for files we rm -rf
+    seconds later, and its async write pool is the surface the
+    ``unloadOnCommit`` provider close was once observed racing against
+    (CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT under host load). Pins:
+    (a) the reaped ephemeral checkpoint contains NO visible .crc
+    companions; (b) both toggled confs are restored after the drain so
+    persistent-checkpoint paths (which keep checksums: real recovery
+    state) see the session defaults."""
+    import glob
+    import os
+
+    from asvsp_spark.streaming import source as src_mod
+    from asvsp_spark.streaming.source import drain
+
+    cksum_key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    unload_key = "spark.sql.streaming.stateStore.unloadOnCommit"
+    spark.conf.set(cksum_key, "true")
+    spark.conf.set(unload_key, "false")
+
+    seen: list[str] = []
+    real_rmtree = src_mod.shutil.rmtree
+
+    def capturing_rmtree(path, *a, **kw):
+        seen.extend(f for f in glob.glob(str(path) + "/**", recursive=True)
+                    if os.path.isfile(f))
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(src_mod.shutil, "rmtree", capturing_rmtree)
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        path = _write_split(spark, tmpdir, n_files=1)
+        agg = (_stream(spark, path)
+               .groupBy(F.window("ts", "1 hour").alias("window"))
+               .agg(F.count(F.lit(1)).alias("n")))
+        out = drain(agg, spark, output_mode="update")
+        assert out.count() > 0
+
+    # state deltas were written and captured before the reap...
+    assert any(f.endswith(".delta") for f in seen), seen[:20]
+    # ...and none of them carries the checksum manager's companion
+    visible_crc = [f for f in seen
+                   if f.endswith(".crc")
+                   and not os.path.basename(f).startswith(".")]
+    assert visible_crc == [], visible_crc[:20]
+    # session confs restored for persistent/checkpointed paths
+    assert spark.conf.get(cksum_key) == "true"
+    assert spark.conf.get(unload_key) == "false"
