@@ -991,21 +991,31 @@ def dup_spans(documents: DataFrame, window: int = 8, min_docs: int = 2,
             .select("doc", F.col("win.p").alias("p"),
                     F.col("win.h").alias("h")))
     pos = wins.join(hot, "h", "left_semi").select("doc", "p")
-    by_pos = Window.partitionBy("doc").orderBy("p")
-    isl = pos.withColumn(
-        "brk",
-        F.when(F.col("p") - F.lag("p").over(by_pos) <= w, F.lit(0))
-         .otherwise(F.lit(1)))
-    grp = isl.withColumn(
-        "g", F.sum("brk").over(by_pos.rowsBetween(
-            Window.unboundedPreceding, Window.currentRow)))
-    return (grp.groupBy("doc", "g")
-            .agg(F.min("p").alias("mn"), F.max("p").alias("mx"),
-                 F.count(F.lit(1)).alias("nw"))
+    # gaps-and-islands assembled ARRAY-LOCALLY per doc (same shape as
+    # _assemble_runs, gap-w variant): flagged positions gather into one
+    # sorted array per document — the partial-aggregatable collect_list
+    # ships ONE row per flagged doc where the former doc-partitioned
+    # Exchange + Sort + lag/sum Window moved and sorted every position
+    # row (guide §2.4). Island starts/ends fall out of two index-aware
+    # filters (gap to predecessor/successor > w); n_windows is the
+    # index distance. try_element_at keeps the boundary probes NULL
+    # (not an ANSI error) where the i=0 / i=size-1 disjunct decides.
+    spans_expr = F.expr(f"""
+        zip_with(
+          filter(transform(ps, (x, i) -> struct(x AS p, i AS i)),
+                 s -> s.i = 0 OR s.p - try_element_at(ps, s.i) > {w}),
+          filter(transform(ps, (x, i) -> struct(x AS p, i AS i)),
+                 e -> e.i = size(ps) - 1
+                      OR try_element_at(ps, e.i + 2) - e.p > {w}),
+          (s, e) -> struct(s.p AS mn, e.p AS mx, e.i - s.i + 1 AS nw))
+    """)
+    return (pos.groupBy("doc")
+            .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+            .select("doc", F.explode(spans_expr).alias("r"))
             .select(F.col("doc").alias(id_col),
-                    F.col("mn").cast("int").alias("span_start"),
-                    (F.col("mx") + w - 1).cast("int").alias("span_end"),
-                    F.col("nw").cast("int").alias("n_windows")))
+                    F.col("r.mn").cast("int").alias("span_start"),
+                    (F.col("r.mx") + w - 1).cast("int").alias("span_end"),
+                    F.col("r.nw").cast("int").alias("n_windows")))
 
 
 def remove_dup_spans(documents: DataFrame, spans: DataFrame,
@@ -1109,23 +1119,41 @@ def dup_substring_runs(documents: DataFrame, window: int = 8,
 def _assemble_runs(toks: DataFrame, flagged: DataFrame, w: int,
                    id_col: str) -> DataFrame:
     """Flagged (doc, p) positions -> maximal strictly-consecutive runs
-    with full-text fingerprints: gaps-and-islands per doc
-    (p - row_number() keys consecutive stretches), then one broadcast-
-    sized join back to the token arrays to slice each run's text.
+    with full-text fingerprints, assembled ARRAY-LOCALLY per doc: the
+    flagged positions are gathered into one sorted array per document
+    (partial-aggregatable collect_list — each doc's rows sit in one
+    task, so the exchange moves ONE row per flagged doc, not one per
+    position) and the islands fall out of two index-aware filters
+    (run starts = positions whose predecessor is absent, run ends =
+    positions whose successor is absent; positions are unique per doc
+    by construction). This replaces the former doc-partitioned
+    Exchange + Sort + row_number Window + re-aggregate (guide §2.4 —
+    the per-doc window sort was the substring family's floor) with one
+    hash aggregate and per-row array expressions; the join back to the
+    token arrays now carries one array row per doc instead of one row
+    per run. try_element_at keeps the boundary probes NULL (not an
+    ANSI error) where the i=0 / i=size-1 disjunct already decides.
     Shared by the global and incremental substring-dedup paths."""
-    by_pos = Window.partitionBy("doc").orderBy("p")
-    runs = (flagged
-            .withColumn("grp", F.col("p") - F.row_number().over(by_pos))
-            .groupBy("doc", "grp")
-            .agg(F.min("p").alias("p1"), F.max("p").alias("p2")))
-    return (runs.join(toks, "doc")
+    runs_expr = F.expr("""
+        zip_with(
+          filter(ps, (x, i) -> i = 0 OR try_element_at(ps, i) <> x - 1),
+          filter(ps, (x, i) -> i = size(ps) - 1
+                               OR try_element_at(ps, i + 2) <> x + 1),
+          (s, e) -> struct(s AS p1, e AS p2))
+    """)
+    per_doc = (flagged.groupBy("doc")
+               .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+               .select("doc", runs_expr.alias("runs")))
+    return (per_doc.join(toks, "doc")
+            .select("doc", "toks", F.explode("runs").alias("r"))
             .select(F.col("doc").alias(id_col),
-                    F.col("p1").cast("int").alias("span_start"),
-                    (F.col("p2") + w - 1).cast("int").alias("span_end"),
+                    F.col("r.p1").cast("int").alias("span_start"),
+                    (F.col("r.p2") + w - 1).cast("int").alias("span_end"),
                     F.md5(F.expr(
-                        f"concat_ws(' ', slice(toks, p1, p2 - p1 + {w}))"))
+                        f"concat_ws(' ', "
+                        f"slice(toks, r.p1, r.p2 - r.p1 + {w}))"))
                      .alias("fp"),
-                    (F.col("p2") - F.col("p1") + w).cast("int")
+                    (F.col("r.p2") - F.col("r.p1") + w).cast("int")
                      .alias("n_tokens")))
 
 
