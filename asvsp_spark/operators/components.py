@@ -49,45 +49,85 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     # side), while InMemoryRelation keeps it, so every round's join
     # plans with ZERO exchange over the edge list. Unpersisted after
     # the loop (labels is independently materialized by then).
+    # SELF-LOOPS fold the join-back away (r11): with (u, u) present for
+    # every vertex, min(label over sym-neighbors of u) already includes
+    # u's own label, so the round is ONE join + ONE aggregate — the old
+    # labels LEFT JOIN neigh re-attachment (and its third label
+    # exchange) disappears, and each round's plan references the
+    # previous labels exactly ONCE (load-bearing: a twice-referenced
+    # labels makes the un-truncated plan tree double per round — 2^r —
+    # which OOMed the driver on plan strings for a 9-hop chain when
+    # this loop first switched to persist()).
     n_parts = int(edges.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"))
-    sym = (sym.repartition(n_parts, F.col("v"))
+    sym = (sym.unionByName(sym.select(F.col("u").alias("u"),
+                                      F.col("u").alias("v")))
+           .repartition(n_parts, F.col("v"))
            .dropDuplicates(["u", "v"])
            .persist())
     sym.count()
 
-    # seed labels with the FIRST propagation round folded into the init
-    # aggregate: label(u) = min(u, min over neighbors v) — one shuffle,
-    # same as the old `.distinct()` init, but a whole join+aggregate
-    # round of the loop happens for free (near-dup graphs converge in
-    # 2-3 rounds, so this is ~a third of the iterations gone at any
-    # scale)
+    # Labels are materialized with persist(), not localCheckpoint, for
+    # the same reason sym is: InMemoryRelation KEEPS outputPartitioning
+    # (and cached plans are exempt from AQE re-partitioning by default —
+    # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false),
+    # so hash(vertex) from each round's aggregate survives into the
+    # next. With sym hashed on v and labels hashed on vertex at the
+    # same partition count, the propagation join needs no exchange at
+    # all — the round's single exchange is the groupBy(u) aggregate
+    # (guide §2.4: operations keyed the same way share one exchange;
+    # was 3 label-sized exchanges per round under localCheckpoint,
+    # which drops outputPartitioning). The seed (= round 1 folded into
+    # init, self-loops included) is the same aggregate run over sym
+    # directly.
     labels = (sym.groupBy(F.col("u").alias("vertex"))
-              .agg(F.min("v").alias("_mv"))
-              .select("vertex",
-                      F.least("vertex", "_mv").alias("label")))
+              .agg(F.min("v").alias("label"))
+              .persist())
 
-    for _ in range(max_iter):
-        neigh = (
+    def stats(df: DataFrame):
+        # label ids summed as decimal(38,0): exact at any scale (|V| <
+        # 1e18 x |id| < 1e19 stays inside 38 digits), so the monotone
+        # sum is a loss-free convergence signal — labels only ever
+        # DECREASE, hence sum unchanged <=> no label changed, the same
+        # fixpoint test as the old _changed count. The one agg job also
+        # materializes the round's cache.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    prev_sig = stats(labels)
+    for i in range(max_iter):
+        new_labels = (
             sym.join(labels, sym.v == labels.vertex)
             .groupBy(F.col("u").alias("vertex"))
-            .agg(F.min("label").alias("n_min"))
+            .agg(F.min("label").alias("label"))
         )
-        # lazy localCheckpoint: the count() below materializes it, so each
-        # round costs ONE job (eager=True + count was two)
-        updated = (
-            labels.join(neigh, "vertex", "left")
-            .select("vertex",
-                    F.least("label", F.coalesce("n_min", "label"))
-                    .alias("label"),
-                    (F.col("n_min") < F.col("label")).alias("_changed"))
-        ).localCheckpoint(eager=False)
-        changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if changed == 0:
+        # plan depth still grows by one InMemoryRelation per round;
+        # every 8 rounds a localCheckpoint resets it (the NEXT round
+        # then pays one label exchange to restore the partitioning —
+        # near-dup graphs converge long before, adversarial chains are
+        # what the cap is for; star contraction is the right tool there)
+        if (i + 1) % 8 == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        sig = stats(new_labels)
+        labels.unpersist()
+        labels = new_labels
+        if sig == prev_sig:
             break
+        prev_sig = sig
     sym.unpersist()
-    return labels.select("vertex", F.col("label").alias("component"))
+    # pin the fixpoint OUTSIDE the cache before dropping it: the caller
+    # consumes the result after this function returns, and an
+    # unpersisted cache would silently recompute the whole round
+    # lineage. The checkpoint reads straight from the still-warm cache
+    # (one tiny job) and owns its lifetime like the r10 contract did.
+    out = (labels.select("vertex", F.col("label").alias("component"))
+           .localCheckpoint(eager=True))
+    labels.unpersist()
+    return out
 
 
 def connected_components_star(edges: DataFrame, src: str = "doc_a",
