@@ -327,7 +327,17 @@ def _available_now_run(spark: SparkSession,
     resume; persistent checkpoints passed in are left alone). Yields
     the checkpoint path; the caller builds its writer, adds
     ``.option("checkpointLocation", ckpt).trigger(availableNow=True)``
-    and awaits termination inside the block."""
+    and awaits termination inside the block.
+
+    Single-threaded-drain assumption: the conf toggles below are
+    session-level, so drains must not run concurrently from multiple
+    driver threads — a persistent-checkpoint drain started while an
+    ephemeral drain holds the context would snapshot
+    fileChecksum=false at query start and write its durable recovery
+    state without checksums. Every drain in this engine runs
+    sequentially on the driver thread; if concurrent drains ever
+    become a supported pattern, move these to per-writer options or a
+    dedicated session (r10 ADVICE)."""
     cap = shuffle_partitions if shuffle_partitions is not None else int(
         os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
     prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -345,8 +355,9 @@ def _available_now_run(spark: SparkSession,
     unload_key = "spark.sql.streaming.stateStore.unloadOnCommit"
     prev_unload = spark.conf.get(unload_key, "false")
     # Spark 4.1 pairs every checkpoint file with an async-written
-    # .checksum file (spark.sql.streaming.checkpoint.fileChecksum.enabled,
-    # default true). For an EPHEMERAL drain the checkpoint is rm -rf'd in
+    # .crc companion file (spark.sql.streaming.checkpoint.
+    # fileChecksum.enabled, default true). For an EPHEMERAL drain the
+    # checkpoint is rm -rf'd in
     # the finally below, so integrity checksums of those files are pure
     # overhead (one extra file create + close per WAL/commit/state file),
     # and the checksum manager's per-provider write pool is exactly what
@@ -690,7 +701,8 @@ def drain_with_late_audit(stream_df: DataFrame, spark: SparkSession,
                           delay_seconds: int = 7200, ts_col: str = "ts",
                           late_path: str | None = None,
                           ontime_path: str | None = None,
-                          shuffle_partitions: int | None = None
+                          shuffle_partitions: int | None = None,
+                          keep_ontime: bool = True
                           ) -> tuple[DataFrame, DataFrame]:
     """Late-data SIDE OUTPUT — the one §2.8 'Absent' capability Spark has
     no primitive for (Flink's ``sideOutputLateData``): a watermarked
@@ -719,6 +731,12 @@ def drain_with_late_audit(stream_df: DataFrame, spark: SparkSession,
     idempotency under re-runs, point the sinks at batch-id-keyed
     subdirs or swap in foreach_batch_overwrite_partitions; a one-shot
     availableNow drain (fresh checkpoint) needs neither.
+
+    ``keep_ontime=False`` skips the on-time sink entirely (the returned
+    ontime frame is empty): an audit-only caller (sq11's late rollup)
+    otherwise pays a full write of the on-time side — at scale that is
+    ~the whole stream re-encoded to parquet — to feed a frame it drops.
+    Routing (which rows are late) and the watermark clock are unchanged.
     """
     from pyspark.sql import functions as F
 
@@ -727,16 +745,22 @@ def drain_with_late_audit(stream_df: DataFrame, spark: SparkSession,
     state = {"max_us": None}
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.persist()
+        us = F.unix_micros(F.col(ts_col))
+        if state["max_us"] is None:
+            ontime, late = batch_df, None
+        else:
+            wm_us = state["max_us"] - delay_seconds * 1_000_000
+            ontime = batch_df.filter(us >= F.lit(wm_us))
+            late = batch_df.filter(us < F.lit(wm_us))
+        # persist only when >1 action reads the batch (late write /
+        # ontime write / max agg); batch 1 with keep_ontime=False runs
+        # the max agg alone, where a persist is pure overhead
+        n_actions = 1 + (1 if keep_ontime else 0) + (0 if late is None else 1)
+        if n_actions > 1:
+            batch_df.persist()
         try:
-            us = F.unix_micros(F.col(ts_col))
-            if state["max_us"] is None:
-                ontime, late = batch_df, None
-            else:
-                wm_us = state["max_us"] - delay_seconds * 1_000_000
-                ontime = batch_df.filter(us >= F.lit(wm_us))
-                late = batch_df.filter(us < F.lit(wm_us))
-            ontime.write.mode("append").parquet(ontime_dir)
+            if keep_ontime:
+                ontime.write.mode("append").parquet(ontime_dir)
             if late is not None:
                 late.write.mode("append").parquet(late_dir)
             mx = batch_df.agg(F.max(us).alias("mx")).collect()[0]["mx"]
@@ -744,7 +768,8 @@ def drain_with_late_audit(stream_df: DataFrame, spark: SparkSession,
                 state["max_us"] = (mx if state["max_us"] is None
                                    else max(state["max_us"], mx))
         finally:
-            batch_df.unpersist()
+            if n_actions > 1:
+                batch_df.unpersist()
 
     with _available_now_run(spark, shuffle_partitions) as ckpt:
         query = (stream_df.writeStream.outputMode("append")

@@ -866,8 +866,14 @@ def test_ephemeral_drain_skips_checkpoint_checksums_and_restores_conf(
     real_rmtree = src_mod.shutil.rmtree
 
     def capturing_rmtree(path, *a, **kw):
-        seen.extend(f for f in glob.glob(str(path) + "/**", recursive=True)
-                    if os.path.isfile(f))
+        # scope the capture to the ephemeral checkpoint: the patch
+        # intercepts EVERY rmtree during the test (TemporaryDirectory
+        # cleanup, Spark temp reaping), whose files are not what this
+        # test asserts about (r10 ADVICE)
+        if os.path.basename(str(path)).startswith("asvsp-ckpt-"):
+            seen.extend(
+                f for f in glob.glob(str(path) + "/**", recursive=True)
+                if os.path.isfile(f))
         return real_rmtree(path, *a, **kw)
 
     monkeypatch.setattr(src_mod.shutil, "rmtree", capturing_rmtree)
