@@ -97,6 +97,45 @@ _WATCHLIST = {
 }
 
 
+def _cpu_stat() -> tuple[int, int] | None:
+    """(total_jiffies, steal_jiffies) from the aggregate `cpu` line of
+    /proc/stat, or None where unavailable. The sandbox host gets
+    multi-minute hypervisor steal bursts (7-18% of capacity) that
+    inflate wall-clock up to 5-8x; recording steal before/after each
+    pass makes a contention-contaminated run machine-detectable in the
+    artifact instead of argued after the fact (r10 verdict item 1)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if parts[0] != "cpu":
+            return None
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return sum(vals), steal
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_summary(marks: list[tuple[int, int] | None]) -> dict | None:
+    """Per-interval steal percentages from the _cpu_stat() marks taken
+    at pass boundaries. None when /proc/stat was unreadable at any
+    mark (keeps the field honest rather than partially filled)."""
+    if not marks or any(m is None for m in marks) or len(marks) < 2:
+        return None
+    pcts = []
+    for (t0, s0), (t1, s1) in zip(marks, marks[1:]):
+        dt = t1 - t0
+        pcts.append(round(100.0 * (s1 - s0) / dt, 2) if dt > 0 else 0.0)
+    total_d = marks[-1][0] - marks[0][0]
+    steal_d = marks[-1][1] - marks[0][1]
+    return {
+        "pct_per_pass": pcts,
+        "pct_overall": (round(100.0 * steal_d / total_d, 2)
+                        if total_d > 0 else 0.0),
+        "jiffies": steal_d,
+    }
+
+
 def _load_budgets() -> tuple[dict[str, float], float | None]:
     """(per-query budgets, frozen suite-total) parsed from BASELINE.md
     (the single source of truth: r1 medians for the original 50 queries,
@@ -224,6 +263,7 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     parts = int(cpus) if cpus.isdigit() else 32
     samples: dict[str, list[float]] = {name: [] for name in cohort}
+    steal_marks = [_cpu_stat()]
     for _ in range(n_runs):
         for name in sorted(cohort):
             if name in _ARROW_COHORT:
@@ -238,6 +278,7 @@ def main() -> None:
             except Exception as exc:  # a failing query must not hide the rest
                 samples[name].append(-1.0)
                 print(f"# bench error in {name}: {exc}", file=sys.stderr)
+        steal_marks.append(_cpu_stat())
 
     timings = {
         name: (-1.0 if any(t < 0 for t in ts)
@@ -279,6 +320,15 @@ def main() -> None:
             print(f"# bench: solo confirm failed for {n}: {exc}",
                   file=sys.stderr)
 
+    # steal covering the solo-confirm window separately from the passes:
+    # an exonerating solo taken mid-burst would otherwise look clean
+    confirm_steal = None
+    if breaches:
+        m0, m1 = steal_marks[-1], _cpu_stat()
+        if m0 is not None and m1 is not None and m1[0] > m0[0]:
+            confirm_steal = round(100.0 * (m1[1] - m0[1])
+                                  / (m1[0] - m0[0]), 2)
+
     full_suite = cohort_label == "core+tail"
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     vs_suite = (round(total / suite_total, 3)
@@ -292,6 +342,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # r9 protocol fields — see module docstring + BASELINE.md
         "protocol": "r9: arrow-warmup + breach-confirm + cohort cadence",
+        # hypervisor-steal annotation (r11, additive-only): % of host
+        # capacity stolen during each timed pass and overall; >~2%
+        # sustained historically means wall-clock is contaminated
+        "steal": _steal_summary(steal_marks),
+        "steal_pct_confirm": confirm_steal,
         "unknown_cohort_names": unknown_cohort,
         "timed_cohort": cohort_label,
         "n_timed": len(cohort),
