@@ -623,6 +623,7 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     assert {k for _, k in stored} == {1, 2, 11}  # first-seen keepers
 
 
+@pytest.mark.slow  # 30s+: builder certification only (pytest.ini)
 def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     """Continuous near-dedup with signature state only: batch 1
     bootstraps the signature store and collapses its own near-dups;
@@ -655,6 +656,7 @@ def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     assert spark.read.parquet(store).count() == 3  # docs 1, 3, 11
 
 
+@pytest.mark.slow  # 30s+: builder certification only (pytest.ini)
 def test_incremental_minhash_short_docs_pass_through(spark, tmp_path):
     """Docs shorter than the shingle width n produce no MinHash
     signature, so the LSH path can neither drop nor protect them. They
@@ -689,6 +691,7 @@ def test_incremental_minhash_short_docs_pass_through(spark, tmp_path):
     assert stored.filter("sig is null and fp is not null").count() == 3
 
 
+@pytest.mark.slow  # 30s+: builder certification only (pytest.ini)
 def test_incremental_minhash_estimator_boundary(spark, tmp_path):
     """Pins the store-side agreeing-components estimator's decision
     boundary at the 64-hash default: with 1-word shingles the true

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -212,6 +214,7 @@ def test_q10_gaps_and_islands_matches_reference(spark, series):
         min_size=1, max_size=12),
     threshold=st.sampled_from([0.3, 0.7, 0.95]),
 )
+@pytest.mark.slow  # 30s+: builder certification only (pytest.ini)
 @SET
 def test_blocked_cosine_pairs_block_count_invariant(spark, vecs, threshold):
     """cosine_dup_pairs' blocked all-pairs decomposition is an execution
@@ -326,6 +329,7 @@ def test_pack_whole_docs_invariants(spark, sizes, budget, method):
     edge_pairs=st.lists(st.tuples(st.integers(0, 24), st.integers(0, 24)),
                         max_size=15),
 )
+@pytest.mark.slow  # 30s+: builder certification only (pytest.ini)
 @SET
 def test_leakage_split_never_straddles(spark, n_docs, edge_pairs):
     """Random doc sets and edge lists (self-loops, out-of-range ids,
@@ -390,6 +394,7 @@ def test_chunk_documents_reconstruction(spark, n_toks, chunk, overlap):
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
+@pytest.mark.slow  # 30s+: builder certification only (pytest.ini)
 def test_incremental_minhash_decision_matches_estimator(
         spark, tmp_path_factory, n_shared, n_only_a, n_only_b):
     """The store-side drop decision of incremental_minhash_dedup equals

@@ -12,6 +12,8 @@ import datetime
 import os
 
 import duckdb
+
+import pytest
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
@@ -66,6 +68,7 @@ def test_sq15_oracle_keeps_null_text_docs(spark, tmp_path):
     assert total_kept >= n_batch1 + 1  # + sentinel (+ any re-emits)
 
 
+@pytest.mark.slow  # 30s+: builder certification only (pytest.ini)
 def test_null_and_empty_text_cross_engine_parity(spark, tmp_path):
     """NULL-text and empty-text docs through every text-consuming
     oracle pair on one crafted corpus (r10 NULL probe, promoted to a
@@ -122,6 +125,7 @@ def test_null_and_empty_text_cross_engine_parity(spark, tmp_path):
             assert n_rows == len(docs), name
 
 
+@pytest.mark.slow  # 30s+: builder certification only (pytest.ini)
 def test_events_edge_corpus_cross_engine_parity(spark, tmp_path):
     """NULL values / NULL event_type / NULL user_id / malformed and
     NULL JSON props / single-event groups / leap-day and year-end
@@ -247,6 +251,7 @@ def test_events_null_ts_corpus_cross_engine_parity(spark, tmp_path):
                               context=f"events-null-ts {name}")
 
 
+@pytest.mark.slow  # 30s+: builder certification only (pytest.ini)
 def test_edge_vectors_cross_engine_parity(spark, tmp_path):
     """Edge vectors through the embedding/ANN oracle pairs (r10 probe,
     promoted to a pin): zero vectors, an exact duplicate, and
@@ -511,6 +516,7 @@ def _duck_views(tmpdir, tables):
     return con
 
 
+@pytest.mark.slow  # 30s+: builder certification only (pytest.ini)
 def test_tpch_edge_corpus_cross_engine_parity(spark, tmp_path):
     """Crafted relational edge corpus through 29 TPC-H-family oracle
     pairs: orders with no lineitems, orphan lineitems/custkeys, NULL
@@ -795,6 +801,7 @@ def test_null_ts_events_cross_engine_parity(spark, tmp_path):
                               context=f"null-ts {name}")
 
 
+@pytest.mark.slow  # 30s+: builder certification only (pytest.ini)
 def test_streaming_null_ts_edge_corpus_cross_engine_parity(
         spark, tmp_path):
     """NULL-ts / all-NULL / NULL-value / malformed-props events through

@@ -4,6 +4,8 @@ semantics pinned independently of the DuckDB oracle."""
 
 from __future__ import annotations
 
+import pytest
+
 from asvsp_spark.operators.dedup import boundary_overlap_pairs, paragraph_dedup
 
 
@@ -168,6 +170,7 @@ def test_vocab_coverage_tiebreak_word_asc(spark):
     assert out[75] == 2
 
 
+@pytest.mark.slow  # 30s+: builder certification only (pytest.ini)
 def test_jl_project_distortion_and_plan(spark):
     """JL with Rademacher signs: projected cosine/distance structure is
     approximately preserved (loose bound at out_dim=32), the plan has no

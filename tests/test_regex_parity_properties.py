@@ -127,6 +127,7 @@ ENTRIES_DEDUP = ("dedup_exact", "jaccard_pairs", "minhash_lsh_pairs",
                       min_size=2, max_size=5),
        copies=st.lists(st.tuples(st.integers(0, 4), adversarial_text),
                        min_size=0, max_size=4))
+@pytest.mark.slow  # 30s+: builder certification only (pytest.ini)
 @SET_HEAVY
 def test_dedup_entries_cross_engine_on_adversarial_text(
         spark, texts, copies):
@@ -258,6 +259,7 @@ EVENT_ENTRIES = ("rollup_daily_events", "rollup_monthly_events",
                  "scd2_user_state", "sketch_value_percentiles")
 
 
+@pytest.mark.slow  # 30s+: builder certification only (pytest.ini)
 @given(rows=st.lists(_EVT_ROW, min_size=1, max_size=10))
 @SET_HEAVY
 def test_events_entries_cross_engine_on_fuzzed_corpora(spark, rows):
