@@ -460,7 +460,47 @@ def drain(stream_df: DataFrame, spark: SparkSession,
             # schema is unknowable without a batch, so that case errors)
             return spark.createDataFrame([], stream_df.schema)
         raise RuntimeError("stream produced no micro-batches")
-    return spark.createDataFrame(collected, schema_holder[0])
+    return _local_batch(spark, collected, schema_holder[0])
+
+
+def _local_batch(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Materialize drained rows as a batch DataFrame.
+
+    Large flat primitive-typed batches go through pandas + Arrow: the
+    classic ``createDataFrame(list-of-Rows)`` re-pickles and re-converts
+    every row through a Python worker on EVERY action over the returned
+    frame — ~0.4 s per action for sq14's 62k-row (window x bucket)
+    sketch (guide §4: keep data columnar across the Python boundary).
+    The Arrow path serializes the batch once, columnar. Values are
+    bit-identical for the guarded types (string / integral / floating /
+    boolean — pandas round-trips them losslessly with object-dtype
+    columns preserving None); anything nested, temporal or decimal, and
+    anything small (< 1000 rows, where conversion overhead beats the
+    win and the classic path is already cheap), keeps the classic path, and ANY conversion surprise
+    falls back to it too.
+    """
+    from pyspark.sql import types as T
+
+    _FLAT = (T.StringType, T.LongType, T.IntegerType, T.ShortType,
+             T.ByteType, T.DoubleType, T.FloatType, T.BooleanType)
+    if len(rows) >= 1_000 and schema.fields and all(
+            isinstance(f.dataType, _FLAT) for f in schema.fields):
+        try:
+            import numpy as np
+            import pandas as pd
+            # columns built as dtype=object explicitly: pandas type
+            # INFERENCE would widen an int column containing None to
+            # float64 (NaN), silently corrupting int64 values past
+            # 2^53 — object columns keep every Python value verbatim
+            # and Arrow casts per the explicit target schema
+            pdf = pd.DataFrame({
+                name: np.fromiter((r[i] for r in rows), dtype=object,
+                                  count=len(rows))
+                for i, name in enumerate(schema.names)})
+            return spark.createDataFrame(pdf, schema)
+        except Exception:
+            pass
+    return spark.createDataFrame(rows, schema)
 
 
 def state_rows_report(stream_df: DataFrame, spark: SparkSession,
