@@ -1034,7 +1034,20 @@ def sq15_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_offset=SQ15_ID_OFFSET, mtime=now - 98)
 
     raw = docs_stream_reader(spark, tmp, max_files_per_trigger=1)
-    keyed = with_doc_band_key(raw)
+    # streaming analogue of plans/base.fanout (guide §2.5): each staged
+    # file is ONE parquet row group, so every micro-batch's band-key
+    # projection (md5 per shingle — the entry's dominant compute) would
+    # otherwise run on a single core regardless of session size. The
+    # round-robin exchange moves each ~600 KB corpus batch once to
+    # unlock all-cores hashing (measured 0.64x interleaved at sf0.1);
+    # which same-key copy the downstream in-batch dedup then keeps is
+    # already output-neutral by design (the checksum is a pure function
+    # of the kept KEY SET — see harness note above). At production
+    # scale arriving batches span many files/row groups and the right
+    # parallelism comes from the source; this harness stages its own
+    # single-row-group files, so the exchange is the only lever.
+    keyed = with_doc_band_key(
+        raw.repartition(spark.sparkContext.defaultParallelism))
     bucket = F.pmod(md5_slice_long(F.col("band_key")), F.lit(72))
     ts_us = F.when(F.col("ts_us") >= 0, F.col("ts_us")) \
         .otherwise(F.lit(SQ15_BASE_US) + bucket * F.lit(SQ15_HOUR_US))
