@@ -442,7 +442,14 @@ def sq7_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                                mtime=now - 100 + i)
 
     stream = events_stream_reader(spark, tmp, max_files_per_trigger=1)
-    deduped = stream.dropDuplicates(["event_id"])
+    # project to the three consumed columns BEFORE the dedup exchange
+    # (guide §2.3: shuffle fewer bytes): the state-store shuffle and
+    # in-batch sort otherwise move every event column (props included)
+    # only for all but (event_id, ts, value) to be dropped by the agg.
+    # Duplicate rows here are exact replays, so the kept copy's
+    # projection is identical whichever copy wins.
+    deduped = (stream.select("event_id", "ts", "value")
+               .dropDuplicates(["event_id"]))
     agg = (
         deduped
         .groupBy(F.window("ts", "1 hour").alias("window"))
@@ -500,8 +507,14 @@ def sq7b_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                    mtime=now - 98)
 
     raw = events_stream_reader(spark, tmp, max_files_per_trigger=1)
+    # project to the two consumed columns BEFORE the dedup exchange
+    # (guide §2.3): the rollup below reads only (event_id, ts), so
+    # shipping props/value/user through the state-store shuffle was
+    # pure shuffle weight. Replays are exact row copies, so the kept
+    # copy's projection is identical whichever copy wins.
     deduped = (
-        raw.withWatermark("ts", WATERMARK)
+        raw.select("event_id", "ts")
+        .withWatermark("ts", WATERMARK)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
 
@@ -1052,7 +1065,13 @@ def sq15_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_us = F.when(F.col("ts_us") >= 0, F.col("ts_us")) \
         .otherwise(F.lit(SQ15_BASE_US) + bucket * F.lit(SQ15_HOUR_US))
     stream = keyed.withColumn("ts", F.timestamp_micros(ts_us))
-    deduped = (stream.withWatermark("ts", WATERMARK)
+    # only (band_key, ts) survive into the rollup: project before the
+    # dedup exchange so the document TEXT does not ride the state-store
+    # shuffle (guide §2.3) — the keep-one choice is key-set-neutral by
+    # design (see harness note), so dropping unread columns cannot
+    # change the output.
+    deduped = (stream.select("band_key", "ts")
+               .withWatermark("ts", WATERMARK)
                .dropDuplicatesWithinWatermark(["band_key"]))
 
     def per_batch(df: DataFrame) -> DataFrame:
