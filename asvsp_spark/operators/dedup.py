@@ -1223,6 +1223,16 @@ def remove_dup_substring_runs(documents: DataFrame, runs: DataFrame,
     if keep == "none":
         losers = runs.select(id_col, "span_start", "span_end")
     else:
+        # keep='first' reads `runs` TWICE (keeper election + loser
+        # join). Un-materialized, Catalyst inlines the whole runs
+        # pipeline above its staging checkpoints into BOTH branches —
+        # the hot-window count, semi-join and run assembly execute
+        # twice per invocation (visible as a duplicated Exchange chain
+        # in dedup_substring_removed's r11 plan dump). A lazy
+        # localCheckpoint materializes the (small, flagged-docs-only)
+        # runs frame once at first action; same policy as the rest of
+        # the family (guide §1.2 — don't compute things twice).
+        runs = runs.localCheckpoint(eager=False)
         keeper = runs.groupBy("fp").agg(
             F.min(F.struct(F.col(id_col).alias("d"),
                            F.col("span_start").alias("s"))).alias("k"))

@@ -140,10 +140,68 @@ def _arms_sq11():
     return use_old, use_new
 
 
+def _remove_dup_substring_runs_r10(documents, runs, keep="first",
+                                   id_col="doc_id", text_col="text"):
+    """r10/r11-mid implementation (no runs materialization — the keeper
+    election and loser join each inline the full runs pipeline) — A arm."""
+    import asvsp_spark.operators.dedup as D
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if keep == "none":
+        losers = runs.select(id_col, "span_start", "span_end")
+    else:
+        keeper = runs.groupBy("fp").agg(
+            F.min(F.struct(F.col(id_col).alias("d"),
+                           F.col("span_start").alias("s"))).alias("k"))
+        losers = (runs.join(keeper, "fp")
+                  .filter(~((F.col(id_col) == F.col("k.d"))
+                            & (F.col("span_start") == F.col("k.s"))))
+                  .select(id_col, "span_start", "span_end"))
+    return D.remove_dup_spans(documents, losers, id_col, text_col)
+
+
+def _arms_runs_ckpt():
+    # the registry entry imports the name from operators.dedup at call
+    # time, so patching the module attribute covers it
+    import asvsp_spark.operators.dedup as D
+    new = D.remove_dup_substring_runs
+
+    def use_old():
+        D.remove_dup_substring_runs = _remove_dup_substring_runs_r10
+
+    def use_new():
+        D.remove_dup_substring_runs = new
+
+    return use_old, use_new
+
+
+def _arms_smj():
+    """A = Spark's default join planning (preferSortMergeJoin=true, AQE
+    SHJ conversion off), B = the repo session defaults (r10 join-strategy
+    change). Attributes a tail-entry drift to that suite-wide change."""
+    from asvsp_spark.session import get_session
+
+    spark = get_session("asvsp-ab-bench")
+    thr_key = "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
+    new_thr = spark.conf.get(thr_key, "64m")
+
+    def use_old():
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+        spark.conf.set(thr_key, "0")
+
+    def use_new():
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+        spark.conf.set(thr_key, new_thr)
+
+    return use_old, use_new
+
+
 TOOLS = {
     "assemble_runs": _arms_assemble_runs,
     "cc": _arms_cc,
     "sq11": _arms_sq11,
+    "smj": _arms_smj,
+    "runs_ckpt": _arms_runs_ckpt,
 }
 
 
