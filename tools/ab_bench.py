@@ -175,6 +175,54 @@ def _arms_runs_ckpt():
     return use_old, use_new
 
 
+def _dup_spans_r10(documents, window=8, min_docs=2,
+                   id_col="doc_id", text_col="text"):
+    """r10 implementation of operators/dedup.dup_spans (doc-partitioned
+    window lag/sum gaps-and-islands) — the A arm."""
+    import asvsp_spark.operators.dedup as D
+    w = int(window)
+    _, wins_arr = D._window_hash_arrays(documents, w, id_col, text_col)
+    hot = (wins_arr
+           .select(F.explode(
+               F.expr("array_distinct(transform(wins, x -> x.h))"))
+               .alias("h"))
+           .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+           .filter(F.col("nd") >= int(min_docs))
+           .select("h"))
+    wins = (wins_arr.select("doc", F.explode("wins").alias("win"))
+            .select("doc", F.col("win.p").alias("p"),
+                    F.col("win.h").alias("h")))
+    pos = wins.join(hot, "h", "left_semi").select("doc", "p")
+    by_pos = Window.partitionBy("doc").orderBy("p")
+    isl = pos.withColumn(
+        "brk",
+        F.when(F.col("p") - F.lag("p").over(by_pos) <= w, F.lit(0))
+         .otherwise(F.lit(1)))
+    grp = isl.withColumn(
+        "g", F.sum("brk").over(by_pos.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+    return (grp.groupBy("doc", "g")
+            .agg(F.min("p").alias("mn"), F.max("p").alias("mx"),
+                 F.count(F.lit(1)).alias("nw"))
+            .select(F.col("doc").alias(id_col),
+                    F.col("mn").cast("int").alias("span_start"),
+                    (F.col("mx") + w - 1).cast("int").alias("span_end"),
+                    F.col("nw").cast("int").alias("n_windows")))
+
+
+def _arms_dup_spans():
+    import asvsp_spark.operators.dedup as D
+    new = D.dup_spans
+
+    def use_old():
+        D.dup_spans = _dup_spans_r10
+
+    def use_new():
+        D.dup_spans = new
+
+    return use_old, use_new
+
+
 def _arms_smj():
     """A = Spark's default join planning (preferSortMergeJoin=true, AQE
     SHJ conversion off), B = the repo session defaults (r10 join-strategy
@@ -202,6 +250,7 @@ TOOLS = {
     "sq11": _arms_sq11,
     "smj": _arms_smj,
     "runs_ckpt": _arms_runs_ckpt,
+    "dup_spans": _arms_dup_spans,
 }
 
 
